@@ -1,0 +1,308 @@
+"""Posting-list codec: group-varint-style byte encoding, delta compression,
+block-max metadata, and Lucene SmallFloat doc-length norms.
+
+Reference parity notes
+----------------------
+The reference stores postings inside Lucene 4.9 segments (configured at
+/root/reference/solr/NeXLT/solr/collection1/conf/solrconfig.xml:201-234); we
+re-express the same information — per term: (docID, tf[, positions]) lists,
+df, total term frequency, and a one-byte doc-length norm per document
+(schema norms discipline, schema.xml:1088) — as delta-encoded varint blobs in
+Arrow/Parquet segment tables with per-block skip metadata (last docID, max tf,
+min norm byte) enabling block-max WAND pruning.
+
+Everything here is pure NumPy (no Ray): unit-testable, and fast enough to run
+inside `map_batches` workers without per-row Python loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # postings per skip block (Lucene uses 128-doc packed blocks)
+
+# ---------------------------------------------------------------------------
+# Vectorized LEB128 varint codec (uint64-capable)
+# ---------------------------------------------------------------------------
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array as concatenated LEB128 varints (vectorized).
+
+    Each value is emitted little-endian, 7 bits per byte, high bit set on all
+    but the final byte of a value.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # number of 7-bit groups needed per value (>=1)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    nz = tmp > 0
+    while nz.any():
+        nbits[nz] += 1
+        tmp = tmp >> np.uint64(7)
+        nz = tmp > 0
+    nbytes = np.maximum(nbits, 1)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # byte position of the first byte of each value
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    maxw = int(nbytes.max())
+    for k in range(maxw):
+        mask = nbytes > k  # values that have a k-th byte
+        idx = starts[mask] + k
+        chunk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1) > k  # not last byte -> set high bit
+        out[idx] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
+    """Decode concatenated LEB128 varints to a uint64 array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    # start of each value: position 0 and every position after a terminator
+    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
+    n = starts.size
+    if count is not None:
+        assert n == count, f"varint_decode: expected {count} values, got {n}"
+    ends = np.concatenate((starts[1:], [b.size]))
+    widths = ends - starts
+    out = np.zeros(n, dtype=np.uint64)
+    maxw = int(widths.max())
+    for k in range(maxw):
+        mask = widths > k
+        chunk = b[starts[mask] + k].astype(np.uint64) & np.uint64(0x7F)
+        out[mask] |= chunk << np.uint64(7 * k)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Lucene SmallFloat norm byte (public Lucene SmallFloat.intToByte4 semantics)
+# ---------------------------------------------------------------------------
+
+
+def small_float_int_to_byte4(i: np.ndarray | int) -> np.ndarray:
+    """Lucene `SmallFloat.intToByte4`: lossy 8-bit encoding of a non-negative
+    int (doc length). Exact for values 0..7; above that, 3 mantissa bits +
+    exponent. Monotonic. Matches Lucene 8+ norm encoding semantics (public
+    Lucene source); the reference's Solr schema stores exactly such one-byte
+    norms per doc (schema.xml:1088 DefaultSimilarity norms discipline).
+    """
+    v = np.atleast_1d(np.asarray(i, dtype=np.int64))
+    if (v < 0).any():
+        raise ValueError("negative length")
+    out = np.empty(v.shape, dtype=np.uint8)
+    small = v < 8  # numBits < 4
+    out[small] = v[small].astype(np.uint8)
+    big = ~small
+    if big.any():
+        vb = v[big]
+        # numBits = position of highest set bit + 1
+        numbits = 64 - _clz64(vb)
+        shift = numbits - 4
+        encoded = (vb >> shift) & 0x07 | ((shift + 1) << 3)
+        if (encoded > 255).any():
+            raise ValueError("length too large for byte4 encoding")
+        out[big] = encoded.astype(np.uint8)
+    return out
+
+
+def _clz64(v: np.ndarray) -> np.ndarray:
+    """Count leading zeros of positive int64 values (vectorized)."""
+    # highest bit position via float log2 is unsafe near 2^53; use bit loop.
+    bits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = tmp >= (np.int64(1) << np.int64(shift))
+        bits[mask] += shift
+        tmp[mask] >>= np.int64(shift)
+    return 64 - (bits + 1)
+
+
+def small_float_byte4_to_int(b: np.ndarray | int) -> np.ndarray:
+    """Inverse of `small_float_int_to_byte4` (approximate doc length)."""
+    v = np.atleast_1d(np.asarray(b, dtype=np.int64))
+    bits = v & 0x07
+    shift = (v >> 3) - 1
+    out = np.where(shift == -1, bits, (bits | 0x08) << np.maximum(shift, 0))
+    return out.astype(np.int64)
+
+
+# Precomputed decode table (256 entries) — the analog of Lucene's norm cache.
+NORM_DECODE_TABLE = small_float_byte4_to_int(np.arange(256))
+
+
+# ---------------------------------------------------------------------------
+# Posting-list block encoding
+# ---------------------------------------------------------------------------
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+    positions: list[np.ndarray] | None = None,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Encode one term's postings (sorted by doc_id ascending) into skip blocks.
+
+    Returns a dict with:
+      blob          bytes — concatenated per-block [doc deltas varint][tfs varint]
+      pos_blob      bytes — per-block, per-posting [npos varint][pos deltas varint]
+      block_last    int64[]  — last docID per block (skip pointers)
+      block_off     int32[]  — byte offset of each block in `blob`
+      block_pos_off int32[]  — byte offset of each block in `pos_blob`
+      block_max_tf  int32[]  — max tf per block            (block-max metadata)
+      block_min_norm uint8[] — min norm byte per block     (block-max metadata)
+    The block-max pair (max_tf, min_norm) yields a valid BM25 upper bound for
+    the block without needing avgdl at encode time: ub >= max_d score(tf_d, dl_d)
+    because BM25 is increasing in tf and decreasing in dl.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norm_bytes = np.asarray(norm_bytes, dtype=np.uint8)
+    n = doc_ids.size
+    assert n > 0
+    if n > 1 and not (np.diff(doc_ids) > 0).all():
+        raise ValueError("doc_ids must be strictly increasing")
+
+    nblocks = (n + block_size - 1) // block_size
+    blob_parts: list[bytes] = []
+    pos_parts: list[bytes] = []
+    block_last = np.empty(nblocks, dtype=np.int64)
+    block_off = np.empty(nblocks, dtype=np.int32)
+    block_pos_off = np.empty(nblocks, dtype=np.int32)
+    block_max_tf = np.empty(nblocks, dtype=np.int32)
+    block_min_norm = np.empty(nblocks, dtype=np.uint8)
+
+    off = 0
+    pos_off = 0
+    prev_last = np.int64(0)
+    for bi in range(nblocks):
+        lo, hi = bi * block_size, min((bi + 1) * block_size, n)
+        docs = doc_ids[lo:hi]
+        deltas = np.empty(hi - lo, dtype=np.uint64)
+        deltas[0] = np.uint64(docs[0] - prev_last)
+        if hi - lo > 1:
+            deltas[1:] = np.diff(docs).astype(np.uint64)
+        part = varint_encode(deltas) + varint_encode(tfs[lo:hi].astype(np.uint64))
+        blob_parts.append(part)
+        block_last[bi] = docs[-1]
+        block_off[bi] = off
+        block_max_tf[bi] = int(tfs[lo:hi].max())
+        block_min_norm[bi] = int(norm_bytes[lo:hi].min())
+        off += len(part)
+        block_pos_off[bi] = pos_off
+        if positions is not None:
+            seqs = positions[lo:hi]
+            counts = np.fromiter((len(s) for s in seqs), dtype=np.uint64, count=hi - lo)
+            flat = (
+                np.concatenate([np.asarray(s, dtype=np.int64) for s in seqs])
+                if len(seqs)
+                else np.empty(0, dtype=np.int64)
+            )
+            # delta-encode within each posting's position list
+            if flat.size:
+                d = np.diff(flat)
+                firsts = np.concatenate(([0], np.cumsum(counts.astype(np.int64))[:-1]))
+                deltas_p = d.copy()
+                full = np.empty(flat.size, dtype=np.int64)
+                full[0] = flat[0]
+                full[1:] = deltas_p
+                full[firsts] = flat[firsts]  # reset delta at each posting start
+                ppart = varint_encode(counts) + varint_encode(full.astype(np.uint64))
+            else:
+                ppart = varint_encode(counts)
+            pos_parts.append(ppart)
+            pos_off += len(ppart)
+        prev_last = docs[-1]
+
+    return {
+        "blob": b"".join(blob_parts),
+        "pos_blob": b"".join(pos_parts),
+        "block_last": block_last,
+        "block_off": block_off,
+        "block_pos_off": block_pos_off,
+        "block_max_tf": block_max_tf,
+        "block_min_norm": block_min_norm,
+        "df": n,
+        "cf": int(tfs.sum()),
+        "max_tf": int(tfs.max()),
+        "min_norm": int(norm_bytes.min()),
+    }
+
+
+def decode_block(
+    blob: bytes | np.ndarray,
+    block_off: np.ndarray,
+    block_last: np.ndarray,
+    bi: int,
+    n_total: int,
+    block_size: int = BLOCK_SIZE,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode skip-block `bi` of a term's blob → (doc_ids int64, tfs int64)."""
+    b = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
+    nblocks = len(block_off)
+    start = int(block_off[bi])
+    end = int(block_off[bi + 1]) if bi + 1 < nblocks else b.size
+    lo = bi * block_size
+    hi = min(lo + block_size, n_total)
+    cnt = hi - lo
+    vals = varint_decode(b[start:end], count=2 * cnt)
+    deltas = vals[:cnt].astype(np.int64)
+    tfs = vals[cnt:].astype(np.int64)
+    prev_last = int(block_last[bi - 1]) if bi > 0 else 0
+    docs = np.cumsum(deltas) + prev_last
+    return docs, tfs
+
+
+def decode_postings(
+    blob: bytes, block_off: np.ndarray, block_last: np.ndarray, n_total: int,
+    block_size: int = BLOCK_SIZE,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the full posting list → (doc_ids, tfs)."""
+    b = np.frombuffer(blob, dtype=np.uint8)
+    docs = np.empty(n_total, dtype=np.int64)
+    tfs = np.empty(n_total, dtype=np.int64)
+    nblocks = len(block_off)
+    for bi in range(nblocks):
+        lo = bi * block_size
+        d, t = decode_block(b, block_off, block_last, bi, n_total, block_size)
+        docs[lo : lo + d.size] = d
+        tfs[lo : lo + t.size] = t
+    return docs, tfs
+
+
+def decode_block_positions(
+    pos_blob: bytes | np.ndarray,
+    block_pos_off: np.ndarray,
+    bi: int,
+    n_total: int,
+    block_size: int = BLOCK_SIZE,
+) -> list[np.ndarray]:
+    """Decode per-posting position lists for skip-block `bi`."""
+    b = (
+        np.frombuffer(pos_blob, dtype=np.uint8)
+        if not isinstance(pos_blob, np.ndarray)
+        else pos_blob
+    )
+    nblocks = len(block_pos_off)
+    start = int(block_pos_off[bi])
+    end = int(block_pos_off[bi + 1]) if bi + 1 < nblocks else b.size
+    lo = bi * block_size
+    cnt = min(lo + block_size, n_total) - lo
+    seg = b[start:end]
+    vals = varint_decode(seg)
+    counts = vals[:cnt].astype(np.int64)
+    flat = vals[cnt:].astype(np.int64)
+    out: list[np.ndarray] = []
+    p = 0
+    for c in counts:
+        d = flat[p : p + c]
+        out.append(np.cumsum(d) if c else d)
+        p += int(c)
+    return out

@@ -1,0 +1,279 @@
+"""Analyzer chains (tokenizers) — vectorized with pyarrow.compute + numpy.
+
+Re-expresses the reference's index-time analysis for the `enu` field
+(`text_en_splitting`, /root/reference/solr/NeXLT/solr/collection1/conf/
+schema.xml:273-308):
+
+  1. HTMLStripCharFilter            (schema.xml:275)  -> regex tag strip
+  2. PatternReplaceCharFilter &(.)  (schema.xml:276)  -> accelerator removal
+  3. WhitespaceTokenizer            (schema.xml:277)
+  4. WordDelimiterFilter generateWordParts=1 generateNumberParts=1
+     catenateWords=1 catenateNumbers=1 splitOnCaseChange=1 (schema.xml:290)
+  5. LowerCaseFilter                (schema.xml:291)
+  6. [KeywordMarkerFilter + PorterStemFilter for the `text_en` profile]
+     (schema.xml:292-293)
+
+as three precisely-specified profiles:
+
+  * ``code``    — steps 1-5 (the identifier/source-code tokenizer; default for
+                  the graft corpus). Subword split points: lower->Upper case
+                  change, end of an UPPER run followed by Upper+lower,
+                  ASCII letter<->digit boundary, any non-[A-Za-z0-9] char.
+                  Emitted per whitespace token: each subword part (lowercased,
+                  consecutive positions), plus — overlapping at the position of
+                  the token's first part — the catenation of its letter chars
+                  when it has >=2 letter parts and the catenation of its digit
+                  chars when it has >=2 digit parts ("Wi-Fi" -> wi, fi, wifi).
+                  doc_len counts only non-overlapping parts (Lucene
+                  discountOverlaps discipline).
+  * ``text_en`` — ``code`` + Porter stemming of every emitted token (minus
+                  tokens in the protected set; reference protwords.txt).
+  * ``simple``  — lowercase + split on ``[^a-z0-9]+`` (SQL-parity profile:
+                  exactly DuckDB ``string_split_regex(lower(t),'[^a-z0-9]+')``
+                  with empty strings removed). Used by the DuckDB-checked
+                  oracle queries.
+
+Query-time analysis is identical minus the catenated (overlapping) tokens,
+mirroring the reference's query chain (schema.xml:295-307, catenation off).
+
+Performance: the WordDelimiter regex chain runs over *dictionary-encoded
+unique* whitespace tokens (source code and natural text are highly
+repetitive), then results are expanded back to occurrences with numpy
+gathers — no per-row Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .porter import porter_stem
+
+PROFILES = ("code", "text_en", "simple")
+
+
+@dataclass
+class TokenizedBatch:
+    """Flat token stream for a batch of documents."""
+
+    terms: np.ndarray      # object array of str, one per emitted token
+    positions: np.ndarray  # int32 position of each token within its doc
+    doc_idx: np.ndarray    # int32 row index (within batch) of each token
+    doc_len: np.ndarray    # int32 per input row: # of non-overlapping tokens
+    n_docs: int = 0
+
+    def per_doc_terms(self) -> list[list[str]]:
+        """Tokens grouped by doc, ordered by (position, term) — test helper."""
+        out: list[list[str]] = [[] for _ in range(self.n_docs)]
+        order = np.lexsort((self.terms.astype("U"), self.positions, self.doc_idx))
+        for i in order:
+            out[self.doc_idx[i]].append(str(self.terms[i]))
+        return out
+
+
+_BOUNDARY_PATTERNS = (
+    (r"([a-z])([A-Z])", r"\1 \2"),
+    (r"([A-Z]+)([A-Z][a-z])", r"\1 \2"),
+    (r"([A-Za-z])([0-9])", r"\1 \2"),
+    (r"([0-9])([A-Za-z])", r"\1 \2"),
+    (r"[^A-Za-z0-9]+", " "),
+)
+
+
+def _as_array(texts) -> pa.Array:
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if not isinstance(texts, pa.Array):
+        texts = pa.array(list(texts), type=pa.string())
+    return texts
+
+
+def char_filter(texts: pa.Array) -> pa.Array:
+    """HTML tag strip + `&amp;`->`&` + accelerator `&x` -> `x` (reference char
+    filters, schema.xml:275-276; unescape analog parseJSON.pl:308-312)."""
+    out = pc.replace_substring_regex(texts, pattern=r"<[^>]*>", replacement=" ")
+    out = pc.replace_substring_regex(out, pattern=r"&amp;", replacement="&")
+    out = pc.replace_substring_regex(out, pattern=r"&([^&\s])", replacement=r"\1")
+    return out
+
+
+def _offsets_of(list_arr) -> np.ndarray:
+    if isinstance(list_arr, pa.ChunkedArray):
+        list_arr = list_arr.combine_chunks()
+    return np.asarray(list_arr.offsets)
+
+
+def _empty(n_docs: int) -> TokenizedBatch:
+    return TokenizedBatch(
+        terms=np.empty(0, dtype=object),
+        positions=np.empty(0, dtype=np.int32),
+        doc_idx=np.empty(0, dtype=np.int32),
+        doc_len=np.zeros(n_docs, dtype=np.int32),
+        n_docs=n_docs,
+    )
+
+
+def _expand(u_off, u_cnt, ids):
+    """Gather indices: for occurrence list `ids` into per-unique slices
+    [u_off[u], u_off[u]+u_cnt[u]) -> (flat source indices, occ index per out)."""
+    counts = u_cnt[ids]
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    occ_of_out = np.repeat(np.arange(ids.size, dtype=np.int64), counts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(total, dtype=np.int64) - starts[occ_of_out]
+    src = u_off[ids][occ_of_out] + within
+    return src, occ_of_out
+
+
+def tokenize_batch(
+    texts,
+    profile: str = "code",
+    with_overlaps: bool = True,
+    protected: frozenset[str] = frozenset(),
+) -> TokenizedBatch:
+    """Tokenize a batch of strings. ``with_overlaps=False`` gives the
+    query-time chain (no catenated tokens)."""
+    arr = _as_array(texts)
+    n_docs = len(arr)
+    if profile == "simple":
+        return _tokenize_simple(arr, n_docs)
+    if profile not in PROFILES:
+        raise ValueError(f"unknown profile {profile!r}")
+
+    filtered = char_filter(arr)
+    ws = pc.utf8_split_whitespace(filtered)
+    if isinstance(ws, pa.ChunkedArray):
+        ws = ws.combine_chunks()
+    tok_flat = ws.values
+    # drop empty whitespace tokens (split artifacts on leading/trailing space)
+    nonempty = pc.greater(pc.utf8_length(tok_flat), 0)
+    tok_offsets = _offsets_of(ws)
+    toks_per_doc = np.diff(tok_offsets)
+    doc_of_tok = np.repeat(np.arange(n_docs, dtype=np.int64), toks_per_doc)
+    ne = nonempty.to_numpy(zero_copy_only=False).astype(bool)
+    tok_flat = tok_flat.filter(nonempty)
+    doc_of_tok = doc_of_tok[ne]
+    n_tok = len(tok_flat)
+    if n_tok == 0:
+        return _empty(n_docs)
+
+    # --- dictionary-encode: run the WordDelimiter chain on unique tokens only
+    dict_arr = pc.dictionary_encode(tok_flat)
+    if isinstance(dict_arr, pa.ChunkedArray):
+        dict_arr = dict_arr.combine_chunks()
+    uniq = dict_arr.dictionary          # unique ws tokens
+    ids = np.asarray(dict_arr.indices, dtype=np.int64)
+
+    marked = uniq
+    for pat, repl in _BOUNDARY_PATTERNS:
+        marked = pc.replace_substring_regex(marked, pattern=pat, replacement=repl)
+    marked = pc.utf8_lower(marked)
+    parts = pc.utf8_split_whitespace(marked)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    p_nonempty = pc.greater(pc.utf8_length(parts.values), 0)
+    pne = p_nonempty.to_numpy(zero_copy_only=False).astype(bool)
+    u_parts_all = parts.values.to_numpy(zero_copy_only=False)
+    p_off_raw = _offsets_of(parts)
+    n_uniq = len(uniq)
+    u_of_rawpart = np.repeat(np.arange(n_uniq, dtype=np.int64), np.diff(p_off_raw))
+    u_parts_flat = u_parts_all[pne]
+    u_of_part = u_of_rawpart[pne]
+    u_nparts = np.bincount(u_of_part, minlength=n_uniq)
+    u_off = np.concatenate(([0], np.cumsum(u_nparts)[:-1]))
+
+    if profile == "text_en" and u_parts_flat.size:
+        pu, pinv = np.unique(u_parts_flat.astype("U"), return_inverse=True)
+        stemmed = np.array(
+            [t if t in protected else porter_stem(str(t)) for t in pu], dtype=object
+        )
+        u_parts_flat = stemmed[pinv]
+
+    # --- expand parts to occurrences
+    src, occ_of_part = _expand(u_off, u_nparts, ids)
+    part_terms = u_parts_flat[src]
+    doc_of_part = doc_of_tok[occ_of_part]
+    doc_len = np.bincount(doc_of_part, minlength=n_docs).astype(np.int32)
+    doc_start = np.concatenate(([0], np.cumsum(doc_len.astype(np.int64))[:-1]))
+    part_pos = (
+        np.arange(part_terms.size, dtype=np.int64) - doc_start[doc_of_part]
+    ).astype(np.int32)
+
+    terms_list = [part_terms]
+    pos_list = [part_pos]
+    idx_list = [doc_of_part.astype(np.int32)]
+
+    if with_overlaps and part_terms.size:
+        # per-unique catenations (digit parts start 0-9; others are alpha)
+        is_digit = pc.match_substring_regex(
+            pa.array(u_parts_flat.astype("U")), "^[0-9]"
+        ).to_numpy(zero_copy_only=False).astype(bool)
+        n_alpha = np.bincount(u_of_part[~is_digit], minlength=n_uniq)
+        n_num = np.bincount(u_of_part[is_digit], minlength=n_uniq)
+        u_cat_a = pc.utf8_lower(
+            pc.replace_substring_regex(uniq, pattern=r"[^A-Za-z]+", replacement="")
+        ).to_numpy(zero_copy_only=False)
+        u_cat_n = pc.replace_substring_regex(
+            uniq, pattern=r"[^0-9]+", replacement=""
+        ).to_numpy(zero_copy_only=False)
+        if profile == "text_en":
+            u_cat_a = np.array(
+                [t if t in protected else porter_stem(str(t)) for t in u_cat_a],
+                dtype=object,
+            )
+        # first-part position per occurrence
+        occ_first_pos = np.zeros(ids.size, dtype=np.int32)
+        has = u_nparts[ids] > 0
+        first_src = u_off[ids[has]]
+        # position of the first part of each occurrence: find via occ_of_part
+        occ_part_start = np.concatenate(([0], np.cumsum(u_nparts[ids])[:-1]))
+        occ_first_pos[has] = part_pos[occ_part_start[has]]
+
+        for cat_vals, n_kind in ((u_cat_a, n_alpha), (u_cat_n, n_num)):
+            mask = (n_kind[ids] >= 2)
+            if mask.any():
+                terms_list.append(cat_vals[ids[mask]])
+                pos_list.append(occ_first_pos[mask])
+                idx_list.append(doc_of_tok[mask].astype(np.int32))
+
+    terms = np.concatenate([np.asarray(t, dtype=object) for t in terms_list])
+    positions = np.concatenate(pos_list).astype(np.int32)
+    doc_idx = np.concatenate(idx_list).astype(np.int32)
+    return TokenizedBatch(terms, positions, doc_idx, doc_len, n_docs)
+
+
+def _tokenize_simple(arr: pa.Array, n_docs: int) -> TokenizedBatch:
+    lower = pc.utf8_lower(arr)
+    parts = pc.split_pattern_regex(lower, pattern="[^a-z0-9]+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    nonempty = pc.greater(pc.utf8_length(parts.values), 0)
+    keep = nonempty.to_numpy(zero_copy_only=False).astype(bool)
+    flat = parts.values.to_numpy(zero_copy_only=False)[keep]
+    offsets = _offsets_of(parts)
+    per_doc = np.diff(offsets)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)[keep]
+    doc_len = np.bincount(doc_of, minlength=n_docs).astype(np.int32)
+    starts = np.concatenate(([0], np.cumsum(doc_len.astype(np.int64))[:-1]))
+    pos = (np.arange(flat.size, dtype=np.int64) - starts[doc_of]).astype(np.int32)
+    return TokenizedBatch(
+        terms=np.asarray(flat, dtype=object),
+        positions=pos,
+        doc_idx=doc_of.astype(np.int32),
+        doc_len=doc_len,
+        n_docs=n_docs,
+    )
+
+
+def tokenize_query(
+    text: str, profile: str = "code", protected: frozenset[str] = frozenset()
+) -> list[str]:
+    """Query-time analysis: same chain without overlapping (catenated) tokens."""
+    tb = tokenize_batch([text], profile=profile, with_overlaps=False, protected=protected)
+    order = np.argsort(tb.positions, kind="stable")
+    return [str(t) for t in tb.terms[order]]
