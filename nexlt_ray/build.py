@@ -1,0 +1,527 @@
+"""Index build — the Ray-Data-native re-expression of the reference's
+indexing path (Passolo/Athena indexers -> Solr update -> Lucene segments;
+SURVEY.md §3.1-3.2).
+
+Pipeline (two explicit shuffles, both documented for skew):
+
+  stage 1  read_parquet(input)                                    [stream]
+           map_batches: + content_sha256, + doc_bucket            [stateless]
+           groupby(doc_bucket).map_groups(BucketWriter)           [SHUFFLE 1]
+             -> exact dedup by content sha (reference analog: md5 uniqueKey
+                upsert, parseJSON.pl:330 + schema.xml:1033), deterministic
+                sort by (sha, repo, path, commit), local_rank assignment,
+                tokenize -> doc_len + SmallFloat norm byte, atomic write of
+                docstore/bucket=N.parquet + lineage record.
+  stage 2  driver: per-bucket doc counts -> prefix-sum doc_id offsets
+           (docIDs are dense, content-sha-ordered, scheduling-independent).
+  stage 3  read docstore -> map_batches(+doc_id) -> map_batches(
+           PartialIndexer actor pool): tokenize + per-batch partial posting
+           aggregation (the combiner that makes stopword-skew survivable:
+           each batch emits at most ONE row per (term, doc-range), so a
+           ubiquitous term contributes #batches rows to the merge, not
+           #postings rows — the "salted pre-aggregation" of the north rule,
+           with doc-range buckets as the salt)
+           groupby(term_bucket).map_groups(SegmentWriter)         [SHUFFLE 2]
+             -> merge partials per (term, range_bucket), delta+varint encode
+                with block-max metadata, atomic write of
+                segments/bucket=N.parquet + lineage record.
+  stage 4  driver: atomic manifest.json (the "commit"; analog of the
+           reference's lastrefresh swap, tr2solr.sh:58,83).
+
+Scale knobs (defaults sized for the 32-CPU sandbox; scale linearly):
+  num_doc_buckets   — dedup/docID groups. Each group materializes in one
+                      task; size it so corpus_bytes/num_doc_buckets fits a
+                      worker (~2^16 at 100 TB).
+  num_term_buckets  — merge groups; segment files. Hot (stopword-like) terms
+                      are pre-combined per batch and split across doc-range
+                      rows, so a bucket's group size stays bounded.
+  range_bits        — doc-range width (doc_id >> range_bits) for splitting a
+                      single term's postings across merge rows / segment rows.
+
+Resumability: both shuffle stages skip partitions whose ledger record and
+output file exist; outputs are written temp+rename; the final manifest is the
+atomic commit point. Records carry content-sha digests for lineage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import zlib
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .codec import BLOCK_SIZE, encode_postings, small_float_int_to_byte4
+from .lineage import Ledger, atomic_write_json, atomic_write_parquet
+from .tokenize import tokenize_batch
+
+MANIFEST_VERSION = 1
+
+
+@dataclass
+class BuildConfig:
+    profile: str = "code"              # tokenizer profile (tokenize.PROFILES)
+    num_doc_buckets: int = 64          # dedup/docID shuffle partitions
+    num_term_buckets: int = 32         # postings merge shuffle partitions
+    range_bits: int = 22               # doc-range salt: doc_id >> range_bits
+    block_size: int = BLOCK_SIZE       # postings per skip block
+    store_positions: bool = True       # positional index (phrase queries)
+    max_content_chars: int | None = None  # drop longer docs (reference: 5000,
+                                          # parseJSON.pl:313,321)
+    index_batch_size: int = 1024       # docs per PartialIndexer batch
+    index_concurrency: int | None = None  # actor pool size (None -> CPUs)
+
+
+def term_bucket_of(term: str, num_term_buckets: int) -> int:
+    """Stable term -> merge-bucket hash (crc32; cross-process deterministic)."""
+    return zlib.crc32(term.encode("utf-8")) % num_term_buckets
+
+
+def _sha_and_bucket(batch: pa.Table, cfg: BuildConfig) -> pa.Table:
+    """Stateless map: content sha256 + doc bucket (+ length-cap filter)."""
+    if cfg.max_content_chars is not None:
+        mask = pc.less_equal(pc.utf8_length(batch["content"]), cfg.max_content_chars)
+        batch = batch.filter(mask)
+    contents = batch["content"].to_pylist()
+    shas = [hashlib.sha256(c.encode("utf-8")).hexdigest() for c in contents]
+    # bucket from the sha's first 8 hex chars: uniform, content-derived
+    buckets = np.array(
+        [int(s[:8], 16) % cfg.num_doc_buckets for s in shas], dtype=np.int32
+    )
+    return batch.append_column("content_sha256", pa.array(shas, pa.string())).append_column(
+        "doc_bucket", pa.array(buckets, pa.int32())
+    )
+
+
+class BucketWriter:
+    """Stage-1 group fn: dedup + rank + tokenize + atomic docstore write."""
+
+    def __init__(self, index_dir: str, cfg: BuildConfig):
+        self.index_dir = index_dir
+        self.cfg = cfg
+
+    def _summary_table(self, rec: dict) -> pa.Table:
+        return pa.table(
+            {
+                "doc_bucket": pa.array([rec["partition_id"]], pa.int32()),
+                "n_docs": pa.array([rec["n_docs"]], pa.int64()),
+                "total_len": pa.array([rec["total_len"]], pa.int64()),
+                "n_input_rows": pa.array([rec["n_input_rows"]], pa.int64()),
+                "n_dups_removed": pa.array([rec["n_dups_removed"]], pa.int64()),
+            }
+        )
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        bucket = int(group["doc_bucket"][0].as_py())
+        out_path = os.path.join(self.index_dir, "docstore", f"bucket={bucket:05d}.parquet")
+        ledger = Ledger(self.index_dir, "docstore")
+        rec = ledger.get(bucket, out_path)
+        if rec is not None:
+            return self._summary_table(rec)
+
+        sha = np.asarray(group["content_sha256"].to_numpy(zero_copy_only=False))
+        repo = group["repo"].to_numpy(zero_copy_only=False)
+        path = group["path"].to_numpy(zero_copy_only=False)
+        commit = group["commit"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((commit, path, repo, sha))
+        group = group.take(pa.array(order))
+        sha = sha[order]
+        # keep first row per sha (deterministic: lexicographically smallest
+        # (repo, path, commit) wins — the reference's last-write-wins upsert
+        # replaced arrival-order nondeterminism; we pick a total order instead)
+        keep = np.concatenate(([True], sha[1:] != sha[:-1]))
+        group = group.filter(pa.array(keep))
+        n = group.num_rows
+
+        tb = tokenize_batch(group["content"], profile=self.cfg.profile)
+        norm = small_float_int_to_byte4(tb.doc_len)
+        table = pa.table(
+            {
+                "doc_bucket": pa.array(np.full(n, bucket, dtype=np.int32)),
+                "local_rank": pa.array(np.arange(n, dtype=np.int64)),
+                "repo": group["repo"],
+                "path": group["path"],
+                "commit": group["commit"],
+                "lang": group["lang"],
+                "content_sha256": group["content_sha256"],
+                "doc_len": pa.array(tb.doc_len, pa.int32()),
+                "norm_byte": pa.array(norm.astype(np.uint8), pa.uint8()),
+                "content": group["content"],
+            }
+        )
+        atomic_write_parquet(out_path, table)
+        shas_digest = hashlib.sha256("".join(map(str, sha[keep])).encode()).hexdigest()
+        rec = {
+            "partition_id": bucket,
+            "n_docs": n,
+            "total_len": int(tb.doc_len.sum()),
+            "n_input_rows": int(keep.size),
+            "n_dups_removed": int(keep.size - n),
+            "content_sha256s_digest": shas_digest,
+            "output": os.path.relpath(out_path, self.index_dir),
+        }
+        ledger.put(bucket, rec)
+        return self._summary_table(rec)
+
+
+class PartialIndexer:
+    """Stage-3 actor-pool batch fn: tokenize + per-batch posting combiner.
+
+    Stateful actor (map_batches class UDF): the doc-id offset table is loaded
+    once per actor in __init__ (broadcast-small-side pattern, SURVEY.md T1),
+    not per batch."""
+
+    def __init__(self, cfg: BuildConfig, offsets: list[int]):
+        self.cfg = cfg
+        self.offsets = np.asarray(offsets, dtype=np.int64)
+        self._tb_cache: dict[str, int] = {}
+
+    def _term_buckets(self, terms: np.ndarray) -> np.ndarray:
+        cache = self._tb_cache
+        ntb = self.cfg.num_term_buckets
+        out = np.empty(terms.size, dtype=np.int32)
+        for i, t in enumerate(terms):
+            t = str(t)
+            v = cache.get(t)
+            if v is None:
+                v = zlib.crc32(t.encode("utf-8")) % ntb
+                cache[t] = v
+            out[i] = v
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        doc_id = (
+            self.offsets[np.asarray(batch["doc_bucket"])]
+            + np.asarray(batch["local_rank"])
+        )
+        norm_byte = np.asarray(batch["norm_byte"]).astype(np.uint8)
+
+        tb = tokenize_batch(batch["content"], profile=cfg.profile)
+        if tb.terms.size == 0:
+            return _empty_partial_table()
+        denc = pc.dictionary_encode(pa.array(tb.terms.astype("U")))
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        dictionary = denc.dictionary.to_numpy(zero_copy_only=False)
+
+        d = doc_id[tb.doc_idx]
+        nb = norm_byte[tb.doc_idx]
+        order = np.lexsort((tb.positions, d, codes))
+        c, dd, pp, nn = codes[order], d[order], tb.positions[order], nb[order]
+
+        # posting boundaries: one posting per (term, doc)
+        new_post = np.concatenate(([True], (c[1:] != c[:-1]) | (dd[1:] != dd[:-1])))
+        post_of_tok = np.cumsum(new_post) - 1
+        tf = np.bincount(post_of_tok).astype(np.int32)
+        p_doc = dd[new_post]
+        p_code = c[new_post]
+        p_norm = nn[new_post]
+        p_rb = (p_doc >> cfg.range_bits).astype(np.int32)
+
+        # row boundaries: one output row per (term, doc-range)
+        new_row = np.concatenate(
+            ([True], (p_code[1:] != p_code[:-1]) | (p_rb[1:] != p_rb[:-1]))
+        )
+        row_of_post = np.cumsum(new_row) - 1
+        n_rows = int(row_of_post[-1]) + 1
+        row_code = p_code[new_row]
+        row_rb = p_rb[new_row]
+        row_npost = np.bincount(row_of_post).astype(np.int64)
+        post_offsets = np.concatenate(([0], np.cumsum(row_npost))).astype(np.int32)
+
+        # positions flat per row (token stream is already grouped by posting)
+        row_of_tok = row_of_post[post_of_tok]
+        row_ntok = np.bincount(row_of_tok, minlength=n_rows).astype(np.int64)
+        tok_offsets = np.concatenate(([0], np.cumsum(row_ntok))).astype(np.int32)
+
+        terms_str = dictionary[row_code]
+        tbuckets = self._term_buckets(terms_str)
+
+        def list_arr(offsets, values, typ):
+            return pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(values, typ)
+            )
+
+        return pa.table(
+            {
+                "term_bucket": pa.array(tbuckets, pa.int32()),
+                "term": pa.array(terms_str.astype("U"), pa.string()),
+                "range_bucket": pa.array(row_rb, pa.int32()),
+                "doc_ids": list_arr(post_offsets, p_doc, pa.int64()),
+                "tfs": list_arr(post_offsets, tf, pa.int32()),
+                "norms": list_arr(post_offsets, p_norm.astype(np.uint8), pa.uint8()),
+                "pos_flat": list_arr(tok_offsets, pp.astype(np.int32), pa.int32()),
+            }
+        )
+
+
+def _empty_partial_table() -> pa.Table:
+    return pa.table(
+        {
+            "term_bucket": pa.array([], pa.int32()),
+            "term": pa.array([], pa.string()),
+            "range_bucket": pa.array([], pa.int32()),
+            "doc_ids": pa.array([], pa.list_(pa.int64())),
+            "tfs": pa.array([], pa.list_(pa.int32())),
+            "norms": pa.array([], pa.list_(pa.uint8())),
+            "pos_flat": pa.array([], pa.list_(pa.int32())),
+        }
+    )
+
+
+def _expand_slices(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Gather indices for concatenating slices [starts[i], starts[i]+counts[i])."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    out_of = np.repeat(np.arange(starts.size, dtype=np.int64), counts)
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(total, dtype=np.int64) - offs[out_of]
+    return starts[out_of] + within
+
+
+class SegmentWriter:
+    """Stage-3 group fn: merge partial postings for one term bucket, encode,
+    atomic segment write."""
+
+    def __init__(self, index_dir: str, cfg: BuildConfig):
+        self.index_dir = index_dir
+        self.cfg = cfg
+
+    def _summary_table(self, rec: dict) -> pa.Table:
+        return pa.table(
+            {
+                "term_bucket": pa.array([rec["partition_id"]], pa.int32()),
+                "n_terms": pa.array([rec["n_terms"]], pa.int64()),
+                "n_rows": pa.array([rec["n_rows"]], pa.int64()),
+                "n_postings": pa.array([rec["n_postings"]], pa.int64()),
+            }
+        )
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        bucket = int(group["term_bucket"][0].as_py())
+        out_path = os.path.join(self.index_dir, "segments", f"bucket={bucket:05d}.parquet")
+        ledger = Ledger(self.index_dir, "segments")
+        rec = ledger.get(bucket, out_path)
+        if rec is not None:
+            return self._summary_table(rec)
+        cfg = self.cfg
+
+        group = group.combine_chunks()
+        denc = pc.dictionary_encode(group["term"])
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        row_code = np.asarray(denc.indices, dtype=np.int64)
+        dictionary = denc.dictionary.to_numpy(zero_copy_only=False)
+
+        docs_col = group["doc_ids"].combine_chunks()
+        tfs_col = group["tfs"].combine_chunks()
+        norms_col = group["norms"].combine_chunks()
+        pos_col = group["pos_flat"].combine_chunks()
+        doc_vals = np.asarray(docs_col.values)
+        tf_vals = np.asarray(tfs_col.values)
+        norm_vals = np.asarray(norms_col.values)
+        pos_vals = np.asarray(pos_col.values)
+        row_post_off = np.asarray(docs_col.offsets, dtype=np.int64)
+        row_pos_off = np.asarray(pos_col.offsets, dtype=np.int64)
+        npost_per_row = np.diff(row_post_off)
+
+        # explode: per posting -> (code, rb, doc, tf, norm, pos_start)
+        post_code = np.repeat(row_code, npost_per_row)
+        post_rb = np.repeat(
+            np.asarray(group["range_bucket"], dtype=np.int64), npost_per_row
+        )
+        # pos_start per posting within pos_vals: row pos offset + cumsum of tfs
+        # within the row
+        tf_shift = np.concatenate(([0], np.cumsum(tf_vals)[:-1]))
+        row_of_post = np.repeat(np.arange(len(group), dtype=np.int64), npost_per_row)
+        row_first_post = np.concatenate(([0], np.cumsum(npost_per_row)[:-1]))
+        pos_start = (
+            row_pos_off[row_of_post]
+            + tf_shift
+            - tf_shift[row_first_post][row_of_post]
+        )
+
+        order = np.lexsort((doc_vals, post_rb, post_code))
+        s_code = post_code[order]
+        s_rb = post_rb[order]
+        s_doc = doc_vals[order]
+        s_tf = tf_vals[order]
+        s_norm = norm_vals[order]
+        s_pstart = pos_start[order]
+
+        new_out = np.concatenate(
+            ([True], (s_code[1:] != s_code[:-1]) | (s_rb[1:] != s_rb[:-1]))
+        )
+        out_starts = np.flatnonzero(new_out)
+        out_ends = np.concatenate((out_starts[1:], [s_code.size]))
+
+        rows = []
+        n_postings_total = 0
+        for lo, hi in zip(out_starts, out_ends):
+            docs = s_doc[lo:hi]
+            tfs = s_tf[lo:hi]
+            norms = s_norm[lo:hi]
+            pflat = None
+            if cfg.store_positions:
+                idx = _expand_slices(s_pstart[lo:hi], tfs.astype(np.int64))
+                pflat = pos_vals[idx]
+            enc = encode_postings(
+                docs, tfs, norms, pos_flat=pflat, block_size=cfg.block_size
+            )
+            term = str(dictionary[s_code[lo]])
+            n_postings_total += int(enc["df"])
+            rows.append(
+                {
+                    "term": term,
+                    "range_bucket": int(s_rb[lo]),
+                    "df": enc["df"],
+                    "cf": enc["cf"],
+                    "max_tf": enc["max_tf"],
+                    "min_norm": enc["min_norm"],
+                    "blob": enc["blob"],
+                    "pos_blob": enc["pos_blob"],
+                    "block_last": enc["block_last"].tolist(),
+                    "block_off": enc["block_off"].tolist(),
+                    "block_pos_off": enc["block_pos_off"].tolist(),
+                    "block_max_tf": enc["block_max_tf"].tolist(),
+                    "block_min_norm": enc["block_min_norm"].tolist(),
+                }
+            )
+        rows.sort(key=lambda r: (r["term"], r["range_bucket"]))
+        seg = pa.Table.from_pylist(rows, schema=segment_schema())
+        atomic_write_parquet(out_path, seg)
+        n_terms = len({r["term"] for r in rows})
+        rec = {
+            "partition_id": bucket,
+            "n_terms": n_terms,
+            "n_rows": len(rows),
+            "n_postings": n_postings_total,
+            "output": os.path.relpath(out_path, self.index_dir),
+        }
+        ledger.put(bucket, rec)
+        return self._summary_table(rec)
+
+
+def segment_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("term", pa.string()),
+            ("range_bucket", pa.int32()),
+            ("df", pa.int64()),
+            ("cf", pa.int64()),
+            ("max_tf", pa.int32()),
+            ("min_norm", pa.uint8()),
+            ("blob", pa.binary()),
+            ("pos_blob", pa.binary()),
+            ("block_last", pa.list_(pa.int64())),
+            ("block_off", pa.list_(pa.int32())),
+            ("block_pos_off", pa.list_(pa.int32())),
+            ("block_max_tf", pa.list_(pa.int32())),
+            ("block_min_norm", pa.list_(pa.uint8())),
+        ]
+    )
+
+
+def build_index(
+    input_path: str | list[str],
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+) -> dict:
+    """Run the full build; returns the manifest dict. Resumable: re-running
+    after a partial failure skips completed partitions (see Ledger)."""
+    import ray
+    import ray.data
+
+    cfg = cfg or BuildConfig()
+    os.makedirs(index_dir, exist_ok=True)
+
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            return json.load(f)
+
+    # ---- stage 1: dedup + local rank per doc bucket (shuffle 1) ----
+    ds = ray.data.read_parquet(
+        input_path, columns=["repo", "path", "commit", "lang", "content"]
+    )
+    ds = ds.map_batches(
+        lambda b: _sha_and_bucket(b, cfg), batch_format="pyarrow", batch_size=4096
+    )
+    bucket_writer = BucketWriter(index_dir, cfg)
+
+    def write_doc_bucket(group: pa.Table) -> pa.Table:
+        return bucket_writer(group)
+
+    summaries = (
+        ds.groupby("doc_bucket")
+        .map_groups(write_doc_bucket, batch_format="pyarrow")
+        .take_all()
+    )
+
+    # ---- stage 2: driver-side prefix sums (tiny: one row per bucket) ----
+    counts = np.zeros(cfg.num_doc_buckets, dtype=np.int64)
+    total_len = 0
+    n_input = 0
+    n_dups = 0
+    for row in summaries:
+        counts[row["doc_bucket"]] = row["n_docs"]
+        total_len += row["total_len"]
+        n_input += row["n_input_rows"]
+        n_dups += row["n_dups_removed"]
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1])).tolist()
+    n_docs = int(counts.sum())
+
+    # ---- stage 3: tokenize + partial postings + term-bucket merge ----
+    if cfg.index_concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, ncpu - 2)
+    else:
+        concurrency = cfg.index_concurrency
+    docs = ray.data.read_parquet(
+        os.path.join(index_dir, "docstore"),
+        columns=["doc_bucket", "local_rank", "norm_byte", "content"],
+    )
+    partials = docs.map_batches(
+        PartialIndexer,
+        fn_constructor_args=(cfg, offsets),
+        batch_format="pyarrow",
+        batch_size=cfg.index_batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    segment_writer = SegmentWriter(index_dir, cfg)
+
+    def write_segment_bucket(group: pa.Table) -> pa.Table:
+        return segment_writer(group)
+
+    seg_summaries = (
+        partials.groupby("term_bucket")
+        .map_groups(write_segment_bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    n_terms = sum(r["n_terms"] for r in seg_summaries)
+    n_postings = sum(r["n_postings"] for r in seg_summaries)
+
+    # ---- stage 4: atomic manifest (the commit point) ----
+    manifest = {
+        "version": MANIFEST_VERSION,
+        "config": asdict(cfg),
+        "n_docs": n_docs,
+        "n_input_rows": n_input,
+        "n_dups_removed": n_dups,
+        "total_len": int(total_len),
+        "avgdl": (total_len / n_docs) if n_docs else 0.0,
+        "doc_offsets": offsets,
+        "doc_counts": counts.tolist(),
+        "n_terms": n_terms,
+        "n_postings": n_postings,
+    }
+    atomic_write_json(manifest_path, manifest)
+    return manifest

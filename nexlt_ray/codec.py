@@ -145,14 +145,17 @@ def encode_postings(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     norm_bytes: np.ndarray,
-    positions: list[np.ndarray] | None = None,
+    pos_flat: np.ndarray | None = None,
     block_size: int = BLOCK_SIZE,
 ) -> dict:
     """Encode one term's postings (sorted by doc_id ascending) into skip blocks.
 
     Returns a dict with:
       blob          bytes — concatenated per-block [doc deltas varint][tfs varint]
-      pos_blob      bytes — per-block, per-posting [npos varint][pos deltas varint]
+      pos_blob      bytes — per-block [npos varint per posting][pos deltas varint]
+    ``pos_flat`` holds every posting's (sorted, ascending) positions
+    concatenated in posting order; posting i owns the slice
+    pos_flat[cumsum(tfs)[i-1] : cumsum(tfs)[i]] (len == its tf).
       block_last    int64[]  — last docID per block (skip pointers)
       block_off     int32[]  — byte offset of each block in `blob`
       block_pos_off int32[]  — byte offset of each block in `pos_blob`
@@ -179,6 +182,7 @@ def encode_postings(
     block_max_tf = np.empty(nblocks, dtype=np.int32)
     block_min_norm = np.empty(nblocks, dtype=np.uint8)
 
+    cum_tf = np.concatenate(([0], np.cumsum(tfs)))
     off = 0
     pos_off = 0
     prev_last = np.int64(0)
@@ -197,23 +201,19 @@ def encode_postings(
         block_min_norm[bi] = int(norm_bytes[lo:hi].min())
         off += len(part)
         block_pos_off[bi] = pos_off
-        if positions is not None:
-            seqs = positions[lo:hi]
-            counts = np.fromiter((len(s) for s in seqs), dtype=np.uint64, count=hi - lo)
-            flat = (
-                np.concatenate([np.asarray(s, dtype=np.int64) for s in seqs])
-                if len(seqs)
-                else np.empty(0, dtype=np.int64)
-            )
-            # delta-encode within each posting's position list
+        if pos_flat is not None:
+            counts = tfs[lo:hi].astype(np.uint64)
+            flat = np.asarray(pos_flat[cum_tf[lo] : cum_tf[hi]], dtype=np.int64)
+            # delta-encode within each posting's position list (reset at each
+            # posting's first position, which stays absolute)
             if flat.size:
-                d = np.diff(flat)
-                firsts = np.concatenate(([0], np.cumsum(counts.astype(np.int64))[:-1]))
-                deltas_p = d.copy()
                 full = np.empty(flat.size, dtype=np.int64)
                 full[0] = flat[0]
-                full[1:] = deltas_p
-                full[firsts] = flat[firsts]  # reset delta at each posting start
+                full[1:] = np.diff(flat)
+                firsts = np.cumsum(counts.astype(np.int64))[:-1]
+                full[np.concatenate(([0], firsts))] = flat[
+                    np.concatenate(([0], firsts))
+                ]
                 ppart = varint_encode(counts) + varint_encode(full.astype(np.uint64))
             else:
                 ppart = varint_encode(counts)
