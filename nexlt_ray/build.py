@@ -88,9 +88,12 @@ def _sha_and_bucket(batch: pa.Table, cfg: BuildConfig) -> pa.Table:
         batch = batch.filter(mask)
     contents = batch["content"].to_pylist()
     shas = [hashlib.sha256(c.encode("utf-8")).hexdigest() for c in contents]
-    # bucket from the sha's first 8 hex chars: uniform, content-derived
+    # RANGE-partition the uniform sha prefix: bucket boundaries are contiguous
+    # sha ranges, so global doc order (doc_bucket asc, sha asc) == plain sha
+    # order — docIDs are the global content-sha rank, independent of
+    # num_doc_buckets and of scheduling (SURVEY.md §7.4.4 determinism).
     buckets = np.array(
-        [int(s[:8], 16) % cfg.num_doc_buckets for s in shas], dtype=np.int32
+        [(int(s[:8], 16) * cfg.num_doc_buckets) >> 32 for s in shas], dtype=np.int32
     )
     return batch.append_column("content_sha256", pa.array(shas, pa.string())).append_column(
         "doc_bucket", pa.array(buckets, pa.int32())

@@ -1,0 +1,89 @@
+"""Unit + property tests for the posting-list codec and SmallFloat norms."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nexlt_ray.codec import (
+    decode_block,
+    decode_block_positions,
+    decode_postings,
+    encode_postings,
+    small_float_byte4_to_int,
+    small_float_int_to_byte4,
+    varint_decode,
+    varint_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert (varint_decode(varint_encode(arr)) == arr).all()
+
+
+def test_varint_known_encodings():
+    assert varint_encode(np.array([0], np.uint64)) == b"\x00"
+    assert varint_encode(np.array([127], np.uint64)) == b"\x7f"
+    assert varint_encode(np.array([128], np.uint64)) == b"\x80\x01"
+    assert varint_encode(np.array([300], np.uint64)) == b"\xac\x02"
+
+
+def test_smallfloat_exact_below_8_and_monotonic():
+    v = np.arange(0, 200000)
+    enc = small_float_int_to_byte4(v)
+    dec = small_float_byte4_to_int(enc)
+    assert (dec[:16] == v[:16]).all()  # 4-bit mantissa keeps 0..15 exact
+    assert (np.diff(enc.astype(int)) >= 0).all()  # monotonic
+    assert (dec <= v).all()  # decode never overshoots (floor semantics)
+    # relative error bounded by mantissa width
+    big = v >= 8
+    assert (v[big] - dec[big] <= v[big] // 8).all()
+
+
+def test_smallfloat_known_values():
+    # hand-computed from the Lucene SmallFloat intToByte4 algorithm
+    for i, b, back in [(0, 0, 0), (7, 7, 7), (12, 12, 12), (100, 36, 96), (5000, 81, 4608)]:
+        assert int(small_float_int_to_byte4(i)[0]) == b
+        assert int(small_float_byte4_to_int(b)[0]) == back
+
+
+@pytest.mark.parametrize("n", [1, 3, 127, 128, 129, 1000])
+def test_postings_roundtrip(n):
+    rng = np.random.default_rng(n)
+    docs = np.sort(rng.choice(10**7, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 30, size=n).astype(np.int64)
+    norms = rng.integers(0, 256, size=n).astype(np.uint8)
+    pos_flat = np.concatenate(
+        [np.sort(rng.choice(5000, size=int(t), replace=False)) for t in tfs]
+    ).astype(np.int64)
+    enc = encode_postings(docs, tfs, norms, pos_flat=pos_flat)
+    assert enc["df"] == n and enc["cf"] == int(tfs.sum())
+    d, t = decode_postings(enc["blob"], enc["block_off"], enc["block_last"], n)
+    assert (d == docs).all() and (t == tfs).all()
+    # block metadata
+    nb = len(enc["block_off"])
+    assert nb == (n + 127) // 128
+    cum = np.concatenate(([0], np.cumsum(tfs)))
+    for bi in range(nb):
+        lo, hi = bi * 128, min((bi + 1) * 128, n)
+        assert enc["block_last"][bi] == docs[hi - 1]
+        assert enc["block_max_tf"][bi] == tfs[lo:hi].max()
+        assert enc["block_min_norm"][bi] == norms[lo:hi].min()
+        plists = decode_block_positions(enc["pos_blob"], enc["block_pos_off"], bi, n)
+        for j, p in enumerate(plists):
+            i = lo + j
+            assert (p == pos_flat[cum[i] : cum[i + 1]]).all()
+        d2, t2 = decode_block(
+            np.frombuffer(enc["blob"], np.uint8), enc["block_off"], enc["block_last"], bi, n
+        )
+        assert (d2 == docs[lo:hi]).all() and (t2 == tfs[lo:hi]).all()
+
+
+def test_postings_rejects_unsorted():
+    with pytest.raises(ValueError):
+        encode_postings(
+            np.array([5, 3]), np.array([1, 1]), np.array([0, 0], np.uint8)
+        )

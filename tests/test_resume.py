@@ -1,0 +1,60 @@
+"""Resume-from-checkpoint tests (north rule: per-partition lineage + resume).
+
+Simulates a build killed after K partitions by deleting outputs/ledger entries
+for the others, then asserts the resumed build is byte-identical
+(SURVEY.md §5.4).
+"""
+
+import glob
+import hashlib
+import os
+
+import pyarrow.parquet as pq
+
+
+def _dir_hash(d):
+    h = hashlib.sha256()
+    for f in sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)):
+        h.update(os.path.relpath(f, d).encode())
+        h.update(open(f, "rb").read())
+    return h.hexdigest()
+
+
+def test_resume_after_partial_failure(ray_session, small_corpus_path, tmp_path):
+    from nexlt_ray.build import BuildConfig, build_index
+
+    cfg = BuildConfig(num_doc_buckets=8, num_term_buckets=4)
+    idx = str(tmp_path / "idx")
+    build_index(small_corpus_path, idx, cfg)
+    full = _dir_hash(idx)
+
+    # "kill" after K partitions: drop the manifest, 2 docstore buckets (one
+    # with and one without its ledger record) and 1 segment bucket
+    os.remove(os.path.join(idx, "manifest.json"))
+    os.remove(os.path.join(idx, "docstore", "bucket=00001.parquet"))
+    os.remove(os.path.join(idx, "docstore", "bucket=00004.parquet"))
+    os.remove(os.path.join(idx, "ledger", "docstore", "part-00004.json"))
+    os.remove(os.path.join(idx, "segments", "bucket=00002.parquet"))
+
+    m = build_index(small_corpus_path, idx, cfg)
+    assert _dir_hash(idx) == full
+    assert m["n_docs"] == 970  # 1000 - 3% dups
+
+
+def test_ledger_records_lineage(ray_session, small_corpus_path, tmp_path):
+    from nexlt_ray.build import BuildConfig, build_index
+    from nexlt_ray.lineage import Ledger
+
+    idx = str(tmp_path / "idx")
+    build_index(small_corpus_path, idx, BuildConfig(num_doc_buckets=4, num_term_buckets=2))
+    recs = Ledger(idx, "docstore").records()
+    assert len(recs) == 4
+    assert sum(r["n_docs"] for r in recs) == 970
+    for r in recs:
+        assert len(r["content_sha256s_digest"]) == 64
+        out = os.path.join(idx, r["output"])
+        assert os.path.exists(out)
+        assert pq.read_metadata(out).num_rows == r["n_docs"]
+    seg_recs = Ledger(idx, "segments").records()
+    assert len(seg_recs) == 2
+    assert all(r["n_terms"] > 0 for r in seg_recs)
