@@ -1,16 +1,17 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the nexlt_ray engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module: nothing here (or in
+nexlt_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+  entry()      — flagship pipeline at sf0.001: build the inverted index over
+                 the synthetic source-code corpus and return its doc-meta
+                 table (per-row content-sha256 invariant surface).
+  queries()    — one callable per implemented operator/pipeline
+                 (SURVEY.md §2 inventory + training-data extensions).
+  oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible;
+                 non-SQL ops (WAND/Lucene-float32 scoring, MinHash/SimHash
+                 sketches, LSH ANN, heuristic langid, fingerprints,
+                 multimodal stubs) are rows-only checked by design.
 """
 
 from __future__ import annotations
@@ -20,25 +21,215 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from nexlt_ray.pipelines import corpus_doc_meta
+
+    return corpus_doc_meta("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from nexlt_ray import pipelines as P
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # index statistics + search over `documents` (SQL-parity profile)
+        "term_df_top100": P.term_df_top100,
+        "bm25_topk_docs": P.bm25_topk_docs,
+        "match_count_or": P.match_count_or,
+        "phrase_match_count": P.phrase_match_count,
+        # dedup family
+        "exact_dedup_docs": P.exact_dedup_docs,
+        "jaccard_dup_pairs": P.jaccard_dup_pairs_docs,
+        "minhash_pairs_corpus": P.minhash_pairs_corpus,
+        "simhash_docs": P.simhash_docs,
+        # normalization / text analysis
+        "normalize_text": P.normalize_text_docs,
+        "quality_stats": P.quality_stats_docs,
+        "langid_docs": P.langid_docs,
+        "fingerprint_docs": P.fingerprint_docs,
+        "lang_normalize_counts": P.lang_normalize_counts,
+        "facet_counts": P.facet_counts_docs,
+        "srclc_sort_top100": P.srclc_sort_top100,
+        # streaming-shaped + relational
+        "tumbling_window_events": P.tumbling_window_events,
+        "supplier_nation_agg": P.supplier_nation_agg,
+        # similarity search
+        "embedding_topk": P.embedding_topk,
+        "ann_lsh_topk": P.ann_lsh_topk,
+        # flagship engine (Lucene-exact scoring; oracle = pytest rank-identity)
+        "corpus_doc_meta": P.corpus_doc_meta,
+        "corpus_bm25_topk": P.corpus_bm25_topk,
+        # multimodal plumbing (decode stubbed, see nexlt_ray/multimodal.py)
+        "media_features": P.media_features,
+        "frame_samples": P.frame_samples,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL generation (single source of truth: nexlt_ray.pipelines)
+# ---------------------------------------------------------------------------
+_TOKS = (
+    "SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term "
+    "FROM documents"
+)
+_TOK = f"WITH toks AS ({_TOKS}), tok AS (SELECT doc_id, term FROM toks WHERE term <> '')"
+
+
+def _qterms_values() -> str:
+    from nexlt_ray.pipelines import doc_query_terms
+
+    vals = ", ".join(f"({qid}, '{t}')" for qid, t in doc_query_terms())
+    return f"q(qid, term) AS (VALUES {vals})"
+
+
+def _bm25_sql() -> str:
+    return f"""
+{_TOK},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+{_qterms_values()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY term),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT qid, doc_id, round(score, 4) AS score_r
+FROM scores
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id) <= 10
+"""
+
+
+def _phrase_sql() -> str:
+    from nexlt_ray.pipelines import DOC_PHRASES
+    from nexlt_ray.tokenize import tokenize_query
+
+    parts = []
+    for pi, phrase in enumerate(DOC_PHRASES):
+        toks = tokenize_query(phrase, profile="simple")
+        pat = "(^|[^a-z0-9])" + "[^a-z0-9]+".join(toks) + "([^a-z0-9]|$)"
+        parts.append(
+            f"SELECT {pi}::BIGINT AS qid, count(*)::BIGINT AS num_found "
+            f"FROM documents WHERE regexp_matches(lower(text), '{pat}')"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _quality_sql() -> str:
+    from nexlt_ray.textstats import PUNCT_CLASS, STOPWORDS_EN
+
+    stoplist = ", ".join(f"'{w}'" for w in sorted(STOPWORDS_EN))
+    return f"""
+SELECT doc_id,
+  length(text)::BIGINT AS n_chars,
+  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS n_tokens,
+  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x IN ({stoplist})))::BIGINT AS n_stopwords,
+  (length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')))::BIGINT AS n_punct
+FROM documents
+"""
+
+
+def _lang_norm_sql() -> str:
+    from nexlt_ray.pipelines import LANG_NORMALIZE
+
+    whens = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in LANG_NORMALIZE.items())
+    return (
+        f"SELECT CASE lang {whens} ELSE lang END AS lang_norm, count(*)::BIGINT AS n "
+        "FROM documents GROUP BY 1"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "term_df_top100": f"""
+{_TOK}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM tok GROUP BY term
+ORDER BY df DESC, term LIMIT 100
+""",
+        "bm25_topk_docs": _bm25_sql(),
+        "match_count_or": f"""
+{_TOK},
+{_qterms_values()},
+qids AS (SELECT DISTINCT qid FROM q)
+SELECT qids.qid, count(DISTINCT tok.doc_id)::BIGINT AS num_found
+FROM qids
+LEFT JOIN q ON q.qid = qids.qid
+LEFT JOIN tok ON tok.term = q.term
+GROUP BY qids.qid
+""",
+        "phrase_match_count": _phrase_sql(),
+        "exact_dedup_docs": """
+SELECT min(doc_id)::BIGINT AS doc_id, sha256(text) AS text_sha256,
+       count(*)::BIGINT AS n_copies
+FROM documents GROUP BY text
+""",
+        "jaccard_dup_pairs": f"""
+{_TOK},
+t AS (SELECT DISTINCT doc_id, term FROM tok),
+sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+          FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT p.da::BIGINT AS doc_a, p.db::BIGINT AS doc_b, p.inter::BIGINT AS inter,
+       (sa.n + sb.n - p.inter)::BIGINT AS union_
+FROM pairs p
+JOIN sizes sa ON p.da = sa.doc_id
+JOIN sizes sb ON p.db = sb.doc_id
+WHERE 10 * p.inter >= 9 * (sa.n + sb.n - p.inter)
+""",
+        "normalize_text": r"""
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    text, '<[^>]*>', ' ', 'g'), '&amp;', '&', 'g'),
+    '&([^& '|| chr(9) || chr(10) || chr(13) || '])', '\1', 'g'),
+    '[ ' || chr(9) || chr(10) || chr(13) || ']+', ' ', 'g')) AS norm_text
+FROM documents
+""",
+        "quality_stats": _quality_sql(),
+        "lang_normalize_counts": _lang_norm_sql(),
+        "facet_counts": """
+SELECT 'lang' AS field, lang AS value, count(*)::BIGINT AS n FROM documents GROUP BY lang
+UNION ALL
+SELECT 'source' AS field, source AS value, count(*)::BIGINT AS n FROM documents GROUP BY source
+""",
+        "srclc_sort_top100": """
+SELECT doc_id, lower(text) AS srclc FROM documents
+ORDER BY lower(text), doc_id LIMIT 100
+""",
+        "tumbling_window_events": """
+SELECT event_type,
+       epoch_us(ts) // 300000000 AS window_id,
+       count(*)::BIGINT AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+""",
+        "supplier_nation_agg": """
+SELECT n.n_name, r.r_name, count(*)::BIGINT AS n_suppliers,
+       CAST(round(sum(s.s_acctbal) * 100) AS BIGINT) AS acctbal_cents
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+""",
+        "embedding_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           ORDER BY vec_id LIMIT 5),
+sims AS (
+  SELECT q.qid, e.vec_id,
+         CAST(round(list_cosine_similarity(
+             e.embedding::DOUBLE[], q.qv::DOUBLE[]) * 1000000) AS BIGINT) AS sim_e6
+  FROM q CROSS JOIN embeddings e
+)
+SELECT qid, vec_id, sim_e6 FROM sims
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, vec_id) <= 10
+""",
+    }

@@ -1,0 +1,786 @@
+"""sf_dir-parameterized pipelines: one per operator family in SURVEY.md §2,
+runnable by the driver (``__ray_entry__.queries()``) and benchmarked by
+bench.py. DuckDB-oracle-checkable pipelines keep outputs integer-exact (or
+integer-scaled floats) so order-insensitive value hashes can't drift on
+float associativity.
+
+Conventions:
+  * Ray is ALREADY initialised by the caller — nothing here calls ray.init().
+  * Inputs stream from parquet with column pruning; aggregations are
+    partial-per-batch before any groupby (combiner pattern).
+  * Fixed query sets live here so oracle SQL can be generated from the same
+    definitions (single source of truth).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import dedup as dedup_ops
+from . import normalize as norm_ops
+from . import similarity as sim_ops
+from . import textstats as ts_ops
+from .corpus import corpus_path, n_docs_for_sf, reference_queries
+from .tokenize import tokenize_batch, tokenize_query
+
+K1, B = 1.2, 0.75
+
+# fixed query sets over the generic `documents` table (vocab-derived)
+DOC_QUERIES = [
+    "table scan",
+    "query window agg",
+    "hash join",
+    "the value",
+    "spark",
+    "customer order line",
+]
+DOC_PHRASES = ["value table", "the part", "hash join", "window agg"]
+
+LANG_NORMALIZE = {"en": "eng", "de": "deu", "fr": "fra", "es": "spa", "zh": "zho"}
+
+
+def _documents(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+def doc_query_terms() -> list[tuple[int, str]]:
+    """(qid, term) clauses of DOC_QUERIES under the simple profile — the
+    single source of truth shared with the generated oracle SQL."""
+    out = []
+    for qid, q in enumerate(DOC_QUERIES):
+        for t in tokenize_query(q, profile="simple"):
+            out.append((qid, t))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# inverted-index statistics over `documents` (G1/G2 analog, SQL-checkable)
+# ---------------------------------------------------------------------------
+def term_df_top100(sf_dir: str) -> pa.Table:
+    """Top 100 terms by document frequency (df desc, term asc): the df/cf
+    aggregation at the heart of the index build (SURVEY.md G1), with
+    per-batch partial aggregation before the term groupby."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        if tb.terms.size == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "df_p": pa.array([], pa.int64()),
+                 "cf_p": pa.array([], pa.int64())}
+            )
+        terms = tb.terms.astype("U")
+        # distinct (doc, term) for df; all occurrences for cf
+        uniq, inv = np.unique(terms, return_inverse=True)
+        cf = np.bincount(inv, minlength=uniq.size)
+        key = inv.astype(np.int64) * len(batch) + tb.doc_idx
+        df = np.bincount(
+            (np.unique(key) // len(batch)).astype(np.int64), minlength=uniq.size
+        )
+        return pa.table(
+            {
+                "term": pa.array(uniq, pa.string()),
+                "df_p": pa.array(df.astype(np.int64)),
+                "cf_p": pa.array(cf.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf"))
+    )
+    t = agg.to_pandas()
+    t = t.sort_values(["df", "term"], ascending=[False, True]).head(100)
+    return pa.table(
+        {
+            "term": pa.array(t["term"], pa.string()),
+            "df": pa.array(t["df"], pa.int64()),
+            "cf": pa.array(t["cf"], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# one-shot distributed BM25 over `documents` (SQL-parity scoring)
+# ---------------------------------------------------------------------------
+def bm25_topk_docs(sf_dir: str) -> pa.Table:
+    """Top-10 BM25 per DOC_QUERIES query over `documents`, scored in float64
+    with true token-count doc lengths (SQL-parity twin of the Lucene-exact
+    engine path; ranking key = (round(score,4) desc, doc_id asc))."""
+    qterms = doc_query_terms()
+    terms = sorted({t for _, t in qterms})
+    tset = pa.array(terms, pa.string())
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        n = len(batch)
+        cols = {"doc_id": batch["doc_id"],
+                "dl": pa.array(tb.doc_len.astype(np.int64))}
+        terms_u = tb.terms.astype("U") if tb.terms.size else None
+        for ti, term in enumerate(terms):
+            tf = np.zeros(n, dtype=np.int64)
+            if terms_u is not None:
+                m = terms_u == term
+                tf = np.bincount(tb.doc_idx[m], minlength=n).astype(np.int64)
+            cols[f"tf_{ti}"] = pa.array(tf)
+        return pa.table(cols)
+
+    mat = ds.map_batches(extract, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Count, Sum
+
+    aggs = [Sum("dl", alias_name="total_len"), Count(alias_name="n_docs")]
+    stats = mat.aggregate(*aggs)
+    n_docs = stats["n_docs"]
+    avgdl = stats["total_len"] / n_docs
+    # df per term: count rows with tf>0
+    dfs = {}
+    df_aggs = mat.map_batches(
+        lambda b: pa.table(
+            {f"has_{ti}": pc.cast(pc.greater(b[f"tf_{ti}"], 0), pa.int64())
+             for ti in range(len(terms))}
+        ),
+        batch_format="pyarrow",
+    ).aggregate(*[Sum(f"has_{ti}", alias_name=f"df_{ti}") for ti in range(len(terms))])
+    for ti in range(len(terms)):
+        dfs[terms[ti]] = df_aggs[f"df_{ti}"]
+
+    idf = {
+        t: float(np.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))) for t in terms
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        dl = np.asarray(batch["dl"], dtype=np.float64)
+        doc_id = np.asarray(batch["doc_id"])
+        out_q, out_d, out_s = [], [], []
+        denom_k = K1 * (1.0 - B + B * dl / avgdl)
+        for qid in range(len(DOC_QUERIES)):
+            qts = [t for q, t in qterms if q == qid]
+            s = np.zeros(dl.size, dtype=np.float64)
+            matched = np.zeros(dl.size, dtype=bool)
+            for t in qts:
+                ti = terms.index(t)
+                tf = np.asarray(batch[f"tf_{ti}"], dtype=np.float64)
+                m = tf > 0
+                s = s + np.where(m, idf[t] * tf * (K1 + 1.0) / (tf + denom_k), 0.0)
+                matched |= m
+            sel = matched
+            out_q.append(np.full(int(sel.sum()), qid, dtype=np.int64))
+            out_d.append(doc_id[sel])
+            out_s.append(s[sel])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q)),
+                "doc_id": pa.array(np.concatenate(out_d)),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    def topk(g: pa.Table) -> pa.Table:
+        s = np.asarray(g["score"], dtype=np.float64)
+        d = np.asarray(g["doc_id"])
+        sr = np.round(s, 4)
+        order = np.lexsort((d, -sr))[:10]
+        return pa.table(
+            {
+                "qid": pa.array(np.repeat(np.asarray(g["qid"])[0], order.size)),
+                "doc_id": pa.array(d[order]),
+                "score_r": pa.array(sr[order], pa.float64()),
+            }
+        )
+
+    res = (
+        mat.map_batches(score, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+    return res.to_pandas()
+
+
+def match_count_or(sf_dir: str) -> pa.Table:
+    """numFound per DOC_QUERIES query (OR semantics; reference G3)."""
+    qterms = doc_query_terms()
+    terms = sorted({t for _, t in qterms})
+    tset = pa.array(terms, pa.string())
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        n = len(batch)
+        hits = {}
+        for ti, term in enumerate(terms):
+            m = tb.terms.astype("U") == term if tb.terms.size else np.zeros(0, bool)
+            hits[term] = np.bincount(tb.doc_idx[m], minlength=n) > 0
+        cols = {}
+        for qid in range(len(DOC_QUERIES)):
+            qts = [t for q, t in qterms if q == qid]
+            any_hit = np.zeros(n, dtype=bool)
+            for t in qts:
+                any_hit |= hits[t]
+            cols[f"q{qid}"] = pa.array(any_hit.sum(keepdims=True).astype(np.int64))
+        return pa.table(cols)
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(f"q{qid}", alias_name=f"s{qid}") for qid in range(len(DOC_QUERIES))]
+    )
+    return pa.table(
+        {
+            "qid": pa.array(np.arange(len(DOC_QUERIES), dtype=np.int64)),
+            "num_found": pa.array(
+                [int(agg[f"s{q}"]) for q in range(len(DOC_QUERIES))], pa.int64()
+            ),
+        }
+    )
+
+
+def phrase_match_count(sf_dir: str) -> pa.Table:
+    """Docs matching each DOC_PHRASES phrase (consecutive simple-profile
+    tokens — equivalently the boundary regex the oracle SQL uses)."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    phrase_terms = [tokenize_query(p, profile="simple") for p in DOC_PHRASES]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        terms = tb.terms.astype("U") if tb.terms.size else np.empty(0, "U1")
+        cols = {}
+        for pi, pts in enumerate(phrase_terms):
+            cnt = 0
+            if terms.size:
+                # (doc, pos) sets per phrase term; shift-and-intersect
+                ok_key = None
+                for off, t in enumerate(pts):
+                    m = terms == t
+                    # +64 keeps the shifted position non-negative so the
+                    # packed (doc, pos) key can't alias across docs
+                    key = tb.doc_idx[m].astype(np.int64) * (2**32) + (
+                        tb.positions[m].astype(np.int64) - off + 64
+                    )
+                    ok_key = key if ok_key is None else np.intersect1d(ok_key, key)
+                if ok_key is not None and ok_key.size:
+                    cnt = np.unique(ok_key >> 32).size
+            cols[f"p{pi}"] = pa.array(np.array([cnt], dtype=np.int64))
+        return pa.table(cols)
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(f"p{pi}", alias_name=f"s{pi}") for pi in range(len(DOC_PHRASES))]
+    )
+    return pa.table(
+        {
+            "qid": pa.array(np.arange(len(DOC_PHRASES), dtype=np.int64)),
+            "num_found": pa.array(
+                [int(agg[f"s{p}"]) for p in range(len(DOC_PHRASES))], pa.int64()
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+def exact_dedup_docs(sf_dir: str):
+    """Exact dedup of `documents` by sha256(text) (reference J2 uniqueKey
+    upsert semantics): survivors with copy counts."""
+    return dedup_ops.exact_dedup(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def jaccard_dup_pairs_docs(sf_dir: str):
+    """Complete token-set Jaccard similarity join (tau=0.9), integer-exact."""
+    return dedup_ops.jaccard_pairs(
+        _documents(sf_dir, ["doc_id", "text"]), tau_num=9, tau_den=10
+    )
+
+
+def minhash_pairs_corpus(sf_dir: str):
+    """MinHash-LSH candidate pairs over the synthetic code corpus, verified
+    with exact token-set Jaccard >= 0.9 (integer-exact columns)."""
+    import ray.data
+
+    path = corpus_path(min(n_docs_for_sf(sf_dir), 5000))
+    ds = ray.data.read_parquet(path).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(b), dtype=np.int64)),
+                "text": b["content"],
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=1 << 30,  # single batch: stable doc_id = row index
+    )
+    # NOTE: doc_id from row order is only stable because this reads a single
+    # parquet file in one batch; real pipelines use content-derived ids.
+    cand = dedup_ops.minhash_lsh_pairs(ds, concurrency=2)
+    docs_tbl = ds.to_pandas()
+    toksets = {}
+    tb = tokenize_batch(pa.array(docs_tbl["text"]), profile="simple")
+    for d in range(len(docs_tbl)):
+        toksets[d] = set()
+    for t, d in zip(tb.terms, tb.doc_idx):
+        toksets[int(docs_tbl["doc_id"][d])].add(str(t))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        da = np.asarray(batch["doc_a"])
+        db = np.asarray(batch["doc_b"])
+        inter = np.array(
+            [len(toksets[int(a)] & toksets[int(b)]) for a, b in zip(da, db)],
+            dtype=np.int64,
+        )
+        union = np.array(
+            [len(toksets[int(a)] | toksets[int(b)]) for a, b in zip(da, db)],
+            dtype=np.int64,
+        )
+        keep = 10 * inter >= 9 * union
+        return pa.table(
+            {
+                "doc_a": pa.array(da[keep]),
+                "doc_b": pa.array(db[keep]),
+                "inter": pa.array(inter[keep]),
+                "union_": pa.array(union[keep]),
+            }
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def simhash_docs(sf_dir: str):
+    """64-bit SimHash sketch per document (deterministic)."""
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        dedup_ops.simhash_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# normalization / text analysis (M-ops + training-data analytics)
+# ---------------------------------------------------------------------------
+def normalize_text_docs(sf_dir: str):
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        norm_ops.normalize_documents_batch, batch_format="pyarrow"
+    )
+
+
+def quality_stats_docs(sf_dir: str):
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        ts_ops.quality_stats_batch, batch_format="pyarrow"
+    )
+
+
+def langid_docs(sf_dir: str):
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        ts_ops.langid_batch, batch_format="pyarrow"
+    )
+
+
+def fingerprint_docs(sf_dir: str):
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        ts_ops.fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def lang_normalize_counts(sf_dir: str) -> pa.Table:
+    """M7 dictionary-replace on the lang column + facet count."""
+    ds = _documents(sf_dir, ["doc_id", "lang"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        ln = norm_ops.dict_replace(
+            batch["lang"].combine_chunks()
+            if isinstance(batch["lang"], pa.ChunkedArray)
+            else batch["lang"],
+            LANG_NORMALIZE,
+        )
+        return pa.table({"lang_norm": ln})
+
+    from ray.data.aggregate import Count
+
+    out = ds.map_batches(norm, batch_format="pyarrow").groupby("lang_norm").aggregate(
+        Count(alias_name="n")
+    )
+    df = out.to_pandas()
+    return pa.table(
+        {
+            "lang_norm": pa.array(df["lang_norm"], pa.string()),
+            "n": pa.array(df["n"], pa.int64()),
+        }
+    )
+
+
+def facet_counts_docs(sf_dir: str) -> pa.Table:
+    """Facet counts over lang and source (reference G4 FacetComponent,
+    solrconfig.xml:1104)."""
+    from ray.data.aggregate import Count
+
+    out = []
+    for field in ("lang", "source"):
+        ds = _documents(sf_dir, [field])
+        agg = ds.groupby(field).aggregate(Count(alias_name="n")).to_pandas()
+        for _, row in agg.iterrows():
+            out.append((field, str(row[field]), int(row["n"])))
+    out.sort()
+    return pa.table(
+        {
+            "field": pa.array([o[0] for o in out], pa.string()),
+            "value": pa.array([o[1] for o in out], pa.string()),
+            "n": pa.array([o[2] for o in out], pa.int64()),
+        }
+    )
+
+
+def srclc_sort_top100(sf_dir: str) -> pa.Table:
+    """M12 lowercase sort key + O2 field sort + O3 pagination window."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "srclc": norm_ops.lowercase_sort_key(
+                    batch["text"].combine_chunks()
+                    if isinstance(batch["text"], pa.ChunkedArray)
+                    else batch["text"]
+                ),
+            }
+        )
+
+    out = ds.map_batches(add_key, batch_format="pyarrow").sort(["srclc", "doc_id"]).limit(100)
+    return out.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# events: tumbling-window aggregate (SURVEY.md §2.10 streaming analog)
+# ---------------------------------------------------------------------------
+def tumbling_window_events(sf_dir: str) -> pa.Table:
+    """5-minute tumbling windows per event_type: count + value sum (integer
+    cents). Partial aggregation per batch, then a small groupby."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+    win_us = 300 * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        win = pc.divide(us, win_us)  # integer division; ts >= epoch so exact
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_id": win,
+                "value": batch["value"],
+            }
+        )
+        import pandas as pd
+
+        df = t.to_pandas()
+        g = df.groupby(["event_type", "window_id"], as_index=False).agg(
+            n_p=("value", "size"), v_p=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_id"])
+        .aggregate(Sum("n_p", alias_name="n"), Sum("v_p", alias_name="v"))
+    )
+    df = agg.to_pandas()
+    return pa.table(
+        {
+            "event_type": pa.array(df["event_type"], pa.string()),
+            "window_id": pa.array(df["window_id"], pa.int64()),
+            "n": pa.array(df["n"].astype(np.int64)),
+            "value_cents": pa.array(
+                np.round(df["v"].to_numpy() * 100).astype(np.int64)
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# broadcast join (J1 analog) + aggregation over TPC-H-ish tables
+# ---------------------------------------------------------------------------
+def supplier_nation_agg(sf_dir: str) -> pa.Table:
+    """supplier x nation x region via broadcast small sides (reference J1
+    product-enrichment lookup), then grouped aggregate (integer cents)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    r_name = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+    n_map = {
+        k: (n, r_name[r])
+        for k, n, r in zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_name"].to_pylist(),
+            nation["n_regionkey"].to_pylist(),
+        )
+    }
+    n_ref = ray.put(n_map)
+
+    class Enrich:
+        def __init__(self, ref):
+            self.map = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            keys = np.asarray(batch["s_nationkey"])
+            names = [self.map[int(k)][0] for k in keys]
+            regions = [self.map[int(k)][1] for k in keys]
+            df = pd.DataFrame(
+                {
+                    "n_name": names,
+                    "r_name": regions,
+                    "acctbal": np.asarray(batch["s_acctbal"]),
+                }
+            )
+            g = df.groupby(["n_name", "r_name"], as_index=False).agg(
+                n_p=("acctbal", "size"), v_p=("acctbal", "sum")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_nationkey", "s_acctbal"]
+    )
+    agg = (
+        ds.map_batches(
+            Enrich, fn_constructor_args=(n_ref,), batch_format="pyarrow",
+            concurrency=2, num_cpus=1
+        )
+        .groupby(["n_name", "r_name"])
+        .aggregate(Sum("n_p", alias_name="n_suppliers"), Sum("v_p", alias_name="v"))
+    )
+    df = agg.to_pandas()
+    return pa.table(
+        {
+            "n_name": pa.array(df["n_name"], pa.string()),
+            "r_name": pa.array(df["r_name"], pa.string()),
+            "n_suppliers": pa.array(df["n_suppliers"].astype(np.int64)),
+            "acctbal_cents": pa.array(
+                np.round(df["v"].to_numpy() * 100).astype(np.int64)
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+def _query_vectors(sf_dir: str, n: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    vid = np.asarray(t["vec_id"])
+    sel = np.argsort(vid)[:n]
+    mat = np.asarray(t["embedding"].combine_chunks().values, dtype=np.float64).reshape(
+        t.num_rows, -1
+    )
+    return vid[sel], mat[sel]
+
+
+def embedding_topk(sf_dir: str) -> pa.Table:
+    """Exact cosine top-10 of every vector against the first 5 vectors
+    (brute force, float64, ranking key = (round(sim*1e6) desc, vec_id))."""
+    import ray.data
+
+    qids, qvecs = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    out = sim_ops.brute_force_topk(
+        ds, qvecs, k=10, concurrency=2, rank_scale=1e6
+    ).to_pandas()
+    qmap = {i: int(q) for i, q in enumerate(qids)}
+    return pa.table(
+        {
+            "qid": pa.array([qmap[int(q)] for q in out["qid"]], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "sim_e6": pa.array(
+                np.round(out["sim"].to_numpy() * 1e6).astype(np.int64)
+            ),
+        }
+    )
+
+
+def ann_lsh_topk(sf_dir: str) -> pa.Table:
+    """Approximate (LSH-bucketed) variant of embedding_topk — the scale
+    path; recall vs brute force asserted in tests, not rank-identity."""
+    import ray.data
+
+    qids, qvecs = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    out = sim_ops.lsh_topk(ds, qvecs, k=10, nbits=10, multiprobe_bits=1,
+                           concurrency=2).to_pandas()
+    qmap = {i: int(q) for i, q in enumerate(qids)}
+    return pa.table(
+        {
+            "qid": pa.array([qmap[int(q)] for q in out["qid"]], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "sim_e6": pa.array(np.round(out["sim"].to_numpy() * 1e6).astype(np.int64)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# the flagship: inverted-index build + WAND search over the code corpus
+# ---------------------------------------------------------------------------
+def _corpus_index(sf_dir: str) -> str:
+    """Build (once, cached) the index for the sf-appropriate synthetic
+    corpus; returns index_dir."""
+    from .build import BuildConfig, build_index
+
+    n = n_docs_for_sf(sf_dir)
+    path = corpus_path(n)
+    index_dir = f"/tmp/nexlt_index/n{n}"
+    build_index(path, index_dir, BuildConfig())
+    return index_dir
+
+
+def corpus_doc_meta(sf_dir: str) -> pa.Table:
+    """Doc-meta table of the built index (FIXTURES.md F4): the per-row
+    sha256 invariant surface."""
+    import pyarrow.parquet as pq
+
+    idx = _corpus_index(sf_dir)
+    import json
+
+    with open(os.path.join(idx, "manifest.json")) as f:
+        m = json.load(f)
+    t = pq.read_table(
+        os.path.join(idx, "docstore"),
+        columns=["doc_bucket", "local_rank", "repo", "path", "commit", "lang",
+                 "content_sha256", "doc_len", "norm_byte"],
+    )
+    doc_id = (
+        np.asarray(m["doc_offsets"])[np.asarray(t["doc_bucket"])]
+        + np.asarray(t["local_rank"])
+    )
+    t = t.drop_columns(["doc_bucket", "local_rank"]).add_column(
+        0, "doc_id", pa.array(doc_id, pa.int64())
+    )
+    return t.take(pa.array(np.argsort(doc_id)))
+
+
+def corpus_bm25_topk(sf_dir: str) -> pa.Table:
+    """Reference query set, top-10 via block-max WAND over the built index
+    (Lucene-exact float32 BM25; scores scaled to int micro-units)."""
+    from .query import IndexReader
+
+    idx = _corpus_index(sf_dir)
+    r = IndexReader(idx)
+    qids, ranks, docs, scores = [], [], [], []
+    for q in reference_queries():
+        for rank, (d, s) in enumerate(r.search(q["query"], k=q["k"])):
+            qids.append(q["qid"])
+            ranks.append(rank)
+            docs.append(d)
+            scores.append(int(round(s * 1e6)))
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_e6": pa.array(scores, pa.int64()),
+        }
+    )
+
+
+class SearchActor:
+    """Actor-pool batch fn for distributed query serving: IndexReader loaded
+    once per actor (reference T4 Solr-cache analog), batches of queries in,
+    top-k rows out."""
+
+    def __init__(self, index_dir: str, k: int = 10):
+        from .query import IndexReader
+
+        self.reader = IndexReader(index_dir)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        for qid, q in zip(batch["qid"].to_pylist(), batch["query"].to_pylist()):
+            for rank, (d, s) in enumerate(self.reader.search(q, k=self.k)):
+                qids.append(qid)
+                ranks.append(rank)
+                docs.append(d)
+                scores.append(float(s))
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "score": pa.array(scores, pa.float32()),
+            }
+        )
+
+
+def search_batch(index_dir: str, queries: list[dict], k: int = 10, concurrency: int = 4):
+    """Distributed top-k for a batch of queries via an IndexReader actor pool."""
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "qid": pa.array([q["qid"] for q in queries], pa.int64()),
+                "query": pa.array([q["query"] for q in queries], pa.string()),
+            }
+        )
+    )
+    return ds.map_batches(
+        SearchActor,
+        fn_constructor_args=(index_dir, k),
+        batch_format="pyarrow",
+        batch_size=max(1, len(queries) // max(concurrency, 1)),
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (decode stubbed; see multimodal.py)
+# ---------------------------------------------------------------------------
+def media_features(sf_dir: str):
+    import ray.data
+
+    from .multimodal import ImageFeatureExtractor, synthetic_media_table
+
+    ds = ray.data.from_arrow(synthetic_media_table(200))
+    return ds.map_batches(
+        ImageFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=32,  # small: payloads are large binaries
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+def frame_samples(sf_dir: str):
+    import ray.data
+
+    from .multimodal import FrameSampler, synthetic_media_table
+
+    ds = ray.data.from_arrow(synthetic_media_table(100))
+    return ds.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=32, concurrency=2, num_cpus=1
+    )

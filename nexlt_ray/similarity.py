@@ -1,0 +1,206 @@
+"""Similarity search over an embedding column (`list<float>`).
+
+  * brute-force cosine top-k — numpy matmul per batch against a broadcast
+    query matrix (`ray.put` once, read in every task), partial top-k per
+    batch, merged with a tiny per-query groupby. Exact; SQL-checkable via
+    DuckDB list_cosine_similarity.
+  * LSH-bucketed ANN (random hyperplane signs) — the scale path: probe only
+    buckets matching the query signature (multi-probe over nearby codes).
+  * embedding-cosine near-dup — all pairs with cosine >= tau via the same
+    bucket structure.
+
+All kernels compute in float64 (embeddings upcast) so results match DuckDB's
+double arithmetic; outputs round similarity to 6 decimals with integer-exact
+tie-breaks (vec_id ascending).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _matrix_of(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.values, dtype=np.float64)
+    dim = len(arr[0])
+    return flat.reshape(len(batch), dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceScorer:
+    """Actor-pool batch fn: cosine of every row against the query matrix,
+    emitting each batch's per-query top-k partials (the combiner)."""
+
+    def __init__(self, queries_ref, k: int = 10, rank_scale: float | None = None):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float64))  # (nq, dim)
+        self.k = k
+        self.rank_scale = rank_scale
+
+    def _rank_key(self, s: np.ndarray) -> np.ndarray:
+        # integer-scaled ranking (round(sim*scale)) makes ordering robust to
+        # last-bit float noise and matches the SQL oracle's ORDER BY exactly
+        return np.round(s * self.rank_scale) if self.rank_scale else s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix_of(batch))
+        sims = m @ self.q.T  # (nrows, nq)
+        vec_ids = np.asarray(batch["vec_id"])
+        k = min(self.k, m.shape[0])
+        qids_out, vids_out, sims_out = [], [], []
+        for qi in range(self.q.shape[0]):
+            s = sims[:, qi]
+            # partial top-k with (sim desc, vec_id asc) tie-break
+            order = np.lexsort((vec_ids, -self._rank_key(s)))[:k]
+            qids_out.append(np.full(order.size, qi, dtype=np.int64))
+            vids_out.append(vec_ids[order])
+            sims_out.append(s[order])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(qids_out)),
+                "vec_id": pa.array(np.concatenate(vids_out)),
+                "sim": pa.array(np.concatenate(sims_out), pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(
+    ds, queries: np.ndarray, k: int = 10, concurrency: int = 4,
+    rank_scale: float | None = None,
+):
+    """Exact cosine top-k per query row. Returns Dataset (qid, vec_id, sim).
+
+    The query matrix is put in the object store ONCE and read per actor in
+    __init__ — not re-shipped per batch."""
+    import ray
+
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    partials = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_args=(qref, k, rank_scale),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        s = np.asarray(g["sim"])
+        v = np.asarray(g["vec_id"])
+        key = np.round(s * rank_scale) if rank_scale else s
+        order = np.lexsort((v, -key))[:k]
+        return pa.table(
+            {
+                "qid": pa.array(np.repeat(np.asarray(g["qid"])[0], order.size)),
+                "vec_id": pa.array(v[order]),
+                "sim": pa.array(s[order], pa.float64()),
+            }
+        )
+
+    return partials.groupby("qid").map_groups(final_topk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (random hyperplanes) — the 100 TB path
+# ---------------------------------------------------------------------------
+
+
+def hyperplanes(dim: int, nbits: int = 12, seed: int = 11) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim))
+
+
+def lsh_code(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-pattern bucket code per row (int64)."""
+    bits = (m @ planes.T) > 0
+    return (bits.astype(np.int64) << np.arange(planes.shape[0])[None, :]).sum(axis=1)
+
+
+def add_lsh_code(batch: pa.Table, planes: np.ndarray) -> pa.Table:
+    m = _normalize(_matrix_of(batch))
+    return batch.append_column("lsh_code", pa.array(lsh_code(m, planes)))
+
+
+def lsh_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    nbits: int = 12,
+    multiprobe_bits: int = 1,
+    concurrency: int = 4,
+):
+    """Approximate top-k: score only rows whose LSH code is within
+    `multiprobe_bits` bit-flips of a query's code. Same output schema as
+    brute_force_topk; recall measured in tests (not exact by design).
+
+    Scale shape: the code column partitions the corpus; a query touches
+    1 + nbits*multiprobe buckets instead of every row."""
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    planes = hyperplanes(q.shape[1], nbits)
+    qcodes = lsh_code(q, planes)
+    probe: set[int] = set()
+    for c in qcodes.tolist():
+        probe.add(c)
+        if multiprobe_bits >= 1:
+            for b in range(nbits):
+                probe.add(c ^ (1 << b))
+        if multiprobe_bits >= 2:
+            for b1 in range(nbits):
+                for b2 in range(b1 + 1, nbits):
+                    probe.add(c ^ (1 << b1) ^ (1 << b2))
+    probe_arr = pa.array(sorted(probe), pa.int64())
+
+    coded = ds.map_batches(
+        lambda b: add_lsh_code(b, planes), batch_format="pyarrow"
+    )
+    import pyarrow.compute as pc
+
+    cand = coded.map_batches(
+        lambda b: b.filter(pc.is_in(b["lsh_code"], value_set=probe_arr)),
+        batch_format="pyarrow",
+    )
+    return brute_force_topk(cand, queries, k=k, concurrency=concurrency)
+
+
+def cosine_near_dup_pairs(ds, tau: float = 0.95, nbits: int = 8, concurrency: int = 4):
+    """Embedding near-dup: bucket by LSH code, emit in-bucket pairs with
+    cosine >= tau (approximate — pairs split across buckets are missed;
+    raise multiprobe/lower nbits for recall)."""
+    planes_holder: dict[str, np.ndarray] = {}
+
+    def add_code(batch: pa.Table) -> pa.Table:
+        if "p" not in planes_holder:
+            dim = len(batch["embedding"][0])
+            planes_holder["p"] = hyperplanes(dim, nbits)
+        return add_lsh_code(batch, planes_holder["p"])
+
+    coded = ds.map_batches(add_code, batch_format="pyarrow")
+
+    def pairs_of_bucket(g: pa.Table) -> pa.Table:
+        m = _normalize(_matrix_of(g))
+        ids = np.asarray(g["vec_id"])
+        order = np.argsort(ids)
+        m, ids = m[order], ids[order]
+        sims = m @ m.T
+        a, b = np.triu_indices(ids.size, k=1)
+        keep = sims[a, b] >= tau
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[a[keep]], pa.int64()),
+                "vec_b": pa.array(ids[b[keep]], pa.int64()),
+                "sim": pa.array(sims[a[keep], b[keep]], pa.float64()),
+            }
+        )
+
+    return coded.groupby("lsh_code").map_groups(pairs_of_bucket, batch_format="pyarrow")

@@ -1,0 +1,148 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID (n-gram/stopword heuristic), quality counters, token counting,
+document fingerprinting (rolling hash + winnowing).
+
+All are vectorized batch fns for `ds.map_batches(..., batch_format="pyarrow")`
+(fingerprinting is numpy over a flattened char buffer). The reference has no
+analytics beyond facets; these extend the engine per the graft brief.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .tokenize import tokenize_batch
+
+# tiny per-language stopword profiles (public common-word lists)
+_LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the a of to and in is it for on with as at by this that".split()),
+    "de": frozenset("der die das und ist ein eine zu mit von für auf nicht den im".split()),
+    "fr": frozenset("le la les et de un une est pour dans que sur avec ne pas".split()),
+    "es": frozenset("el la los las y de un una es para en que no con por se".split()),
+}
+
+STOPWORDS_EN = _LANG_PROFILES["en"]
+PUNCT_CLASS = "[.,;:!?]"
+
+
+def token_counts_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace+regex token count per doc (simple profile; SQL-parity:
+    len(list_filter(string_split_regex(lower(t),'[^a-z0-9]+'), x -> x<>''))."""
+    tb = tokenize_batch(batch[text_col], profile="simple")
+    return batch.append_column("n_tokens", pa.array(tb.doc_len.astype(np.int64)))
+
+
+def quality_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality counters per doc (all exact integers, SQL-checkable):
+    n_chars, n_tokens, n_stopwords (EN list), n_punct."""
+    text = batch[text_col]
+    tb = tokenize_batch(text, profile="simple")
+    n_docs = len(batch)
+    stop = pa.array(sorted(STOPWORDS_EN), pa.string())
+    if tb.terms.size:
+        is_stop = pc.is_in(pa.array(tb.terms.astype("U")), value_set=stop)
+        stop_mask = is_stop.to_numpy(zero_copy_only=False).astype(bool)
+        n_stop = np.bincount(tb.doc_idx[stop_mask], minlength=n_docs)
+    else:
+        n_stop = np.zeros(n_docs, dtype=np.int64)
+    n_chars = pc.utf8_length(text)
+    no_punct = pc.replace_substring_regex(text, pattern=PUNCT_CLASS, replacement="")
+    n_punct = pc.subtract(n_chars, pc.utf8_length(no_punct))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_tokens": pa.array(tb.doc_len.astype(np.int64)),
+            "n_stopwords": pa.array(n_stop.astype(np.int64)),
+            "n_punct": pc.cast(n_punct, pa.int64()),
+        }
+    )
+
+
+def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic language ID: argmax over per-language stopword hit-rates
+    (deterministic tie-break by language code). Returns doc_id, lang_pred,
+    lang_score (hits of best lang, integer)."""
+    tb = tokenize_batch(batch[text_col], profile="simple")
+    n_docs = len(batch)
+    langs = sorted(_LANG_PROFILES)
+    scores = np.zeros((len(langs), n_docs), dtype=np.int64)
+    if tb.terms.size:
+        terms_u = pa.array(tb.terms.astype("U"))
+        for li, lang in enumerate(langs):
+            vs = pa.array(sorted(_LANG_PROFILES[lang]), pa.string())
+            hit = pc.is_in(terms_u, value_set=vs).to_numpy(zero_copy_only=False)
+            scores[li] = np.bincount(
+                tb.doc_idx[hit.astype(bool)], minlength=n_docs
+            )
+    best = np.argmax(scores, axis=0)  # first max wins -> lang-code order
+    pred = np.array(langs, dtype=object)[best]
+    none = scores.sum(axis=0) == 0
+    pred[none] = "und"
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "lang_pred": pa.array(pred.astype("U"), pa.string()),
+            "lang_score": pa.array(scores[best, np.arange(n_docs)].astype(np.int64)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting: Rabin-Karp rolling hash + winnowing (Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+_B = np.uint64(1000003)
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _rolling_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """k-gram Rabin-Karp hashes of a uint8 sequence (vectorized, mod 2^64)."""
+    n = data.size
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    h = np.zeros(n - k + 1, dtype=np.uint64)
+    # h[i] = sum_{j<k} data[i+j] * B^(k-1-j)
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc = (acc * _B + data[j : j + n - k + 1].astype(np.uint64)) & _MASK
+    h = acc
+    return h
+
+
+def fingerprint_batch(
+    batch: pa.Table, text_col: str = "text", k: int = 8, window: int = 4
+) -> pa.Table:
+    """Winnowed fingerprints per doc: min hash in each sliding window of
+    rolling k-gram hashes. Returns doc_id, n_grams, n_fingerprints,
+    min_fp/max_fp (as int64 via signed view) — deterministic."""
+    texts = batch[text_col].to_pylist()
+    n_grams = np.zeros(len(texts), dtype=np.int64)
+    n_fps = np.zeros(len(texts), dtype=np.int64)
+    min_fp = np.zeros(len(texts), dtype=np.int64)
+    max_fp = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        h = _rolling_hashes(data, k)
+        n_grams[i] = h.size
+        if h.size == 0:
+            continue
+        if h.size <= window:
+            fps = np.unique(h.min(keepdims=True))
+        else:
+            w = np.lib.stride_tricks.sliding_window_view(h, window)
+            fps = np.unique(w.min(axis=1))
+        n_fps[i] = fps.size
+        fs = fps.view(np.int64)  # bit-reinterpret for int64 storage
+        min_fp[i] = int(fs.min())
+        max_fp[i] = int(fs.max())
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_grams": pa.array(n_grams),
+            "n_fingerprints": pa.array(n_fps),
+            "min_fp": pa.array(min_fp),
+            "max_fp": pa.array(max_fp),
+        }
+    )

@@ -1,0 +1,86 @@
+"""Driver-contract simulation: run every queries() entry at sf0.001 and
+compare row sets against oracle_sql() via DuckDB (the driver does the same at
+sf0.01 with an order-insensitive value hash)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+]
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype(np.int64)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = np.round(df[c].astype(np.float64), 6)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return c
+
+
+@pytest.fixture(scope="module")
+def all_queries():
+    return entrymod.queries()
+
+
+ORACLE = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(ray_session, con, all_queries, name):
+    got = _canon(_to_pandas(all_queries[name](SF_DIR)))
+    exp = _canon(con.sql(ORACLE[name]).df())
+    assert list(got.columns) == list(exp.columns), (
+        f"{name} schema: {list(got.columns)} vs {list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name} rows: {len(got)} vs {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+
+
+
+
+def test_rows_only_queries_run(ray_session, all_queries):
+    rows_only = sorted(set(all_queries) - set(ORACLE))
+    for name in rows_only:
+        df = _to_pandas(all_queries[name](SF_DIR))
+        assert df is not None and len(df.columns) > 0, name
+        assert len(df) >= 0
+
+
+def test_entry_runs(ray_session):
+    res = _to_pandas(entrymod.entry())
+    assert len(res) >= 1
+    assert "content_sha256" in res.columns
