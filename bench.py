@@ -1,0 +1,157 @@
+"""Benchmark driver — prints ONE JSON line with the headline numbers.
+
+Headline pipeline (the north metric, BASELINE.json): inverted-index build
+throughput (docs/sec) over the synthetic source-code corpus + top-10 BM25
+query latency (p50) on the reference query set, via block-max WAND.
+
+  python bench.py             # one run at $RAY_GRAFT_CPUS (default 32) over
+                              # $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+  python bench.py --scaling   # same job at 8 and 32 CPUs in fresh processes;
+                              # prints throughput at both + scaling efficiency
+
+Owns its Ray session (the only script allowed to call ray.init besides tests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from nexlt_ray.build import BuildConfig, build_index
+    from nexlt_ray.corpus import corpus_path, n_docs_for_sf, reference_queries
+    from nexlt_ray.pipelines import search_batch
+    from nexlt_ray.query import IndexReader
+
+    n = n_docs_for_sf(sf_dir)
+    path = corpus_path(n)  # generated once, cached (untimed)
+    # warm the OS page cache so we measure compute+shuffle, not first read
+    with open(path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    index_dir = f"/tmp/nexlt_bench/idx_n{n}_c{num_cpus}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    manifest = build_index(path, index_dir, BuildConfig())
+    build_sec = time.perf_counter() - t0
+    n_docs = manifest["n_input_rows"]  # docs ingested (pre-dedup) per second
+
+    # query latency: serial top-10 WAND over the reference query set
+    reader = IndexReader(index_dir)
+    queries = reference_queries()
+    lat = []
+    for q in queries:  # warm postings cache once (Solr-cache analog)
+        reader.search(q["query"], k=q["k"])
+    for q in queries:
+        t1 = time.perf_counter()
+        reader.search(q["query"], k=q["k"])
+        lat.append(time.perf_counter() - t1)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p95 = lat[int(len(lat) * 0.95)]
+
+    # distributed query serving throughput (actor pool of IndexReaders)
+    many = [
+        {"qid": i, "query": queries[i % len(queries)]["query"], "k": 10}
+        for i in range(200)
+    ]
+    t2 = time.perf_counter()
+    search_batch(index_dir, many, k=10, concurrency=max(2, num_cpus // 2)).count()
+    qps = len(many) / (time.perf_counter() - t2)
+
+    # breadth: two representative Dataset pipelines over the sf tables
+    from nexlt_ray.pipelines import embedding_topk, term_df_top100
+
+    t3 = time.perf_counter()
+    term_df_top100(sf_dir)
+    tdf_sec = time.perf_counter() - t3
+    t4 = time.perf_counter()
+    embedding_topk(sf_dir)
+    emb_sec = time.perf_counter() - t4
+
+    ray.shutdown()
+    return {
+        "metric": "index_build_sec+bm25_query_p50",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": {
+            "index_build_sec": round(build_sec, 3),
+            "build_docs_per_sec": round(n_docs / build_sec, 1),
+            "query_p50_ms": round(p50 * 1000, 3),
+            "query_p95_ms": round(p95 * 1000, 3),
+            "search_qps_distributed": round(qps, 1),
+            "term_df_top100_sec": round(tdf_sec, 3),
+            "embedding_topk_sec": round(emb_sec, 3),
+        },
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "n_docs": n_docs,
+        "num_cpus": num_cpus,
+    }
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Same build at two parallelism levels in FRESH processes (the in-sandbox
+    evidence for the N->4N cluster-scaling criterion, BASELINE.md)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    tput_lo = r_lo["queries"]["build_docs_per_sec"]
+    tput_hi = r_hi["queries"]["build_docs_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus": [lo, hi],
+        "build_docs_per_sec": {str(lo): tput_lo, str(hi): tput_hi},
+        "build_sec": {
+            str(lo): r_lo["queries"]["index_build_sec"],
+            str(hi): r_hi["queries"]["index_build_sec"],
+        },
+        "query_p50_ms": {
+            str(lo): r_lo["queries"]["query_p50_ms"],
+            str(hi): r_hi["queries"]["query_p50_ms"],
+        },
+        "sf": r_hi["sf"],
+        "n_docs": r_hi["n_docs"],
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        print(json.dumps(run_bench(sf_dir, ncpu)))

@@ -85,3 +85,23 @@ def term_upper_bound(
     # stays >= any float32 contribution after rounding
     ub = np.float32(w * max_tf / (max_tf + k))
     return float(np.nextafter(ub, np.float32(np.inf), dtype=np.float32))
+
+
+def term_upper_bounds(
+    max_tfs: np.ndarray,
+    min_norm_bytes: np.ndarray,
+    df: int,
+    n_docs: int,
+    avgdl: float,
+    params: BM25Params = BM25Params(),
+) -> np.ndarray:
+    """Vectorized `term_upper_bound` over per-block metadata arrays
+    (float32, nudged up one ulp)."""
+    dl = NORM_DECODE_TABLE[np.asarray(min_norm_bytes, dtype=np.int64)].astype(
+        np.float64
+    )
+    k = params.k1 * (1.0 - params.b + params.b * dl / avgdl)
+    w = idf(df, n_docs) * (params.k1 + 1.0)
+    tf = np.asarray(max_tfs, dtype=np.float64)
+    ub = (w * tf / (tf + k)).astype(np.float32)
+    return np.nextafter(ub, np.float32(np.inf), dtype=np.float32)

@@ -82,7 +82,13 @@ def term_bucket_of(term: str, num_term_buckets: int) -> int:
 
 
 def _sha_and_bucket(batch: pa.Table, cfg: BuildConfig) -> pa.Table:
-    """Stateless map: content sha256 + doc bucket (+ length-cap filter)."""
+    """Stateless map: content sha256 + doc bucket + doc_len/norm_byte
+    (+ length-cap filter).
+
+    Tokenization happens HERE (batch-parallel, before dedup) rather than in
+    the per-bucket group stage: ~3% of tokenize work is wasted on rows that
+    dedup later drops, but the group stage stays I/O-shaped and the heavy
+    CPU runs at full map parallelism."""
     if cfg.max_content_chars is not None:
         mask = pc.less_equal(pc.utf8_length(batch["content"]), cfg.max_content_chars)
         batch = batch.filter(mask)
@@ -95,8 +101,13 @@ def _sha_and_bucket(batch: pa.Table, cfg: BuildConfig) -> pa.Table:
     buckets = np.array(
         [(int(s[:8], 16) * cfg.num_doc_buckets) >> 32 for s in shas], dtype=np.int32
     )
-    return batch.append_column("content_sha256", pa.array(shas, pa.string())).append_column(
-        "doc_bucket", pa.array(buckets, pa.int32())
+    tb = tokenize_batch(batch["content"], profile=cfg.profile)
+    norm = small_float_int_to_byte4(tb.doc_len)
+    return (
+        batch.append_column("content_sha256", pa.array(shas, pa.string()))
+        .append_column("doc_bucket", pa.array(buckets, pa.int32()))
+        .append_column("doc_len", pa.array(tb.doc_len, pa.int32()))
+        .append_column("norm_byte", pa.array(norm.astype(np.uint8), pa.uint8()))
     )
 
 
@@ -140,8 +151,6 @@ class BucketWriter:
         group = group.filter(pa.array(keep))
         n = group.num_rows
 
-        tb = tokenize_batch(group["content"], profile=self.cfg.profile)
-        norm = small_float_int_to_byte4(tb.doc_len)
         table = pa.table(
             {
                 "doc_bucket": pa.array(np.full(n, bucket, dtype=np.int32)),
@@ -151,8 +160,8 @@ class BucketWriter:
                 "commit": group["commit"],
                 "lang": group["lang"],
                 "content_sha256": group["content_sha256"],
-                "doc_len": pa.array(tb.doc_len, pa.int32()),
-                "norm_byte": pa.array(norm.astype(np.uint8), pa.uint8()),
+                "doc_len": group["doc_len"],
+                "norm_byte": group["norm_byte"],
                 "content": group["content"],
             }
         )
@@ -161,7 +170,7 @@ class BucketWriter:
         rec = {
             "partition_id": bucket,
             "n_docs": n,
-            "total_len": int(tb.doc_len.sum()),
+            "total_len": int(np.asarray(table["doc_len"]).sum()),
             "n_input_rows": int(keep.size),
             "n_dups_removed": int(keep.size - n),
             "content_sha256s_digest": shas_digest,
@@ -450,12 +459,21 @@ def build_index(
         with open(manifest_path) as f:
             return json.load(f)
 
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+
     # ---- stage 1: dedup + local rank per doc bucket (shuffle 1) ----
+    # override_num_blocks: the sort-shuffle's reduce parallelism tracks the
+    # upstream block count, so small local inputs must be split explicitly
+    # (a 100 TB input already has plenty of row-group splits).
     ds = ray.data.read_parquet(
-        input_path, columns=["repo", "path", "commit", "lang", "content"]
+        input_path,
+        columns=["repo", "path", "commit", "lang", "content"],
+        override_num_blocks=max(4 * ncpu, 32),
     )
+    # batch_size=None keeps one batch per block (no coalescing -> the
+    # downstream shuffle keeps its parallelism)
     ds = ds.map_batches(
-        lambda b: _sha_and_bucket(b, cfg), batch_format="pyarrow", batch_size=4096
+        lambda b: _sha_and_bucket(b, cfg), batch_format="pyarrow", batch_size=None
     )
     bucket_writer = BucketWriter(index_dir, cfg)
 
@@ -483,13 +501,13 @@ def build_index(
 
     # ---- stage 3: tokenize + partial postings + term-bucket merge ----
     if cfg.index_concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
         concurrency = max(2, ncpu - 2)
     else:
         concurrency = cfg.index_concurrency
     docs = ray.data.read_parquet(
         os.path.join(index_dir, "docstore"),
         columns=["doc_bucket", "local_rank", "norm_byte", "content"],
+        override_num_blocks=max(4 * ncpu, cfg.num_doc_buckets),
     )
     partials = docs.map_batches(
         PartialIndexer,

@@ -260,21 +260,99 @@ def decode_block(
     return docs, tfs
 
 
+def decode_span(
+    blob: bytes | np.ndarray,
+    block_off: np.ndarray,
+    block_last: np.ndarray,
+    bi_lo: int,
+    bi_hi: int,
+    n_total: int,
+    block_size: int = BLOCK_SIZE,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode blocks [bi_lo, bi_hi) in ONE varint pass → (doc_ids, tfs).
+
+    The hot decode path: one vectorized varint_decode over the byte span,
+    then per-block slicing/cumsum (loop is over blocks, not values)."""
+    b = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
+    nblocks = len(block_off)
+    bi_hi = min(bi_hi, nblocks)
+    if bi_lo >= bi_hi:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    start = int(block_off[bi_lo])
+    end = int(block_off[bi_hi]) if bi_hi < nblocks else b.size
+    vals = varint_decode(b[start:end]).astype(np.int64)
+    out_n = min(bi_hi * block_size, n_total) - bi_lo * block_size
+    docs = np.empty(out_n, dtype=np.int64)
+    tfs = np.empty(out_n, dtype=np.int64)
+    p = 0  # position in vals
+    q = 0  # position in output
+    for bi in range(bi_lo, bi_hi):
+        cnt = min((bi + 1) * block_size, n_total) - bi * block_size
+        deltas = vals[p : p + cnt]
+        tfs[q : q + cnt] = vals[p + cnt : p + 2 * cnt]
+        prev_last = int(block_last[bi - 1]) if bi > 0 else 0
+        docs[q : q + cnt] = np.cumsum(deltas) + prev_last
+        p += 2 * cnt
+        q += cnt
+    return docs, tfs
+
+
 def decode_postings(
     blob: bytes, block_off: np.ndarray, block_last: np.ndarray, n_total: int,
     block_size: int = BLOCK_SIZE,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Decode the full posting list → (doc_ids, tfs)."""
-    b = np.frombuffer(blob, dtype=np.uint8)
-    docs = np.empty(n_total, dtype=np.int64)
-    tfs = np.empty(n_total, dtype=np.int64)
-    nblocks = len(block_off)
-    for bi in range(nblocks):
-        lo = bi * block_size
-        d, t = decode_block(b, block_off, block_last, bi, n_total, block_size)
-        docs[lo : lo + d.size] = d
-        tfs[lo : lo + t.size] = t
-    return docs, tfs
+    return decode_span(
+        blob, block_off, block_last, 0, len(block_off), n_total, block_size
+    )
+
+
+def decode_positions_span(
+    pos_blob: bytes | np.ndarray,
+    block_pos_off: np.ndarray,
+    bi_lo: int,
+    bi_hi: int,
+    n_total: int,
+    block_size: int = BLOCK_SIZE,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode positions of blocks [bi_lo, bi_hi) fully vectorized.
+
+    Returns (counts, positions): `counts[i]` = number of positions of the
+    i-th posting in the span (== its tf), `positions` = all absolute
+    positions concatenated in posting order.
+    """
+    b = (
+        np.frombuffer(pos_blob, dtype=np.uint8)
+        if not isinstance(pos_blob, np.ndarray)
+        else pos_blob
+    )
+    nblocks = len(block_pos_off)
+    bi_hi = min(bi_hi, nblocks)
+    counts_l, pos_l = [], []
+    for bi in range(bi_lo, bi_hi):
+        start = int(block_pos_off[bi])
+        end = int(block_pos_off[bi + 1]) if bi + 1 < nblocks else b.size
+        cnt = min((bi + 1) * block_size, n_total) - bi * block_size
+        vals = varint_decode(b[start:end]).astype(np.int64)
+        counts = vals[:cnt]
+        d = vals[cnt:]
+        if d.size:
+            # segment-cumsum: first value of each posting is absolute, the
+            # rest are deltas -> abs = cumsum - cumsum_before_segment_start
+            g = np.cumsum(d)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            nz = counts > 0
+            seg_of = np.repeat(np.arange(cnt)[nz], counts[nz])
+            before = np.where(starts > 0, g[np.maximum(starts - 1, 0)], 0)
+            abs_pos = g - before[seg_of]
+            pos_l.append(abs_pos)
+        counts_l.append(counts)
+    if not counts_l:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return (
+        np.concatenate(counts_l),
+        np.concatenate(pos_l) if pos_l else np.empty(0, np.int64),
+    )
 
 
 def decode_block_positions(

@@ -4,12 +4,18 @@ replacement for the reference's Solr `/select` serving path
 CGI variant corpus.cgi:328-339).
 
 Two rank-identical evaluators (tests assert bit-equality of results):
-  * exhaustive  — decode every posting of every query term, vectorized
-                  float32 scoring (the offline / oracle-check path);
-  * block-max WAND — doc-at-a-time with term- and block-level upper bounds
-                  (max_tf + min_norm metadata, see codec.encode_postings) and
-                  a bounded min-heap (north-rule query path; the analog of
-                  Lucene's BlockMaxWAND top-k collector).
+  * exhaustive       — decode every posting of every query term, vectorized
+                       float32 scoring (the offline / oracle-check path);
+  * block-max WAND   — vectorized doc-range-at-a-time evaluation: the doc
+                       space is walked in fixed ranges; a range is skipped
+                       (blocks never decoded/scored) when the sum of the
+                       overlapping blocks' upper bounds (max_tf + min_norm
+                       block-max metadata, codec.encode_postings) cannot beat
+                       the current top-k threshold; surviving ranges are
+                       scored with the same vectorized float32 kernel. This
+                       is Lucene BlockMaxWAND's pruning logic restructured
+                       for columnar batch scoring instead of a per-doc
+                       pointer-chasing loop.
 
 Both follow the scoring spec in nexlt_ray.bm25 exactly (float32 per-term cast,
 query-clause-order summation, ascending-docID tie-break), so top-k docIDs and
@@ -21,17 +27,18 @@ positional phrase (UI phrase fq, solrTestLib_v2.js:43-53); `mode="AND"`
 requires all terms. Analysis uses the index's tokenizer profile, query-time
 chain (no catenated overlaps).
 
-Serving-side state (postings cache) mirrors the reference's Solr caches
-(filterCache/documentCache, solrconfig.xml:534-558) as a per-reader LRU.
+Serving-side state mirrors the reference's Solr caches
+(filterCache/documentCache, solrconfig.xml:534-558): an LRU of TermPostings
+which additionally memoizes decoded blocks, so repeated terms score without
+re-decoding.
 """
 
 from __future__ import annotations
 
-import heapq
 import json
 import os
 from collections import OrderedDict
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
@@ -39,50 +46,127 @@ import pyarrow.parquet as pq
 
 from . import bm25
 from .build import term_bucket_of
-from .codec import decode_block, decode_block_positions, decode_postings
-from .tokenize import tokenize_query
+from .codec import decode_positions_span, decode_span
 
 
 @dataclass
 class TermPostings:
-    """Fully merged postings of one term (all range buckets, doc-ascending)."""
+    """Merged postings of one term (all range-bucket rows, doc-ascending),
+    with a flattened skip-block view and lazy per-span decode cache."""
 
     term: str
     df: int
     cf: int
     max_tf: int
     min_norm: int
-    # per range-row raw pieces (kept encoded; decoded lazily per block)
     rows: list[dict]
+    blk_row: np.ndarray = field(default=None, repr=False)      # row idx per block
+    blk_local: np.ndarray = field(default=None, repr=False)    # bi within row
+    blk_last: np.ndarray = field(default=None, repr=False)
+    blk_max_tf: np.ndarray = field(default=None, repr=False)
+    blk_min_norm: np.ndarray = field(default=None, repr=False)
+    _all: tuple | None = field(default=None, repr=False)
+    _ubs: np.ndarray | None = field(default=None, repr=False)
+    _pos_flat: tuple | None = field(default=None, repr=False)
+
+    def __post_init__(self):
+        rows_i, local_i, lasts, mtfs, mnorms, cnts = [], [], [], [], [], []
+        for ri, r in enumerate(self.rows):
+            nb = len(r["block_off"])
+            bs = r["block_size"]
+            rows_i.append(np.full(nb, ri, dtype=np.int32))
+            local_i.append(np.arange(nb, dtype=np.int32))
+            lasts.append(r["block_last"])
+            mtfs.append(r["block_max_tf"])
+            mnorms.append(r["block_min_norm"])
+            c = np.full(nb, bs, dtype=np.int64)
+            c[-1] = r["df"] - (nb - 1) * bs
+            cnts.append(c)
+        self.blk_row = np.concatenate(rows_i)
+        self.blk_local = np.concatenate(local_i)
+        self.blk_last = np.concatenate(lasts).astype(np.int64)
+        self.blk_max_tf = np.concatenate(mtfs).astype(np.int32)
+        self.blk_min_norm = np.concatenate(mnorms).astype(np.uint8)
+        self.blk_cnt = np.concatenate(cnts)
+        self._block_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    @property
+    def n_blocks(self) -> int:
+        return self.blk_last.size
+
+    def block_ubs(self, n_docs: int, avgdl: float, params: bm25.BM25Params) -> np.ndarray:
+        if self._ubs is None:
+            self._ubs = bm25.term_upper_bounds(
+                self.blk_max_tf, self.blk_min_norm, self.df, n_docs, avgdl, params
+            )
+        return self._ubs
+
+    def _decode_run(self, j_lo: int, j_hi: int) -> None:
+        """Decode uncached global blocks [j_lo, j_hi) into the block cache,
+        one varint pass per contiguous per-row span."""
+        j = j_lo
+        while j < j_hi:
+            ri = int(self.blk_row[j])
+            r = self.rows[ri]
+            lo = int(self.blk_local[j])
+            j2 = j
+            while j2 < j_hi and int(self.blk_row[j2]) == ri:
+                j2 += 1
+            hi = lo + (j2 - j)
+            d, t = decode_span(
+                r["blob"], r["block_off"], r["block_last"], lo, hi, r["df"],
+                r["block_size"],
+            )
+            off = 0
+            for jj in range(j, j2):
+                c = int(self.blk_cnt[jj])
+                self._block_cache[jj] = (d[off : off + c], t[off : off + c])
+                off += c
+            j = j2
+
+    def decode_blocks(self, j_lo: int, j_hi: int) -> tuple[np.ndarray, np.ndarray]:
+        """Decoded (docs, tfs) for global blocks [j_lo, j_hi); memoized per
+        block (the Solr documentCache analog for postings)."""
+        run_start = None
+        for j in range(j_lo, j_hi):
+            if j not in self._block_cache:
+                if run_start is None:
+                    run_start = j
+            elif run_start is not None:
+                self._decode_run(run_start, j)
+                run_start = None
+        if run_start is not None:
+            self._decode_run(run_start, j_hi)
+        if j_hi - j_lo == 1:
+            return self._block_cache[j_lo]
+        pieces = [self._block_cache[j] for j in range(j_lo, j_hi)]
+        return (
+            np.concatenate([p[0] for p in pieces]),
+            np.concatenate([p[1] for p in pieces]),
+        )
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
-        docs_l, tfs_l = [], []
-        for r in self.rows:
-            d, t = decode_postings(r["blob"], r["block_off"], r["block_last"], r["df"])
-            docs_l.append(d)
-            tfs_l.append(t)
-        if not docs_l:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
-        return np.concatenate(docs_l), np.concatenate(tfs_l)
+        if self._all is None:
+            self._all = self.decode_blocks(0, self.n_blocks)
+        return self._all
 
-    def decode_positions(self) -> dict[int, np.ndarray]:
-        out: dict[int, np.ndarray] = {}
-        for r in self.rows:
-            nblocks = len(r["block_off"])
-            for bi in range(nblocks):
-                docs, _ = decode_block(
-                    np.frombuffer(r["blob"], dtype=np.uint8),
-                    r["block_off"],
-                    r["block_last"],
-                    bi,
-                    r["df"],
+    def flat_positions(self) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_of_position, position) flat arrays over the whole posting
+        list, doc-ascending — the vectorized phrase-evaluation form."""
+        if self._pos_flat is None:
+            docs, _ = self.decode_all()
+            counts_l, pos_l = [], []
+            for r in self.rows:
+                c, p = decode_positions_span(
+                    r["pos_blob"], r["block_pos_off"], 0, len(r["block_pos_off"]),
+                    r["df"], r["block_size"],
                 )
-                plists = decode_block_positions(
-                    r["pos_blob"], r["block_pos_off"], bi, r["df"]
-                )
-                for d, p in zip(docs, plists):
-                    out[int(d)] = p
-        return out
+                counts_l.append(c)
+                pos_l.append(p)
+            counts = np.concatenate(counts_l)
+            pos = np.concatenate(pos_l)
+            self._pos_flat = (np.repeat(docs, counts), pos)
+        return self._pos_flat
 
 
 class IndexReader:
@@ -90,9 +174,10 @@ class IndexReader:
 
     Stateful by design — in a serving deployment this object lives inside a
     Ray actor pool (one reader per actor, `__init__` loads the manifest once;
-    see pipelines.search_batch)."""
+    see pipelines.SearchActor)."""
 
-    def __init__(self, index_dir: str, cache_terms: int = 4096):
+    def __init__(self, index_dir: str, cache_terms: int = 4096,
+                 wand_range_blocks: int = 16):
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
@@ -104,6 +189,7 @@ class IndexReader:
         self._k_table = bm25.norm_k_table(self.avgdl, self.params)
         self._term_cache: OrderedDict[str, TermPostings | None] = OrderedDict()
         self._cache_cap = cache_terms
+        self._range_width = self.cfg["block_size"] * wand_range_blocks
         self._seg_files: dict[int, str] = {}
         seg_dir = os.path.join(index_dir, "segments")
         if os.path.isdir(seg_dir):
@@ -113,6 +199,7 @@ class IndexReader:
                     self._seg_files[b] = os.path.join(seg_dir, name)
         self._doc_offsets = np.asarray(self.manifest["doc_offsets"], dtype=np.int64)
         self._doc_counts = np.asarray(self.manifest["doc_counts"], dtype=np.int64)
+        self._norms: np.ndarray | None = None
 
     # ------------------------------------------------------------------
     # postings access
@@ -136,6 +223,7 @@ class IndexReader:
                     r["block_min_norm"] = np.asarray(
                         r["block_min_norm"], dtype=np.uint8
                     )
+                    r["block_size"] = self.cfg["block_size"]
                     rows.append(r)
                 rows.sort(key=lambda r: r["range_bucket"])
                 tp = TermPostings(
@@ -195,11 +283,9 @@ class IndexReader:
         return [self.postings(t) for t in terms]
 
     def _norm_bytes_for(self, docs: np.ndarray) -> np.ndarray:
-        # norm bytes are stored per doc in the docstore; for scoring we decode
-        # them from posting metadata instead — but tf-only postings don't
-        # carry them, so exhaustive scoring reads the docstore norm column
-        # lazily (cached whole — it is 1 byte/doc).
-        if not hasattr(self, "_norms"):
+        # 1 byte/doc, loaded once per reader (Lucene keeps norms in memory
+        # likewise); at 10^12 docs this shards with the doc-range partitions.
+        if self._norms is None:
             parts = []
             for b in range(len(self._doc_offsets)):
                 path = os.path.join(
@@ -208,9 +294,7 @@ class IndexReader:
                 if os.path.exists(path):
                     t = pq.read_table(path, columns=["norm_byte"])
                     parts.append(np.asarray(t["norm_byte"]))
-            self._norms = (
-                np.concatenate(parts) if parts else np.empty(0, np.uint8)
-            )
+            self._norms = np.concatenate(parts) if parts else np.empty(0, np.uint8)
         return self._norms[docs]
 
     def _term_contrib(
@@ -239,7 +323,10 @@ class IndexReader:
         algorithm: str = "wand",
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, float32 score); ties broken by ascending doc_id.
-        `algorithm`: "wand" (block-max) or "exhaustive" — rank-identical."""
+        `algorithm`: "wand" (vectorized block-max) or "exhaustive" —
+        rank-identical by construction and by test."""
+        from .tokenize import tokenize_query
+
         kind, body = self.parse(query)
         terms = tokenize_query(body, profile=self.profile)
         if not terms or k <= 0:
@@ -252,6 +339,8 @@ class IndexReader:
 
     def match_count(self, query: str, mode: str = "OR") -> int:
         """numFound analog (reference G3, corpus.cgi:409)."""
+        from .tokenize import tokenize_query
+
         kind, body = self.parse(query)
         terms = tokenize_query(body, profile=self.profile)
         if not terms:
@@ -269,68 +358,135 @@ class IndexReader:
             return int(cur.size)
         return int(np.unique(np.concatenate(sets)).size) if sets else 0
 
-    # -- exhaustive ----------------------------------------------------
-    def _search_exhaustive(
-        self, terms: list[str], k: int, mode: str = "OR"
-    ) -> list[tuple[int, float]]:
-        plist = self._clause_postings(terms)
-        decoded = []
-        for tp in plist:
-            if tp is None:
-                decoded.append((np.empty(0, np.int64), np.empty(0, np.int64)))
-            else:
-                decoded.append(tp.decode_all())
+    # -- shared scoring kernel -----------------------------------------
+    def _score_union(
+        self,
+        plist: list[TermPostings | None],
+        decoded: list[tuple[np.ndarray, np.ndarray]],
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Union of doc ids + float32 scores accumulated in clause order."""
         all_docs = [d for d, _ in decoded if d.size]
         if not all_docs:
-            return []
+            return np.empty(0, np.int64), np.empty(0, np.float32)
         union = np.unique(np.concatenate(all_docs))
-        if mode == "AND":
-            mask = np.ones(union.size, dtype=bool)
-            for d, _ in decoded:
-                mask &= np.isin(union, d, assume_unique=True)
-            union = union[mask]
-            if union.size == 0:
-                return []
         acc = np.zeros(union.size, dtype=np.float32)
         for tp, (d, t) in zip(plist, decoded):
             if tp is None or d.size == 0:
                 continue
             s = self._term_contrib(tp, d, t)
             idx = np.searchsorted(union, d)
-            sel = (idx < union.size) & (union[np.minimum(idx, union.size - 1)] == d)
-            acc[idx[sel]] += s[sel]
+            acc[idx] += s
+        return union, acc
+
+    # -- exhaustive ----------------------------------------------------
+    def _search_exhaustive(
+        self, terms: list[str], k: int, mode: str = "OR"
+    ) -> list[tuple[int, float]]:
+        plist = self._clause_postings(terms)
+        decoded = [
+            tp.decode_all() if tp else (np.empty(0, np.int64), np.empty(0, np.int64))
+            for tp in plist
+        ]
+        union, acc = self._score_union(plist, decoded)
+        if union.size == 0:
+            return []
+        if mode == "AND":
+            mask = np.ones(union.size, dtype=bool)
+            for tp, (d, _) in zip(plist, decoded):
+                mask &= np.isin(union, d, assume_unique=True)
+            union, acc = union[mask], acc[mask]
+            if union.size == 0:
+                return []
         order = np.lexsort((union, -acc))
         top = order[:k]
         return [(int(union[i]), float(acc[i])) for i in top]
 
+    # -- vectorized block-max WAND -------------------------------------
+    def _search_wand(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        plist = [tp for tp in self._clause_postings(terms)]
+        live = [(ci, tp) for ci, tp in enumerate(plist) if tp is not None]
+        if not live:
+            return []
+        ubs = [
+            tp.block_ubs(self.n_docs, self.avgdl, self.params) for _, tp in live
+        ]
+        R = self._range_width
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float32)
+        threshold = None  # valid once we hold k results
+        max_doc = int(max(tp.blk_last[-1] for _, tp in live))
+        lo = 0
+        ranges_skipped = 0
+        while lo <= max_doc:
+            hi = lo + R
+            # per-term overlapping block span via skip pointers
+            spans = []
+            ub_sum = np.float32(0.0)
+            for (ci, tp), ub in zip(live, ubs):
+                j0 = int(np.searchsorted(tp.blk_last, lo))
+                if j0 >= tp.n_blocks:
+                    spans.append(None)
+                    continue
+                j1 = int(np.searchsorted(tp.blk_last, hi - 1)) + 1
+                j1 = min(j1, tp.n_blocks)
+                spans.append((j0, j1))
+                ub_sum = np.float32(ub_sum + ub[j0:j1].max())
+            if threshold is not None and ub_sum <= threshold:
+                ranges_skipped += 1
+                lo = hi
+                continue
+            # decode + clip + score this range
+            decoded = []
+            for (ci, tp), span in zip(live, spans):
+                if span is None:
+                    decoded.append((np.empty(0, np.int64), np.empty(0, np.int64)))
+                    continue
+                d, t = tp.decode_blocks(span[0], span[1])
+                a = int(np.searchsorted(d, lo))
+                b = int(np.searchsorted(d, hi))
+                decoded.append((d[a:b], t[a:b]))
+            union, acc = self._score_union([tp for _, tp in live], decoded)
+            if union.size:
+                cand_docs = np.concatenate((top_docs, union))
+                cand_scores = np.concatenate((top_scores, acc))
+                order = np.lexsort((cand_docs, -cand_scores))[:k]
+                top_docs = cand_docs[order]
+                top_scores = cand_scores[order]
+                if top_docs.size == k:
+                    threshold = top_scores.min()
+            lo = hi
+        order = np.lexsort((top_docs, -top_scores))
+        return [(int(top_docs[i]), float(top_scores[i])) for i in order]
+
     # -- phrase --------------------------------------------------------
-    def _phrase_candidates(self, terms: list[str]) -> list[int]:
+    def _phrase_candidates(self, terms: list[str]) -> np.ndarray:
+        """Docs containing the terms at consecutive positions — fully
+        vectorized: per term, flat (doc, pos) arrays filtered to the AND
+        candidate set, packed into (doc << 32 | shifted_pos) keys, then
+        progressive sorted-set intersection."""
         plist = self._clause_postings(terms)
+        empty = np.empty(0, dtype=np.int64)
         if any(tp is None for tp in plist):
-            return []
-        docsets = [tp.decode_all()[0] for tp in plist]
-        cur = docsets[0]
-        for s in docsets[1:]:
-            cur = np.intersect1d(cur, s, assume_unique=True)
-        if cur.size == 0:
-            return []
-        posmaps = [tp.decode_positions() for tp in plist]
-        out = []
-        for d in cur.tolist():
-            first = posmaps[0][d]
-            ok = False
-            for p in first.tolist():
-                if all(
-                    np.any(posmaps[i][d] == p + i) for i in range(1, len(terms))
-                ):
-                    ok = True
-                    break
-            if ok:
-                out.append(d)
-        return out
+            return empty
+        cand = plist[0].decode_all()[0]
+        for tp in plist[1:]:
+            cand = np.intersect1d(cand, tp.decode_all()[0], assume_unique=True)
+        if cand.size == 0:
+            return empty
+        keys = None
+        for i, tp in enumerate(plist):
+            dp, pp = tp.flat_positions()
+            idx = np.searchsorted(cand, dp)
+            sel = (idx < cand.size) & (cand[np.minimum(idx, cand.size - 1)] == dp)
+            # +64 keeps the shifted position non-negative (no doc aliasing)
+            key = dp[sel] * (1 << 32) + (pp[sel] - i + 64)
+            keys = key if keys is None else np.intersect1d(keys, key)
+            if keys.size == 0:
+                return empty
+        return np.unique(keys >> 32)
 
     def _search_phrase(self, terms: list[str], k: int) -> list[tuple[int, float]]:
-        cand = np.asarray(self._phrase_candidates(terms), dtype=np.int64)
+        cand = self._phrase_candidates(terms)
         if cand.size == 0:
             return []
         plist = self._clause_postings(terms)
@@ -344,146 +500,3 @@ class IndexReader:
         order = np.lexsort((cand, -acc))
         top = order[:k]
         return [(int(cand[i]), float(acc[i])) for i in top]
-
-    # -- block-max WAND ------------------------------------------------
-    def _search_wand(self, terms: list[str], k: int) -> list[tuple[int, float]]:
-        iters = []
-        for ci, tp in enumerate(self._clause_postings(terms)):
-            if tp is not None:
-                iters.append(_PostingIterator(tp, ci, self))
-        if not iters:
-            return []
-        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
-        threshold = -np.inf
-        while True:
-            live = [it for it in iters if not it.exhausted]
-            if not live:
-                break
-            live.sort(key=lambda it: it.doc)
-            # find pivot: smallest prefix of sorted iterators whose UB sum
-            # exceeds the threshold
-            ub = np.float32(0.0)
-            pivot = -1
-            for i, it in enumerate(live):
-                ub = np.float32(ub + it.term_ub)
-                if ub > threshold:
-                    pivot = i
-                    break
-            if pivot == -1:
-                break  # no doc can beat the threshold any more
-            pivot_doc = live[pivot].doc
-            if live[0].doc == pivot_doc:
-                # all iterators at or before pivot_doc are aligned -> check
-                # block-level upper bound, then fully score
-                doc = pivot_doc
-                block_ub = np.float32(0.0)
-                for it in live:
-                    if it.doc == doc:
-                        block_ub = np.float32(block_ub + it.block_ub())
-                if block_ub > threshold:
-                    contribs = []
-                    for it in live:
-                        if it.doc == doc:
-                            contribs.append((it.clause_idx, it.score()))
-                    contribs.sort()
-                    score = np.float32(0.0)
-                    for _, s in contribs:
-                        score = np.float32(score + s)
-                    if len(heap) < k:
-                        heapq.heappush(heap, (float(score), -doc))
-                        if len(heap) == k:
-                            threshold = heap[0][0]
-                    elif score > heap[0][0]:
-                        heapq.heapreplace(heap, (float(score), -doc))
-                        threshold = heap[0][0]
-                for it in live:
-                    if it.doc == doc:
-                        it.advance(doc + 1)
-            else:
-                # advance the iterators before the pivot to pivot_doc
-                for it in live[:pivot]:
-                    it.advance(pivot_doc)
-        out = sorted(heap, key=lambda x: (-x[0], -x[1]))
-        return [(-d, s) for s, d in out]
-
-
-class _PostingIterator:
-    """Doc-at-a-time cursor over one term's encoded postings with block skip."""
-
-    def __init__(self, tp: TermPostings, clause_idx: int, reader: IndexReader):
-        self.tp = tp
-        self.clause_idx = clause_idx
-        self.reader = reader
-        self.term_ub = bm25.term_upper_bound(
-            tp.max_tf, tp.min_norm, tp.df, reader.n_docs, reader.avgdl, reader.params
-        )
-        # flatten (row, block) pairs in doc order
-        self.blocks: list[tuple[dict, int]] = []
-        for r in tp.rows:
-            for bi in range(len(r["block_off"])):
-                self.blocks.append((r, bi))
-        self.block_lasts = np.asarray(
-            [int(r["block_last"][bi]) for r, bi in self.blocks], dtype=np.int64
-        )
-        self.block_i = -1
-        self.cur_docs = np.empty(0, np.int64)
-        self.cur_tfs = np.empty(0, np.int64)
-        self.pos = 0
-        self.exhausted = False
-        self._next_block()
-
-    @property
-    def doc(self) -> int:
-        return int(self.cur_docs[self.pos])
-
-    def _next_block(self) -> None:
-        self.block_i += 1
-        if self.block_i >= len(self.blocks):
-            self.exhausted = True
-            return
-        r, bi = self.blocks[self.block_i]
-        self.cur_docs, self.cur_tfs = decode_block(
-            np.frombuffer(r["blob"], dtype=np.uint8),
-            r["block_off"],
-            r["block_last"],
-            bi,
-            r["df"],
-            self.reader.cfg["block_size"],
-        )
-        self.pos = 0
-
-    def block_ub(self) -> float:
-        r, bi = self.blocks[self.block_i]
-        return bm25.term_upper_bound(
-            int(r["block_max_tf"][bi]),
-            int(r["block_min_norm"][bi]),
-            self.tp.df,
-            self.reader.n_docs,
-            self.reader.avgdl,
-            self.reader.params,
-        )
-
-    def score(self) -> np.float32:
-        tf = np.asarray([self.cur_tfs[self.pos]])
-        doc = np.asarray([self.cur_docs[self.pos]])
-        return self.reader._term_contrib(self.tp, doc, tf)[0]
-
-    def advance(self, target: int) -> None:
-        """Move to the first doc >= target. Skipped blocks are never decoded:
-        the target block is located with one searchsorted over block_last (the
-        skip-pointer array)."""
-        if self.exhausted:
-            return
-        j = int(np.searchsorted(self.block_lasts, target))
-        if j >= len(self.blocks):
-            self.exhausted = True
-            return
-        if j != self.block_i:
-            self.block_i = j - 1
-            self._next_block()
-        i = int(np.searchsorted(self.cur_docs[self.pos :], target) + self.pos)
-        if i < self.cur_docs.size:
-            self.pos = i
-            return
-        self._next_block()  # target fell past this block's docs (can't happen
-        # when block_last >= target, but keep the guard for safety)

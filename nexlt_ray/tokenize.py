@@ -146,7 +146,10 @@ def tokenize_batch(
         raise ValueError(f"unknown profile {profile!r}")
 
     filtered = char_filter(arr)
-    ws = pc.utf8_split_whitespace(filtered)
+    # NOTE: pyarrow 16.1's utf8_split_whitespace can leak trailing whitespace
+    # into the final token of an array under specific buffer layouts (observed
+    # on dictionary-encoded batches); trimming first sidesteps the bug.
+    ws = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(filtered))
     if isinstance(ws, pa.ChunkedArray):
         ws = ws.combine_chunks()
     tok_flat = ws.values
@@ -172,7 +175,7 @@ def tokenize_batch(
     marked = uniq
     for pat, repl in _BOUNDARY_PATTERNS:
         marked = pc.replace_substring_regex(marked, pattern=pat, replacement=repl)
-    marked = pc.utf8_lower(marked)
+    marked = pc.utf8_trim_whitespace(pc.utf8_lower(marked))  # see NOTE above
     parts = pc.utf8_split_whitespace(marked)
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
