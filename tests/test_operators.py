@@ -1,0 +1,298 @@
+"""Unit/integration tests for the training-data operator suite:
+normalization, text analytics, dedup family, similarity search, multimodal
+plumbing (SURVEY.md §2.3 M-ops + graft extensions)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from nexlt_ray import dedup as D
+from nexlt_ray import normalize as N
+from nexlt_ray import textstats as T
+from nexlt_ray import similarity as S
+
+
+# ---------------------------------------------------------------------------
+# normalize (M-ops)
+# ---------------------------------------------------------------------------
+def test_strip_inline_tags():
+    col = pa.array(["a\x02tag\x03b", "plain"])
+    assert N.strip_inline_tags(col).to_pylist() == ["ab", "plain"]
+
+
+def test_normalize_entities():
+    # reference order (parseJSON.pl:308-312): &amp; -> & first, then the
+    # accelerator rule eats the resulting &x -> x
+    col = pa.array(["&amp;x  y\t z ", "&File  new", "a & b"])
+    assert N.normalize_entities(col).to_pylist() == ["x y z", "File new", "a & b"]
+
+
+def test_scrub_newlines_and_dict_replace():
+    assert N.scrub_newlines(pa.array(["a\nb\rc"])).to_pylist() == ["a b c"]
+    out = N.dict_replace(pa.array(["esn", "enu", "xxx"]), N.LANG_FIXES)
+    assert out.to_pylist() == ["esp", "eng", "xxx"]
+
+
+def test_resource_basename():
+    col = pa.array([r"C:\dir\sub\file.dll", "nopath.rc"])
+    assert N.resource_basename(col).to_pylist() == ["file.dll", "nopath.rc"]
+
+
+def test_length_cap_and_srclc():
+    col = pa.array(["x" * 5001, "ok"])
+    assert N.length_ok_mask(col).to_pylist() == [False, True]
+    assert N.lowercase_sort_key(pa.array(["AbC"])).to_pylist() == ["abc"]
+
+
+def test_compose_ids_deterministic():
+    a = N.compose_ids(["s1"], ["src"], ["res"], ["Dialog"], ["ACD"])
+    b = N.compose_ids(["s1"], ["src"], ["res"], ["Dialog"], ["ACD"])
+    assert a == b and a[0].endswith("Software") and len(a[0]) == 32 + len("Software")
+
+
+def test_state_filter_mask():
+    batch = pa.table(
+        {
+            "src": ["ok", "", "ok", "ok"],
+            "trn": ["ok", "ok", "ok", "ok"],
+            "string_id": ["1", "2", "3", "4"],
+            "state_review": [False, False, True, False],
+            "state_readonly": [False, False, False, False],
+            "state_translated": [True, True, False, False],
+            "state_pretranslated": [False, False, False, False],
+        }
+    )
+    assert N.state_filter_mask(batch).to_pylist() == [True, False, False, False]
+
+
+def test_normalize_segment_batch():
+    batch = pa.table(
+        {"src": ["A\x02t\x03&amp;B  C"], "trn": ["x"], "lang": ["deu"]}
+    )
+    out = N.normalize_segment_batch(batch)
+    # \x02t\x03 tag span dropped; &amp; -> & -> accelerator &B -> B
+    assert out["src"].to_pylist() == ["AB C"]
+    assert out["srclc"].to_pylist() == ["ab c"]
+
+
+# ---------------------------------------------------------------------------
+# textstats
+# ---------------------------------------------------------------------------
+def test_quality_stats_counts():
+    batch = pa.table({"doc_id": [0, 1], "text": ["The cat, the hat!", ""]})
+    out = T.quality_stats_batch(batch)
+    assert out["n_tokens"].to_pylist() == [4, 0]
+    assert out["n_stopwords"].to_pylist() == [2, 0]  # 'the' twice
+    assert out["n_punct"].to_pylist() == [2, 0]
+
+
+def test_langid():
+    batch = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "the cat is on the mat and it is flat",
+                "der hund und die katze sind nicht im haus",
+                "zzz qqq",
+            ],
+        }
+    )
+    out = T.langid_batch(batch)
+    assert out["lang_pred"].to_pylist() == ["en", "de", "und"]
+
+
+def test_fingerprints_deterministic_and_shift_invariant():
+    t1 = pa.table({"doc_id": [0], "text": ["the quick brown fox jumps over it"]})
+    a = T.fingerprint_batch(t1)
+    b = T.fingerprint_batch(t1)
+    assert a.equals(b)
+    assert a["n_fingerprints"][0].as_py() > 0
+
+
+# ---------------------------------------------------------------------------
+# dedup primitives
+# ---------------------------------------------------------------------------
+def test_simhash_similar_docs_close():
+    batch = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta",
+                "alpha beta gamma delta epsilon zeta eta iota",  # 1 token differs
+                "one two three four five six seven eight",
+            ],
+        }
+    )
+    out = D.simhash_batch(batch)
+    h = np.asarray(out["simhash"])
+    d01 = D.hamming_distance(h[0:1], h[1:2])[0]
+    d02 = D.hamming_distance(h[0:1], h[2:3])[0]
+    assert d01 < d02
+    assert D.hamming_distance(h[0:1], h[0:1])[0] == 0
+
+
+def test_minhash_signature_jaccard_estimate():
+    mh = D.MinHasher(num_perm=128, num_bands=32, shingle=1)
+    a = [f"tok{i}" for i in range(100)]
+    b = a[:80] + [f"other{i}" for i in range(20)]  # true J = 80/120 = 0.667
+    sa, sb = mh.signature(a), mh.signature(b)
+    est = float((sa == sb).mean())
+    assert abs(est - 0.667) < 0.15
+    assert (mh.signature(a) == sa).all()  # deterministic
+
+
+def test_exact_dedup_pipeline(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {"doc_id": [5, 1, 2, 3], "text": ["dup", "dup", "uniq", "dup"]}
+    )
+    out = D.exact_dedup(ray.data.from_arrow(t)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_copies"].tolist() == [3, 1]
+
+
+def test_jaccard_pairs_pipeline(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["a b c d", "a b c e", "x y z w"],
+        }
+    )
+    # J(0,1) = 3/5 = 0.6
+    out = D.jaccard_pairs(
+        ray.data.from_arrow(t), tau_num=1, tau_den=2
+    ).to_pandas()
+    assert out[["doc_a", "doc_b"]].values.tolist() == [[0, 1]]
+    assert out["inter"].tolist() == [3] and out["union_"].tolist() == [5]
+
+
+def test_minhash_lsh_finds_exact_dups(ray_session):
+    import ray.data
+
+    texts = [f"unique doc number {i} with words {i*7} {i*13}" for i in range(50)]
+    texts[40] = texts[3]  # exact dup pair (3, 40)
+    t = pa.table({"doc_id": list(range(50)), "text": texts})
+    pairs = D.minhash_lsh_pairs(ray.data.from_arrow(t), concurrency=2).to_pandas()
+    assert [3, 40] in pairs[["doc_a", "doc_b"]].values.tolist()
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+def _rand_embeddings(n=200, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim))
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [r.astype(np.float32).tolist() for r in m], pa.list_(pa.float32())
+            ),
+        }
+    ), m
+
+
+def test_brute_force_topk_exact(ray_session):
+    import ray.data
+
+    t, m = _rand_embeddings()
+    q = m[:3]
+    out = S.brute_force_topk(ray.data.from_arrow(t), q, k=5, concurrency=2).to_pandas()
+    # numpy reference
+    mf = m.astype(np.float64) / np.linalg.norm(m, axis=1, keepdims=True)
+    qf = q.astype(np.float64) / np.linalg.norm(q, axis=1, keepdims=True)
+    # embeddings stored as float32 -> upcast like the pipeline does
+    m32 = np.asarray(t["embedding"].combine_chunks().values, dtype=np.float64).reshape(200, -1)
+    m32 /= np.linalg.norm(m32, axis=1, keepdims=True)
+    sims = m32 @ qf.T
+    for qi in range(3):
+        exp = np.lexsort((np.arange(200), -sims[:, qi]))[:5]
+        got = out[out["qid"] == qi].sort_values(
+            ["sim", "vec_id"], ascending=[False, True]
+        )["vec_id"].tolist()
+        assert got == exp.tolist()
+
+
+def test_lsh_topk_recall(ray_session):
+    import ray.data
+
+    t, m = _rand_embeddings(500, 16)
+    q = m[:5]
+    exact = S.brute_force_topk(ray.data.from_arrow(t), q, k=10, concurrency=2).to_pandas()
+    approx = S.lsh_topk(
+        ray.data.from_arrow(t), q, k=10, nbits=8, multiprobe_bits=2, concurrency=2
+    ).to_pandas()
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact["qid"] == qi]["vec_id"])
+        a = set(approx[approx["qid"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_cosine_near_dup(ray_session):
+    import ray.data
+
+    t, m = _rand_embeddings(100, 16)
+    # add a near-duplicate of row 7
+    dup = (m[7] + 0.001).astype(np.float32)
+    t2 = pa.table(
+        {
+            "vec_id": pa.array(list(range(100)) + [100], pa.int64()),
+            "embedding": pa.array(
+                [r.astype(np.float32).tolist() for r in m] + [dup.tolist()],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    pairs = S.cosine_near_dup_pairs(
+        ray.data.from_arrow(t2), tau=0.999, nbits=6
+    ).to_pandas()
+    assert [7, 100] in pairs[["vec_a", "vec_b"]].values.tolist()
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+def test_multimodal_feature_stage(ray_session):
+    import ray.data
+
+    from nexlt_ray.multimodal import (
+        DecodeBackend,
+        FakeDecodeBackend,
+        ImageFeatureExtractor,
+        synthetic_media_table,
+    )
+
+    t = synthetic_media_table(20)
+    out = ray.data.from_arrow(t).map_batches(
+        ImageFeatureExtractor, batch_format="pyarrow", batch_size=8,
+        concurrency=2, num_cpus=1,
+    ).to_pandas()
+    assert len(out) == 20
+    assert len(out["feature"][0]) == 6  # 3 means + 3 stds
+    # deterministic: same payload -> same feature
+    fe = ImageFeatureExtractor()
+    a = fe(t.slice(0, 1))
+    b = fe(t.slice(0, 1))
+    assert a.equals(b)
+    # the real backend raises (decode stubbed in this environment)
+    with pytest.raises(NotImplementedError):
+        DecodeBackend().decode_image(b"x")
+    assert FakeDecodeBackend().decode_image(b"x").shape == (16, 16, 3)
+
+
+def test_frame_sampler_layout(ray_session):
+    import ray.data
+
+    from nexlt_ray.multimodal import FrameSampler, synthetic_media_table
+
+    out = ray.data.from_arrow(synthetic_media_table(10)).map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=8, concurrency=2, num_cpus=1
+    ).to_pandas()
+    assert set(out["frame_no"]) == {0, 4}
+    assert len(out) == 20  # 10 items x 2 sampled frames
