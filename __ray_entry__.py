@@ -60,7 +60,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (decode stubbed, see nexlt_ray/multimodal.py)
         "media_features": P.media_features,
         "frame_samples": P.frame_samples,
+        # NeXLT translation-unit golden pipeline (reference tools/test.sh shape)
+        "tu_golden": _tu_golden,
     }
+
+
+def _tu_golden(sf_dir: str) -> Any:
+    from nexlt_ray.tu_pipeline import translation_units
+
+    return translation_units()
 
 
 # ---------------------------------------------------------------------------
