@@ -74,6 +74,17 @@ class BuildConfig:
                                           # parseJSON.pl:313,321)
     index_batch_size: int = 1024       # docs per PartialIndexer batch
     index_concurrency: int | None = None  # actor pool size (None -> CPUs)
+    # postings exchange strategy:
+    #   "disk" — partial postings land in shared storage partitioned by
+    #            term bucket (one atomic dir publish), then one independent
+    #            merge task per bucket. No object-store all-to-all; scales
+    #            with storage bandwidth and is what external shuffle
+    #            services do. Requires storage shared by all nodes (true for
+    #            this engine's docstore/segments writes anyway).
+    #   "sort" — Ray Data sort-based groupby shuffle (in-memory/object
+    #            store). Kept as the fallback; produces byte-identical
+    #            segments.
+    shuffle: str = "disk"
 
 
 def term_bucket_of(term: str, num_term_buckets: int) -> int:
@@ -187,9 +198,12 @@ class PartialIndexer:
     once per actor in __init__ (broadcast-small-side pattern, SURVEY.md T1),
     not per batch."""
 
-    def __init__(self, cfg: BuildConfig, offsets: list[int]):
+    def __init__(
+        self, cfg: BuildConfig, offsets: list[int], partials_dir: str | None = None
+    ):
         self.cfg = cfg
         self.offsets = np.asarray(offsets, dtype=np.int64)
+        self.partials_dir = partials_dir  # set -> disk-shuffle mode
         self._tb_cache: dict[str, int] = {}
 
     def _term_buckets(self, terms: np.ndarray) -> np.ndarray:
@@ -215,6 +229,13 @@ class PartialIndexer:
 
         tb = tokenize_batch(batch["content"], profile=cfg.profile)
         if tb.terms.size == 0:
+            if self.partials_dir is not None:
+                return pa.table(
+                    {
+                        "term_bucket": pa.array([], pa.int32()),
+                        "n_rows": pa.array([], pa.int64()),
+                    }
+                )
             return _empty_partial_table()
         denc = pc.dictionary_encode(pa.array(tb.terms.astype("U")))
         if isinstance(denc, pa.ChunkedArray):
@@ -260,7 +281,7 @@ class PartialIndexer:
                 pa.array(offsets, pa.int32()), pa.array(values, typ)
             )
 
-        return pa.table(
+        out = pa.table(
             {
                 "term_bucket": pa.array(tbuckets, pa.int32()),
                 "term": pa.array(terms_str.astype("U"), pa.string()),
@@ -269,6 +290,32 @@ class PartialIndexer:
                 "tfs": list_arr(post_offsets, tf, pa.int32()),
                 "norms": list_arr(post_offsets, p_norm.astype(np.uint8), pa.uint8()),
                 "pos_flat": list_arr(tok_offsets, pp.astype(np.int32), pa.int32()),
+            }
+        )
+        if self.partials_dir is None:
+            return out
+        # disk-shuffle mode: write this batch's rows partitioned by term
+        # bucket (the "map output" of the exchange); return a tiny ack
+        import uuid
+
+        order = np.argsort(tbuckets, kind="stable")
+        out = out.take(pa.array(order))
+        tb_sorted = tbuckets[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], tb_sorted[1:] != tb_sorted[:-1]))
+        )
+        ends = np.concatenate((bounds[1:], [tb_sorted.size]))
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        acks = []
+        for lo, hi in zip(bounds, ends):
+            b = int(tb_sorted[lo])
+            path = os.path.join(self.partials_dir, f"bucket={b:05d}", fname)
+            atomic_write_parquet(path, out.slice(lo, hi - lo))
+            acks.append((b, hi - lo))
+        return pa.table(
+            {
+                "term_bucket": pa.array([a[0] for a in acks], pa.int32()),
+                "n_rows": pa.array([int(a[1]) for a in acks], pa.int64()),
             }
         )
 
@@ -451,6 +498,8 @@ def build_index(
     import ray
     import ray.data
 
+    import time
+
     cfg = cfg or BuildConfig()
     os.makedirs(index_dir, exist_ok=True)
 
@@ -458,6 +507,7 @@ def build_index(
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             return json.load(f)
+    t_start = time.perf_counter()
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
 
@@ -485,6 +535,7 @@ def build_index(
         .map_groups(write_doc_bucket, batch_format="pyarrow")
         .take_all()
     )
+    t_stage1 = time.perf_counter()
 
     # ---- stage 2: driver-side prefix sums (tiny: one row per bucket) ----
     counts = np.zeros(cfg.num_doc_buckets, dtype=np.int64)
@@ -504,33 +555,88 @@ def build_index(
         concurrency = max(2, ncpu - 2)
     else:
         concurrency = cfg.index_concurrency
-    docs = ray.data.read_parquet(
-        os.path.join(index_dir, "docstore"),
-        columns=["doc_bucket", "local_rank", "norm_byte", "content"],
-        override_num_blocks=max(4 * ncpu, cfg.num_doc_buckets),
-    )
-    partials = docs.map_batches(
-        PartialIndexer,
-        fn_constructor_args=(cfg, offsets),
-        batch_format="pyarrow",
-        batch_size=cfg.index_batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    def read_docstore():
+        return ray.data.read_parquet(
+            os.path.join(index_dir, "docstore"),
+            columns=["doc_bucket", "local_rank", "norm_byte", "content"],
+            override_num_blocks=max(4 * ncpu, cfg.num_doc_buckets),
+        )
+
     segment_writer = SegmentWriter(index_dir, cfg)
 
-    def write_segment_bucket(group: pa.Table) -> pa.Table:
-        return segment_writer(group)
+    if cfg.shuffle == "disk":
+        # map side: partial postings land partitioned by term bucket under
+        # partials/ (atomic dir publish); reduce side: one independent merge
+        # task per bucket — no object-store all-to-all.
+        partials_dir = os.path.join(index_dir, "partials")
+        if not os.path.isdir(partials_dir):
+            tmp_dir = partials_dir + ".tmp"
+            if os.path.isdir(tmp_dir):
+                import shutil
 
-    seg_summaries = (
-        partials.groupby("term_bucket")
-        .map_groups(write_segment_bucket, batch_format="pyarrow")
-        .take_all()
-    )
+                shutil.rmtree(tmp_dir)
+            read_docstore().map_batches(
+                PartialIndexer,
+                fn_constructor_args=(cfg, offsets, tmp_dir),
+                batch_format="pyarrow",
+                batch_size=cfg.index_batch_size,
+                concurrency=concurrency,
+                num_cpus=1,
+            ).count()
+            os.replace(tmp_dir, partials_dir)
+
+        def merge_bucket(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as _pq
+
+            outs = []
+            for b in batch["term_bucket"].to_pylist():
+                bdir = os.path.join(partials_dir, f"bucket={int(b):05d}")
+                if not os.path.isdir(bdir):
+                    continue
+                tbl = _pq.read_table(bdir)
+                if tbl.num_rows:
+                    outs.append(segment_writer(tbl))
+            return (
+                pa.concat_tables(outs)
+                if outs
+                else segment_writer._summary_table(
+                    {"partition_id": -1, "n_terms": 0, "n_rows": 0, "n_postings": 0}
+                ).slice(0, 0)
+            )
+
+        buckets_ds = ray.data.from_arrow(
+            pa.table({"term_bucket": pa.array(range(cfg.num_term_buckets), pa.int32())})
+        ).repartition(cfg.num_term_buckets)
+        seg_summaries = buckets_ds.map_batches(
+            merge_bucket, batch_format="pyarrow", batch_size=1, num_cpus=1
+        ).take_all()
+    else:
+        partials = read_docstore().map_batches(
+            PartialIndexer,
+            fn_constructor_args=(cfg, offsets),
+            batch_format="pyarrow",
+            batch_size=cfg.index_batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+
+        def write_segment_bucket(group: pa.Table) -> pa.Table:
+            return segment_writer(group)
+
+        seg_summaries = (
+            partials.groupby("term_bucket")
+            .map_groups(write_segment_bucket, batch_format="pyarrow")
+            .take_all()
+        )
+    t_stage3 = time.perf_counter()
     n_terms = sum(r["n_terms"] for r in seg_summaries)
     n_postings = sum(r["n_postings"] for r in seg_summaries)
 
     # ---- stage 4: atomic manifest (the commit point) ----
+    if cfg.shuffle == "disk":
+        import shutil
+
+        shutil.rmtree(os.path.join(index_dir, "partials"), ignore_errors=True)
     manifest = {
         "version": MANIFEST_VERSION,
         "config": asdict(cfg),
@@ -543,6 +649,10 @@ def build_index(
         "doc_counts": counts.tolist(),
         "n_terms": n_terms,
         "n_postings": n_postings,
+        "timings": {
+            "stage1_dedup_docstore_sec": round(t_stage1 - t_start, 3),
+            "stage3_index_merge_sec": round(t_stage3 - t_stage1, 3),
+        },
     }
     atomic_write_json(manifest_path, manifest)
     return manifest

@@ -121,14 +121,24 @@ def generate_corpus(n_docs: int, seed: int = 42, dup_frac: float = 0.03) -> pa.T
     )
 
 
-def corpus_path(n_docs: int, seed: int = 42, root: str = "/tmp/nexlt_corpus") -> str:
-    """Write-once cached corpus parquet under /tmp; returns the file path."""
+def corpus_path(
+    n_docs: int, seed: int = 42, root: str = "/tmp/nexlt_corpus", shards: int = 16
+) -> str:
+    """Write-once cached corpus under /tmp; returns a DIRECTORY of parquet
+    shards (parallel-readable, like a real multi-file corpus; a single giant
+    file would serialize the read stage)."""
     os.makedirs(root, exist_ok=True)
-    path = os.path.join(root, f"corpus_n{n_docs}_s{seed}.parquet")
+    path = os.path.join(root, f"corpus_n{n_docs}_s{seed}_sh{shards}")
     if not os.path.exists(path):
         tmp = path + ".tmp"
-        pq.write_table(generate_corpus(n_docs, seed), tmp)
-        os.replace(tmp, path)
+        os.makedirs(tmp, exist_ok=True)
+        table = generate_corpus(n_docs, seed)
+        per = (n_docs + shards - 1) // shards
+        for i in range(shards):
+            part = table.slice(i * per, per)
+            if part.num_rows:
+                pq.write_table(part, os.path.join(tmp, f"part-{i:04d}.parquet"))
+        os.replace(tmp, path)  # atomic publish: dir exists => complete
     return path
 
 

@@ -358,6 +358,98 @@ class IndexReader:
             return int(cur.size)
         return int(np.unique(np.concatenate(sets)).size) if sets else 0
 
+    def _meta_col(self, name: str) -> np.ndarray:
+        """Doc-meta column indexed by doc_id, loaded once per reader (like
+        norms; the stored-field / docValues analog). At 10^12 docs this
+        shards by doc-range instead of loading whole."""
+        if not hasattr(self, "_meta_cols"):
+            self._meta_cols: dict[str, np.ndarray] = {}
+        if name not in self._meta_cols:
+            parts = []
+            for b in range(len(self._doc_offsets)):
+                path = os.path.join(
+                    self.index_dir, "docstore", f"bucket={b:05d}.parquet"
+                )
+                if os.path.exists(path):
+                    t = pq.read_table(path, columns=[name])
+                    parts.append(t[name].to_numpy(zero_copy_only=False))
+            self._meta_cols[name] = (
+                np.concatenate(parts) if parts else np.empty(0, object)
+            )
+        return self._meta_cols[name]
+
+    # ------------------------------------------------------------------
+    # facets on query results (reference G4 FacetComponent,
+    # solrconfig.xml:1104; facet links ResultWidget.js:11-38)
+    # ------------------------------------------------------------------
+    def facets(
+        self, query: str, fields: list[str], mode: str = "OR"
+    ) -> dict[str, list[tuple[str, int]]]:
+        """Per-field (value, count) over ALL matching docs, count-desc then
+        value-asc (Solr facet.sort=count discipline)."""
+        docs = self._matching_docs(query, mode)
+        out: dict[str, list[tuple[str, int]]] = {}
+        for f in fields:
+            col = self._meta_col(f)[docs] if docs.size else np.empty(0, object)
+            vals, counts = np.unique(col.astype("U"), return_counts=True)
+            order = np.lexsort((vals, -counts))
+            out[f] = [(str(vals[i]), int(counts[i])) for i in order]
+        return out
+
+    def _matching_docs(self, query: str, mode: str = "OR") -> np.ndarray:
+        from .tokenize import tokenize_query
+
+        kind, body = self.parse(query)
+        terms = tokenize_query(body, profile=self.profile)
+        if not terms:
+            return np.empty(0, np.int64)
+        if kind == "phrase":
+            return self._phrase_candidates(terms)
+        sets = [
+            tp.decode_all()[0] if tp else np.empty(0, np.int64)
+            for tp in self._clause_postings(terms)
+        ]
+        if mode == "AND":
+            cur = sets[0]
+            for s in sets[1:]:
+                cur = np.intersect1d(cur, s, assume_unique=True)
+            return cur
+        return np.unique(np.concatenate(sets)) if sets else np.empty(0, np.int64)
+
+    # ------------------------------------------------------------------
+    # field sort + pagination (reference O2 field sort `sort=srclc asc`,
+    # solrTestLib_v2.js:83-96; O3 start/rows windows, PagerWidget.js +
+    # queryResultWindowSize, solrconfig.xml:637-643)
+    # ------------------------------------------------------------------
+    def search_sorted(
+        self,
+        query: str,
+        sort_by: str,
+        ascending: bool = True,
+        start: int = 0,
+        rows: int = 10,
+        mode: str = "OR",
+    ) -> pa.Table:
+        """Matching docs ordered by a doc-meta column (doc_id tie-break),
+        windowed by (start, rows); returns stored fields of the page."""
+        docs = self._matching_docs(query, mode)
+        if docs.size == 0:
+            return pa.table({})
+        keys = self._meta_col(sort_by)[docs].astype("U")
+        if ascending:
+            order = np.lexsort((docs, keys))
+        else:
+            # descending on the key, still ascending doc_id within ties
+            rank = np.unique(keys, return_inverse=True)[1]
+            order = np.lexsort((docs, -rank))
+        page = docs[order[start : start + rows]]
+        fields = self.doc_fields([int(d) for d in page])
+        if fields.num_rows == 0:
+            return fields
+        # doc_fields returns doc_id-ascending; restore the page's sort order
+        pos = {int(d): i for i, d in enumerate(fields["doc_id"].to_pylist())}
+        return fields.take(pa.array([pos[int(d)] for d in page]))
+
     # -- shared scoring kernel -----------------------------------------
     def _score_union(
         self,
