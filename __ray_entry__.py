@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaming-shaped + relational
         "tumbling_window_events": P.tumbling_window_events,
         "supplier_nation_agg": P.supplier_nation_agg,
+        "order_lineitem_join_agg": P.order_lineitem_join_agg,
         # similarity search
         "embedding_topk": P.embedding_topk,
         "ann_lsh_topk": P.ann_lsh_topk,
@@ -227,6 +228,13 @@ FROM supplier s
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY 1, 2
+""",
+        "order_lineitem_join_agg": """
+SELECT o.o_orderpriority, count(*)::BIGINT AS n_items,
+       CAST(round(sum(l.l_quantity) * 100) AS BIGINT) AS qty_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
 """,
         "embedding_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings

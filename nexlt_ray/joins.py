@@ -1,0 +1,86 @@
+"""Join operators.
+
+The reference only has a broadcast-small-side lookup (J1 product enrichment,
+SURVEY.md §2.5); a large-scale engine also needs a both-sides-large join.
+This module implements the portable explicit pattern (ray_guide.md): add a
+`__bucket = hash(key) % B` column to both sides, co-locate with ONE
+`groupby(__bucket)` over the tagged union, and hash-join each bucket pairwise
+inside `map_groups` with pandas merge.
+
+Scale notes: B is the shuffle fan-out knob (size so each bucket's two sides
+fit a worker); skewed keys salt into sub-buckets by raising B — key hashing
+is uniform for int keys via splitmix-style mixing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — uniform bucket spread even for sequential keys."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hash_join(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+    num_buckets: int = 32,
+    how: str = "inner",
+):
+    """Partitioned hash join of two Datasets on int64 keys.
+
+    Returns a Dataset of joined rows (left columns + right columns minus the
+    right key). One shuffle total: both sides are tagged and bucketed, then a
+    single groupby co-locates matching buckets.
+    """
+
+    # unified superset schema so the tagged union has one block schema
+    lschema, rschema = left.schema(), right.schema()
+    lnames = list(lschema.names)
+    rnames = list(rschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    all_cols = lnames + [n for n in rnames if n not in lnames]
+    all_types = {**rtypes, **ltypes}
+
+    def tag(side: str, key: str, own: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = np.asarray(batch[key], dtype=np.int64)
+            bucket = (_mix64(keys) % np.uint64(num_buckets)).astype(np.int32)
+            cols = {}
+            for name in all_cols:
+                if name in own:
+                    cols[name] = batch[name]
+                else:
+                    cols[name] = pa.nulls(len(batch), type=all_types[name])
+            cols["__bucket"] = pa.array(bucket)
+            cols["__side"] = pa.array(np.full(len(batch), side == "r"))
+            return pa.table(cols)
+        return fn
+
+    tagged = left.map_batches(
+        tag("l", left_key, lnames), batch_format="pyarrow"
+    ).union(
+        right.map_batches(tag("r", right_key, rnames), batch_format="pyarrow")
+    )
+
+    out_cols = [c for c in all_cols if c != right_key or right_key == left_key]
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[~g["__side"]][lnames]
+        r = g[g["__side"]][rnames]
+        if how == "inner" and (l.empty or r.empty):
+            return pd.DataFrame({c: [] for c in out_cols})
+        out = l.merge(r, left_on=left_key, right_on=right_key, how=how,
+                      suffixes=("", "__r"))
+        return out.reindex(columns=out_cols)
+
+    return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

@@ -584,6 +584,51 @@ def supplier_nation_agg(sf_dir: str) -> pa.Table:
     )
 
 
+def order_lineitem_join_agg(sf_dir: str) -> pa.Table:
+    """Large x large partitioned hash join (lineitem x orders on orderkey —
+    both sides too big to broadcast at scale) followed by a grouped
+    aggregate. Demonstrates the explicit bucketed-join pattern
+    (nexlt_ray.joins.hash_join); integer-exact outputs."""
+    import ray.data
+
+    from .joins import hash_join
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    joined = hash_join(li, orders, "l_orderkey", "o_orderkey", num_buckets=16)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.select(["o_orderpriority", "l_quantity"]).to_pandas()
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n_p=("l_quantity", "size"), q_p=("l_quantity", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_p", alias_name="n_items"), Sum("q_p", alias_name="q"))
+    )
+    df = agg.to_pandas()
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(df["o_orderpriority"], pa.string()),
+            "n_items": pa.array(df["n_items"].astype(np.int64)),
+            "qty_cents": pa.array(np.round(df["q"].to_numpy() * 100).astype(np.int64)),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
