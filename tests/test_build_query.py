@@ -230,3 +230,33 @@ def test_empty_and_missing(built_index):
     assert r.search("zzznotaterm", k=10) == []
     assert r.search("the", k=0) == []
     assert r.match_count("zzznotaterm") == 0
+
+
+def test_text_en_profile_rank_identity(ray_session, small_corpus_path, tmp_path):
+    """Porter-stemming profile end-to-end: build + WAND == oracle."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from nexlt_ray.build import BuildConfig, build_index
+    from nexlt_ray.oracle import OracleIndex
+    from nexlt_ray.query import IndexReader
+
+    idx = str(tmp_path / "idx_en")
+    m = build_index(
+        small_corpus_path, idx,
+        BuildConfig(profile="text_en", num_doc_buckets=8, num_term_buckets=4),
+    )
+    r = IndexReader(idx)
+    meta = pq.read_table(os.path.join(idx, "docstore"))
+    doc_id = (
+        np.asarray(m["doc_offsets"])[np.asarray(meta["doc_bucket"])]
+        + np.asarray(meta["local_rank"])
+    )
+    o = OracleIndex(
+        list(zip(doc_id.tolist(), meta["content"].to_pylist())), profile="text_en"
+    )
+    for q in ["parsing tokens", "searching", "HTTPServer2", '"index query"', "the"]:
+        got = r.search(q, k=10)
+        exp = [(d, float(np.float32(s))) for d, s in o.search(q, k=10)]
+        assert got == exp, q
