@@ -177,7 +177,7 @@ class IndexReader:
     see pipelines.SearchActor)."""
 
     def __init__(self, index_dir: str, cache_terms: int = 4096,
-                 wand_range_blocks: int = 16):
+                 wand_range_blocks: int = 64):
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
@@ -551,31 +551,46 @@ class IndexReader:
         return [(int(top_docs[i]), float(top_scores[i])) for i in order]
 
     # -- phrase --------------------------------------------------------
+    @staticmethod
+    def _sorted_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Intersection of two SORTED unique int arrays without re-sorting
+        (binary-search membership; np.intersect1d would sort the concat)."""
+        if a.size > b.size:
+            a, b = b, a
+        if a.size == 0:
+            return a
+        idx = np.searchsorted(b, a)
+        sel = (idx < b.size) & (b[np.minimum(idx, b.size - 1)] == a)
+        return a[sel]
+
     def _phrase_candidates(self, terms: list[str]) -> np.ndarray:
         """Docs containing the terms at consecutive positions — fully
         vectorized: per term, flat (doc, pos) arrays filtered to the AND
-        candidate set, packed into (doc << 32 | shifted_pos) keys, then
-        progressive sorted-set intersection."""
+        candidate set, packed into (doc << 32 | shifted_pos) keys (sorted by
+        construction), then progressive sort-free set intersection starting
+        from the rarest term."""
         plist = self._clause_postings(terms)
         empty = np.empty(0, dtype=np.int64)
         if any(tp is None for tp in plist):
             return empty
-        cand = plist[0].decode_all()[0]
-        for tp in plist[1:]:
-            cand = np.intersect1d(cand, tp.decode_all()[0], assume_unique=True)
-        if cand.size == 0:
-            return empty
+        cand = None
+        for tp in sorted(plist, key=lambda t: t.df):  # rarest first
+            d = tp.decode_all()[0]
+            cand = d if cand is None else self._sorted_intersect(cand, d)
+            if cand.size == 0:
+                return empty
         keys = None
-        for i, tp in enumerate(plist):
+        for i, tp in sorted(enumerate(plist), key=lambda x: x[1].cf):
             dp, pp = tp.flat_positions()
             idx = np.searchsorted(cand, dp)
             sel = (idx < cand.size) & (cand[np.minimum(idx, cand.size - 1)] == dp)
             # +64 keeps the shifted position non-negative (no doc aliasing)
             key = dp[sel] * (1 << 32) + (pp[sel] - i + 64)
-            keys = key if keys is None else np.intersect1d(keys, key)
+            keys = key if keys is None else self._sorted_intersect(keys, key)
             if keys.size == 0:
                 return empty
-        return np.unique(keys >> 32)
+        docs = keys >> 32  # sorted, possibly repeated (multiple match starts)
+        return docs[np.concatenate(([True], docs[1:] != docs[:-1]))]
 
     def _search_phrase(self, terms: list[str], k: int) -> list[tuple[int, float]]:
         cand = self._phrase_candidates(terms)
