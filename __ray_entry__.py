@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window_events": P.tumbling_window_events,
         "supplier_nation_agg": P.supplier_nation_agg,
         "order_lineitem_join_agg": P.order_lineitem_join_agg,
+        "customers_without_orders": P.customers_without_orders,
         # similarity search
         "embedding_topk": P.embedding_topk,
         "ann_lsh_topk": P.ann_lsh_topk,
@@ -235,6 +236,10 @@ SELECT o.o_orderpriority, count(*)::BIGINT AS n_items,
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1
+""",
+        "customers_without_orders": """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 """,
         "embedding_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings

@@ -92,6 +92,17 @@ def term_bucket_of(term: str, num_term_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % num_term_buckets
 
 
+def _tokenize_cfg(batch: pa.Table, cfg: BuildConfig):
+    """Tokenize per config: fixed profile, or per-language analyzer routing
+    when profile == "auto" (reference: one analyzer chain per language
+    field, schema.xml:466-887)."""
+    from .tokenize import tokenize_by_lang
+
+    if cfg.profile == "auto":
+        return tokenize_by_lang(batch["content"], batch["lang"])
+    return tokenize_batch(batch["content"], profile=cfg.profile)
+
+
 def _sha_and_bucket(batch: pa.Table, cfg: BuildConfig) -> pa.Table:
     """Stateless map: content sha256 + doc bucket + doc_len/norm_byte
     (+ length-cap filter).
@@ -112,7 +123,7 @@ def _sha_and_bucket(batch: pa.Table, cfg: BuildConfig) -> pa.Table:
     buckets = np.array(
         [(int(s[:8], 16) * cfg.num_doc_buckets) >> 32 for s in shas], dtype=np.int32
     )
-    tb = tokenize_batch(batch["content"], profile=cfg.profile)
+    tb = _tokenize_cfg(batch, cfg)
     norm = small_float_int_to_byte4(tb.doc_len)
     return (
         batch.append_column("content_sha256", pa.array(shas, pa.string()))
@@ -227,7 +238,7 @@ class PartialIndexer:
         )
         norm_byte = np.asarray(batch["norm_byte"]).astype(np.uint8)
 
-        tb = tokenize_batch(batch["content"], profile=cfg.profile)
+        tb = _tokenize_cfg(batch, cfg)
         if tb.terms.size == 0:
             if self.partials_dir is not None:
                 return pa.table(
@@ -556,9 +567,12 @@ def build_index(
     else:
         concurrency = cfg.index_concurrency
     def read_docstore():
+        cols = ["doc_bucket", "local_rank", "norm_byte", "content"]
+        if cfg.profile == "auto":
+            cols.append("lang")
         return ray.data.read_parquet(
             os.path.join(index_dir, "docstore"),
-            columns=["doc_bucket", "local_rank", "norm_byte", "content"],
+            columns=cols,
             override_num_blocks=max(4 * ncpu, cfg.num_doc_buckets),
         )
 

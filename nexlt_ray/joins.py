@@ -84,3 +84,32 @@ def hash_join(
         return out.reindex(columns=out_cols)
 
     return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def broadcast_semi_anti_join(
+    ds,
+    key: str,
+    key_set,
+    anti: bool = False,
+):
+    """Semi/anti join against a broadcast key set (guide pattern; the
+    reference's `comm -23` new-product detection is exactly an anti join on a
+    small list, tr2solr.sh:76 / processJSONs.sh:67).
+
+    `key_set`: an iterable of keys or a `ray.ObjectRef` to one — put once in
+    the object store, read per task, no shuffle. For key sets too large to
+    broadcast, swap in a Bloom filter at the same call site.
+    """
+    import ray
+
+    ref = key_set if isinstance(key_set, ray.ObjectRef) else ray.put(set(key_set))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        vals = np.asarray(batch[key])
+        mask = np.fromiter((int(v) in keys for v in vals), dtype=bool, count=len(vals))
+        if anti:
+            mask = ~mask
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(filt, batch_format="pyarrow")

@@ -33,6 +33,7 @@ class OracleIndex:
         profile: str = "code",
         k1: float = 1.2,
         b: float = 0.75,
+        langs: list[str] | None = None,
     ):
         self.profile = profile
         self.k1 = k1
@@ -42,7 +43,13 @@ class OracleIndex:
         self.doc_len: dict[int, int] = {}
         self.norm_byte: dict[int, int] = {}
         ids = [d for d, _ in docs]
-        tb = tokenize_batch([c for _, c in docs], profile=profile)
+        if profile == "auto":
+            from .tokenize import tokenize_by_lang
+
+            assert langs is not None
+            tb = tokenize_by_lang([c for _, c in docs], langs)
+        else:
+            tb = tokenize_batch([c for _, c in docs], profile=profile)
         for row, (did, _) in enumerate(docs):
             self.doc_len[did] = int(tb.doc_len[row])
             self.norm_byte[did] = int(small_float_int_to_byte4(int(tb.doc_len[row]))[0])
@@ -72,11 +79,16 @@ class OracleIndex:
         k = self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
         return np.float32(self._idf(df) * (self.k1 + 1.0) * tf / (tf + k))
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search(self, query: str, k: int = 10, lang: str | None = None) -> list[tuple[int, float]]:
         """Top-k (doc_id, score) for an OR query / quoted phrase, scores in
         float32, ties broken by ascending doc_id."""
         phrase = query.startswith('"') and query.endswith('"') and len(query) > 1
-        terms = tokenize_query(query.strip('"'), profile=self.profile)
+        prof = self.profile
+        if prof == "auto":
+            from .tokenize import profile_for_lang
+
+            prof = profile_for_lang(lang or "", "code")
+        terms = tokenize_query(query.strip('"'), profile=prof)
         if not terms:
             return []
         if phrase:

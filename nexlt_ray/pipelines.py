@@ -629,6 +629,30 @@ def order_lineitem_join_agg(sf_dir: str) -> pa.Table:
     )
 
 
+def customers_without_orders(sf_dir: str) -> pa.Table:
+    """Anti join via broadcast key set (reference set-difference analog,
+    SURVEY.md §2.8): customers that placed no orders."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .joins import broadcast_semi_anti_join
+
+    okeys = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )["o_custkey"].to_pylist()
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    out = broadcast_semi_anti_join(cust, "c_custkey", okeys, anti=True).to_pandas()
+    out = out.sort_values("c_custkey").reset_index(drop=True)
+    return pa.table(
+        {
+            "c_custkey": pa.array(out["c_custkey"].astype(np.int64)),
+            "c_mktsegment": pa.array(out["c_mktsegment"], pa.string()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------

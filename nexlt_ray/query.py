@@ -315,20 +315,30 @@ class IndexReader:
             return "phrase", q[1:-1]
         return "terms", q
 
+    def _query_profile(self, lang: str | None) -> str:
+        if self.profile == "auto":
+            from .tokenize import profile_for_lang
+
+            return profile_for_lang(lang or "", "code")
+        return self.profile
+
     def search(
         self,
         query: str,
         k: int = 10,
         mode: str = "OR",
         algorithm: str = "wand",
+        lang: str | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, float32 score); ties broken by ascending doc_id.
         `algorithm`: "wand" (vectorized block-max) or "exhaustive" —
-        rank-identical by construction and by test."""
+        rank-identical by construction and by test. `lang` selects the
+        query analyzer on per-language ("auto") indexes, like querying a
+        specific language field in the reference."""
         from .tokenize import tokenize_query
 
         kind, body = self.parse(query)
-        terms = tokenize_query(body, profile=self.profile)
+        terms = tokenize_query(body, profile=self._query_profile(lang))
         if not terms or k <= 0:
             return []
         if kind == "phrase":
@@ -337,12 +347,12 @@ class IndexReader:
             return self._search_exhaustive(terms, k, mode)
         return self._search_wand(terms, k)
 
-    def match_count(self, query: str, mode: str = "OR") -> int:
+    def match_count(self, query: str, mode: str = "OR", lang: str | None = None) -> int:
         """numFound analog (reference G3, corpus.cgi:409)."""
         from .tokenize import tokenize_query
 
         kind, body = self.parse(query)
-        terms = tokenize_query(body, profile=self.profile)
+        terms = tokenize_query(body, profile=self._query_profile(lang))
         if not terms:
             return 0
         if kind == "phrase":

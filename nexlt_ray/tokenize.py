@@ -52,7 +52,23 @@ import pyarrow.compute as pc
 
 from .porter import porter_stem
 
-PROFILES = ("code", "text_en", "simple")
+PROFILES = ("code", "text_en", "simple", "cjk_bigram")
+
+# per-language analyzer routing (the reference declares one analyzed field
+# per target language, schema.xml:927-960: CJK languages use width-normalized
+# bigrams, schema.xml:501-510; Japanese morphological analysis approximated
+# by bigrams here; English text uses the stemming chain; code-ish content the
+# WordDelimiter chain)
+LANG_PROFILES: dict[str, str] = {
+    "jpn": "cjk_bigram", "chs": "cjk_bigram", "cht": "cjk_bigram",
+    "kor": "cjk_bigram", "zh": "cjk_bigram", "ja": "cjk_bigram",
+    "ko": "cjk_bigram",
+    "eng": "text_en", "enu": "text_en", "en": "text_en",
+}
+
+
+def profile_for_lang(lang: str, default: str = "code") -> str:
+    return LANG_PROFILES.get(lang, default)
 
 
 @dataclass
@@ -142,6 +158,8 @@ def tokenize_batch(
     n_docs = len(arr)
     if profile == "simple":
         return _tokenize_simple(arr, n_docs)
+    if profile == "cjk_bigram":
+        return _tokenize_cjk(arr, n_docs)
     if profile not in PROFILES:
         raise ValueError(f"unknown profile {profile!r}")
 
@@ -268,6 +286,93 @@ def _tokenize_simple(arr: pa.Array, n_docs: int) -> TokenizedBatch:
         terms=np.asarray(flat, dtype=object),
         positions=pos,
         doc_idx=doc_of.astype(np.int32),
+        doc_len=doc_len,
+        n_docs=n_docs,
+    )
+
+
+import re as _re
+import unicodedata as _ud
+
+_CJK_RANGES = "㐀-䶿一-鿿぀-ヿ가-힯"
+_CJK_TOKEN_RE = _re.compile(f"([A-Za-z0-9]+)|([{_CJK_RANGES}]+)")
+
+
+def _tokenize_cjk(arr: pa.Array, n_docs: int) -> TokenizedBatch:
+    """CJK analyzer: NFKC width fold (CJKWidthFilter analog) + lowercase +
+    StandardTokenizer-ish runs, with CJK runs emitted as overlapping bigrams
+    (CJKBigramFilter semantics, reference schema.xml:501-510; single-char
+    runs stay unigrams). Per-doc Python loop — the multilingual parity path,
+    not the bulk code path; the reference query set for it is short UI
+    strings."""
+    terms: list[str] = []
+    pos: list[int] = []
+    idx: list[int] = []
+    doc_len = np.zeros(n_docs, dtype=np.int32)
+    for d, text in enumerate(arr.to_pylist()):
+        if not text:
+            continue
+        folded = _ud.normalize("NFKC", text).lower()
+        p = 0
+        for m in _CJK_TOKEN_RE.finditer(folded):
+            alnum, cjk = m.group(1), m.group(2)
+            if alnum:
+                terms.append(alnum)
+                pos.append(p)
+                idx.append(d)
+                p += 1
+            else:
+                if len(cjk) == 1:
+                    terms.append(cjk)
+                    pos.append(p)
+                    idx.append(d)
+                    p += 1
+                else:
+                    for i in range(len(cjk) - 1):
+                        terms.append(cjk[i : i + 2])
+                        pos.append(p)
+                        idx.append(d)
+                        p += 1
+        doc_len[d] = p
+    return TokenizedBatch(
+        terms=np.asarray(terms, dtype=object),
+        positions=np.asarray(pos, dtype=np.int32),
+        doc_idx=np.asarray(idx, dtype=np.int32),
+        doc_len=doc_len,
+        n_docs=n_docs,
+    )
+
+
+def tokenize_by_lang(
+    texts,
+    langs,
+    default_profile: str = "code",
+    with_overlaps: bool = True,
+) -> TokenizedBatch:
+    """Per-language analyzer routing over a mixed-language batch (reference:
+    one analyzed field per language with its own chain). Splits the batch by
+    profile, tokenizes each slice with its chain, and merges back to
+    original row numbering."""
+    arr = _as_array(texts)
+    lang_list = (
+        langs.to_pylist() if isinstance(langs, (pa.Array, pa.ChunkedArray)) else list(langs)
+    )
+    n_docs = len(arr)
+    profs = np.asarray([profile_for_lang(l, default_profile) for l in lang_list])
+    terms_l, pos_l, idx_l = [], [], []
+    doc_len = np.zeros(n_docs, dtype=np.int32)
+    for prof in np.unique(profs):
+        rows = np.flatnonzero(profs == prof)
+        sub = arr.take(pa.array(rows))
+        tb = tokenize_batch(sub, profile=str(prof), with_overlaps=with_overlaps)
+        terms_l.append(tb.terms)
+        pos_l.append(tb.positions)
+        idx_l.append(rows[tb.doc_idx].astype(np.int32))
+        doc_len[rows] = tb.doc_len
+    return TokenizedBatch(
+        terms=np.concatenate(terms_l) if terms_l else np.empty(0, object),
+        positions=np.concatenate(pos_l).astype(np.int32) if pos_l else np.empty(0, np.int32),
+        doc_idx=np.concatenate(idx_l).astype(np.int32) if idx_l else np.empty(0, np.int32),
         doc_len=doc_len,
         n_docs=n_docs,
     )

@@ -1,0 +1,92 @@
+"""Per-language analyzer routing end-to-end (reference: one analyzer chain
+per language field, schema.xml:466-887; CJK bigrams schema.xml:501-510)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from nexlt_ray.tokenize import tokenize_batch, tokenize_by_lang, tokenize_query
+
+
+def toks(text, profile):
+    tb = tokenize_batch([text], profile=profile)
+    order = np.lexsort((tb.terms.astype("U"), tb.positions))
+    return [str(t) for t in tb.terms[order]]
+
+
+def test_cjk_bigrams():
+    assert toks("東京都", "cjk_bigram") == ["東京", "京都"]
+    assert toks("日本 ABC 東", "cjk_bigram") == ["日本", "abc", "東"]
+    # width folding: fullwidth ASCII folds to halfwidth (NFKC)
+    assert toks("ＡＢＣ", "cjk_bigram") == ["abc"]
+    assert toks("", "cjk_bigram") == []
+
+
+def test_cjk_positions_phraselike():
+    tb = tokenize_batch(["東京都 パリ"], profile="cjk_bigram")
+    got = {str(t): int(p) for t, p in zip(tb.terms, tb.positions)}
+    assert got == {"東京": 0, "京都": 1, "パリ": 2}
+    assert tb.doc_len.tolist() == [3]
+
+
+def test_tokenize_by_lang_routing():
+    texts = ["getFooBar", "東京都", "Generalizations"]
+    langs = ["python", "jpn", "eng"]
+    tb = tokenize_by_lang(texts, langs)
+    per = tb.per_doc_terms()
+    assert per[0] == ["get", "getfoobar", "foo", "bar"]  # code chain
+    assert per[1] == ["東京", "京都"]                      # cjk chain
+    assert per[2] == ["gener"]                            # text_en chain
+
+
+def test_auto_profile_build_and_query(ray_session, tmp_path):
+    """Mixed-language corpus -> auto-profile index -> per-language queries
+    rank-identical to the oracle."""
+    import hashlib
+
+    from nexlt_ray.build import BuildConfig, build_index
+    from nexlt_ray.oracle import OracleIndex
+    from nexlt_ray.query import IndexReader
+
+    rows = []
+    for i in range(120):
+        if i % 3 == 0:
+            rows.append(("jpn", f"東京都 の 検索 エンジン {i % 7} テスト"))
+        elif i % 3 == 1:
+            rows.append(("eng", f"searching engines generally tested {i % 5} times"))
+        else:
+            rows.append(("python", f"def searchEngine{i % 4}(): return query_index"))
+    t = pa.table(
+        {
+            "repo": pa.array([f"org{i%3}/r" for i in range(120)]),
+            "path": pa.array([f"f{i}.txt" for i in range(120)]),
+            "commit": pa.array(["c" * 40] * 120),
+            "lang": pa.array([l for l, _ in rows]),
+            "content": pa.array([c for _, c in rows]),
+        }
+    )
+    src = str(tmp_path / "ml.parquet")
+    pq.write_table(t, src)
+    idx = str(tmp_path / "idx_ml")
+    m = build_index(src, idx, BuildConfig(profile="auto", num_doc_buckets=4,
+                                          num_term_buckets=2))
+    r = IndexReader(idx)
+    meta = pq.read_table(f"{idx}/docstore")
+    did = (
+        np.asarray(m["doc_offsets"])[np.asarray(meta["doc_bucket"])]
+        + np.asarray(meta["local_rank"])
+    )
+    o = OracleIndex(
+        list(zip(did.tolist(), meta["content"].to_pylist())),
+        profile="auto",
+        langs=meta["lang"].to_pylist(),
+    )
+    cases = [("東京", "jpn"), ('"東京 検索"'.replace(" ", ""), "jpn"),
+             ("searching", "eng"), ("generally tested", "eng"),
+             ("searchEngine2", "python"), ("query_index", "python")]
+    for q, lang in cases:
+        got = r.search(q, k=10, lang=lang)
+        exp = [(d, float(np.float32(s))) for d, s in o.search(q, k=10, lang=lang)]
+        assert got == exp, (q, lang)
+    # cross-analyzer reality check: the jpn text matched via bigrams
+    assert r.match_count("東京", lang="jpn") == 7  # 7 distinct contents after dedup
