@@ -85,6 +85,12 @@ class BuildConfig:
     #            store). Kept as the fallback; produces byte-identical
     #            segments.
     shuffle: str = "disk"
+    # user-extension hook (the reference's StatelessScriptUpdateProcessor
+    # processAdd analog, update-script.js:10-53 / solrconfig.xml:945-952):
+    # a pa.Table -> pa.Table fn applied to each input batch before hashing /
+    # dedup / indexing. Must be deterministic and row-wise (it runs before
+    # the content-sha dedup, so it defines document identity).
+    record_hook: object | None = None
 
 
 def term_bucket_of(term: str, num_term_buckets: int) -> int:
@@ -111,6 +117,8 @@ def _sha_and_bucket(batch: pa.Table, cfg: BuildConfig) -> pa.Table:
     the per-bucket group stage: ~3% of tokenize work is wasted on rows that
     dedup later drops, but the group stage stays I/O-shaped and the heavy
     CPU runs at full map parallelism."""
+    if cfg.record_hook is not None:
+        batch = cfg.record_hook(batch)
     if cfg.max_content_chars is not None:
         mask = pc.less_equal(pc.utf8_length(batch["content"]), cfg.max_content_chars)
         batch = batch.filter(mask)
@@ -651,9 +659,22 @@ def build_index(
         import shutil
 
         shutil.rmtree(os.path.join(index_dir, "partials"), ignore_errors=True)
+    cfg_dict = asdict(cfg)
+    cfg_dict["record_hook"] = (
+        None if cfg.record_hook is None
+        else getattr(cfg.record_hook, "__name__", "custom")
+    )
+    # lineage: the input shards this index was built from
+    if isinstance(input_path, str) and os.path.isdir(input_path):
+        input_shards = sorted(os.listdir(input_path))
+    else:
+        input_shards = (
+            [input_path] if isinstance(input_path, str) else list(input_path)
+        )
     manifest = {
         "version": MANIFEST_VERSION,
-        "config": asdict(cfg),
+        "config": cfg_dict,
+        "input_shards": input_shards,
         "n_docs": n_docs,
         "n_input_rows": n_input,
         "n_dups_removed": n_dups,

@@ -147,6 +147,59 @@ def translation_units(input_table: pa.Table | None = None):
     return out.sort(["lang", "srclc", "id"])
 
 
+def write_bitext(ds, out_dir: str) -> list[str]:
+    """K2: Moses bitext writer — `src◊trn◊product` lines, bzip2-compressed,
+    one file per language (reference parseJSON.pl:117-124,323-324). Returns
+    written paths."""
+    import bz2
+    import os
+
+    from .lineage import atomic_write_bytes
+
+    def write_lang(g) -> "pa.Table":
+        lang = g["lang"][0].as_py()
+        lines = [
+            f"{s}◊{t}◊{p}"
+            for s, t, p in zip(
+                g["enu"].to_pylist(), g["trn"].to_pylist(), g["product"].to_pylist()
+            )
+        ]
+        payload = bz2.compress(("\n".join(lines) + "\n").encode("utf-8"))
+        path = os.path.join(out_dir, f"corpus.{lang}.bz2")
+        atomic_write_bytes(path, payload)
+        return pa.table({"lang": pa.array([lang]), "path": pa.array([path])})
+
+    acks = ds.groupby("lang").map_groups(write_lang, batch_format="pyarrow")
+    return sorted(acks.to_pandas()["path"].tolist())
+
+
+def write_golden_csv(ds, out_dir: str) -> list[str]:
+    """K3: golden CSV writer — the reference's fixture format, header
+    `resource,restype,enu,<lang>,id,product,release,srclc`
+    (parseJSON.pl:130), one file per language."""
+    import csv
+    import io
+    import os
+
+    from .lineage import atomic_write_bytes
+
+    def write_lang(g) -> "pa.Table":
+        lang = g["lang"][0].as_py()
+        buf = io.StringIO()
+        w = csv.writer(buf)
+        w.writerow(["resource", "restype", "enu", lang, "id", "product",
+                    "release", "srclc"])
+        for row in g.to_pylist():
+            w.writerow([row["resource"], row["restype"], row["enu"], row["trn"],
+                        row["id"], row["product"], row["release"], row["srclc"]])
+        path = os.path.join(out_dir, f"corpus.sw.{lang}.csv")
+        atomic_write_bytes(path, buf.getvalue().encode("utf-8"))
+        return pa.table({"lang": pa.array([lang]), "path": pa.array([path])})
+
+    acks = ds.groupby("lang").map_groups(write_lang, batch_format="pyarrow")
+    return sorted(acks.to_pandas()["path"].tolist())
+
+
 def golden_digest(table: pa.Table) -> str:
     """Stable digest of the golden output (the diff-against-fixture analog of
     tools/test.sh:5-8)."""
