@@ -644,6 +644,11 @@ def customers_without_orders(sf_dir: str) -> pa.Table:
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
     out = broadcast_semi_anti_join(cust, "c_custkey", okeys, anti=True).to_pandas()
+    if out.empty:  # every customer ordered (small sf) -> empty typed result
+        return pa.table(
+            {"c_custkey": pa.array([], pa.int64()),
+             "c_mktsegment": pa.array([], pa.string())}
+        )
     out = out.sort_values("c_custkey").reset_index(drop=True)
     return pa.table(
         {
