@@ -239,7 +239,7 @@ GROUP BY 1
 """,
         "customers_without_orders": """
 SELECT c_custkey, c_mktsegment FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
 """,
         "embedding_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings

@@ -629,16 +629,22 @@ def order_lineitem_join_agg(sf_dir: str) -> pa.Table:
     )
 
 
+BIG_ORDER_THRESHOLD = 400_000
+
+
 def customers_without_orders(sf_dir: str) -> pa.Table:
     """Anti join via broadcast key set (reference set-difference analog,
-    SURVEY.md §2.8): customers that placed no orders."""
+    SURVEY.md §2.8): customers with no order above BIG_ORDER_THRESHOLD."""
     import pyarrow.parquet as pq
     import ray.data
 
     from .joins import broadcast_semi_anti_join
 
-    okeys = pq.read_table(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    ot = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    okeys = ot.filter(
+        pc.greater(ot["o_totalprice"], BIG_ORDER_THRESHOLD)
     )["o_custkey"].to_pylist()
     cust = ray.data.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
