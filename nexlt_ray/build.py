@@ -85,6 +85,13 @@ class BuildConfig:
     #            store). Kept as the fallback; produces byte-identical
     #            segments.
     shuffle: str = "disk"
+    # store per-doc token vectors (tokens + positions) in the docstore so the
+    # index stage never re-tokenizes (Lucene's stored-term-vectors tradeoff:
+    # ~2x docstore size + ~60% more stage-1 shuffle volume for one analysis
+    # pass instead of two — measured net-neutral on wall time locally, so
+    # default OFF to keep the docstore lean; turn on when the analyzer is
+    # expensive (e.g. morphological chains) or storage is cheap).
+    store_token_vectors: bool = False
     # user-extension hook (the reference's StatelessScriptUpdateProcessor
     # processAdd analog, update-script.js:10-53 / solrconfig.xml:945-952):
     # a pa.Table -> pa.Table fn applied to each input batch before hashing /
@@ -96,6 +103,39 @@ class BuildConfig:
 def term_bucket_of(term: str, num_term_buckets: int) -> int:
     """Stable term -> merge-bucket hash (crc32; cross-process deterministic)."""
     return zlib.crc32(term.encode("utf-8")) % num_term_buckets
+
+
+def _token_vectors_to_batch(batch: pa.Table):
+    """Rebuild a TokenizedBatch from stored token-vector list columns."""
+    from .tokenize import TokenizedBatch
+
+    toks = batch["tokens"].combine_chunks() if isinstance(
+        batch["tokens"], pa.ChunkedArray
+    ) else batch["tokens"]
+    poss = batch["tok_pos"].combine_chunks() if isinstance(
+        batch["tok_pos"], pa.ChunkedArray
+    ) else batch["tok_pos"]
+    n = len(batch)
+    t_off = np.asarray(toks.offsets, dtype=np.int64)
+    p_off = np.asarray(poss.offsets, dtype=np.int64)
+    counts = np.diff(t_off)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts).astype(np.int32)
+    # slice child arrays by the logical offset window (sliced ListArrays keep
+    # the full child buffer)
+    terms = toks.values.to_numpy(zero_copy_only=False)[t_off[0] : t_off[-1]]
+    positions = np.asarray(poss.values, dtype=np.int32)[p_off[0] : p_off[-1]]
+    # doc_len counts non-overlapping tokens: positions strictly increase for
+    # parts; overlaps repeat a position. Use max(pos)+1 per doc == doc_len.
+    doc_len = np.zeros(n, dtype=np.int32)
+    if positions.size:
+        np.maximum.at(doc_len, doc_idx, positions + 1)
+    return TokenizedBatch(
+        terms=np.asarray(terms, dtype=object),
+        positions=positions,
+        doc_idx=doc_idx,
+        doc_len=doc_len,
+        n_docs=n,
+    )
 
 
 def _tokenize_cfg(batch: pa.Table, cfg: BuildConfig):
@@ -133,12 +173,27 @@ def _sha_and_bucket(batch: pa.Table, cfg: BuildConfig) -> pa.Table:
     )
     tb = _tokenize_cfg(batch, cfg)
     norm = small_float_int_to_byte4(tb.doc_len)
-    return (
+    out = (
         batch.append_column("content_sha256", pa.array(shas, pa.string()))
         .append_column("doc_bucket", pa.array(buckets, pa.int32()))
         .append_column("doc_len", pa.array(tb.doc_len, pa.int32()))
         .append_column("norm_byte", pa.array(norm.astype(np.uint8), pa.uint8()))
     )
+    if cfg.store_token_vectors:
+        n = len(batch)
+        order = np.argsort(tb.doc_idx, kind="stable")
+        counts = np.bincount(tb.doc_idx, minlength=n).astype(np.int64)
+        offs = pa.array(
+            np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        )
+        toks = pa.ListArray.from_arrays(
+            offs, pa.array(tb.terms[order].astype("U"), pa.string())
+        )
+        poss = pa.ListArray.from_arrays(
+            offs, pa.array(tb.positions[order], pa.int32())
+        )
+        out = out.append_column("tokens", toks).append_column("tok_pos", poss)
+    return out
 
 
 class BucketWriter:
@@ -181,20 +236,22 @@ class BucketWriter:
         group = group.filter(pa.array(keep))
         n = group.num_rows
 
-        table = pa.table(
-            {
-                "doc_bucket": pa.array(np.full(n, bucket, dtype=np.int32)),
-                "local_rank": pa.array(np.arange(n, dtype=np.int64)),
-                "repo": group["repo"],
-                "path": group["path"],
-                "commit": group["commit"],
-                "lang": group["lang"],
-                "content_sha256": group["content_sha256"],
-                "doc_len": group["doc_len"],
-                "norm_byte": group["norm_byte"],
-                "content": group["content"],
-            }
-        )
+        cols = {
+            "doc_bucket": pa.array(np.full(n, bucket, dtype=np.int32)),
+            "local_rank": pa.array(np.arange(n, dtype=np.int64)),
+            "repo": group["repo"],
+            "path": group["path"],
+            "commit": group["commit"],
+            "lang": group["lang"],
+            "content_sha256": group["content_sha256"],
+            "doc_len": group["doc_len"],
+            "norm_byte": group["norm_byte"],
+            "content": group["content"],
+        }
+        if "tokens" in group.column_names:
+            cols["tokens"] = group["tokens"]
+            cols["tok_pos"] = group["tok_pos"]
+        table = pa.table(cols)
         atomic_write_parquet(out_path, table)
         shas_digest = hashlib.sha256("".join(map(str, sha[keep])).encode()).hexdigest()
         rec = {
@@ -246,7 +303,10 @@ class PartialIndexer:
         )
         norm_byte = np.asarray(batch["norm_byte"]).astype(np.uint8)
 
-        tb = _tokenize_cfg(batch, cfg)
+        if "tokens" in batch.column_names:
+            tb = _token_vectors_to_batch(batch)
+        else:
+            tb = _tokenize_cfg(batch, cfg)
         if tb.terms.size == 0:
             if self.partials_dir is not None:
                 return pa.table(
@@ -575,9 +635,12 @@ def build_index(
     else:
         concurrency = cfg.index_concurrency
     def read_docstore():
-        cols = ["doc_bucket", "local_rank", "norm_byte", "content"]
-        if cfg.profile == "auto":
-            cols.append("lang")
+        if cfg.store_token_vectors:
+            cols = ["doc_bucket", "local_rank", "norm_byte", "tokens", "tok_pos"]
+        else:
+            cols = ["doc_bucket", "local_rank", "norm_byte", "content"]
+            if cfg.profile == "auto":
+                cols.append("lang")
         return ray.data.read_parquet(
             os.path.join(index_dir, "docstore"),
             columns=cols,

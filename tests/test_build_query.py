@@ -260,3 +260,22 @@ def test_text_en_profile_rank_identity(ray_session, small_corpus_path, tmp_path)
         got = r.search(q, k=10)
         exp = [(d, float(np.float32(s))) for d, s in o.search(q, k=10)]
         assert got == exp, q
+
+
+def test_token_vectors_identical_segments(ray_session, small_corpus_path, tmp_path):
+    """store_token_vectors changes storage layout, never index bytes."""
+    from nexlt_ray.build import BuildConfig, build_index
+
+    a = str(tmp_path / "tv_on")
+    b = str(tmp_path / "tv_off")
+    build_index(small_corpus_path, a,
+                BuildConfig(num_doc_buckets=4, num_term_buckets=2,
+                            store_token_vectors=True))
+    build_index(small_corpus_path, b,
+                BuildConfig(num_doc_buckets=4, num_term_buckets=2,
+                            store_token_vectors=False))
+    for name in sorted(os.listdir(os.path.join(a, "segments"))):
+        assert (
+            open(os.path.join(a, "segments", name), "rb").read()
+            == open(os.path.join(b, "segments", name), "rb").read()
+        ), name
