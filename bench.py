@@ -88,10 +88,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     p50 = lat[len(lat) // 2]
     p95 = lat[int(len(lat) * 0.95)]
 
-    # distributed query serving throughput (actor pool of IndexReaders)
+    # distributed query serving throughput (actor pool of IndexReaders);
+    # 1000 queries so actor spin-up + per-actor cache warm amortize like a
+    # real serving window
     many = [
         {"qid": i, "query": queries[i % len(queries)]["query"], "k": 10}
-        for i in range(200)
+        for i in range(1000)
     ]
     t2 = time.perf_counter()
     search_batch(index_dir, many, k=10, concurrency=max(2, num_cpus // 2)).count()

@@ -827,11 +827,14 @@ def search_batch(index_dir: str, queries: list[dict], k: int = 10, concurrency: 
             }
         )
     )
+    # from_arrow yields ONE block; split it or the whole pool serves from a
+    # single actor (Ray schedules one task per block)
+    ds = ds.repartition(max(concurrency * 4, 8))
     return ds.map_batches(
         SearchActor,
         fn_constructor_args=(index_dir, k),
         batch_format="pyarrow",
-        batch_size=max(1, len(queries) // max(concurrency, 1)),
+        batch_size=None,
         concurrency=concurrency,
         num_cpus=1,
     )
