@@ -310,23 +310,23 @@ def jaccard_dup_pairs_docs(sf_dir: str):
 def minhash_pairs_corpus(sf_dir: str):
     """MinHash-LSH candidate pairs over the synthetic code corpus, verified
     with exact token-set Jaccard >= 0.9 (integer-exact columns)."""
+    import pyarrow.parquet as pq
     import ray.data
 
     path = corpus_path(min(n_docs_for_sf(sf_dir), 5000))
-    ds = ray.data.read_parquet(path).map_batches(
-        lambda b: pa.table(
-            {
-                "doc_id": pa.array(np.arange(len(b), dtype=np.int64)),
-                "text": b["content"],
-            }
-        ),
-        batch_format="pyarrow",
-        batch_size=1 << 30,  # single batch: stable doc_id = row index
+    # assign doc_id driver-side from the (deterministic) shard-sorted read —
+    # per-block arange would collide across shards; real pipelines use
+    # content-derived ids (see build.py)
+    src = pq.read_table(path, columns=["content"])
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(src.num_rows, dtype=np.int64)),
+            "text": src["content"],
+        }
     )
-    # NOTE: doc_id from row order is only stable because this reads a single
-    # parquet file in one batch; real pipelines use content-derived ids.
+    ds = ray.data.from_arrow(tbl).repartition(8)
     cand = dedup_ops.minhash_lsh_pairs(ds, concurrency=2)
-    docs_tbl = ds.to_pandas()
+    docs_tbl = tbl.to_pandas()
     toksets = {}
     tb = tokenize_batch(pa.array(docs_tbl["text"]), profile="simple")
     for d in range(len(docs_tbl)):

@@ -296,3 +296,14 @@ def test_frame_sampler_layout(ray_session):
     ).to_pandas()
     assert set(out["frame_no"]) == {0, 4}
     assert len(out) == 20  # 10 items x 2 sampled frames
+
+
+def test_minhash_pairs_corpus_finds_exact_dups(ray_session):
+    """The sf-corpus MinHash pipeline must recover the injected exact
+    duplicates (inter == union_ pairs)."""
+    from nexlt_ray.pipelines import minhash_pairs_corpus
+
+    out = minhash_pairs_corpus("/root/testdata/sf0.001").to_pandas()
+    assert len(out) >= 25  # ~30 injected dups at n=1000 (some may collide)
+    exact = out[out["inter"] == out["union_"]]
+    assert len(exact) >= 25
