@@ -2,26 +2,29 @@
 indexing path (Passolo/Athena indexers -> Solr update -> Lucene segments;
 SURVEY.md §3.1-3.2).
 
-Pipeline (two explicit shuffles, both documented for skew):
+Pipeline (two explicit shuffles, both documented for skew; both default to a
+disk-partitioned exchange — map outputs land in shared storage partitioned by
+the key, one independent reduce task per bucket, atomic dir publish — with a
+Ray-Data sort-based groupby kept as `shuffle="sort"`, byte-identical output):
 
   stage 1  read_parquet(input)                                    [stream]
-           map_batches: + content_sha256, + doc_bucket            [stateless]
-           groupby(doc_bucket).map_groups(BucketWriter)           [SHUFFLE 1]
+           map_batches: + content_sha256, + doc_bucket, tokenize ->
+           doc_len + SmallFloat norm byte                         [stateless]
+           exchange by doc_bucket -> per-bucket BucketWriter      [SHUFFLE 1]
              -> exact dedup by content sha (reference analog: md5 uniqueKey
                 upsert, parseJSON.pl:330 + schema.xml:1033), deterministic
                 sort by (sha, repo, path, commit), local_rank assignment,
-                tokenize -> doc_len + SmallFloat norm byte, atomic write of
-                docstore/bucket=N.parquet + lineage record.
+                atomic write of docstore/bucket=N.parquet + lineage record.
   stage 2  driver: per-bucket doc counts -> prefix-sum doc_id offsets
            (docIDs are dense, content-sha-ordered, scheduling-independent).
-  stage 3  read docstore -> map_batches(+doc_id) -> map_batches(
-           PartialIndexer actor pool): tokenize + per-batch partial posting
+  stage 3  read docstore -> map_batches(PartialIndexer actor pool):
+           +doc_id (broadcast offsets), tokenize + per-batch partial posting
            aggregation (the combiner that makes stopword-skew survivable:
            each batch emits at most ONE row per (term, doc-range), so a
            ubiquitous term contributes #batches rows to the merge, not
            #postings rows — the "salted pre-aggregation" of the north rule,
            with doc-range buckets as the salt)
-           groupby(term_bucket).map_groups(SegmentWriter)         [SHUFFLE 2]
+           exchange by term_bucket -> per-bucket SegmentWriter    [SHUFFLE 2]
              -> merge partials per (term, range_bucket), delta+varint encode
                 with block-max metadata, atomic write of
                 segments/bucket=N.parquet + lineage record.
@@ -599,21 +602,94 @@ def build_index(
         columns=["repo", "path", "commit", "lang", "content"],
         override_num_blocks=max(4 * ncpu, 32),
     )
-    # batch_size=None keeps one batch per block (no coalescing -> the
-    # downstream shuffle keeps its parallelism)
-    ds = ds.map_batches(
-        lambda b: _sha_and_bucket(b, cfg), batch_format="pyarrow", batch_size=None
-    )
     bucket_writer = BucketWriter(index_dir, cfg)
 
-    def write_doc_bucket(group: pa.Table) -> pa.Table:
-        return bucket_writer(group)
+    if cfg.shuffle == "disk":
+        # disk-partitioned dedup exchange (same pattern as the postings
+        # exchange): the map writes doc rows partitioned by doc_bucket to
+        # shared storage (atomic dir publish), then one independent
+        # dedup+rank+docstore task per bucket — no object-store all-to-all.
+        docparts_dir = os.path.join(index_dir, "docparts")
+        if not os.path.isdir(docparts_dir):
+            tmp_dir = docparts_dir + ".tmp"
+            if os.path.isdir(tmp_dir):
+                import shutil
 
-    summaries = (
-        ds.groupby("doc_bucket")
-        .map_groups(write_doc_bucket, batch_format="pyarrow")
-        .take_all()
-    )
+                shutil.rmtree(tmp_dir)
+
+            def map_and_spill(batch: pa.Table) -> pa.Table:
+                import uuid
+
+                out = _sha_and_bucket(batch, cfg)
+                b = np.asarray(out["doc_bucket"])
+                order = np.argsort(b, kind="stable")
+                out = out.take(pa.array(order))
+                bs = b[order]
+                bounds = np.flatnonzero(
+                    np.concatenate(([True], bs[1:] != bs[:-1]))
+                )
+                ends = np.concatenate((bounds[1:], [bs.size]))
+                fname = f"part-{uuid.uuid4().hex}.parquet"
+                acks = []
+                for lo, hi in zip(bounds, ends):
+                    bb = int(bs[lo])
+                    atomic_write_parquet(
+                        os.path.join(tmp_dir, f"bucket={bb:05d}", fname),
+                        out.slice(lo, hi - lo),
+                    )
+                    acks.append(bb)
+                return pa.table({"doc_bucket": pa.array(acks, pa.int32())})
+
+            ds.map_batches(
+                map_and_spill, batch_format="pyarrow", batch_size=None
+            ).count()
+            os.replace(tmp_dir, docparts_dir)
+
+        def dedup_bucket(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as _pq
+
+            outs = []
+            for b in batch["doc_bucket"].to_pylist():
+                bdir = os.path.join(docparts_dir, f"bucket={int(b):05d}")
+                if not os.path.isdir(bdir):
+                    continue
+                tbl = _pq.read_table(bdir)
+                if tbl.num_rows:
+                    outs.append(bucket_writer(tbl))
+            if outs:
+                return pa.concat_tables(outs)
+            return bucket_writer._summary_table(
+                {"partition_id": -1, "n_docs": 0, "total_len": 0,
+                 "n_input_rows": 0, "n_dups_removed": 0}
+            ).slice(0, 0)
+
+        summaries = (
+            ray.data.from_arrow(
+                pa.table(
+                    {"doc_bucket": pa.array(range(cfg.num_doc_buckets), pa.int32())}
+                )
+            )
+            .repartition(cfg.num_doc_buckets)
+            .map_batches(dedup_bucket, batch_format="pyarrow", batch_size=1,
+                         num_cpus=1)
+            .take_all()
+        )
+    else:
+        # batch_size=None keeps one batch per block (no coalescing -> the
+        # downstream shuffle keeps its parallelism)
+        mapped = ds.map_batches(
+            lambda b: _sha_and_bucket(b, cfg), batch_format="pyarrow",
+            batch_size=None,
+        )
+
+        def write_doc_bucket(group: pa.Table) -> pa.Table:
+            return bucket_writer(group)
+
+        summaries = (
+            mapped.groupby("doc_bucket")
+            .map_groups(write_doc_bucket, batch_format="pyarrow")
+            .take_all()
+        )
     t_stage1 = time.perf_counter()
 
     # ---- stage 2: driver-side prefix sums (tiny: one row per bucket) ----
@@ -722,6 +798,7 @@ def build_index(
         import shutil
 
         shutil.rmtree(os.path.join(index_dir, "partials"), ignore_errors=True)
+        shutil.rmtree(os.path.join(index_dir, "docparts"), ignore_errors=True)
     cfg_dict = asdict(cfg)
     cfg_dict["record_hook"] = (
         None if cfg.record_hook is None
