@@ -162,6 +162,11 @@ def _sha_and_bucket(batch: pa.Table, cfg: BuildConfig) -> pa.Table:
     CPU runs at full map parallelism."""
     if cfg.record_hook is not None:
         batch = cfg.record_hook(batch)
+    # drop rows with null identity/content fields (M3 blank-filter analog)
+    valid = pc.is_valid(batch["content"])
+    for col in ("repo", "path", "commit"):
+        valid = pc.and_(valid, pc.is_valid(batch[col]))
+    batch = batch.filter(valid)
     if cfg.max_content_chars is not None:
         mask = pc.less_equal(pc.utf8_length(batch["content"]), cfg.max_content_chars)
         batch = batch.filter(mask)
@@ -621,6 +626,8 @@ def build_index(
                 import uuid
 
                 out = _sha_and_bucket(batch, cfg)
+                if out.num_rows == 0:
+                    return pa.table({"doc_bucket": pa.array([], pa.int32())})
                 b = np.asarray(out["doc_bucket"])
                 order = np.argsort(b, kind="stable")
                 out = out.take(pa.array(order))
@@ -706,6 +713,26 @@ def build_index(
     n_docs = int(counts.sum())
 
     # ---- stage 3: tokenize + partial postings + term-bucket merge ----
+    if n_docs == 0:
+        # empty corpus: commit an empty index (no docstore/segments)
+        manifest = {
+            "version": MANIFEST_VERSION,
+            "config": {**asdict(cfg), "record_hook": None},
+            "input_shards": [],
+            "n_docs": 0,
+            "n_input_rows": 0,
+            "n_dups_removed": 0,
+            "total_len": 0,
+            "avgdl": 0.0,
+            "doc_offsets": offsets,
+            "doc_counts": counts.tolist(),
+            "n_terms": 0,
+            "n_postings": 0,
+            "timings": {},
+        }
+        atomic_write_json(manifest_path, manifest)
+        return manifest
+
     if cfg.index_concurrency is None:
         concurrency = max(2, ncpu - 2)
     else:

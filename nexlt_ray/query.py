@@ -48,6 +48,9 @@ from . import bm25
 from .build import term_bucket_of
 from .codec import decode_positions_span, decode_span
 
+# query complexity cap (reference maxBooleanClauses, solrconfig.xml:500)
+MAX_BOOLEAN_CLAUSES = 1024
+
 
 @dataclass
 class TermPostings:
@@ -339,6 +342,12 @@ class IndexReader:
 
         kind, body = self.parse(query)
         terms = tokenize_query(body, profile=self._query_profile(lang))
+        if len(terms) > MAX_BOOLEAN_CLAUSES:
+            raise ValueError(
+                f"query expands to {len(terms)} clauses > "
+                f"maxBooleanClauses={MAX_BOOLEAN_CLAUSES} (reference cap, "
+                "solrconfig.xml:500)"
+            )
         if not terms or k <= 0:
             return []
         if kind == "phrase":

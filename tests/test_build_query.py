@@ -279,3 +279,46 @@ def test_token_vectors_identical_segments(ray_session, small_corpus_path, tmp_pa
             open(os.path.join(a, "segments", name), "rb").read()
             == open(os.path.join(b, "segments", name), "rb").read()
         ), name
+
+
+def test_empty_and_null_inputs(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from nexlt_ray.build import BuildConfig, build_index
+
+    # nulls are dropped, valid rows survive
+    t = pa.table(
+        {
+            "repo": pa.array(["r", None, "r2"]),
+            "path": pa.array(["p", "p", "p2"]),
+            "commit": pa.array(["c", "c", "c2"]),
+            "lang": pa.array(["python", "python", None]),
+            "content": pa.array(["hello world", "x", None]),
+        }
+    )
+    src = str(tmp_path / "n.parquet")
+    pq_.write_table(t, src)
+    idx = str(tmp_path / "idx_nulls")
+    m = build_index(src, idx, BuildConfig(num_doc_buckets=2, num_term_buckets=2))
+    assert m["n_docs"] == 1  # only the fully-valid row (null lang allowed? no: content null dropped, repo null dropped)
+
+    # fully empty input commits an empty index
+    empty = t.slice(0, 0)
+    src2 = str(tmp_path / "e.parquet")
+    pq_.write_table(empty, src2)
+    idx2 = str(tmp_path / "idx_empty")
+    m2 = build_index(src2, idx2, BuildConfig(num_doc_buckets=2, num_term_buckets=2))
+    assert m2["n_docs"] == 0 and m2["n_postings"] == 0
+
+
+def test_max_boolean_clauses(built_index):
+    import pytest as _pytest
+
+    from nexlt_ray.query import IndexReader
+
+    idx, _ = built_index
+    r = IndexReader(idx)
+    big = " ".join(f"term{i}" for i in range(1100))
+    with _pytest.raises(ValueError, match="maxBooleanClauses"):
+        r.search(big, k=10)
