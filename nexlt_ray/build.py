@@ -621,6 +621,7 @@ def build_index(
                 import shutil
 
                 shutil.rmtree(tmp_dir)
+            os.makedirs(tmp_dir, exist_ok=True)  # empty input still publishes
 
             def map_and_spill(batch: pa.Table) -> pa.Table:
                 import uuid
@@ -763,6 +764,7 @@ def build_index(
                 import shutil
 
                 shutil.rmtree(tmp_dir)
+            os.makedirs(tmp_dir, exist_ok=True)  # token-less corpus edge
             read_docstore().map_batches(
                 PartialIndexer,
                 fn_constructor_args=(cfg, offsets, tmp_dir),
