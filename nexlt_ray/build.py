@@ -95,6 +95,9 @@ class BuildConfig:
     # default OFF to keep the docstore lean; turn on when the analyzer is
     # expensive (e.g. morphological chains) or storage is cheap).
     store_token_vectors: bool = False
+    # stemming-protected words for the text_en profile (the reference's
+    # KeywordMarkerFilter + protwords.txt, schema.xml:292; 18 entries there)
+    protected_words: tuple = ()
     # user-extension hook (the reference's StatelessScriptUpdateProcessor
     # processAdd analog, update-script.js:10-53 / solrconfig.xml:945-952):
     # a pa.Table -> pa.Table fn applied to each input batch before hashing /
@@ -149,7 +152,10 @@ def _tokenize_cfg(batch: pa.Table, cfg: BuildConfig):
 
     if cfg.profile == "auto":
         return tokenize_by_lang(batch["content"], batch["lang"])
-    return tokenize_batch(batch["content"], profile=cfg.profile)
+    return tokenize_batch(
+        batch["content"], profile=cfg.profile,
+        protected=frozenset(cfg.protected_words),
+    )
 
 
 def _sha_and_bucket(batch: pa.Table, cfg: BuildConfig) -> pa.Table:

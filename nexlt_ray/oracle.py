@@ -34,10 +34,12 @@ class OracleIndex:
         k1: float = 1.2,
         b: float = 0.75,
         langs: list[str] | None = None,
+        synonyms: dict[str, list[str]] | None = None,
     ):
         self.profile = profile
         self.k1 = k1
         self.b = b
+        self.synonyms = {k: list(v) for k, v in (synonyms or {}).items()}
         self.postings: dict[str, dict[int, int]] = defaultdict(dict)  # term -> doc -> tf
         self.positions: dict[str, dict[int, list[int]]] = defaultdict(dict)
         self.doc_len: dict[int, int] = {}
@@ -89,6 +91,8 @@ class OracleIndex:
 
             prof = profile_for_lang(lang or "", "code")
         terms = tokenize_query(query.strip('"'), profile=prof)
+        if not phrase and self.synonyms:
+            terms = [x for t in terms for x in (t, *self.synonyms.get(t, []))]
         if not terms:
             return []
         if phrase:

@@ -180,12 +180,19 @@ class IndexReader:
     see pipelines.SearchActor)."""
 
     def __init__(self, index_dir: str, cache_terms: int = 4096,
-                 wand_range_blocks: int = 64):
+                 wand_range_blocks: int = 64,
+                 synonyms: dict[str, list[str]] | None = None):
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         self.cfg = self.manifest["config"]
         self.profile = self.cfg["profile"]
+        self.protected = frozenset(self.cfg.get("protected_words", ()))
+        # query-time synonym expansion (reference SynonymFilter in the QUERY
+        # chain only, schema.xml:295-307 + synonyms.txt): each expansion is
+        # an extra SHOULD clause after its source term. Term queries only
+        # (phrases keep exact positional semantics).
+        self.synonyms = {k: list(v) for k, v in (synonyms or {}).items()}
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = float(self.manifest["avgdl"])
         self.params = bm25.BM25Params()
@@ -341,7 +348,15 @@ class IndexReader:
         from .tokenize import tokenize_query
 
         kind, body = self.parse(query)
-        terms = tokenize_query(body, profile=self._query_profile(lang))
+        terms = tokenize_query(
+            body, profile=self._query_profile(lang), protected=self.protected
+        )
+        if kind != "phrase" and self.synonyms:
+            expanded: list[str] = []
+            for t in terms:
+                expanded.append(t)
+                expanded.extend(self.synonyms.get(t, []))
+            terms = expanded
         if len(terms) > MAX_BOOLEAN_CLAUSES:
             raise ValueError(
                 f"query expands to {len(terms)} clauses > "
@@ -361,7 +376,11 @@ class IndexReader:
         from .tokenize import tokenize_query
 
         kind, body = self.parse(query)
-        terms = tokenize_query(body, profile=self._query_profile(lang))
+        terms = tokenize_query(
+            body, profile=self._query_profile(lang), protected=self.protected
+        )
+        if kind != "phrase" and self.synonyms:
+            terms = [x for t in terms for x in (t, *self.synonyms.get(t, []))]
         if not terms:
             return 0
         if kind == "phrase":

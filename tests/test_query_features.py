@@ -85,3 +85,64 @@ def test_sort_and_disk_shuffle_identical(ray_session, small_corpus_path, tmp_pat
         ba = open(os.path.join(a, "segments", name), "rb").read()
         bb = open(os.path.join(b, "segments", name), "rb").read()
         assert ba == bb, name
+
+
+def test_synonym_expansion_rank_identity(built_index, small_corpus_path, oracle_index):
+    """Query-time synonyms: extra SHOULD clauses, rank-identical to the
+    oracle with the same expansion table."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from nexlt_ray.oracle import OracleIndex
+    from nexlt_ray.query import IndexReader
+
+    syn = {"http": ["server"], "alloc": ["free", "buffer"]}
+    idx, manifest = built_index
+    r = IndexReader(idx, synonyms=syn)
+    meta = pq_.read_table(os.path.join(idx, "docstore"))
+    did = (
+        np.asarray(manifest["doc_offsets"])[np.asarray(meta["doc_bucket"])]
+        + np.asarray(meta["local_rank"])
+    )
+    o = OracleIndex(
+        list(zip(did.tolist(), meta["content"].to_pylist())), profile="code",
+        synonyms=syn,
+    )
+    for q in ["http", "alloc", "http parse", "unpack"]:
+        got = r.search(q, k=10)
+        exp = [(d, float(np.float32(s))) for d, s in o.search(q, k=10)]
+        assert got == exp, q
+    # synonym-expanded match set strictly grows
+    plain = IndexReader(idx)
+    assert r.match_count("http") >= plain.match_count("http")
+
+
+def test_protected_words_skip_stemming(ray_session, small_corpus_path, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from nexlt_ray.build import BuildConfig, build_index
+    from nexlt_ray.query import IndexReader
+
+    t = pa.table(
+        {
+            "repo": ["r"] * 2,
+            "path": ["a", "b"],
+            "commit": ["c"] * 2,
+            "lang": ["eng"] * 2,
+            "content": ["motoring vehicles", "motoring protected"],
+        }
+    )
+    src = str(tmp_path / "p.parquet")
+    pq_.write_table(t, src)
+    idx = str(tmp_path / "idx_prot")
+    build_index(
+        src, idx,
+        BuildConfig(profile="text_en", num_doc_buckets=2, num_term_buckets=2,
+                    protected_words=("motoring",)),
+    )
+    r = IndexReader(idx)
+    # protected term indexed unstemmed; query analyzer protects it too
+    assert r.match_count("motoring") == 2
+    assert r.match_count("motor") == 0
