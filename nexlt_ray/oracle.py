@@ -16,7 +16,7 @@ Solr's analyzer between index and golden queries).
 from __future__ import annotations
 
 import math
-from collections import Counter, defaultdict
+from collections import defaultdict
 
 import numpy as np
 

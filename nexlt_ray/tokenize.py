@@ -250,7 +250,6 @@ def tokenize_batch(
         # first-part position per occurrence
         occ_first_pos = np.zeros(ids.size, dtype=np.int32)
         has = u_nparts[ids] > 0
-        first_src = u_off[ids[has]]
         # position of the first part of each occurrence: find via occ_of_part
         occ_part_start = np.concatenate(([0], np.cumsum(u_nparts[ids])[:-1]))
         occ_first_pos[has] = part_pos[occ_part_start[has]]
