@@ -13,7 +13,8 @@ schema.xml:273-308):
   6. [KeywordMarkerFilter + PorterStemFilter for the `text_en` profile]
      (schema.xml:292-293)
 
-as three precisely-specified profiles:
+as four precisely-specified profiles (plus a per-language registry,
+`profile_for_lang`/`tokenize_by_lang`):
 
   * ``code``    — steps 1-5 (the identifier/source-code tokenizer; default for
                   the graft corpus). Subword split points: lower->Upper case
@@ -32,6 +33,8 @@ as three precisely-specified profiles:
                   exactly DuckDB ``string_split_regex(lower(t),'[^a-z0-9]+')``
                   with empty strings removed). Used by the DuckDB-checked
                   oracle queries.
+  * ``cjk_bigram`` — NFKC width fold + lowercase + CJK runs as overlapping
+                  bigrams (reference CJK chain, schema.xml:501-510).
 
 Query-time analysis is identical minus the catenated (overlapping) tokens,
 mirroring the reference's query chain (schema.xml:295-307, catenation off).
