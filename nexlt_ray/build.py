@@ -800,8 +800,21 @@ def build_index(
                 ).slice(0, 0)
             )
 
+        # LPT scheduling: start the biggest buckets (stopword-heavy) first so
+        # the straggler doesn't land at the end of the task queue
+        def bucket_bytes(b: int) -> int:
+            d = os.path.join(partials_dir, f"bucket={b:05d}")
+            if not os.path.isdir(d):
+                return 0
+            return sum(
+                os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+            )
+
+        order = sorted(
+            range(cfg.num_term_buckets), key=bucket_bytes, reverse=True
+        )
         buckets_ds = ray.data.from_arrow(
-            pa.table({"term_bucket": pa.array(range(cfg.num_term_buckets), pa.int32())})
+            pa.table({"term_bucket": pa.array(order, pa.int32())})
         ).repartition(cfg.num_term_buckets)
         seg_summaries = buckets_ds.map_batches(
             merge_bucket, batch_format="pyarrow", batch_size=1, num_cpus=1
