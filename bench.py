@@ -54,7 +54,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     shutil.rmtree(index_dir, ignore_errors=True)
 
     t0 = time.perf_counter()
-    manifest = build_index(path, index_dir, BuildConfig())
+    # single-node: stage transient exchange data on tmpfs (multi-node would
+    # use instance-local SSD; the engine default keeps it on shared storage)
+    cfg = BuildConfig(exchange_root="/dev/shm/nexlt_exchange")
+    manifest = build_index(path, index_dir, cfg)
     build_sec = time.perf_counter() - t0
     n_docs = manifest["n_input_rows"]  # docs ingested (pre-dedup) per second
 

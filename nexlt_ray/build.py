@@ -88,6 +88,15 @@ class BuildConfig:
     #            store). Kept as the fallback; produces byte-identical
     #            segments.
     shuffle: str = "disk"
+    # staging root for transient exchange data (docparts/partials). None ->
+    # inside index_dir (shared durable storage). Point it at node-local fast
+    # storage (/dev/shm, local NVMe) to keep shuffle staging off the durable
+    # store — exchange data is transient (deleted after the build) and a lost
+    # staging dir just means the resume regenerates it, so durability isn't
+    # needed. On a multi-node cluster this must be a path visible to all
+    # nodes OR the merge tasks must be co-located; default None is the
+    # always-correct choice.
+    exchange_root: str | None = None
     # store per-doc token vectors (tokens + positions) in the docstore so the
     # index stage never re-tokenizes (Lucene's stored-term-vectors tradeoff:
     # ~2x docstore size + ~60% more stage-1 shuffle volume for one analysis
@@ -620,7 +629,8 @@ def build_index(
         # exchange): the map writes doc rows partitioned by doc_bucket to
         # shared storage (atomic dir publish), then one independent
         # dedup+rank+docstore task per bucket — no object-store all-to-all.
-        docparts_dir = os.path.join(index_dir, "docparts")
+        exroot = cfg.exchange_root or index_dir
+        docparts_dir = os.path.join(exroot, "docparts")
         if not os.path.isdir(docparts_dir):
             tmp_dir = docparts_dir + ".tmp"
             if os.path.isdir(tmp_dir):
@@ -763,7 +773,8 @@ def build_index(
         # map side: partial postings land partitioned by term bucket under
         # partials/ (atomic dir publish); reduce side: one independent merge
         # task per bucket — no object-store all-to-all.
-        partials_dir = os.path.join(index_dir, "partials")
+        exroot = cfg.exchange_root or index_dir
+        partials_dir = os.path.join(exroot, "partials")
         if not os.path.isdir(partials_dir):
             tmp_dir = partials_dir + ".tmp"
             if os.path.isdir(tmp_dir):
@@ -845,8 +856,9 @@ def build_index(
     if cfg.shuffle == "disk":
         import shutil
 
-        shutil.rmtree(os.path.join(index_dir, "partials"), ignore_errors=True)
-        shutil.rmtree(os.path.join(index_dir, "docparts"), ignore_errors=True)
+        exroot = cfg.exchange_root or index_dir
+        shutil.rmtree(os.path.join(exroot, "partials"), ignore_errors=True)
+        shutil.rmtree(os.path.join(exroot, "docparts"), ignore_errors=True)
     cfg_dict = asdict(cfg)
     cfg_dict["record_hook"] = (
         None if cfg.record_hook is None
