@@ -397,9 +397,13 @@ class PartialIndexer:
         if self.partials_dir is None:
             return out
         # disk-shuffle mode: write this batch's rows partitioned by term
-        # bucket (the "map output" of the exchange); return a tiny ack
-        import uuid
-
+        # bucket (the "map output" of the exchange); return a tiny ack.
+        # The part filename derives from the batch's stable identity (its
+        # first doc row) — batches are disjoint (doc_bucket, local_rank) row
+        # ranges of the deterministic docstore, so a Ray task RETRY rewrites
+        # the same file instead of leaving a duplicate (duplicate postings
+        # would make encode_postings raise 'doc_ids must be strictly
+        # increasing' and wedge the resume).
         order = np.argsort(tbuckets, kind="stable")
         out = out.take(pa.array(order))
         tb_sorted = tbuckets[order]
@@ -407,7 +411,10 @@ class PartialIndexer:
             np.concatenate(([True], tb_sorted[1:] != tb_sorted[:-1]))
         )
         ends = np.concatenate((bounds[1:], [tb_sorted.size]))
-        fname = f"part-{uuid.uuid4().hex}.parquet"
+        fname = (
+            f"part-{int(batch['doc_bucket'][0].as_py())}-"
+            f"{int(batch['local_rank'][0].as_py())}.parquet"
+        )
         acks = []
         for lo, hi in zip(bounds, ends):
             b = int(tb_sorted[lo])
@@ -613,6 +620,37 @@ def build_index(
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
 
+    # lineage: the input shards this index was built from
+    if isinstance(input_path, str) and os.path.isdir(input_path):
+        input_shards = sorted(os.listdir(input_path))
+    else:
+        input_shards = (
+            [input_path] if isinstance(input_path, str) else list(input_path)
+        )
+    cfg_dict = asdict(cfg)
+    cfg_dict["record_hook"] = (
+        None if cfg.record_hook is None
+        else getattr(cfg.record_hook, "__name__", "custom")
+    )
+    # Exchange staging is namespaced by the BUILD IDENTITY (destination +
+    # input + config): on a shared exchange_root, a crashed build's stale
+    # docparts/partials can only ever be reused by a build with the same
+    # identity (for which they ARE valid resume data); concurrent builds
+    # into different indexes can't interleave their map outputs.
+    stage_token = hashlib.sha256(
+        json.dumps(
+            {
+                "index_dir": os.path.abspath(index_dir),
+                "input": input_shards,
+                "cfg": cfg_dict,
+            },
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:16]
+    exroot = os.path.join(
+        cfg.exchange_root or index_dir, f"exchange-{stage_token}"
+    )
+
     # ---- stage 1: dedup + local rank per doc bucket (shuffle 1) ----
     # override_num_blocks: the sort-shuffle's reduce parallelism tracks the
     # upstream block count, so small local inputs must be split explicitly
@@ -629,7 +667,6 @@ def build_index(
         # exchange): the map writes doc rows partitioned by doc_bucket to
         # shared storage (atomic dir publish), then one independent
         # dedup+rank+docstore task per bucket — no object-store all-to-all.
-        exroot = cfg.exchange_root or index_dir
         docparts_dir = os.path.join(exroot, "docparts")
         if not os.path.isdir(docparts_dir):
             tmp_dir = docparts_dir + ".tmp"
@@ -640,11 +677,16 @@ def build_index(
             os.makedirs(tmp_dir, exist_ok=True)  # empty input still publishes
 
             def map_and_spill(batch: pa.Table) -> pa.Table:
-                import uuid
-
                 out = _sha_and_bucket(batch, cfg)
                 if out.num_rows == 0:
                     return pa.table({"doc_bucket": pa.array([], pa.int32())})
+                # content-derived part name: a task retry rewrites its own
+                # file instead of duplicating rows (duplicates would corrupt
+                # n_input_rows / n_dups_removed lineage counts)
+                h = hashlib.sha256()
+                h.update("\x1f".join(out["content_sha256"].to_pylist()).encode())
+                h.update("\x1f".join(out["path"].to_pylist()).encode())
+                fname = f"part-{h.hexdigest()[:32]}.parquet"
                 b = np.asarray(out["doc_bucket"])
                 order = np.argsort(b, kind="stable")
                 out = out.take(pa.array(order))
@@ -653,7 +695,6 @@ def build_index(
                     np.concatenate(([True], bs[1:] != bs[:-1]))
                 )
                 ends = np.concatenate((bounds[1:], [bs.size]))
-                fname = f"part-{uuid.uuid4().hex}.parquet"
                 acks = []
                 for lo, hi in zip(bounds, ends):
                     bb = int(bs[lo])
@@ -732,6 +773,10 @@ def build_index(
     # ---- stage 3: tokenize + partial postings + term-bucket merge ----
     if n_docs == 0:
         # empty corpus: commit an empty index (no docstore/segments)
+        if cfg.shuffle == "disk":
+            import shutil
+
+            shutil.rmtree(exroot, ignore_errors=True)
         manifest = {
             "version": MANIFEST_VERSION,
             "config": {**asdict(cfg), "record_hook": None},
@@ -773,7 +818,6 @@ def build_index(
         # map side: partial postings land partitioned by term bucket under
         # partials/ (atomic dir publish); reduce side: one independent merge
         # task per bucket — no object-store all-to-all.
-        exroot = cfg.exchange_root or index_dir
         partials_dir = os.path.join(exroot, "partials")
         if not os.path.isdir(partials_dir):
             tmp_dir = partials_dir + ".tmp"
@@ -856,21 +900,7 @@ def build_index(
     if cfg.shuffle == "disk":
         import shutil
 
-        exroot = cfg.exchange_root or index_dir
-        shutil.rmtree(os.path.join(exroot, "partials"), ignore_errors=True)
-        shutil.rmtree(os.path.join(exroot, "docparts"), ignore_errors=True)
-    cfg_dict = asdict(cfg)
-    cfg_dict["record_hook"] = (
-        None if cfg.record_hook is None
-        else getattr(cfg.record_hook, "__name__", "custom")
-    )
-    # lineage: the input shards this index was built from
-    if isinstance(input_path, str) and os.path.isdir(input_path):
-        input_shards = sorted(os.listdir(input_path))
-    else:
-        input_shards = (
-            [input_path] if isinstance(input_path, str) else list(input_path)
-        )
+        shutil.rmtree(exroot, ignore_errors=True)
     manifest = {
         "version": MANIFEST_VERSION,
         "config": cfg_dict,

@@ -78,7 +78,12 @@ def distinct_doc_terms(batch: pa.Table, text_col: str = "text") -> pa.Table:
         )
     doc_ids = np.asarray(batch["doc_id"])[tb.doc_idx]
     terms = tb.terms.astype("U")
-    key = np.char.add(np.char.add(doc_ids.astype("U"), "\x00"), terms)
+    # integer pair key (batch-local row, term code). NOT a string
+    # concatenation: numpy's fixed-width U dtype strips trailing NULs, so a
+    # '\x00' separator vanishes and (doc 1, term '2foo') collides with
+    # (doc 12, term 'foo').
+    uniq, inv = np.unique(terms, return_inverse=True)
+    key = tb.doc_idx.astype(np.int64) * np.int64(uniq.size) + inv
     _, first = np.unique(key, return_index=True)
     return pa.table(
         {
@@ -165,6 +170,29 @@ def _minhash_params(num_perm: int, seed: int = 7):
     return a, b
 
 
+def _mod_p61(x: np.ndarray) -> np.ndarray:
+    """x (< 2^64) mod 2^61-1 via Mersenne folding."""
+    x = (x & _MERSENNE) + (x >> np.uint64(61))
+    return np.where(x >= _MERSENNE, x - _MERSENNE, x)
+
+
+def _mulmod_p61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """a*h mod 2^61-1 with a, h < 2^61, using 32-bit split multiplication so
+    no intermediate wraps mod 2^64 (a naive uint64 a*h overflows and silently
+    breaks the universal-hash family's pairwise independence)."""
+    mask32 = np.uint64(0xFFFFFFFF)
+    a_lo, a_hi = a & mask32, a >> np.uint64(32)   # a_hi < 2^29
+    h_lo, h_hi = h & mask32, h >> np.uint64(32)   # h_hi < 2^29
+    t0 = a_lo * h_lo                               # < 2^64
+    t1 = _mod_p61(a_hi * h_lo + a_lo * h_hi)       # cross terms sum < 2^62
+    t2 = a_hi * h_hi                               # < 2^58
+    # t1 * 2^32 mod p: split t1 = m_hi*2^29 + m_lo; 2^61 === 1 (mod p)
+    m_lo = t1 & np.uint64((1 << 29) - 1)
+    m_hi = t1 >> np.uint64(29)
+    mid = _mod_p61((m_lo << np.uint64(32)) + m_hi)
+    return _mod_p61(_mod_p61(t0) + mid + _mod_p61(t2 << np.uint64(3)))
+
+
 def _token_hashes(terms: np.ndarray) -> np.ndarray:
     """Stable 64-bit hash per token (blake2b-8byte; cross-process safe)."""
     return np.fromiter(
@@ -204,10 +232,13 @@ class MinHasher:
         if not shingles:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
         hs = np.unique(_token_hashes(np.array(sorted(set(shingles)), dtype=object)))
-        # (a*h + b) mod p, min over shingles, per permutation
-        vals = (
-            (self.a[:, None] * (hs[None, :] & _MERSENNE) + self.b[:, None]) % _MERSENNE
+        # (a*h + b) mod p, min over shingles, per permutation — overflow-safe
+        # split multiply (see _mulmod_p61)
+        prod = _mulmod_p61(
+            np.broadcast_to(self.a[:, None], (self.num_perm, hs.size)),
+            np.broadcast_to(hs[None, :] & _MERSENNE, (self.num_perm, hs.size)),
         )
+        vals = _mod_p61(prod + self.b[:, None])
         return vals.min(axis=1).astype(np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

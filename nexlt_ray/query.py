@@ -373,28 +373,7 @@ class IndexReader:
 
     def match_count(self, query: str, mode: str = "OR", lang: str | None = None) -> int:
         """numFound analog (reference G3, corpus.cgi:409)."""
-        from .tokenize import tokenize_query
-
-        kind, body = self.parse(query)
-        terms = tokenize_query(
-            body, profile=self._query_profile(lang), protected=self.protected
-        )
-        if kind != "phrase" and self.synonyms:
-            terms = [x for t in terms for x in (t, *self.synonyms.get(t, []))]
-        if not terms:
-            return 0
-        if kind == "phrase":
-            return len(self._phrase_candidates(terms))
-        sets = []
-        for tp in self._clause_postings(terms):
-            docs = tp.decode_all()[0] if tp else np.empty(0, np.int64)
-            sets.append(docs)
-        if mode == "AND":
-            cur = sets[0]
-            for s in sets[1:]:
-                cur = np.intersect1d(cur, s, assume_unique=True)
-            return int(cur.size)
-        return int(np.unique(np.concatenate(sets)).size) if sets else 0
+        return int(self._matching_docs(query, mode, lang=lang).size)
 
     def _meta_col(self, name: str) -> np.ndarray:
         """Doc-meta column indexed by doc_id, loaded once per reader (like
@@ -421,11 +400,12 @@ class IndexReader:
     # solrconfig.xml:1104; facet links ResultWidget.js:11-38)
     # ------------------------------------------------------------------
     def facets(
-        self, query: str, fields: list[str], mode: str = "OR"
+        self, query: str, fields: list[str], mode: str = "OR",
+        lang: str | None = None,
     ) -> dict[str, list[tuple[str, int]]]:
         """Per-field (value, count) over ALL matching docs, count-desc then
         value-asc (Solr facet.sort=count discipline)."""
-        docs = self._matching_docs(query, mode)
+        docs = self._matching_docs(query, mode, lang=lang)
         out: dict[str, list[tuple[str, int]]] = {}
         for f in fields:
             col = self._meta_col(f)[docs] if docs.size else np.empty(0, object)
@@ -434,11 +414,21 @@ class IndexReader:
             out[f] = [(str(vals[i]), int(counts[i])) for i in order]
         return out
 
-    def _matching_docs(self, query: str, mode: str = "OR") -> np.ndarray:
+    def _matching_docs(
+        self, query: str, mode: str = "OR", lang: str | None = None
+    ) -> np.ndarray:
+        """The ONE match-set analysis path shared by match_count / facets /
+        search_sorted: same profile routing, protected set, and synonym
+        expansion as search() (a 'auto'-profile index or protected query
+        terms must behave identically on every query surface)."""
         from .tokenize import tokenize_query
 
         kind, body = self.parse(query)
-        terms = tokenize_query(body, profile=self.profile)
+        terms = tokenize_query(
+            body, profile=self._query_profile(lang), protected=self.protected
+        )
+        if kind != "phrase" and self.synonyms:
+            terms = [x for t in terms for x in (t, *self.synonyms.get(t, []))]
         if not terms:
             return np.empty(0, np.int64)
         if kind == "phrase":
@@ -467,10 +457,11 @@ class IndexReader:
         start: int = 0,
         rows: int = 10,
         mode: str = "OR",
+        lang: str | None = None,
     ) -> pa.Table:
         """Matching docs ordered by a doc-meta column (doc_id tie-break),
         windowed by (start, rows); returns stored fields of the page."""
-        docs = self._matching_docs(query, mode)
+        docs = self._matching_docs(query, mode, lang=lang)
         if docs.size == 0:
             return pa.table({})
         keys = self._meta_col(sort_by)[docs].astype("U")

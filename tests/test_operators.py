@@ -170,6 +170,18 @@ def test_jaccard_pairs_pipeline(ray_session):
     assert out["inter"].tolist() == [3] and out["union_"].tolist() == [5]
 
 
+def test_distinct_doc_terms_digit_leading_tokens():
+    # regression: a '\x00'-separated string key collapsed (doc 1, '2foo')
+    # and (doc 12, 'foo') into the same key (numpy U dtype strips trailing
+    # NULs), silently dropping a (doc, term) row
+    batch = pa.table(
+        {"doc_id": pa.array([1, 12], pa.int64()), "text": ["2foo x", "foo x"]}
+    )
+    out = D.distinct_doc_terms(batch)
+    rows = sorted(zip(out["doc_id"].to_pylist(), out["term"].to_pylist()))
+    assert rows == [(1, "2foo"), (1, "x"), (12, "foo"), (12, "x")]
+
+
 def test_minhash_lsh_finds_exact_dups(ray_session):
     import ray.data
 
