@@ -96,20 +96,25 @@ def broadcast_semi_anti_join(
     reference's `comm -23` new-product detection is exactly an anti join on a
     small list, tr2solr.sh:76 / processJSONs.sh:67).
 
-    `key_set`: an iterable of keys or a `ray.ObjectRef` to one — put once in
-    the object store, read per task, no shuffle. For key sets too large to
-    broadcast, swap in a Bloom filter at the same call site.
+    `key_set`: an iterable of keys or a `ray.ObjectRef` to a pyarrow Array —
+    put once in the object store (zero-copy reads), read per task, no
+    shuffle. For key sets too large to broadcast, swap in a Bloom filter at
+    the same call site.
     """
+    import pyarrow.compute as pc
     import ray
 
-    ref = key_set if isinstance(key_set, ray.ObjectRef) else ray.put(set(key_set))
+    if isinstance(key_set, ray.ObjectRef):
+        ref = key_set
+    else:
+        arr = np.unique(np.fromiter(key_set, dtype=np.int64))
+        ref = ray.put(pa.array(arr, pa.int64()))
 
     def filt(batch: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        vals = np.asarray(batch[key])
-        mask = np.fromiter((int(v) in keys for v in vals), dtype=bool, count=len(vals))
+        value_set = ray.get(ref)
+        mask = pc.is_in(batch[key], value_set=value_set)
         if anti:
-            mask = ~mask
-        return batch.filter(pa.array(mask))
+            mask = pc.invert(mask)
+        return batch.filter(mask)
 
     return ds.map_batches(filt, batch_format="pyarrow")

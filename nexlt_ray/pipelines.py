@@ -101,13 +101,27 @@ def term_df_top100(sf_dir: str) -> pa.Table:
         .groupby("term")
         .aggregate(Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf"))
     )
-    t = agg.to_pandas()
-    t = t.sort_values(["df", "term"], ascending=[False, True]).head(100)
+
+    # partial top-k discipline: each post-aggregate block holds each term at
+    # most once, so per-block top-100 + a small driver merge is exact — the
+    # driver never sees the full vocabulary (at real-corpus scale that is
+    # 10^8-10^9 terms; a to_pandas() sort here would OOM the driver).
+    def block_top100(batch: pa.Table) -> pa.Table:
+        df = np.asarray(batch["df"])
+        term = batch["term"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((term, -df))[:100]
+        return batch.take(pa.array(order))
+
+    parts = agg.map_batches(block_top100, batch_format="pyarrow").take_all()
+    df = np.array([r["df"] for r in parts], dtype=np.int64)
+    term = np.array([r["term"] for r in parts], dtype=object)
+    cf = np.array([r["cf"] for r in parts], dtype=np.int64)
+    order = np.lexsort((term, -df))[:100]
     return pa.table(
         {
-            "term": pa.array(t["term"], pa.string()),
-            "df": pa.array(t["df"], pa.int64()),
-            "cf": pa.array(t["cf"], pa.int64()),
+            "term": pa.array(term[order].astype("U"), pa.string()),
+            "df": pa.array(df[order], pa.int64()),
+            "cf": pa.array(cf[order], pa.int64()),
         }
     )
 
@@ -118,96 +132,107 @@ def term_df_top100(sf_dir: str) -> pa.Table:
 def bm25_topk_docs(sf_dir: str) -> pa.Table:
     """Top-10 BM25 per DOC_QUERIES query over `documents`, scored in float64
     with true token-count doc lengths (SQL-parity twin of the Lucene-exact
-    engine path; ranking key = (round(score,4) desc, doc_id asc))."""
+    engine path; ranking key = (round(score,4) desc, doc_id asc)).
+
+    Two STREAMING passes, nothing materialized (the previous shape pinned an
+    (n_docs x n_query_terms) tf matrix in the object store and re-scanned it
+    twice — a whole-dataset materialization that cannot survive 100 TB):
+      pass 1: per-batch partial (n_docs, total_len, df per query term) ->
+              one tiny Sum aggregate;
+      pass 2: per-batch score + per-batch partial top-10 per query (a doc's
+              score depends only on its own tfs + the broadcast globals, so
+              block-local top-k is an exact combiner) -> small driver merge.
+    """
     qterms = doc_query_terms()
     terms = sorted({t for _, t in qterms})
-    tset = pa.array(terms, pa.string())
     ds = _documents(sf_dir, ["doc_id", "text"])
 
-    def extract(batch: pa.Table) -> pa.Table:
+    def stats_partial(batch: pa.Table) -> pa.Table:
         tb = tokenize_batch(batch["text"], profile="simple")
         n = len(batch)
-        cols = {"doc_id": batch["doc_id"],
-                "dl": pa.array(tb.doc_len.astype(np.int64))}
+        cols = {
+            "n_p": pa.array([np.int64(n)]),
+            "len_p": pa.array([np.int64(tb.doc_len.sum())]),
+        }
         terms_u = tb.terms.astype("U") if tb.terms.size else None
         for ti, term in enumerate(terms):
-            tf = np.zeros(n, dtype=np.int64)
+            df = 0
             if terms_u is not None:
                 m = terms_u == term
-                tf = np.bincount(tb.doc_idx[m], minlength=n).astype(np.int64)
-            cols[f"tf_{ti}"] = pa.array(tf)
+                df = int((np.bincount(tb.doc_idx[m], minlength=n) > 0).sum())
+            cols[f"df_{ti}"] = pa.array([np.int64(df)])
         return pa.table(cols)
 
-    mat = ds.map_batches(extract, batch_format="pyarrow").materialize()
+    from ray.data.aggregate import Sum
 
-    from ray.data.aggregate import Count, Sum
-
-    aggs = [Sum("dl", alias_name="total_len"), Count(alias_name="n_docs")]
-    stats = mat.aggregate(*aggs)
+    stats = ds.map_batches(stats_partial, batch_format="pyarrow").aggregate(
+        Sum("n_p", alias_name="n_docs"),
+        Sum("len_p", alias_name="total_len"),
+        *[Sum(f"df_{ti}", alias_name=f"df_{ti}") for ti in range(len(terms))],
+    )
     n_docs = stats["n_docs"]
     avgdl = stats["total_len"] / n_docs
-    # df per term: count rows with tf>0
-    dfs = {}
-    df_aggs = mat.map_batches(
-        lambda b: pa.table(
-            {f"has_{ti}": pc.cast(pc.greater(b[f"tf_{ti}"], 0), pa.int64())
-             for ti in range(len(terms))}
-        ),
-        batch_format="pyarrow",
-    ).aggregate(*[Sum(f"has_{ti}", alias_name=f"df_{ti}") for ti in range(len(terms))])
-    for ti in range(len(terms)):
-        dfs[terms[ti]] = df_aggs[f"df_{ti}"]
-
     idf = {
-        t: float(np.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))) for t in terms
+        t: float(np.log(1.0 + (n_docs - stats[f"df_{ti}"] + 0.5)
+                        / (stats[f"df_{ti}"] + 0.5)))
+        for ti, t in enumerate(terms)
     }
 
-    def score(batch: pa.Table) -> pa.Table:
-        dl = np.asarray(batch["dl"], dtype=np.float64)
+    def score_topk(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        n = len(batch)
+        dl = tb.doc_len.astype(np.float64)
         doc_id = np.asarray(batch["doc_id"])
-        out_q, out_d, out_s = [], [], []
+        terms_u = tb.terms.astype("U") if tb.terms.size else None
+        tfs = {}
+        for t in terms:
+            tf = np.zeros(n, dtype=np.float64)
+            if terms_u is not None:
+                m = terms_u == t
+                tf = np.bincount(tb.doc_idx[m], minlength=n).astype(np.float64)
+            tfs[t] = tf
         denom_k = K1 * (1.0 - B + B * dl / avgdl)
+        out_q, out_d, out_s = [], [], []
         for qid in range(len(DOC_QUERIES)):
             qts = [t for q, t in qterms if q == qid]
-            s = np.zeros(dl.size, dtype=np.float64)
-            matched = np.zeros(dl.size, dtype=bool)
+            s = np.zeros(n, dtype=np.float64)
+            matched = np.zeros(n, dtype=bool)
             for t in qts:
-                ti = terms.index(t)
-                tf = np.asarray(batch[f"tf_{ti}"], dtype=np.float64)
+                tf = tfs[t]
                 m = tf > 0
                 s = s + np.where(m, idf[t] * tf * (K1 + 1.0) / (tf + denom_k), 0.0)
                 matched |= m
-            sel = matched
-            out_q.append(np.full(int(sel.sum()), qid, dtype=np.int64))
-            out_d.append(doc_id[sel])
-            out_s.append(s[sel])
+            sr = np.round(s[matched], 4)
+            d = doc_id[matched]
+            order = np.lexsort((d, -sr))[:10]  # block-local partial top-10
+            out_q.append(np.full(order.size, qid, dtype=np.int64))
+            out_d.append(d[order])
+            out_s.append(sr[order])
         return pa.table(
             {
                 "qid": pa.array(np.concatenate(out_q)),
                 "doc_id": pa.array(np.concatenate(out_d)),
-                "score": pa.array(np.concatenate(out_s), pa.float64()),
+                "score_r": pa.array(np.concatenate(out_s), pa.float64()),
             }
         )
 
-    def topk(g: pa.Table) -> pa.Table:
-        s = np.asarray(g["score"], dtype=np.float64)
-        d = np.asarray(g["doc_id"])
-        sr = np.round(s, 4)
-        order = np.lexsort((d, -sr))[:10]
-        return pa.table(
-            {
-                "qid": pa.array(np.repeat(np.asarray(g["qid"])[0], order.size)),
-                "doc_id": pa.array(d[order]),
-                "score_r": pa.array(sr[order], pa.float64()),
-            }
-        )
-
-    res = (
-        mat.map_batches(score, batch_format="pyarrow")
-        .groupby("qid")
-        .map_groups(topk, batch_format="pyarrow")
-    )
-    return res.to_pandas()
+    parts = ds.map_batches(score_topk, batch_format="pyarrow").take_all()
+    q = np.array([r["qid"] for r in parts], dtype=np.int64)
+    d = np.array([r["doc_id"] for r in parts], dtype=np.int64)
+    s = np.array([r["score_r"] for r in parts], dtype=np.float64)
+    keep = []
+    for qid in range(len(DOC_QUERIES)):
+        sel = np.flatnonzero(q == qid)
+        order = np.lexsort((d[sel], -s[sel]))[:10]
+        keep.append(sel[order])
+    keep = np.concatenate(keep) if keep else np.empty(0, np.int64)
+    return pa.table(
+        {
+            "qid": pa.array(q[keep]),
+            "doc_id": pa.array(d[keep]),
+            "score_r": pa.array(s[keep], pa.float64()),
+        }
+    ).to_pandas()
 
 
 def match_count_or(sf_dir: str) -> pa.Table:
@@ -441,23 +466,40 @@ def facet_counts_docs(sf_dir: str) -> pa.Table:
 
 
 def srclc_sort_top100(sf_dir: str) -> pa.Table:
-    """M12 lowercase sort key + O2 field sort + O3 pagination window."""
+    """M12 lowercase sort key + O2 field sort + O3 pagination window.
+
+    Top-100 by (srclc, doc_id) WITHOUT a global sort: per-batch partial
+    top-100 + a tiny driver merge — a top-k over 100 TB needs no all-to-all
+    shuffle (each block's local top-100 provably contains every global
+    top-100 row present in that block)."""
     ds = _documents(sf_dir, ["doc_id", "text"])
 
-    def add_key(batch: pa.Table) -> pa.Table:
+    def partial_top(batch: pa.Table) -> pa.Table:
+        srclc = norm_ops.lowercase_sort_key(
+            batch["text"].combine_chunks()
+            if isinstance(batch["text"], pa.ChunkedArray)
+            else batch["text"]
+        )
+        keys = srclc.to_numpy(zero_copy_only=False)
+        ids = np.asarray(batch["doc_id"])
+        order = np.lexsort((ids, keys))[:100]
         return pa.table(
             {
-                "doc_id": batch["doc_id"],
-                "srclc": norm_ops.lowercase_sort_key(
-                    batch["text"].combine_chunks()
-                    if isinstance(batch["text"], pa.ChunkedArray)
-                    else batch["text"]
-                ),
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "srclc": pa.array(keys[order].astype("U"), pa.string()),
             }
         )
 
-    out = ds.map_batches(add_key, batch_format="pyarrow").sort(["srclc", "doc_id"]).limit(100)
-    return out.to_pandas()
+    parts = ds.map_batches(partial_top, batch_format="pyarrow").take_all()
+    ids = np.array([r["doc_id"] for r in parts], dtype=np.int64)
+    keys = np.array([r["srclc"] for r in parts], dtype=object)
+    order = np.lexsort((ids, keys))[:100]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "srclc": pa.array(keys[order].astype("U"), pa.string()),
+        }
+    ).to_pandas()
 
 
 # ---------------------------------------------------------------------------
@@ -483,13 +525,11 @@ def tumbling_window_events(sf_dir: str) -> pa.Table:
                 "value": batch["value"],
             }
         )
-        import pandas as pd
-
-        df = t.to_pandas()
-        g = df.groupby(["event_type", "window_id"], as_index=False).agg(
-            n_p=("value", "size"), v_p=("value", "sum")
+        # Arrow-native partial aggregate: no per-batch pandas conversion
+        g = pa.TableGroupBy(t, ["event_type", "window_id"]).aggregate(
+            [("value", "count"), ("value", "sum")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(["event_type", "window_id", "n_p", "v_p"])
 
     from ray.data.aggregate import Sum
 
@@ -538,25 +578,28 @@ def supplier_nation_agg(sf_dir: str) -> pa.Table:
 
     class Enrich:
         def __init__(self, ref):
-            self.map = ray.get(ref)
+            # dense key -> (name, region) lookup arrays built ONCE per actor
+            m = ray.get(ref)
+            cap = max(m) + 1
+            self.names = np.empty(cap, dtype=object)
+            self.regions = np.empty(cap, dtype=object)
+            for k, (n, r) in m.items():
+                self.names[k] = n
+                self.regions[k] = r
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            import pandas as pd
-
             keys = np.asarray(batch["s_nationkey"])
-            names = [self.map[int(k)][0] for k in keys]
-            regions = [self.map[int(k)][1] for k in keys]
-            df = pd.DataFrame(
+            t = pa.table(
                 {
-                    "n_name": names,
-                    "r_name": regions,
-                    "acctbal": np.asarray(batch["s_acctbal"]),
+                    "n_name": pa.array(self.names[keys].astype("U"), pa.string()),
+                    "r_name": pa.array(self.regions[keys].astype("U"), pa.string()),
+                    "acctbal": batch["s_acctbal"],
                 }
             )
-            g = df.groupby(["n_name", "r_name"], as_index=False).agg(
-                n_p=("acctbal", "size"), v_p=("acctbal", "sum")
+            g = pa.TableGroupBy(t, ["n_name", "r_name"]).aggregate(
+                [("acctbal", "count"), ("acctbal", "sum")]
             )
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return g.rename_columns(["n_name", "r_name", "n_p", "v_p"])
 
     from ray.data.aggregate import Sum
 
@@ -604,13 +647,10 @@ def order_lineitem_join_agg(sf_dir: str) -> pa.Table:
     joined = hash_join(li, orders, "l_orderkey", "o_orderkey", num_buckets=16)
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.select(["o_orderpriority", "l_quantity"]).to_pandas()
-        g = df.groupby("o_orderpriority", as_index=False).agg(
-            n_p=("l_quantity", "size"), q_p=("l_quantity", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pa.TableGroupBy(
+            batch.select(["o_orderpriority", "l_quantity"]), "o_orderpriority"
+        ).aggregate([("l_quantity", "count"), ("l_quantity", "sum")])
+        return g.rename_columns(["o_orderpriority", "n_p", "q_p"])
 
     from ray.data.aggregate import Sum
 
