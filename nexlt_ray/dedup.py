@@ -12,12 +12,13 @@
   * embedding-cosine near-dup        — see similarity.py (shared kernels).
 
 Scale notes (documented per north rule): every pair-generating groupby is
-bounded by the hottest key. For Jaccard the unit is a token — ubiquitous
-tokens generate O(df^2) pairs, so `max_df` prunes tokens whose selectivity is
-nil (a token in >50% of docs cannot discriminate dups at tau>=0.5 on its own;
-completeness is preserved whenever every surviving pair still shares >=1
-unpruned token — guaranteed for tau > max_df_frac). MinHash bands bound the
-same blow-up probabilistically.
+bounded by the hottest key. For Jaccard the candidate stage uses PREFIX
+FILTERING (AllPairs/PPJoin discipline): each doc emits only the first
+|d| - ceil(tau*|d|) + 1 of its tokens under a global (df asc, term asc)
+order, and any pair with J >= tau provably shares its globally-smallest
+common token inside BOTH prefixes — exact completeness with stopword-like
+tokens pushed out of every prefix, so no term group blows up O(df^2).
+MinHash bands bound the same blow-up probabilistically.
 """
 
 from __future__ import annotations
@@ -93,67 +94,280 @@ def distinct_doc_terms(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
-def jaccard_pairs(
-    ds,
-    tau_num: int = 9,
-    tau_den: int = 10,
-    text_col: str = "text",
-    max_df: int | None = None,
-):
-    """All doc pairs with token-set Jaccard >= tau_num/tau_den.
-
-    Integer-exact: emits (doc_a, doc_b, inter, union_) and filters on
-    tau_den*inter >= tau_num*union_ — no float comparisons. Complete as long
-    as every qualifying pair shares at least one token with df <= max_df
-    (always true when max_df is None).
-    """
-    pairs_src = ds.map_batches(
-        lambda b: distinct_doc_terms(b, text_col), batch_format="pyarrow"
+def _empty_pairs() -> pa.Table:
+    return pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "size_a": pa.array([], pa.int64()),
+            "size_b": pa.array([], pa.int64()),
+        }
     )
-    # doc set sizes (broadcast later): small aggregate
-    sizes_ds = pairs_src.groupby("doc_id").count()
-    sizes_df = sizes_ds.to_pandas()
-    sizes = dict(zip(sizes_df["doc_id"], sizes_df["count()"]))
 
-    def pairs_of_group(g: pa.Table) -> pa.Table:
-        ids = np.sort(np.asarray(g["doc_id"]))
-        if max_df is not None and ids.size > max_df:
+
+def hot_term_dfs(ds, text_col: str = "text", hot_df_min: int = 32) -> dict[str, int]:
+    """Global df of every term with df >= hot_df_min (the broadcast-small
+    side of the prefix ordering). Bounded: at most total_tokens/hot_df_min
+    entries, regardless of corpus size."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = distinct_doc_terms(batch, text_col)
+        if t.num_rows == 0:
             return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+                {"term": pa.array([], pa.string()), "df_p": pa.array([], pa.int64())}
             )
-        a, b = np.triu_indices(ids.size, k=1)
+        uniq, counts = np.unique(
+            t["term"].to_numpy(zero_copy_only=False).astype("U"), return_counts=True
+        )
         return pa.table(
             {
-                "doc_a": pa.array(ids[a], pa.int64()),
-                "doc_b": pa.array(ids[b], pa.int64()),
+                "term": pa.array(uniq, pa.string()),
+                "df_p": pa.array(counts.astype(np.int64)),
             }
         )
 
-    pair_counts = (
-        pairs_src.groupby("term")
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_p", alias_name="df"))
+    )
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.greater_equal(batch["df"], hot_df_min))
+
+    hot = agg.map_batches(only_hot, batch_format="pyarrow").take_all()
+    return {r["term"]: int(r["df"]) for r in hot}
+
+
+def prefix_candidate_pairs(
+    ds,
+    tau_num: int,
+    tau_den: int,
+    text_col: str = "text",
+    hot_df_min: int = 32,
+):
+    """Candidate pairs via AllPairs prefix filtering (Bayardo et al., WWW'07
+    semantics; public algorithm). Exact-complete for token-set Jaccard >=
+    tau_num/tau_den:
+
+    Under ANY fixed global token order, if |a∩b| >= alpha then the
+    (|x|-alpha+1)-prefixes of both docs contain the globally-smallest common
+    token; J >= tau implies |a∩b| >= ceil(tau*|x|) for BOTH sides, so emitting
+    the first |x| - ceil(tau*|x|) + 1 tokens per doc and pairing within term
+    groups loses nothing. The order is (df asc, term asc) with df taken from
+    the broadcast hot-term table (everything below hot_df_min ties at 0 and
+    orders by term) — rare tokens land in prefixes, stopword-like tokens
+    provably cannot, so no term group is O(df^2) in the corpus.
+
+    Returns a Dataset of (doc_a, doc_b, size_a, size_b), deduped.
+    """
+    import ray
+    from ray.data.aggregate import Max
+
+    hot = hot_term_dfs(ds, text_col, hot_df_min)
+    hot_ref = ray.put(hot)
+
+    def prefix_tokens(batch: pa.Table) -> pa.Table:
+        hot_map = ray.get(hot_ref)
+        t = distinct_doc_terms(batch, text_col)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "size": pa.array([], pa.int64()),
+                }
+            )
+        doc = np.asarray(t["doc_id"])
+        terms = t["term"].to_numpy(zero_copy_only=False).astype("U")
+        uniq, inv = np.unique(terms, return_inverse=True)
+        df_key = np.array([hot_map.get(u, 0) for u in uniq], dtype=np.int64)
+        # rows sorted by (doc, df, term): uniq codes are term-lexicographic
+        order = np.lexsort((inv, df_key[inv], doc))
+        d_s, i_s = doc[order], inv[order]
+        new_doc = np.concatenate(([True], d_s[1:] != d_s[:-1]))
+        first_idx = np.flatnonzero(new_doc)
+        sizes = np.diff(np.concatenate((first_idx, [d_s.size])))
+        rank = np.arange(d_s.size) - np.repeat(first_idx, sizes)
+        size_of_row = np.repeat(sizes, sizes)
+        alpha = (tau_num * size_of_row + tau_den - 1) // tau_den
+        keep = rank < (size_of_row - alpha + 1)
+        return pa.table(
+            {
+                "term": pa.array(uniq[i_s[keep]], pa.string()),
+                "doc_id": pa.array(d_s[keep], pa.int64()),
+                "size": pa.array(size_of_row[keep], pa.int64()),
+            }
+        )
+
+    def pairs_of_group(g: pa.Table) -> pa.Table:
+        doc = np.asarray(g["doc_id"])
+        size = np.asarray(g["size"])
+        order = np.argsort(doc)
+        doc, size = doc[order], size[order]
+        if doc.size < 2:
+            return _empty_pairs()
+        a, b = np.triu_indices(doc.size, k=1)
+        # size filter (PPJoin length bound): J >= tau forces
+        # tau*|b| <= |a| when |a| <= |b|
+        keep = tau_den * size[a] >= tau_num * size[b]
+        keep &= tau_den * size[b] >= tau_num * size[a]
+        a, b = a[keep], b[keep]
+        return pa.table(
+            {
+                "doc_a": pa.array(doc[a], pa.int64()),
+                "doc_b": pa.array(doc[b], pa.int64()),
+                "size_a": pa.array(size[a], pa.int64()),
+                "size_b": pa.array(size[b], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prefix_tokens, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(pairs_of_group, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Max("size_a", alias_name="size_a"),
+                   Max("size_b", alias_name="size_b"))
+    )
+
+
+def verify_pairs_exact(
+    ds,
+    cand_pairs: pa.Table,
+    tau_num: int,
+    tau_den: int,
+    text_col: str = "text",
+):
+    """Distributed exact-Jaccard verification of candidate pairs: one
+    streaming pass over `ds` restricted (pc.is_in) to candidate docs,
+    per-term pair counting restricted to the candidate pair set, then the
+    integer threshold test. Driver/broadcast state is bounded by the
+    CANDIDATE set (pairs + docs), never by the corpus.
+
+    Returns a Dataset of (doc_a, doc_b, inter, union_)."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    a = np.asarray(cand_pairs["doc_a"], dtype=np.int64)
+    b = np.asarray(cand_pairs["doc_b"], dtype=np.int64)
+    cand_docs = np.unique(np.concatenate((a, b))) if a.size else np.empty(0, np.int64)
+    m = int(cand_docs.size)
+    pair_keys = np.unique(
+        np.searchsorted(cand_docs, a) * np.int64(max(m, 1))
+        + np.searchsorted(cand_docs, b)
+    )
+    docs_ref = ray.put(pa.array(cand_docs, pa.int64()))
+    keys_ref = ray.put(pair_keys)
+
+    def cand_doc_terms(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["doc_id"], value_set=ray.get(docs_ref))
+        return distinct_doc_terms(batch.filter(mask), text_col)
+
+    dt = ds.map_batches(cand_doc_terms, batch_format="pyarrow")
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_p": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(batch["doc_id"]), return_counts=True)
+        return pa.table(
+            {"doc_id": pa.array(uniq, pa.int64()),
+             "n_p": pa.array(counts.astype(np.int64))}
+        )
+
+    # per-doc token-set sizes for candidate docs only: m rows, bounded by
+    # the candidate set
+    sizes = np.zeros(max(m, 1), dtype=np.int64)
+    for r in (
+        dt.map_batches(size_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .take_all()
+    ):
+        sizes[int(np.searchsorted(cand_docs, r["doc_id"]))] = int(r["n"])
+    sizes_ref = ray.put(sizes)
+
+    def pairs_of_group(g: pa.Table) -> pa.Table:
+        cdocs = np.asarray(ray.get(docs_ref))
+        keys = ray.get(keys_ref)
+        ids = np.unique(np.asarray(g["doc_id"]))
+        if ids.size < 2:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        i, j = np.triu_indices(ids.size, k=1)
+        c = np.searchsorted(cdocs, ids)
+        k = c[i] * np.int64(max(m, 1)) + c[j]
+        idx = np.searchsorted(keys, k)
+        hit = (idx < keys.size) & (keys[np.minimum(idx, keys.size - 1)] == k)
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[i[hit]], pa.int64()),
+                "doc_b": pa.array(ids[j[hit]], pa.int64()),
+            }
+        )
+
+    inter_counts = (
+        dt.groupby("term")
         .map_groups(pairs_of_group, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .count()
     )
 
     def finish(batch: pa.Table) -> pa.Table:
+        cdocs = np.asarray(ray.get(docs_ref))
+        sz = np.asarray(ray.get(sizes_ref))
         da = np.asarray(batch["doc_a"])
         db = np.asarray(batch["doc_b"])
-        inter = np.asarray(batch["count()"])
-        na = np.array([sizes[int(x)] for x in da], dtype=np.int64)
-        nb = np.array([sizes[int(x)] for x in db], dtype=np.int64)
+        inter = np.asarray(batch["count()"]).astype(np.int64)
+        na = sz[np.searchsorted(cdocs, da)]
+        nb = sz[np.searchsorted(cdocs, db)]
         union = na + nb - inter
         keep = tau_den * inter >= tau_num * union
         return pa.table(
             {
                 "doc_a": pa.array(da[keep], pa.int64()),
                 "doc_b": pa.array(db[keep], pa.int64()),
-                "inter": pa.array(inter[keep].astype(np.int64)),
-                "union_": pa.array(union[keep].astype(np.int64)),
+                "inter": pa.array(inter[keep]),
+                "union_": pa.array(union[keep]),
             }
         )
 
-    return pair_counts.map_batches(finish, batch_format="pyarrow")
+    return inter_counts.map_batches(finish, batch_format="pyarrow")
+
+
+def jaccard_pairs(
+    ds,
+    tau_num: int = 9,
+    tau_den: int = 10,
+    text_col: str = "text",
+    hot_df_min: int = 32,
+):
+    """All doc pairs with token-set Jaccard >= tau_num/tau_den — EXACT
+    (prefix-filter candidates, complete by construction; distributed
+    exact-count verification). Emits (doc_a, doc_b, inter, union_) and
+    filters on tau_den*inter >= tau_num*union_ — no float comparisons, no
+    O(df^2) term group, no corpus-sized driver state.
+    """
+    cand = prefix_candidate_pairs(
+        ds, tau_num, tau_den, text_col=text_col, hot_df_min=hot_df_min
+    )
+    # candidate pairs to the driver: bounded by the (prefix-pruned)
+    # candidate count, which tracks the true near-dup pair count
+    df = cand.to_pandas()
+    cand_tbl = pa.table(
+        {
+            "doc_a": pa.array(df["doc_a"].to_numpy(dtype=np.int64)),
+            "doc_b": pa.array(df["doc_b"].to_numpy(dtype=np.int64)),
+        }
+    )
+    return verify_pairs_exact(ds, cand_tbl, tau_num, tau_den, text_col=text_col)
 
 
 # ---------------------------------------------------------------------------
@@ -193,6 +407,17 @@ def _mulmod_p61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
     return _mod_p61(_mod_p61(t0) + mid + _mod_p61(t2 << np.uint64(3)))
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public domain constant schedule)."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+_SHINGLE_SEED = np.uint64(0x243F6A8885A308D3)
+
+
 def _token_hashes(terms: np.ndarray) -> np.ndarray:
     """Stable 64-bit hash per token (blake2b-8byte; cross-process safe)."""
     return np.fromiter(
@@ -207,61 +432,150 @@ def _token_hashes(terms: np.ndarray) -> np.ndarray:
 
 class MinHasher:
     """Actor-pool batch fn: per doc, MinHash signature over token shingles,
-    exploded to (band_id, band_hash, doc_id) rows for the LSH groupby."""
+    exploded to (band_id, band_hash, doc_id) rows for the LSH groupby.
+
+    Fully vectorized: shingle hashes are an order-sensitive splitmix64 chain
+    over per-token blake2b hashes (token hashes cached per actor across
+    batches), permutation minima computed batch-wide with
+    np.minimum.reduceat over doc segments — no per-doc Python loop in the
+    hot path."""
 
     def __init__(self, num_perm: int = 64, num_bands: int = 16, shingle: int = 3,
-                 text_col: str = "text"):
+                 text_col: str = "text", perm_chunk: int = 16):
         assert num_perm % num_bands == 0
         self.num_perm = num_perm
         self.num_bands = num_bands
         self.rows_per_band = num_perm // num_bands
         self.shingle = shingle
         self.text_col = text_col
+        self.perm_chunk = perm_chunk
         self.a, self.b = _minhash_params(num_perm)
         self._hash_cache: dict[str, int] = {}
 
+    # -- hashing helpers ------------------------------------------------
+    def _hashes_of(self, uniq_terms: np.ndarray) -> np.ndarray:
+        """Per-unique-token 64-bit hashes, memoized across batches."""
+        cache = self._hash_cache
+        out = np.empty(uniq_terms.size, dtype=np.uint64)
+        for i, t in enumerate(uniq_terms):
+            t = str(t)
+            v = cache.get(t)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                )
+                cache[t] = v
+            out[i] = v
+        return out
+
+    @staticmethod
+    def _chain(token_hashes: np.ndarray) -> np.uint64:
+        acc = _SHINGLE_SEED
+        for h in token_hashes:
+            acc = _mix64(np.uint64(acc) ^ np.uint64(h))
+        return np.uint64(acc)
+
+    def _perm_min(self, hs: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+        """(num_perm, n_segments) minima of (a*h+b) mod p over doc segments
+        of the doc-sorted shingle-hash array `hs`."""
+        n_seg = seg_starts.size
+        sig = np.empty((self.num_perm, n_seg), dtype=np.uint64)
+        hm = hs & _MERSENNE
+        for lo in range(0, self.num_perm, self.perm_chunk):
+            hi = min(lo + self.perm_chunk, self.num_perm)
+            prod = _mulmod_p61(
+                np.broadcast_to(self.a[lo:hi, None], (hi - lo, hs.size)),
+                np.broadcast_to(hm[None, :], (hi - lo, hs.size)),
+            )
+            vals = _mod_p61(prod + self.b[lo:hi, None])
+            sig[lo:hi] = np.minimum.reduceat(vals, seg_starts, axis=1)
+        return sig
+
     def signature(self, tokens: list[str]) -> np.ndarray:
-        """MinHash signature of one doc's token shingles."""
-        if len(tokens) < self.shingle:
-            shingles = [" ".join(tokens)] if tokens else []
-        else:
-            shingles = [
-                " ".join(tokens[i : i + self.shingle])
-                for i in range(len(tokens) - self.shingle + 1)
-            ]
-        if not shingles:
+        """MinHash signature of one doc's token shingles (reference path;
+        identical to the batch path's per-doc result)."""
+        th = self._hashes_of(np.array(tokens, dtype=object)) if tokens else None
+        if not tokens:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        hs = np.unique(_token_hashes(np.array(sorted(set(shingles)), dtype=object)))
-        # (a*h + b) mod p, min over shingles, per permutation — overflow-safe
-        # split multiply (see _mulmod_p61)
-        prod = _mulmod_p61(
-            np.broadcast_to(self.a[:, None], (self.num_perm, hs.size)),
-            np.broadcast_to(hs[None, :] & _MERSENNE, (self.num_perm, hs.size)),
-        )
-        vals = _mod_p61(prod + self.b[:, None])
-        return vals.min(axis=1).astype(np.uint64)
+        if len(tokens) < self.shingle:
+            hs = np.array([self._chain(th)], dtype=np.uint64)
+        else:
+            hs = np.array(
+                [
+                    self._chain(th[i : i + self.shingle])
+                    for i in range(len(tokens) - self.shingle + 1)
+                ],
+                dtype=np.uint64,
+            )
+        hs = np.unique(hs)
+        return self._perm_min(hs, np.array([0], dtype=np.int64))[:, 0]
+
+    def _band_hashes(self, sig: np.ndarray) -> np.ndarray:
+        """(num_bands, n_docs) int64 bucket hashes: splitmix chain down each
+        band's rows."""
+        bands = sig.reshape(self.num_bands, self.rows_per_band, -1)
+        acc = np.full(bands.shape[::2], _SHINGLE_SEED, dtype=np.uint64)
+        for r in range(self.rows_per_band):
+            acc = _mix64(acc ^ bands[:, r, :])
+        return (acc >> np.uint64(1)).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tb = tokenize_batch(batch[self.text_col], profile="simple")
         doc_ids = np.asarray(batch["doc_id"])
-        per_doc: list[list[str]] = [[] for _ in range(len(batch))]
-        order = np.argsort(tb.positions, kind="stable")
-        for i in order:
-            per_doc[tb.doc_idx[i]].append(str(tb.terms[i]))
-        band_ids, band_hashes, out_docs = [], [], []
-        for row, toks in enumerate(per_doc):
-            sig = self.signature(toks)
-            bands = sig.reshape(self.num_bands, self.rows_per_band)
-            for bi in range(self.num_bands):
-                h = hashlib.blake2b(bands[bi].tobytes(), digest_size=8).digest()
-                band_ids.append(bi)
-                band_hashes.append(int.from_bytes(h, "big") >> 1)  # fit int64
-                out_docs.append(int(doc_ids[row]))
+        n = len(batch)
+        k = self.shingle
+        sig = np.full((self.num_perm, n), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if tb.terms.size:
+            order = np.lexsort((tb.positions, tb.doc_idx))
+            d = tb.doc_idx[order].astype(np.int64)
+            uniq, inv = np.unique(tb.terms.astype("U"), return_inverse=True)
+            th = self._hashes_of(uniq)[inv[order]]
+            doc_len = np.bincount(d, minlength=n)
+            # shingles for docs with >= k tokens: chained hash at every
+            # window start whose end stays in the same doc
+            if d.size >= k:
+                cnt = d.size - (k - 1)
+                acc = np.full(cnt, _SHINGLE_SEED, dtype=np.uint64)
+                for j in range(k):
+                    acc = _mix64(acc ^ th[j : j + cnt])
+                valid = d[: cnt] == d[k - 1 :]
+                sh_doc, sh_hash = d[:cnt][valid], acc[valid]
+            else:
+                sh_doc = np.empty(0, np.int64)
+                sh_hash = np.empty(0, np.uint64)
+            # short docs (0 < len < k): one shingle = chain over all tokens
+            short = np.flatnonzero((doc_len > 0) & (doc_len < k))
+            if short.size:
+                starts = np.searchsorted(d, short)
+                s_hash = np.array(
+                    [
+                        self._chain(th[s : s + doc_len[sd]])
+                        for s, sd in zip(starts, short)
+                    ],
+                    dtype=np.uint64,
+                )
+                sh_doc = np.concatenate((sh_doc, short))
+                sh_hash = np.concatenate((sh_hash, s_hash))
+            if sh_doc.size:
+                # dedupe (doc, shingle-hash), sort by doc for reduceat
+                o2 = np.lexsort((sh_hash, sh_doc))
+                sh_doc, sh_hash = sh_doc[o2], sh_hash[o2]
+                keep = np.concatenate(
+                    ([True], (sh_doc[1:] != sh_doc[:-1]) | (sh_hash[1:] != sh_hash[:-1]))
+                )
+                sh_doc, sh_hash = sh_doc[keep], sh_hash[keep]
+                seg_starts = np.flatnonzero(
+                    np.concatenate(([True], sh_doc[1:] != sh_doc[:-1]))
+                )
+                present = sh_doc[seg_starts]
+                sig[:, present] = self._perm_min(sh_hash, seg_starts)
+        bh = self._band_hashes(sig)
+        band_ids = np.repeat(np.arange(self.num_bands, dtype=np.int32), n)
         return pa.table(
             {
                 "band_id": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.int64()),
-                "doc_id": pa.array(out_docs, pa.int64()),
+                "band_hash": pa.array(bh.ravel(), pa.int64()),
+                "doc_id": pa.array(np.tile(doc_ids, self.num_bands), pa.int64()),
             }
         )
 

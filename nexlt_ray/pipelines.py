@@ -15,6 +15,7 @@ Conventions:
 from __future__ import annotations
 
 import os
+from hashlib import sha256 as hashlib_sha256
 
 import numpy as np
 import pyarrow as pa
@@ -332,55 +333,49 @@ def jaccard_dup_pairs_docs(sf_dir: str):
     )
 
 
+def _sha_doc_id(batch: pa.Table) -> pa.Table:
+    """Identity-derived int63 doc id (sha256 of the unique (repo, path,
+    commit) identity) — stable across shards, batch sizes and scheduling; no
+    driver-side id assignment, no shuffle (the same trick build.py plays
+    with content-sha ranks, minus the dedup pass this query doesn't want:
+    exact-dup CONTENT must keep distinct ids to surface as dup pairs)."""
+    ids = [
+        int.from_bytes(hashlib_sha256(k.encode("utf-8")).digest()[:8], "big") >> 1
+        for k in (
+            f"{r}\x1f{p}\x1f{c}"
+            for r, p, c in zip(
+                batch["repo"].to_pylist(),
+                batch["path"].to_pylist(),
+                batch["commit"].to_pylist(),
+            )
+        )
+    ]
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": batch["content"]}
+    )
+
+
 def minhash_pairs_corpus(sf_dir: str):
     """MinHash-LSH candidate pairs over the synthetic code corpus, verified
-    with exact token-set Jaccard >= 0.9 (integer-exact columns)."""
-    import pyarrow.parquet as pq
+    with exact token-set Jaccard >= 0.9 (integer-exact columns). Fully
+    distributed: content-derived doc ids assigned in the pipeline, candidate
+    generation via the banded LSH groupby, verification via one streaming
+    pass restricted to candidate docs (dedup.verify_pairs_exact) — driver
+    state is bounded by the candidate pair set only."""
     import ray.data
 
-    path = corpus_path(min(n_docs_for_sf(sf_dir), 5000))
-    # assign doc_id driver-side from the (deterministic) shard-sorted read —
-    # per-block arange would collide across shards; real pipelines use
-    # content-derived ids (see build.py)
-    src = pq.read_table(path, columns=["content"])
-    tbl = pa.table(
+    path = corpus_path(n_docs_for_sf(sf_dir))
+    ds = ray.data.read_parquet(
+        path, columns=["repo", "path", "commit", "content"]
+    ).map_batches(_sha_doc_id, batch_format="pyarrow")
+    cand = dedup_ops.minhash_lsh_pairs(ds, concurrency=4).to_pandas()
+    cand_tbl = pa.table(
         {
-            "doc_id": pa.array(np.arange(src.num_rows, dtype=np.int64)),
-            "text": src["content"],
+            "doc_a": pa.array(cand["doc_a"].to_numpy(dtype=np.int64)),
+            "doc_b": pa.array(cand["doc_b"].to_numpy(dtype=np.int64)),
         }
     )
-    ds = ray.data.from_arrow(tbl).repartition(8)
-    cand = dedup_ops.minhash_lsh_pairs(ds, concurrency=2)
-    docs_tbl = tbl.to_pandas()
-    toksets = {}
-    tb = tokenize_batch(pa.array(docs_tbl["text"]), profile="simple")
-    for d in range(len(docs_tbl)):
-        toksets[d] = set()
-    for t, d in zip(tb.terms, tb.doc_idx):
-        toksets[int(docs_tbl["doc_id"][d])].add(str(t))
-
-    def verify(batch: pa.Table) -> pa.Table:
-        da = np.asarray(batch["doc_a"])
-        db = np.asarray(batch["doc_b"])
-        inter = np.array(
-            [len(toksets[int(a)] & toksets[int(b)]) for a, b in zip(da, db)],
-            dtype=np.int64,
-        )
-        union = np.array(
-            [len(toksets[int(a)] | toksets[int(b)]) for a, b in zip(da, db)],
-            dtype=np.int64,
-        )
-        keep = 10 * inter >= 9 * union
-        return pa.table(
-            {
-                "doc_a": pa.array(da[keep]),
-                "doc_b": pa.array(db[keep]),
-                "inter": pa.array(inter[keep]),
-                "union_": pa.array(union[keep]),
-            }
-        )
-
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return dedup_ops.verify_pairs_exact(ds, cand_tbl, 9, 10)
 
 
 def simhash_docs(sf_dir: str):
