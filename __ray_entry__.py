@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # index statistics + search over `documents` (SQL-parity profile)
         "term_df_top100": P.term_df_top100,
         "bm25_topk_docs": P.bm25_topk_docs,
+        "filtered_search_topk": P.filtered_search_topk,
         "match_count_or": P.match_count_or,
         "phrase_match_count": P.phrase_match_count,
         # dedup family
@@ -59,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship engine (Lucene-exact scoring; oracle = pytest rank-identity)
         "corpus_doc_meta": P.corpus_doc_meta,
         "corpus_bm25_topk": P.corpus_bm25_topk,
+        "corpus_filtered_topk": P.corpus_filtered_topk,
         # multimodal plumbing (decode stubbed, see nexlt_ray/multimodal.py)
         "media_features": P.media_features,
         "frame_samples": P.frame_samples,
@@ -90,7 +92,16 @@ def _qterms_values() -> str:
     return f"q(qid, term) AS (VALUES {vals})"
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(filter_langs: tuple | None = None) -> str:
+    # fq semantics: the filter restricts SCORED rows only; n/avgdl/df stay
+    # corpus-global (matches Solr fq and pipelines._bm25_topk_impl)
+    fq = ""
+    if filter_langs:
+        vals = ", ".join(f"'{v}'" for v in filter_langs)
+        fq = (
+            "  JOIN documents fd ON fd.doc_id = tf.doc_id "
+            f"AND fd.lang IN ({vals})\n"
+        )
     return f"""
 {_TOK},
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
@@ -107,7 +118,7 @@ scores AS (
          ) AS score
   FROM q
   JOIN tf ON q.term = tf.term
-  JOIN df ON df.term = q.term
+{fq}  JOIN df ON df.term = q.term
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
   GROUP BY q.qid, tf.doc_id
@@ -116,6 +127,12 @@ SELECT qid, doc_id, round(score, 4) AS score_r
 FROM scores
 QUALIFY row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id) <= 10
 """
+
+
+def _filtered_sql() -> str:
+    from nexlt_ray.pipelines import FILTER_LANGS
+
+    return _bm25_sql(filter_langs=FILTER_LANGS)
 
 
 def _phrase_sql() -> str:
@@ -166,6 +183,7 @@ FROM tok GROUP BY term
 ORDER BY df DESC, term LIMIT 100
 """,
         "bm25_topk_docs": _bm25_sql(),
+        "filtered_search_topk": _filtered_sql(),
         "match_count_or": f"""
 {_TOK},
 {_qterms_values()},

@@ -130,6 +130,9 @@ def term_df_top100(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 # one-shot distributed BM25 over `documents` (SQL-parity scoring)
 # ---------------------------------------------------------------------------
+FILTER_LANGS = ("de", "en")  # fq for filtered_search_topk (reference fq shape)
+
+
 def bm25_topk_docs(sf_dir: str) -> pa.Table:
     """Top-10 BM25 per DOC_QUERIES query over `documents`, scored in float64
     with true token-count doc lengths (SQL-parity twin of the Lucene-exact
@@ -144,9 +147,24 @@ def bm25_topk_docs(sf_dir: str) -> pa.Table:
               score depends only on its own tfs + the broadcast globals, so
               block-local top-k is an exact combiner) -> small driver merge.
     """
+    return _bm25_topk_impl(sf_dir, filter_langs=None)
+
+
+def filtered_search_topk(sf_dir: str) -> pa.Table:
+    """fq-composed scoring (the reference's actual query shape: BM25-ranked
+    q + fielded filter queries, corpus.cgi:328-339 / solrTestLib_v2.js:38-102):
+    top-10 BM25 per DOC_QUERIES query restricted to lang IN FILTER_LANGS,
+    with BM25 statistics (n_docs, avgdl, df) computed over the FULL corpus —
+    exactly Solr's fq semantics (filters select, they don't re-weight).
+    SQL-parity twin of IndexReader.search(filters=...)."""
+    return _bm25_topk_impl(sf_dir, filter_langs=FILTER_LANGS)
+
+
+def _bm25_topk_impl(sf_dir: str, filter_langs: tuple | None) -> pa.Table:
     qterms = doc_query_terms()
     terms = sorted({t for _, t in qterms})
-    ds = _documents(sf_dir, ["doc_id", "text"])
+    cols = ["doc_id", "text"] + (["lang"] if filter_langs else [])
+    ds = _documents(sf_dir, cols)
 
     def stats_partial(batch: pa.Table) -> pa.Table:
         tb = tokenize_batch(batch["text"], profile="simple")
@@ -180,6 +198,11 @@ def bm25_topk_docs(sf_dir: str) -> pa.Table:
     }
 
     def score_topk(batch: pa.Table) -> pa.Table:
+        # fq semantics: filter rows BEFORE scoring (stats already global)
+        if filter_langs:
+            batch = batch.filter(
+                pc.is_in(batch["lang"], value_set=pa.array(filter_langs))
+            )
         tb = tokenize_batch(batch["text"], profile="simple")
         n = len(batch)
         dl = tb.doc_len.astype(np.float64)
@@ -807,6 +830,36 @@ def corpus_bm25_topk(sf_dir: str) -> pa.Table:
     qids, ranks, docs, scores = [], [], [], []
     for q in reference_queries():
         for rank, (d, s) in enumerate(r.search(q["query"], k=q["k"])):
+            qids.append(q["qid"])
+            ranks.append(rank)
+            docs.append(d)
+            scores.append(int(round(s * 1e6)))
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_e6": pa.array(scores, pa.int64()),
+        }
+    )
+
+
+CORPUS_FILTER = {"lang": ["python", "c"]}
+
+
+def corpus_filtered_topk(sf_dir: str) -> pa.Table:
+    """Reference query set with an fq (lang filter) composed with WAND
+    scoring over the built index — the reference's production query shape
+    (q + fq, corpus.cgi:328-339). Rank identity vs filtered exhaustive is
+    pinned in tests/test_filters.py."""
+    from .query import IndexReader
+
+    idx = _corpus_index(sf_dir)
+    r = IndexReader(idx)
+    qids, ranks, docs, scores = [], [], [], []
+    for q in reference_queries():
+        hits = r.search(q["query"], k=q["k"], filters=CORPUS_FILTER)
+        for rank, (d, s) in enumerate(hits):
             qids.append(q["qid"])
             ranks.append(rank)
             docs.append(d)

@@ -209,7 +209,19 @@ class IndexReader:
                     self._seg_files[b] = os.path.join(seg_dir, name)
         self._doc_offsets = np.asarray(self.manifest["doc_offsets"], dtype=np.int64)
         self._doc_counts = np.asarray(self.manifest["doc_counts"], dtype=np.int64)
-        self._norms: np.ndarray | None = None
+        # doc-range-sharded serving state: norms and doc-meta columns load
+        # PER DOC-BUCKET on demand with an LRU (at 10^12 docs a reader must
+        # never concatenate a whole column; a query touches only the buckets
+        # its candidate docs live in). _shard_loads counts actual parquet
+        # reads (tested).
+        self._norm_shards: OrderedDict[int, np.ndarray] = OrderedDict()
+        self._meta_shards: OrderedDict[tuple[str, int], np.ndarray] = OrderedDict()
+        self._shard_cap = 4096          # norm shards kept (1 B/doc — cheap)
+        self._meta_shard_cap = 256      # meta column shards kept
+        self._shard_loads: list[tuple[str, int]] = []
+        # Solr filterCache analog: (field, values)-tuple -> sorted doc ids
+        self._filter_cache: OrderedDict[tuple, np.ndarray] = OrderedDict()
+        self._filter_cache_cap = 64
 
     # ------------------------------------------------------------------
     # postings access
@@ -292,20 +304,119 @@ class IndexReader:
     def _clause_postings(self, terms: list[str]) -> list[TermPostings | None]:
         return [self.postings(t) for t in terms]
 
-    def _norm_bytes_for(self, docs: np.ndarray) -> np.ndarray:
-        # 1 byte/doc, loaded once per reader (Lucene keeps norms in memory
-        # likewise); at 10^12 docs this shards with the doc-range partitions.
-        if self._norms is None:
-            parts = []
-            for b in range(len(self._doc_offsets)):
-                path = os.path.join(
-                    self.index_dir, "docstore", f"bucket={b:05d}.parquet"
+    # -- doc-range-sharded norms / doc-meta ----------------------------
+    def _docstore_path(self, b: int) -> str:
+        return os.path.join(self.index_dir, "docstore", f"bucket={b:05d}.parquet")
+
+    def _norm_shard(self, b: int) -> np.ndarray:
+        shard = self._norm_shards.get(b)
+        if shard is None:
+            path = self._docstore_path(b)
+            if os.path.exists(path):
+                shard = np.asarray(
+                    pq.read_table(path, columns=["norm_byte"])["norm_byte"]
+                ).astype(np.uint8)
+            else:
+                shard = np.empty(0, np.uint8)
+            self._shard_loads.append(("norm", b))
+            self._norm_shards[b] = shard
+            if len(self._norm_shards) > self._shard_cap:
+                self._norm_shards.popitem(last=False)
+        else:
+            self._norm_shards.move_to_end(b)
+        return shard
+
+    def _meta_shard(self, name: str, b: int) -> np.ndarray:
+        key = (name, b)
+        shard = self._meta_shards.get(key)
+        if shard is None:
+            path = self._docstore_path(b)
+            if os.path.exists(path):
+                shard = pq.read_table(path, columns=[name])[name].to_numpy(
+                    zero_copy_only=False
                 )
-                if os.path.exists(path):
-                    t = pq.read_table(path, columns=["norm_byte"])
-                    parts.append(np.asarray(t["norm_byte"]))
-            self._norms = np.concatenate(parts) if parts else np.empty(0, np.uint8)
-        return self._norms[docs]
+            else:
+                shard = np.empty(0, object)
+            self._shard_loads.append((name, b))
+            self._meta_shards[key] = shard
+            if len(self._meta_shards) > self._meta_shard_cap:
+                self._meta_shards.popitem(last=False)
+        else:
+            self._meta_shards.move_to_end(key)
+        return shard
+
+    def _buckets_of(self, docs: np.ndarray) -> np.ndarray:
+        return np.searchsorted(self._doc_offsets, docs, side="right") - 1
+
+    def _norm_bytes_for(self, docs: np.ndarray) -> np.ndarray:
+        """Norm byte per doc, loading only the doc buckets `docs` touch."""
+        out = np.empty(docs.size, dtype=np.uint8)
+        buckets = self._buckets_of(docs)
+        for b in np.unique(buckets):
+            sel = buckets == b
+            out[sel] = self._norm_shard(int(b))[
+                docs[sel] - self._doc_offsets[b]
+            ]
+        return out
+
+    def _meta_values(self, name: str, docs: np.ndarray) -> np.ndarray:
+        """Doc-meta column values per doc (object array), loading only the
+        buckets `docs` touch — the docValues analog, doc-range sharded."""
+        out = np.empty(docs.size, dtype=object)
+        buckets = self._buckets_of(docs)
+        for b in np.unique(buckets):
+            sel = buckets == b
+            out[sel] = self._meta_shard(name, int(b))[
+                docs[sel] - self._doc_offsets[b]
+            ]
+        return out
+
+    # -- fielded filters (Solr fq analog: corpus.cgi:328-339 product /
+    #    resource / lang filter queries; solrTestLib_v2.js:38-102) --------
+    def _filter_docs(self, filters: dict | None) -> np.ndarray | None:
+        """Sorted doc ids matching ALL fields (values OR within a field) —
+        cached per normalized filter (the Solr filterCache, 512-entry LRU
+        discipline, solrconfig.xml:534-541)."""
+        if not filters:
+            return None
+        key = tuple(
+            (f, tuple(sorted([v] if isinstance(v, str) else v)))
+            for f, v in sorted(filters.items())
+        )
+        cached = self._filter_cache.get(key)
+        if cached is not None:
+            self._filter_cache.move_to_end(key)
+            return cached
+        cur: np.ndarray | None = None
+        for fname, vals in key:
+            ids = self._docs_with_values(fname, vals)
+            cur = ids if cur is None else self._sorted_intersect(cur, ids)
+        self._filter_cache[key] = cur
+        if len(self._filter_cache) > self._filter_cache_cap:
+            self._filter_cache.popitem(last=False)
+        return cur
+
+    def _docs_with_values(self, field: str, vals: tuple) -> np.ndarray:
+        vset = set(vals)
+        out = []
+        for b in range(len(self._doc_offsets)):
+            col = self._meta_shard(field, b)
+            if col.size == 0:
+                continue
+            mask = np.isin(col, np.array(sorted(vset), dtype=object))
+            if mask.any():
+                out.append(np.flatnonzero(mask) + self._doc_offsets[b])
+        return (
+            np.concatenate(out) if out else np.empty(0, np.int64)
+        ).astype(np.int64)
+
+    @staticmethod
+    def _mask_member(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+        """Boolean membership of `values` in a SORTED unique id array."""
+        idx = np.searchsorted(sorted_set, values)
+        return (idx < sorted_set.size) & (
+            sorted_set[np.minimum(idx, sorted_set.size - 1)] == values
+        )
 
     def _term_contrib(
         self, tp: TermPostings, docs: np.ndarray, tfs: np.ndarray
@@ -321,9 +432,24 @@ class IndexReader:
     @staticmethod
     def parse(query: str) -> tuple[str, str]:
         q = query.strip()
+        if q in ("*", "*:*", "[* TO *]"):
+            # match-all — the reference's actual flagship query shape is
+            # q=<lang>:[* TO *] with fq filters doing the real selection
+            # (solrTestLib_v2.js:38-44, corpus.cgi:328)
+            return "all", ""
         if len(q) >= 2 and q.startswith('"') and q.endswith('"'):
             return "phrase", q[1:-1]
         return "terms", q
+
+    def _all_docs(self) -> np.ndarray:
+        """Every existing doc id (bucket offsets + ranks — valid for dense
+        and strided id layouts)."""
+        parts = [
+            np.arange(c, dtype=np.int64) + o
+            for o, c in zip(self._doc_offsets, self._doc_counts)
+            if c
+        ]
+        return np.concatenate(parts) if parts else np.empty(0, np.int64)
 
     def _query_profile(self, lang: str | None) -> str:
         if self.profile == "auto":
@@ -339,15 +465,25 @@ class IndexReader:
         mode: str = "OR",
         algorithm: str = "wand",
         lang: str | None = None,
+        filters: dict | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, float32 score); ties broken by ascending doc_id.
         `algorithm`: "wand" (vectorized block-max) or "exhaustive" —
         rank-identical by construction and by test. `lang` selects the
         query analyzer on per-language ("auto") indexes, like querying a
-        specific language field in the reference."""
+        specific language field in the reference. `filters` restricts
+        results to docs whose doc-meta columns match (values OR within a
+        field, AND across fields — the Solr fq composition the reference UI
+        issues, solrTestLib_v2.js:38-102); BM25 statistics stay corpus-global
+        exactly like Solr's fq (filters select, they don't re-weight)."""
         from .tokenize import tokenize_query
 
         kind, body = self.parse(query)
+        fdocs = self._filter_docs(filters)
+        if kind == "all":
+            # constant-score match-all (Solr q=*:* scores 1.0)
+            docs = fdocs if fdocs is not None else self._all_docs()
+            return [(int(d), 1.0) for d in docs[: max(k, 0)]]
         terms = tokenize_query(
             body, profile=self._query_profile(lang), protected=self.protected
         )
@@ -365,74 +501,65 @@ class IndexReader:
             )
         if not terms or k <= 0:
             return []
+        if fdocs is not None and fdocs.size == 0:
+            return []
         if kind == "phrase":
-            return self._search_phrase(terms, k)
+            return self._search_phrase(terms, k, fdocs)
         if algorithm == "exhaustive" or mode == "AND":
-            return self._search_exhaustive(terms, k, mode)
-        return self._search_wand(terms, k)
+            return self._search_exhaustive(terms, k, mode, fdocs)
+        return self._search_wand(terms, k, fdocs)
 
-    def match_count(self, query: str, mode: str = "OR", lang: str | None = None) -> int:
+    def match_count(
+        self, query: str, mode: str = "OR", lang: str | None = None,
+        filters: dict | None = None,
+    ) -> int:
         """numFound analog (reference G3, corpus.cgi:409)."""
-        return int(self._matching_docs(query, mode, lang=lang).size)
-
-    def _meta_col(self, name: str) -> np.ndarray:
-        """Doc-meta column indexed by doc_id, loaded once per reader (like
-        norms; the stored-field / docValues analog). At 10^12 docs this
-        shards by doc-range instead of loading whole."""
-        if not hasattr(self, "_meta_cols"):
-            self._meta_cols: dict[str, np.ndarray] = {}
-        if name not in self._meta_cols:
-            parts = []
-            for b in range(len(self._doc_offsets)):
-                path = os.path.join(
-                    self.index_dir, "docstore", f"bucket={b:05d}.parquet"
-                )
-                if os.path.exists(path):
-                    t = pq.read_table(path, columns=[name])
-                    parts.append(t[name].to_numpy(zero_copy_only=False))
-            self._meta_cols[name] = (
-                np.concatenate(parts) if parts else np.empty(0, object)
-            )
-        return self._meta_cols[name]
+        return int(self._matching_docs(query, mode, lang=lang, filters=filters).size)
 
     # ------------------------------------------------------------------
     # facets on query results (reference G4 FacetComponent,
-    # solrconfig.xml:1104; facet links ResultWidget.js:11-38)
+    # solrconfig.xml:1104; facet links ResultWidget.js:11-38 — clicking a
+    # facet value adds an fq, i.e. `filters` here: drill-down)
     # ------------------------------------------------------------------
     def facets(
         self, query: str, fields: list[str], mode: str = "OR",
-        lang: str | None = None,
+        lang: str | None = None, filters: dict | None = None,
     ) -> dict[str, list[tuple[str, int]]]:
         """Per-field (value, count) over ALL matching docs, count-desc then
         value-asc (Solr facet.sort=count discipline)."""
-        docs = self._matching_docs(query, mode, lang=lang)
+        docs = self._matching_docs(query, mode, lang=lang, filters=filters)
         out: dict[str, list[tuple[str, int]]] = {}
         for f in fields:
-            col = self._meta_col(f)[docs] if docs.size else np.empty(0, object)
+            col = self._meta_values(f, docs) if docs.size else np.empty(0, object)
             vals, counts = np.unique(col.astype("U"), return_counts=True)
             order = np.lexsort((vals, -counts))
             out[f] = [(str(vals[i]), int(counts[i])) for i in order]
         return out
 
     def _matching_docs(
-        self, query: str, mode: str = "OR", lang: str | None = None
+        self, query: str, mode: str = "OR", lang: str | None = None,
+        filters: dict | None = None,
     ) -> np.ndarray:
         """The ONE match-set analysis path shared by match_count / facets /
-        search_sorted: same profile routing, protected set, and synonym
-        expansion as search() (a 'auto'-profile index or protected query
-        terms must behave identically on every query surface)."""
+        search_sorted: same profile routing, protected set, synonym
+        expansion and filter composition as search() (a 'auto'-profile index
+        or protected query terms must behave identically on every query
+        surface)."""
         from .tokenize import tokenize_query
 
         kind, body = self.parse(query)
+        fdocs = self._filter_docs(filters)
+        if kind == "all":
+            return fdocs if fdocs is not None else self._all_docs()
         terms = tokenize_query(
             body, profile=self._query_profile(lang), protected=self.protected
         )
         if kind != "phrase" and self.synonyms:
             terms = [x for t in terms for x in (t, *self.synonyms.get(t, []))]
-        if not terms:
+        if not terms or (fdocs is not None and fdocs.size == 0):
             return np.empty(0, np.int64)
         if kind == "phrase":
-            return self._phrase_candidates(terms)
+            return self._phrase_candidates(terms, fdocs)
         sets = [
             tp.decode_all()[0] if tp else np.empty(0, np.int64)
             for tp in self._clause_postings(terms)
@@ -441,8 +568,11 @@ class IndexReader:
             cur = sets[0]
             for s in sets[1:]:
                 cur = np.intersect1d(cur, s, assume_unique=True)
-            return cur
-        return np.unique(np.concatenate(sets)) if sets else np.empty(0, np.int64)
+        else:
+            cur = np.unique(np.concatenate(sets)) if sets else np.empty(0, np.int64)
+        if fdocs is not None:
+            cur = self._sorted_intersect(cur, fdocs)
+        return cur
 
     # ------------------------------------------------------------------
     # field sort + pagination (reference O2 field sort `sort=srclc asc`,
@@ -452,32 +582,52 @@ class IndexReader:
     def search_sorted(
         self,
         query: str,
-        sort_by: str,
-        ascending: bool = True,
+        sort_by: str | list[str],
+        ascending: bool | list[bool] = True,
         start: int = 0,
         rows: int = 10,
         mode: str = "OR",
         lang: str | None = None,
+        filters: dict | None = None,
     ) -> pa.Table:
-        """Matching docs ordered by a doc-meta column (doc_id tie-break),
-        windowed by (start, rows); returns stored fields of the page."""
-        docs = self._matching_docs(query, mode, lang=lang)
+        """Matching docs ordered by one or more doc-meta columns (doc_id
+        tie-break), windowed by (start, rows); returns stored fields of the
+        page. Multi-key sort matches the reference UI's `product asc,
+        srclc asc` / `release desc, srclc asc` orderings
+        (solrTestLib_v2.js:83-96). numFound rides in the result's schema
+        metadata (b"num_found") like Solr's response header."""
+        sort_fields = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        asc = (
+            [ascending] * len(sort_fields)
+            if isinstance(ascending, bool)
+            else list(ascending)
+        )
+        if len(asc) != len(sort_fields):
+            raise ValueError("ascending must match sort_by length")
+        docs = self._matching_docs(query, mode, lang=lang, filters=filters)
+        num_found = int(docs.size)
         if docs.size == 0:
-            return pa.table({})
-        keys = self._meta_col(sort_by)[docs].astype("U")
-        if ascending:
-            order = np.lexsort((docs, keys))
-        else:
-            # descending on the key, still ascending doc_id within ties
-            rank = np.unique(keys, return_inverse=True)[1]
-            order = np.lexsort((docs, -rank))
+            return pa.table({}).replace_schema_metadata({b"num_found": b"0"})
+        # np.lexsort: LAST key is primary -> (doc_id, key_n, ..., key_1)
+        lex_keys: list[np.ndarray] = [docs]
+        for f, a in zip(reversed(sort_fields), reversed(asc)):
+            keys = self._meta_values(f, docs).astype("U")
+            if a:
+                lex_keys.append(keys)
+            else:
+                rank = np.unique(keys, return_inverse=True)[1]
+                lex_keys.append(-rank)
+        order = np.lexsort(tuple(lex_keys))
         page = docs[order[start : start + rows]]
         fields = self.doc_fields([int(d) for d in page])
         if fields.num_rows == 0:
-            return fields
+            return fields.replace_schema_metadata(
+                {b"num_found": str(num_found).encode()}
+            )
         # doc_fields returns doc_id-ascending; restore the page's sort order
         pos = {int(d): i for i, d in enumerate(fields["doc_id"].to_pylist())}
-        return fields.take(pa.array([pos[int(d)] for d in page]))
+        out = fields.take(pa.array([pos[int(d)] for d in page]))
+        return out.replace_schema_metadata({b"num_found": str(num_found).encode()})
 
     # -- shared scoring kernel -----------------------------------------
     def _score_union(
@@ -499,15 +649,34 @@ class IndexReader:
             acc[idx] += s
         return union, acc
 
+    @classmethod
+    def _clip_to_filter(
+        cls, decoded: list[tuple[np.ndarray, np.ndarray]], fdocs: np.ndarray | None
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Restrict decoded postings to the filter's doc set BEFORE scoring
+        (docs outside the fq never enter the union/accumulator)."""
+        if fdocs is None:
+            return decoded
+        out = []
+        for d, t in decoded:
+            if d.size == 0:
+                out.append((d, t))
+                continue
+            m = cls._mask_member(d, fdocs)
+            out.append((d[m], t[m]))
+        return out
+
     # -- exhaustive ----------------------------------------------------
     def _search_exhaustive(
-        self, terms: list[str], k: int, mode: str = "OR"
+        self, terms: list[str], k: int, mode: str = "OR",
+        fdocs: np.ndarray | None = None,
     ) -> list[tuple[int, float]]:
         plist = self._clause_postings(terms)
         decoded = [
             tp.decode_all() if tp else (np.empty(0, np.int64), np.empty(0, np.int64))
             for tp in plist
         ]
+        decoded = self._clip_to_filter(decoded, fdocs)
         union, acc = self._score_union(plist, decoded)
         if union.size == 0:
             return []
@@ -523,7 +692,9 @@ class IndexReader:
         return [(int(union[i]), float(acc[i])) for i in top]
 
     # -- vectorized block-max WAND -------------------------------------
-    def _search_wand(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+    def _search_wand(
+        self, terms: list[str], k: int, fdocs: np.ndarray | None = None
+    ) -> list[tuple[int, float]]:
         plist = [tp for tp in self._clause_postings(terms)]
         live = [(ci, tp) for ci, tp in enumerate(plist) if tp is not None]
         if not live:
@@ -540,6 +711,15 @@ class IndexReader:
         ranges_skipped = 0
         while lo <= max_doc:
             hi = lo + R
+            if fdocs is not None:
+                # fq pre-check: skip ranges holding no filter docs, and jump
+                # straight to the next filter doc past empty stretches
+                f0 = int(np.searchsorted(fdocs, lo))
+                if f0 >= fdocs.size:
+                    break
+                if fdocs[f0] >= hi:
+                    lo = int(fdocs[f0]) - (int(fdocs[f0]) % R)
+                    hi = lo + R
             # per-term overlapping block span via skip pointers
             spans = []
             ub_sum = np.float32(0.0)
@@ -566,6 +746,7 @@ class IndexReader:
                 a = int(np.searchsorted(d, lo))
                 b = int(np.searchsorted(d, hi))
                 decoded.append((d[a:b], t[a:b]))
+            decoded = self._clip_to_filter(decoded, fdocs)
             union, acc = self._score_union([tp for _, tp in live], decoded)
             if union.size:
                 cand_docs = np.concatenate((top_docs, union))
@@ -592,7 +773,9 @@ class IndexReader:
         sel = (idx < b.size) & (b[np.minimum(idx, b.size - 1)] == a)
         return a[sel]
 
-    def _phrase_candidates(self, terms: list[str]) -> np.ndarray:
+    def _phrase_candidates(
+        self, terms: list[str], fdocs: np.ndarray | None = None
+    ) -> np.ndarray:
         """Docs containing the terms at consecutive positions — fully
         vectorized: per term, flat (doc, pos) arrays filtered to the AND
         candidate set, packed into (doc << 32 | shifted_pos) keys (sorted by
@@ -602,7 +785,7 @@ class IndexReader:
         empty = np.empty(0, dtype=np.int64)
         if any(tp is None for tp in plist):
             return empty
-        cand = None
+        cand = fdocs
         for tp in sorted(plist, key=lambda t: t.df):  # rarest first
             d = tp.decode_all()[0]
             cand = d if cand is None else self._sorted_intersect(cand, d)
@@ -621,8 +804,10 @@ class IndexReader:
         docs = keys >> 32  # sorted, possibly repeated (multiple match starts)
         return docs[np.concatenate(([True], docs[1:] != docs[:-1]))]
 
-    def _search_phrase(self, terms: list[str], k: int) -> list[tuple[int, float]]:
-        cand = self._phrase_candidates(terms)
+    def _search_phrase(
+        self, terms: list[str], k: int, fdocs: np.ndarray | None = None
+    ) -> list[tuple[int, float]]:
+        cand = self._phrase_candidates(terms, fdocs)
         if cand.size == 0:
             return []
         plist = self._clause_postings(terms)

@@ -1,0 +1,148 @@
+"""Fielded filter queries (Solr fq analog: corpus.cgi:328-339 /
+solrTestLib_v2.js:38-102), facet drill-down, match-all, multi-key sort +
+numFound, and doc-range shard locality of the serving state."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+
+def _doc_meta(idx, manifest, cols):
+    meta = pq.read_table(
+        os.path.join(idx, "docstore"), columns=["doc_bucket", "local_rank"] + cols
+    )
+    did = (
+        np.asarray(manifest["doc_offsets"])[np.asarray(meta["doc_bucket"])]
+        + np.asarray(meta["local_rank"])
+    )
+    return did, meta
+
+
+def test_filtered_search_rank_identity(built_index):
+    """filters= must equal the unfiltered full ranking restricted to the
+    filter's doc set, and WAND must equal exhaustive under filters."""
+    from nexlt_ray.query import IndexReader
+
+    idx, manifest = built_index
+    r = IndexReader(idx)
+    did, meta = _doc_meta(idx, manifest, ["lang"])
+    langs = np.asarray(meta["lang"].to_pylist(), dtype=object)
+    lang = str(langs[0])
+    fset = set(did[langs.astype("U") == lang].tolist())
+    for q in ["parse", "http parse", "alloc buffer free"]:
+        full = r.search(q, k=int(manifest["n_docs"]), algorithm="exhaustive")
+        exp = [(d, s) for d, s in full if d in fset][:10]
+        got_ex = r.search(q, k=10, algorithm="exhaustive",
+                          filters={"lang": lang})
+        got_wand = r.search(q, k=10, algorithm="wand", filters={"lang": lang})
+        assert got_ex == exp, q
+        assert got_wand == exp, q
+
+
+def test_filter_composition_and_or(built_index):
+    """Values OR within a field, AND across fields."""
+    from nexlt_ray.query import IndexReader
+
+    idx, manifest = built_index
+    r = IndexReader(idx)
+    did, meta = _doc_meta(idx, manifest, ["lang", "repo"])
+    langs = np.asarray(meta["lang"].to_pylist(), dtype=object).astype("U")
+    repos = np.asarray(meta["repo"].to_pylist(), dtype=object).astype("U")
+    l0, l1 = np.unique(langs)[:2]
+    rp = repos[0]
+    docs = r._matching_docs("parse")
+    sel = np.isin(did, docs) & ((langs == l0) | (langs == l1)) & (repos == rp)
+    exp = int(sel.sum())
+    got = r.match_count(
+        "parse", filters={"lang": [str(l0), str(l1)], "repo": str(rp)}
+    )
+    assert got == exp
+
+
+def test_match_all_with_filters(built_index):
+    """q=*:* + fq — the reference's flagship query shape
+    (q=<lang>:[* TO *], solrTestLib_v2.js:38-44)."""
+    from nexlt_ray.query import IndexReader
+
+    idx, manifest = built_index
+    r = IndexReader(idx)
+    did, meta = _doc_meta(idx, manifest, ["lang"])
+    langs = np.asarray(meta["lang"].to_pylist(), dtype=object).astype("U")
+    lang = str(langs[0])
+    n_lang = int((langs == lang).sum())
+    assert r.match_count("*:*") == manifest["n_docs"]
+    assert r.match_count("*:*", filters={"lang": lang}) == n_lang
+    hits = r.search("*:*", k=5, filters={"lang": lang})
+    assert len(hits) == min(5, n_lang)
+    assert all(s == 1.0 for _, s in hits)
+    exp_ids = np.sort(did[langs == lang])[:5].tolist()
+    assert [d for d, _ in hits] == exp_ids
+
+
+def test_facet_drilldown(built_index):
+    """Clicking a facet value (ResultWidget.js:11-38) adds an fq; counts on
+    other fields must re-narrow accordingly."""
+    from nexlt_ray.query import IndexReader
+
+    idx, manifest = built_index
+    r = IndexReader(idx)
+    base = r.facets("parse", ["lang", "repo"])
+    lang, n_lang = base["lang"][0]
+    drilled = r.facets("parse", ["lang", "repo"], filters={"lang": lang})
+    assert drilled["lang"] == [(lang, n_lang)]
+    assert sum(c for _, c in drilled["repo"]) == n_lang
+    # drill-down counts are bounded by the undrilled counts
+    base_repo = dict(base["repo"])
+    assert all(c <= base_repo[v] for v, c in drilled["repo"])
+
+
+def test_multikey_sort_and_num_found(built_index):
+    """Multi-key field sort (product asc, srclc asc discipline,
+    solrTestLib_v2.js:83-96) + numFound in the schema metadata."""
+    from nexlt_ray.query import IndexReader
+
+    idx, manifest = built_index
+    r = IndexReader(idx)
+    docs = r._matching_docs("parse")
+    langs = r._meta_values("lang", docs).astype("U")
+    paths = r._meta_values("path", docs).astype("U")
+    order = np.lexsort((docs, paths, langs))  # lang primary, path secondary
+    exp = docs[order][:7].tolist()
+    page = r.search_sorted("parse", sort_by=["lang", "path"], rows=7)
+    assert page["doc_id"].to_pylist() == exp
+    assert int(page.schema.metadata[b"num_found"]) == docs.size
+    # mixed ascending: lang desc, path asc
+    lrank = np.unique(langs, return_inverse=True)[1]
+    order2 = np.lexsort((docs, paths, -lrank))
+    exp2 = docs[order2][:7].tolist()
+    page2 = r.search_sorted(
+        "parse", sort_by=["lang", "path"], ascending=[False, True], rows=7
+    )
+    assert page2["doc_id"].to_pylist() == exp2
+
+
+def test_serving_state_shard_locality(built_index):
+    """A reader must load only the doc buckets its docs live in (doc-range
+    sharded norms/meta; no whole-column concatenation)."""
+    from nexlt_ray.query import IndexReader
+
+    idx, manifest = built_index
+    r = IndexReader(idx)
+    counts = np.asarray(manifest["doc_counts"])
+    offsets = np.asarray(manifest["doc_offsets"])
+    b0 = int(np.flatnonzero(counts > 0)[0])
+    d0 = np.array([offsets[b0]], dtype=np.int64)
+    r._norm_bytes_for(d0)
+    r._meta_values("lang", d0)
+    assert r._shard_loads == [("norm", b0), ("lang", b0)]
+    # filters legitimately scan every bucket's column once — but only that
+    # column, and the cache means once
+    r._shard_loads.clear()
+    r.match_count("parse", filters={"lang": "python"})
+    loaded = set(r._shard_loads)
+    assert all(name == "lang" for name, _ in loaded)
+    r._shard_loads.clear()
+    r.match_count("parse", filters={"lang": "python"})  # filterCache hit
+    assert r._shard_loads == []

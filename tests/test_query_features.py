@@ -61,7 +61,7 @@ def test_search_sorted_desc(built_index):
     docs = r._matching_docs("unpack")
     if docs.size < 3:
         pytest.skip("not enough matches")
-    keys = r._meta_col("path")[docs].astype("U")
+    keys = r._meta_values("path", docs).astype("U")
     order_asc = np.lexsort((docs, keys))
     order_desc_expect = docs[
         np.lexsort((docs, -np.unique(keys, return_inverse=True)[1]))
