@@ -45,7 +45,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from . import bm25
-from .build import term_bucket_of
+from .build import _expand_slices, term_bucket_of
 from .codec import decode_positions_span, decode_span
 
 # query complexity cap (reference maxBooleanClauses, solrconfig.xml:500)
@@ -71,6 +71,7 @@ class TermPostings:
     _all: tuple | None = field(default=None, repr=False)
     _ubs: np.ndarray | None = field(default=None, repr=False)
     _pos_flat: tuple | None = field(default=None, repr=False)
+    _pos_keys: np.ndarray | None = field(default=None, repr=False)
 
     def __post_init__(self):
         rows_i, local_i, lasts, mtfs, mnorms, cnts = [], [], [], [], [], []
@@ -92,6 +93,7 @@ class TermPostings:
         self.blk_min_norm = np.concatenate(mnorms).astype(np.uint8)
         self.blk_cnt = np.concatenate(cnts)
         self._block_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._pos_block_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     @property
     def n_blocks(self) -> int:
@@ -153,6 +155,30 @@ class TermPostings:
             self._all = self.decode_blocks(0, self.n_blocks)
         return self._all
 
+    def postings_for_docs(self, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(docs, tfs) from only the skip blocks that can contain a candidate
+        doc — sufficient for membership tests / lookups against `cand`
+        (blocks without candidates cannot contribute). Doc-ascending."""
+        if self._all is not None:
+            return self._all
+        if cand.size >= self.n_blocks:  # dense: every block likely touched
+            return self.decode_all()
+        need = np.unique(np.searchsorted(self.blk_last, cand))
+        need = need[need < self.n_blocks]
+        if need.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        if need.size * 8 > self.n_blocks:
+            # dense candidates: per-block bookkeeping costs more than the
+            # row-level single-pass varint decode — fall back
+            return self.decode_all()
+        pieces = []
+        for run in np.split(need, np.flatnonzero(np.diff(need) > 1) + 1):
+            pieces.append(self.decode_blocks(int(run[0]), int(run[-1]) + 1))
+        return (
+            np.concatenate([p[0] for p in pieces]),
+            np.concatenate([p[1] for p in pieces]),
+        )
+
     def flat_positions(self) -> tuple[np.ndarray, np.ndarray]:
         """(doc_of_position, position) flat arrays over the whole posting
         list, doc-ascending — the vectorized phrase-evaluation form."""
@@ -170,6 +196,73 @@ class TermPostings:
             pos = np.concatenate(pos_l)
             self._pos_flat = (np.repeat(docs, counts), pos)
         return self._pos_flat
+
+    def _pos_decode_run(self, j_lo: int, j_hi: int) -> None:
+        """Decode positions of uncached global blocks [j_lo, j_hi) into the
+        per-block position cache, one varint pass per per-row span."""
+        j = j_lo
+        while j < j_hi:
+            ri = int(self.blk_row[j])
+            r = self.rows[ri]
+            lo = int(self.blk_local[j])
+            j2 = j
+            while j2 < j_hi and int(self.blk_row[j2]) == ri:
+                j2 += 1
+            counts, pos = decode_positions_span(
+                r["pos_blob"], r["block_pos_off"], lo, lo + (j2 - j), r["df"],
+                r["block_size"],
+            )
+            docs, _ = self.decode_blocks(j, j2)
+            off_p = off_pos = 0
+            for jj in range(j, j2):
+                c = int(self.blk_cnt[jj])
+                cnt_j = counts[off_p : off_p + c]
+                n_pos = int(cnt_j.sum())
+                self._pos_block_cache[jj] = (
+                    np.repeat(docs[off_p : off_p + c], cnt_j),
+                    pos[off_pos : off_pos + n_pos],
+                )
+                off_p += c
+                off_pos += n_pos
+            j = j2
+
+    def positions_for_docs(self, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_of_position, position) restricted to the skip blocks that can
+        contain a candidate doc — for a stopword term in a rare phrase this
+        decodes a tiny fraction of the position stream instead of all of it.
+        Output docs are ascending (blocks are doc-ascending globally)."""
+        if self._pos_flat is not None:  # already fully decoded — reuse
+            return self._pos_flat
+        if cand.size >= self.n_blocks:  # dense: every block likely touched
+            return self.flat_positions()
+        need = np.unique(np.searchsorted(self.blk_last, cand))
+        need = need[need < self.n_blocks]
+        if need.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        if need.size * 8 > self.n_blocks:
+            # dense candidates: the row-level one-pass decode wins
+            return self.flat_positions()
+        # decode only uncached stretches of CONTIGUOUS needed blocks (gaps
+        # between needed blocks are never decoded)
+        for run in np.split(need, np.flatnonzero(np.diff(need) > 1) + 1):
+            j_lo, j_hi = int(run[0]), int(run[-1]) + 1
+            sub = None
+            for j in range(j_lo, j_hi):
+                if j not in self._pos_block_cache:
+                    if sub is None:
+                        sub = j
+                elif sub is not None:
+                    self._pos_decode_run(sub, j)
+                    sub = None
+            if sub is not None:
+                self._pos_decode_run(sub, j_hi)
+        pieces = [self._pos_block_cache[int(j)] for j in need]
+        if not pieces:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return (
+            np.concatenate([p[0] for p in pieces]),
+            np.concatenate([p[1] for p in pieces]),
+        )
 
 
 class IndexReader:
@@ -787,20 +880,52 @@ class IndexReader:
             return empty
         cand = fdocs
         for tp in sorted(plist, key=lambda t: t.df):  # rarest first
-            d = tp.decode_all()[0]
-            cand = d if cand is None else self._sorted_intersect(cand, d)
+            if cand is None:
+                d = tp.decode_all()[0]
+                cand = d
+            else:
+                # later (more frequent) terms: decode only blocks that can
+                # hold a current candidate
+                d = tp.postings_for_docs(cand)[0]
+                cand = self._sorted_intersect(cand, d)
             if cand.size == 0:
                 return empty
-        keys = None
-        for i, tp in sorted(enumerate(plist), key=lambda x: x[1].cf):
-            dp, pp = tp.flat_positions()
-            idx = np.searchsorted(cand, dp)
-            sel = (idx < cand.size) & (cand[np.minimum(idx, cand.size - 1)] == dp)
-            # +64 keeps the shifted position non-negative (no doc aliasing)
-            key = dp[sel] * (1 << 32) + (pp[sel] - i + 64)
-            keys = key if keys is None else self._sorted_intersect(keys, key)
+        ordered = sorted(enumerate(plist), key=lambda x: x[1].cf)
+        # seed phrase-start keys (doc<<32 | start+64) from the RAREST term's
+        # positions at candidate docs (binary-search the small doc set into
+        # the sorted position stream + range expansion)
+        i0, tp0 = ordered[0]
+        dp, pp = tp0.positions_for_docs(cand)
+        lo = np.searchsorted(dp, cand, side="left")
+        hi = np.searchsorted(dp, cand, side="right")
+        cnt = hi - lo
+        sel = _expand_slices(lo, cnt)
+        # +64 keeps the shifted start non-negative (no doc aliasing)
+        keys = np.repeat(cand, cnt) * (1 << 32) + (pp[sel] - i0 + 64)
+        for i, tp in ordered[1:]:
             if keys.size == 0:
                 return empty
+            # hotter terms: NEVER materialize per-query key arrays over
+            # their full position stream — membership-test the (small)
+            # surviving key set against a sorted position-key array
+            # (cached once per term when fully decoded)
+            d_alive = keys >> 32
+            cur_docs = d_alive[
+                np.concatenate(([True], d_alive[1:] != d_alive[:-1]))
+            ]
+            dp, pp = tp.positions_for_docs(cur_docs)
+            if tp._pos_flat is not None and dp is tp._pos_flat[0]:
+                if tp._pos_keys is None:
+                    tp._pos_keys = dp * (1 << 32) + (pp + 64)
+                K = tp._pos_keys
+            else:
+                K = dp * (1 << 32) + (pp + 64)
+            target = keys + i
+            idx = np.searchsorted(K, target)
+            hit = (idx < K.size) & (K[np.minimum(idx, K.size - 1)] == target)
+            keys = keys[hit]
+        if keys.size == 0:
+            return empty
         docs = keys >> 32  # sorted, possibly repeated (multiple match starts)
         return docs[np.concatenate(([True], docs[1:] != docs[:-1]))]
 
@@ -813,7 +938,7 @@ class IndexReader:
         plist = self._clause_postings(terms)
         acc = np.zeros(cand.size, dtype=np.float32)
         for tp in plist:
-            d, t = tp.decode_all()
+            d, t = tp.postings_for_docs(cand)
             idx = np.searchsorted(d, cand)
             sel = (idx < d.size) & (d[np.minimum(idx, d.size - 1)] == cand)
             s = self._term_contrib(tp, d[idx[sel]], t[idx[sel]])
