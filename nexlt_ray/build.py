@@ -70,7 +70,13 @@ class BuildConfig:
     profile: str = "code"              # tokenizer profile (tokenize.PROFILES)
     num_doc_buckets: int = 64          # dedup/docID shuffle partitions
     num_term_buckets: int = 32         # postings merge shuffle partitions
-    range_bits: int = 22               # doc-range salt: doc_id >> range_bits
+    # doc-range salt: doc_id >> range_bits. None -> resolved adaptively at
+    # build time (see _resolve_range_bits) so a hot term's postings split
+    # into ~16 independently-mergeable ranges at ANY corpus size — the
+    # single-term encode is otherwise the unbreakable merge straggler that
+    # caps scaling (one task encodes the whole "the" posting list while
+    # every other core idles).
+    range_bits: int | None = None
     block_size: int = BLOCK_SIZE       # postings per skip block
     store_positions: bool = True       # positional index (phrase queries)
     max_content_chars: int | None = None  # drop longer docs (reference: 5000,
@@ -118,6 +124,22 @@ class BuildConfig:
 def term_bucket_of(term: str, num_term_buckets: int) -> int:
     """Stable term -> merge-bucket hash (crc32; cross-process deterministic)."""
     return zlib.crc32(term.encode("utf-8")) % num_term_buckets
+
+
+def _resolve_range_bits(
+    cfg: BuildConfig, n_docs: int, target_ranges: int = 16, floor: int = 14
+) -> int:
+    """Adaptive doc-range width: the smallest shift >= `floor` that yields at
+    most `target_ranges` ranges over the corpus. Depends only on n_docs, so
+    rebuilds at any batch size / bucket count resolve identically. The floor
+    bounds per-term row counts for rare/medium terms (a df-1000 term gets at
+    most `target_ranges` rows, not one row per 16k docs)."""
+    if cfg.range_bits is not None:
+        return cfg.range_bits
+    bits = floor
+    while n_docs > 0 and ((n_docs - 1) >> bits) + 1 > target_ranges:
+        bits += 1
+    return bits
 
 
 def _token_vectors_to_batch(batch: pa.Table):
@@ -194,12 +216,23 @@ def _sha_and_bucket(batch: pa.Table, cfg: BuildConfig) -> pa.Table:
     buckets = np.array(
         [(int(s[:8], 16) * cfg.num_doc_buckets) >> 32 for s in shas], dtype=np.int32
     )
-    tb = _tokenize_cfg(batch, cfg)
-    norm = small_float_int_to_byte4(tb.doc_len)
+    if cfg.store_token_vectors:
+        tb = _tokenize_cfg(batch, cfg)
+        doc_len = tb.doc_len
+    else:
+        # stage 1 needs only doc lengths; the count-only path skips the
+        # per-occurrence term-array expansion (half the string traffic)
+        from .tokenize import doc_token_lengths, doc_token_lengths_by_lang
+
+        if cfg.profile == "auto":
+            doc_len = doc_token_lengths_by_lang(batch["content"], batch["lang"])
+        else:
+            doc_len = doc_token_lengths(batch["content"], cfg.profile)
+    norm = small_float_int_to_byte4(doc_len)
     out = (
         batch.append_column("content_sha256", pa.array(shas, pa.string()))
         .append_column("doc_bucket", pa.array(buckets, pa.int32()))
-        .append_column("doc_len", pa.array(tb.doc_len, pa.int32()))
+        .append_column("doc_len", pa.array(doc_len, pa.int32()))
         .append_column("norm_byte", pa.array(norm.astype(np.uint8), pa.uint8()))
     )
     if cfg.store_token_vectors:
@@ -396,31 +429,37 @@ class PartialIndexer:
         )
         if self.partials_dir is None:
             return out
-        # disk-shuffle mode: write this batch's rows partitioned by term
-        # bucket (the "map output" of the exchange); return a tiny ack.
+        # disk-shuffle mode: write this batch's rows partitioned by
+        # (term bucket, range bucket) — the merge-task key; a hot term's
+        # ranges merge INDEPENDENTLY so no single task encodes a stopword's
+        # whole posting list. Returns a tiny ack.
         # The part filename derives from the batch's stable identity (its
         # first doc row) — batches are disjoint (doc_bucket, local_rank) row
         # ranges of the deterministic docstore, so a Ray task RETRY rewrites
         # the same file instead of leaving a duplicate (duplicate postings
         # would make encode_postings raise 'doc_ids must be strictly
         # increasing' and wedge the resume).
-        order = np.argsort(tbuckets, kind="stable")
+        pair_key = tbuckets.astype(np.int64) * (1 << 32) + row_rb.astype(np.int64)
+        order = np.argsort(pair_key, kind="stable")
         out = out.take(pa.array(order))
-        tb_sorted = tbuckets[order]
+        key_sorted = pair_key[order]
         bounds = np.flatnonzero(
-            np.concatenate(([True], tb_sorted[1:] != tb_sorted[:-1]))
+            np.concatenate(([True], key_sorted[1:] != key_sorted[:-1]))
         )
-        ends = np.concatenate((bounds[1:], [tb_sorted.size]))
+        ends = np.concatenate((bounds[1:], [key_sorted.size]))
         fname = (
             f"part-{int(batch['doc_bucket'][0].as_py())}-"
             f"{int(batch['local_rank'][0].as_py())}.parquet"
         )
         acks = []
         for lo, hi in zip(bounds, ends):
-            b = int(tb_sorted[lo])
-            path = os.path.join(self.partials_dir, f"bucket={b:05d}", fname)
+            tb = int(key_sorted[lo] >> 32)
+            rb = int(key_sorted[lo] & 0xFFFFFFFF)
+            path = os.path.join(
+                self.partials_dir, f"bucket={tb:05d}-r{rb:05d}", fname
+            )
             atomic_write_parquet(path, out.slice(lo, hi - lo))
-            acks.append((b, hi - lo))
+            acks.append((tb, hi - lo))
         return pa.table(
             {
                 "term_bucket": pa.array([a[0] for a in acks], pa.int32()),
@@ -479,6 +518,25 @@ class SegmentWriter:
         rec = ledger.get(bucket, out_path)
         if rec is not None:
             return self._summary_table(rec)
+        rows, n_postings_total = self.merge_rows(group)
+        rows.sort(key=lambda r: (r["term"], r["range_bucket"]))
+        seg = pa.Table.from_pylist(rows, schema=segment_schema())
+        atomic_write_parquet(out_path, seg)
+        n_terms = len({r["term"] for r in rows})
+        rec = {
+            "partition_id": bucket,
+            "n_terms": n_terms,
+            "n_rows": len(rows),
+            "n_postings": n_postings_total,
+            "output": os.path.relpath(out_path, self.index_dir),
+        }
+        ledger.put(bucket, rec)
+        return self._summary_table(rec)
+
+    def merge_rows(self, group: pa.Table) -> tuple[list[dict], int]:
+        """Merge partial postings into encoded segment rows (one per
+        (term, range_bucket)); deterministic given the multiset of partial
+        rows, independent of their order. Returns (rows, n_postings)."""
         cfg = self.cfg
 
         group = group.combine_chunks()
@@ -562,19 +620,7 @@ class SegmentWriter:
                     "block_min_norm": enc["block_min_norm"].tolist(),
                 }
             )
-        rows.sort(key=lambda r: (r["term"], r["range_bucket"]))
-        seg = pa.Table.from_pylist(rows, schema=segment_schema())
-        atomic_write_parquet(out_path, seg)
-        n_terms = len({r["term"] for r in rows})
-        rec = {
-            "partition_id": bucket,
-            "n_terms": n_terms,
-            "n_rows": len(rows),
-            "n_postings": n_postings_total,
-            "output": os.path.relpath(out_path, self.index_dir),
-        }
-        ledger.put(bucket, rec)
-        return self._summary_table(rec)
+        return rows, n_postings_total
 
 
 def segment_schema() -> pa.Schema:
@@ -709,6 +755,7 @@ def build_index(
                 map_and_spill, batch_format="pyarrow", batch_size=None
             ).count()
             os.replace(tmp_dir, docparts_dir)
+        t_s1_map = time.perf_counter()
 
         def dedup_bucket(batch: pa.Table) -> pa.Table:
             import pyarrow.parquet as _pq
@@ -796,7 +843,11 @@ def build_index(
         return manifest
 
     if cfg.index_concurrency is None:
-        concurrency = max(2, ncpu - 2)
+        # proportional headroom for the producer (read) stage: a FIXED -2
+        # handicaps small clusters (at 4 CPUs it halves the pool) and is a
+        # scale-dependent distortion; 1/8 of the cluster is the same
+        # fraction at every size
+        concurrency = max(2, ncpu - max(1, ncpu // 8))
     else:
         concurrency = cfg.index_concurrency
     def read_docstore():
@@ -812,7 +863,14 @@ def build_index(
             override_num_blocks=max(4 * ncpu, cfg.num_doc_buckets),
         )
 
-    segment_writer = SegmentWriter(index_dir, cfg)
+    # resolve the adaptive doc-range salt now that n_docs is known; record
+    # it in the manifest so readers/incremental builds see the concrete value
+    from dataclasses import replace as _dc_replace
+
+    cfg3 = _dc_replace(cfg, range_bits=_resolve_range_bits(cfg, n_docs))
+    cfg_dict["range_bits"] = cfg3.range_bits
+
+    segment_writer = SegmentWriter(index_dir, cfg3)
 
     if cfg.shuffle == "disk":
         # map side: partial postings land partitioned by term bucket under
@@ -828,25 +886,105 @@ def build_index(
             os.makedirs(tmp_dir, exist_ok=True)  # token-less corpus edge
             read_docstore().map_batches(
                 PartialIndexer,
-                fn_constructor_args=(cfg, offsets, tmp_dir),
+                fn_constructor_args=(cfg3, offsets, tmp_dir),
                 batch_format="pyarrow",
                 batch_size=cfg.index_batch_size,
                 concurrency=concurrency,
                 num_cpus=1,
             ).count()
             os.replace(tmp_dir, partials_dir)
+        t_s3_map = time.perf_counter()
 
-        def merge_bucket(batch: pa.Table) -> pa.Table:
+        # ---- merge: one task per (term_bucket, range_bucket) dir, so hot
+        # terms' ranges encode in parallel; pieces land in transient staging.
+        pieces_dir = os.path.join(exroot, "segpieces")
+        os.makedirs(pieces_dir, exist_ok=True)
+        seg_ledger = Ledger(index_dir, "segments")
+
+        def _seg_path(tb: int) -> str:
+            return os.path.join(index_dir, "segments", f"bucket={tb:05d}.parquet")
+
+        def group_tb(name: str) -> int:
+            return int(name[len("bucket=") : len("bucket=") + 5])
+
+        group_names = []
+        for name in sorted(os.listdir(partials_dir)):
+            if not name.startswith("bucket="):
+                continue
+            tb = group_tb(name)
+            if seg_ledger.get(tb, _seg_path(tb)) is not None:
+                continue  # bucket fully assembled in a previous run
+            d = os.path.join(partials_dir, name)
+            size = sum(os.path.getsize(os.path.join(d, f)) for f in os.listdir(d))
+            group_names.append((size, name))
+        # LPT scheduling: biggest (stopword-heavy) groups first
+        group_names.sort(reverse=True)
+
+        def merge_group(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as _pq
+
+            for name in batch["name"].to_pylist():
+                piece_path = os.path.join(pieces_dir, f"{name}.parquet")
+                if os.path.exists(piece_path):
+                    continue  # idempotent resume
+                tbl = _pq.read_table(os.path.join(partials_dir, name))
+                if tbl.num_rows == 0:
+                    continue
+                rows, _ = segment_writer.merge_rows(tbl)
+                rows.sort(key=lambda r: (r["term"], r["range_bucket"]))
+                atomic_write_parquet(
+                    piece_path, pa.Table.from_pylist(rows, schema=segment_schema())
+                )
+            return pa.table({"n": pa.array([len(batch)], pa.int64())})
+
+        if group_names:
+            ray.data.from_arrow(
+                pa.table({"name": pa.array([n for _, n in group_names])})
+            ).repartition(len(group_names)).map_batches(
+                merge_group, batch_format="pyarrow", batch_size=1, num_cpus=1
+            ).count()
+
+        # ---- assemble: concat + sort each bucket's pieces into its final
+        # segment file (I/O only, no re-encode); ledger commit per bucket.
+        def assemble_bucket(batch: pa.Table) -> pa.Table:
             import pyarrow.parquet as _pq
 
             outs = []
-            for b in batch["term_bucket"].to_pylist():
-                bdir = os.path.join(partials_dir, f"bucket={int(b):05d}")
-                if not os.path.isdir(bdir):
+            for tb in batch["term_bucket"].to_pylist():
+                tb = int(tb)
+                out_path = _seg_path(tb)
+                rec = seg_ledger.get(tb, out_path)
+                if rec is not None:
+                    outs.append(segment_writer._summary_table(rec))
                     continue
-                tbl = _pq.read_table(bdir)
-                if tbl.num_rows:
-                    outs.append(segment_writer(tbl))
+                piece_files = sorted(
+                    os.path.join(pieces_dir, f)
+                    for f in os.listdir(pieces_dir)
+                    if f.startswith(f"bucket={tb:05d}-") and f.endswith(".parquet")
+                )
+                if not piece_files:
+                    continue
+                seg = pa.concat_tables(
+                    [_pq.read_table(f) for f in piece_files]
+                ).combine_chunks()
+                seg = seg.sort_by(
+                    [("term", "ascending"), ("range_bucket", "ascending")]
+                )
+                # normalize physical layout through pylist so the file is
+                # byte-identical to the sort-shuffle mode's from_pylist path
+                # (parquet encodes equal-but-differently-chunked tables with
+                # different bytes; tests pin cross-mode byte identity)
+                seg = pa.Table.from_pylist(seg.to_pylist(), schema=segment_schema())
+                atomic_write_parquet(out_path, seg)
+                rec = {
+                    "partition_id": tb,
+                    "n_terms": len(pc.unique(seg["term"])),
+                    "n_rows": seg.num_rows,
+                    "n_postings": int(pc.sum(seg["df"]).as_py() or 0),
+                    "output": os.path.relpath(out_path, index_dir),
+                }
+                seg_ledger.put(tb, rec)
+                outs.append(segment_writer._summary_table(rec))
             return (
                 pa.concat_tables(outs)
                 if outs
@@ -855,29 +993,26 @@ def build_index(
                 ).slice(0, 0)
             )
 
-        # LPT scheduling: start the biggest buckets (stopword-heavy) first so
-        # the straggler doesn't land at the end of the task queue
-        def bucket_bytes(b: int) -> int:
-            d = os.path.join(partials_dir, f"bucket={b:05d}")
-            if not os.path.isdir(d):
-                return 0
-            return sum(
-                os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+        seg_summaries = (
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "term_bucket": pa.array(
+                            range(cfg.num_term_buckets), pa.int32()
+                        )
+                    }
+                )
             )
-
-        order = sorted(
-            range(cfg.num_term_buckets), key=bucket_bytes, reverse=True
+            .repartition(cfg.num_term_buckets)
+            .map_batches(
+                assemble_bucket, batch_format="pyarrow", batch_size=1, num_cpus=1
+            )
+            .take_all()
         )
-        buckets_ds = ray.data.from_arrow(
-            pa.table({"term_bucket": pa.array(order, pa.int32())})
-        ).repartition(cfg.num_term_buckets)
-        seg_summaries = buckets_ds.map_batches(
-            merge_bucket, batch_format="pyarrow", batch_size=1, num_cpus=1
-        ).take_all()
     else:
         partials = read_docstore().map_batches(
             PartialIndexer,
-            fn_constructor_args=(cfg, offsets),
+            fn_constructor_args=(cfg3, offsets),
             batch_format="pyarrow",
             batch_size=cfg.index_batch_size,
             concurrency=concurrency,
@@ -917,6 +1052,16 @@ def build_index(
         "timings": {
             "stage1_dedup_docstore_sec": round(t_stage1 - t_start, 3),
             "stage3_index_merge_sec": round(t_stage3 - t_stage1, 3),
+            **(
+                {
+                    "stage1_map_sec": round(t_s1_map - t_start, 3),
+                    "stage1_reduce_sec": round(t_stage1 - t_s1_map, 3),
+                    "stage3_map_sec": round(t_s3_map - t_stage1, 3),
+                    "stage3_merge_sec": round(t_stage3 - t_s3_map, 3),
+                }
+                if cfg.shuffle == "disk"
+                else {}
+            ),
         },
     }
     atomic_write_json(manifest_path, manifest)

@@ -26,36 +26,41 @@ BLOCK_SIZE = 128  # postings per skip block (Lucene uses 128-doc packed blocks)
 # ---------------------------------------------------------------------------
 
 
-def varint_encode(values: np.ndarray) -> bytes:
+# LEB128 width thresholds: value < 2^(7k) needs k bytes
+_WIDTH_THRESHOLDS = (np.uint64(1) << (np.uint64(7) * np.arange(1, 10, dtype=np.uint64)))
+
+
+def _varint_widths(v: np.ndarray) -> np.ndarray:
+    """Bytes each uint64 value needs under LEB128 (vectorized, >=1)."""
+    return np.searchsorted(_WIDTH_THRESHOLDS, v, side="right").astype(np.int64) + 1
+
+
+def varint_encode(values: np.ndarray, widths: np.ndarray | None = None) -> bytes:
     """Encode a uint64 array as concatenated LEB128 varints (vectorized).
 
     Each value is emitted little-endian, 7 bits per byte, high bit set on all
-    but the final byte of a value.
+    but the final byte of a value. `widths` (from _varint_widths) may be
+    passed to avoid recomputing byte counts.
     """
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # number of 7-bit groups needed per value (>=1)
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    nz = tmp > 0
-    while nz.any():
-        nbits[nz] += 1
-        tmp = tmp >> np.uint64(7)
-        nz = tmp > 0
-    nbytes = np.maximum(nbits, 1)
-    total = int(nbytes.sum())
-    out = np.empty(total, dtype=np.uint8)
-    # byte position of the first byte of each value
-    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    nbytes = _varint_widths(v) if widths is None else widths
     maxw = int(nbytes.max())
+    if maxw == 1:  # common case: every value fits one byte
+        return v.astype(np.uint8).tobytes()
+    # (maxw, n) byte matrix, then select each value's first `nbytes` bytes in
+    # value-major order — two vector passes instead of per-byte-plane scatter
+    n = v.size
+    ks = np.arange(maxw, dtype=np.uint64)
+    mat = np.empty((maxw, n), dtype=np.uint8)
+    valid = np.empty((maxw, n), dtype=bool)
     for k in range(maxw):
-        mask = nbytes > k  # values that have a k-th byte
-        idx = starts[mask] + k
-        chunk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
-        cont = (nbytes[mask] - 1) > k  # not last byte -> set high bit
-        out[idx] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
-    return out.tobytes()
+        chunk = (v >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = nbytes > (k + 1)  # not the value's last byte -> high bit
+        mat[k] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+        valid[k] = nbytes > k
+    return mat.T[valid.T].tobytes()
 
 
 def varint_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
@@ -173,57 +178,71 @@ def encode_postings(
     if n > 1 and not (np.diff(doc_ids) > 0).all():
         raise ValueError("doc_ids must be strictly increasing")
 
-    nblocks = (n + block_size - 1) // block_size
-    blob_parts: list[bytes] = []
-    pos_parts: list[bytes] = []
-    block_last = np.empty(nblocks, dtype=np.int64)
-    block_off = np.empty(nblocks, dtype=np.int32)
-    block_pos_off = np.empty(nblocks, dtype=np.int32)
-    block_max_tf = np.empty(nblocks, dtype=np.int32)
-    block_min_norm = np.empty(nblocks, dtype=np.uint8)
+    # One varint_encode call per stream (the per-block loop of tiny encode
+    # calls was the stage-3 merge hotspot: ~50 us of numpy fixed cost x 4
+    # calls x n/128 blocks). The value STREAMS are laid out block-wise
+    # ([deltas of block][tfs of block] per block) with vectorized scatter
+    # indexing, and block byte offsets come from the varint width cumsum —
+    # byte-identical to the per-block encoding (the first delta of a block
+    # vs the previous block's last doc equals the plain diff).
+    bs = block_size
+    nblocks = (n + bs - 1) // bs
+    i = np.arange(n, dtype=np.int64)
+    lo_i = (i // bs) * bs
+    cnt_i = np.minimum(bs, n - lo_i)
 
-    cum_tf = np.concatenate(([0], np.cumsum(tfs)))
-    off = 0
-    pos_off = 0
-    prev_last = np.int64(0)
-    for bi in range(nblocks):
-        lo, hi = bi * block_size, min((bi + 1) * block_size, n)
-        docs = doc_ids[lo:hi]
-        deltas = np.empty(hi - lo, dtype=np.uint64)
-        deltas[0] = np.uint64(docs[0] - prev_last)
-        if hi - lo > 1:
-            deltas[1:] = np.diff(docs).astype(np.uint64)
-        part = varint_encode(deltas) + varint_encode(tfs[lo:hi].astype(np.uint64))
-        blob_parts.append(part)
-        block_last[bi] = docs[-1]
-        block_off[bi] = off
-        block_max_tf[bi] = int(tfs[lo:hi].max())
-        block_min_norm[bi] = int(norm_bytes[lo:hi].min())
-        off += len(part)
-        block_pos_off[bi] = pos_off
-        if pos_flat is not None:
-            counts = tfs[lo:hi].astype(np.uint64)
-            flat = np.asarray(pos_flat[cum_tf[lo] : cum_tf[hi]], dtype=np.int64)
-            # delta-encode within each posting's position list (reset at each
-            # posting's first position, which stays absolute)
-            if flat.size:
-                full = np.empty(flat.size, dtype=np.int64)
-                full[0] = flat[0]
-                full[1:] = np.diff(flat)
-                firsts = np.cumsum(counts.astype(np.int64))[:-1]
-                full[np.concatenate(([0], firsts))] = flat[
-                    np.concatenate(([0], firsts))
-                ]
-                ppart = varint_encode(counts) + varint_encode(full.astype(np.uint64))
-            else:
-                ppart = varint_encode(counts)
-            pos_parts.append(ppart)
-            pos_off += len(ppart)
-        prev_last = docs[-1]
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = np.uint64(doc_ids[0])
+    if n > 1:
+        deltas[1:] = np.diff(doc_ids).astype(np.uint64)
+    vals = np.empty(2 * n, dtype=np.uint64)
+    vals[i + lo_i] = deltas
+    vals[i + lo_i + cnt_i] = tfs.astype(np.uint64)
+    widths = _varint_widths(vals)
+    byte_start = np.concatenate(([0], np.cumsum(widths)))
+    block_starts = 2 * bs * np.arange(nblocks, dtype=np.int64)
+    block_off = byte_start[np.minimum(block_starts, 2 * n)].astype(np.int32)
+    blob = varint_encode(vals, widths)
+
+    blk_lo = bs * np.arange(nblocks, dtype=np.int64)
+    blk_hi = np.minimum(blk_lo + bs, n)
+    block_last = doc_ids[blk_hi - 1]
+    block_max_tf = np.maximum.reduceat(tfs, blk_lo).astype(np.int32)
+    block_min_norm = np.minimum.reduceat(norm_bytes, blk_lo).astype(np.uint8)
+
+    pos_blob = b""
+    block_pos_off = np.zeros(nblocks, dtype=np.int32)
+    if pos_flat is not None:
+        cum_tf = np.concatenate(([0], np.cumsum(tfs)))
+        flat = np.asarray(pos_flat, dtype=np.int64)
+        npos = flat.size
+        # delta within each posting's position list; each posting's first
+        # position stays absolute (global diff + reset at posting starts —
+        # block boundaries don't reset, matching the per-block encoder since
+        # postings never span blocks)
+        full = np.empty(npos, dtype=np.int64)
+        if npos:
+            full[0] = flat[0]
+            full[1:] = np.diff(flat)
+            firsts = cum_tf[:-1]
+            full[firsts] = flat[firsts]
+        # stream layout per block: [counts(=tfs)][position deltas]
+        pvals = np.empty(n + npos, dtype=np.uint64)
+        pvals[i + cum_tf[lo_i]] = tfs.astype(np.uint64)
+        if npos:
+            # position j of the stream sits at hi(block of its posting) + j
+            p_of_j = np.repeat(i, tfs)
+            hi_of_j = np.minimum(lo_i[p_of_j] + bs, n)
+            pvals[hi_of_j + np.arange(npos, dtype=np.int64)] = full.astype(np.uint64)
+        pwidths = _varint_widths(pvals)
+        pbyte_start = np.concatenate(([0], np.cumsum(pwidths)))
+        pblock_starts = blk_lo + cum_tf[blk_lo]
+        block_pos_off = pbyte_start[pblock_starts].astype(np.int32)
+        pos_blob = varint_encode(pvals, pwidths)
 
     return {
-        "blob": b"".join(blob_parts),
-        "pos_blob": b"".join(pos_parts),
+        "blob": blob,
+        "pos_blob": pos_blob,
         "block_last": block_last,
         "block_off": block_off,
         "block_pos_off": block_pos_off,

@@ -126,9 +126,13 @@ def corpus_path(
 ) -> str:
     """Write-once cached corpus under /tmp; returns a DIRECTORY of parquet
     shards (parallel-readable, like a real multi-file corpus; a single giant
-    file would serialize the read stage)."""
+    file would serialize the read stage). Row groups are capped at 4096 rows
+    so `override_num_blocks` can actually split files — a shard with one
+    giant row group is an indivisible read task, and at high CPU counts the
+    read stage then runs as one ragged wave (real 100 TB inputs have many
+    row groups per file)."""
     os.makedirs(root, exist_ok=True)
-    path = os.path.join(root, f"corpus_n{n_docs}_s{seed}_sh{shards}")
+    path = os.path.join(root, f"corpus_n{n_docs}_s{seed}_sh{shards}_rg4096")
     if not os.path.exists(path):
         tmp = path + ".tmp"
         os.makedirs(tmp, exist_ok=True)
@@ -137,7 +141,11 @@ def corpus_path(
         for i in range(shards):
             part = table.slice(i * per, per)
             if part.num_rows:
-                pq.write_table(part, os.path.join(tmp, f"part-{i:04d}.parquet"))
+                pq.write_table(
+                    part,
+                    os.path.join(tmp, f"part-{i:04d}.parquet"),
+                    row_group_size=4096,
+                )
         os.replace(tmp, path)  # atomic publish: dir exists => complete
     return path
 

@@ -1,0 +1,669 @@
+"""Snowball stemmers for German, French and Spanish — pure-Python
+implementations of the published Snowball algorithms (public descriptions at
+snowballstem.org; the reference's per-language analyzer chains declare the
+corresponding Lucene SnowballPorterFilter / language stemmers,
+schema.xml:466-887).
+
+One word in, one stem out; callers (tokenize.py) dedupe tokens first so each
+unique token is stemmed once per batch. All three follow the same skeleton:
+mark regions R1/R2 (and RV for the Romance languages), strip suffix classes
+longest-match-first, then clean up markers/accents.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# shared region helpers
+# ---------------------------------------------------------------------------
+
+
+def _r1_r2(word: str, vowels: str) -> tuple[int, int]:
+    """Standard Snowball R1/R2: R1 starts after the first non-vowel that
+    follows a vowel; R2 is R1-of-R1."""
+
+    def after_vc(start: int) -> int:
+        n = len(word)
+        i = start
+        while i < n and word[i] not in vowels:
+            i += 1
+        while i < n and word[i] in vowels:
+            i += 1
+        # i now at first non-vowel after a vowel (or end)
+        return min(i + 1, n) if i < n else n
+
+    r1 = after_vc(0)
+    r2 = after_vc(r1)
+    return r1, r2
+
+
+def _ends(word: str, suffix: str) -> bool:
+    return word.endswith(suffix)
+
+
+# ---------------------------------------------------------------------------
+# German  (reference chain: schema.xml German SnowballPorterFilter)
+# ---------------------------------------------------------------------------
+
+_DE_VOWELS = "aeiouyäöü"
+_DE_S_ENDING = "bdfghklmnrt"
+_DE_ST_ENDING = "bdfghklmnt"
+
+
+def german_stem(word: str) -> str:
+    w = word.lower().replace("ß", "ss")
+    # mark u/y between vowels as consonants (upper-case marker)
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "uy" and chars[i - 1] in _DE_VOWELS and chars[i + 1] in _DE_VOWELS:
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+
+    r1, r2 = _r1_r2(w.lower(), _DE_VOWELS)
+    # Snowball German: R1 start is adjusted to >= 3
+    r1 = max(r1, min(3, len(w)))
+
+    def in_r1(i: int) -> bool:
+        return i >= r1
+
+    def in_r2(i: int) -> bool:
+        return i >= r2
+
+    lw = w.lower()
+
+    # step 1
+    done = False
+    for suf in ("ern", "em", "er"):
+        if lw.endswith(suf) and in_r1(len(w) - len(suf)):
+            w = w[: -len(suf)]
+            lw = w.lower()
+            done = True
+            break
+    if not done:
+        for suf in ("en", "es", "e"):
+            if lw.endswith(suf) and in_r1(len(w) - len(suf)):
+                w = w[: -len(suf)]
+                lw = w.lower()
+                if lw.endswith("niss"):
+                    w = w[:-1]
+                    lw = w.lower()
+                done = True
+                break
+    if not done:
+        if (
+            lw.endswith("s")
+            and in_r1(len(w) - 1)
+            and len(w) >= 2
+            and lw[-2] in _DE_S_ENDING
+        ):
+            w = w[:-1]
+            lw = w.lower()
+
+    # step 2
+    done = False
+    for suf in ("est", "en", "er"):
+        if lw.endswith(suf) and in_r1(len(w) - len(suf)):
+            w = w[: -len(suf)]
+            lw = w.lower()
+            done = True
+            break
+    if not done:
+        if (
+            lw.endswith("st")
+            and in_r1(len(w) - 2)
+            and len(w) >= 6
+            and lw[-3] in _DE_ST_ENDING
+        ):
+            w = w[:-2]
+            lw = w.lower()
+
+    # step 3 (d-suffixes)
+    if lw.endswith(("end", "ung")):
+        if in_r2(len(w) - 3):
+            w = w[:-3]
+            lw = w.lower()
+            if lw.endswith("ig") and in_r2(len(w) - 2) and not lw.endswith("eig"):
+                w = w[:-2]
+                lw = w.lower()
+    elif lw.endswith(("isch",)):
+        if in_r2(len(w) - 4) and not lw.endswith("eisch"):
+            w = w[:-4]
+            lw = w.lower()
+    elif lw.endswith(("ig", "ik")):
+        if in_r2(len(w) - 2) and not lw.endswith(("eig", "eik")):
+            w = w[:-2]
+            lw = w.lower()
+    elif lw.endswith(("lich", "heit")):
+        if in_r2(len(w) - 4):
+            w = w[:-4]
+            lw = w.lower()
+            for pre in ("er", "en"):
+                if lw.endswith(pre) and in_r1(len(w) - 2):
+                    w = w[:-2]
+                    lw = w.lower()
+                    break
+    elif lw.endswith("keit"):
+        if in_r2(len(w) - 4):
+            w = w[:-4]
+            lw = w.lower()
+            if lw.endswith("lich") and in_r2(len(w) - 4):
+                w = w[:-4]
+            elif lw.endswith("ig") and in_r2(len(w) - 2):
+                w = w[:-2]
+
+    # finalize: unmark + unumlaut
+    out = []
+    for c in w:
+        if c in "UY":
+            c = c.lower()
+        out.append({"ä": "a", "ö": "o", "ü": "u"}.get(c, c))
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# French  (reference chain: schema.xml French stemmer + elision filter)
+# ---------------------------------------------------------------------------
+
+_FR_VOWELS = "aeiouyâàëéêèïîôûù"
+
+
+def _fr_mark(word: str) -> str:
+    chars = list(word)
+    n = len(chars)
+    for i in range(n):
+        c = chars[i]
+        prev_v = i > 0 and chars[i - 1].lower() in _FR_VOWELS
+        next_v = i + 1 < n and chars[i + 1].lower() in _FR_VOWELS
+        if c in "ui" and prev_v and next_v:
+            chars[i] = c.upper()
+        elif c == "y" and (prev_v or next_v):
+            chars[i] = "Y"
+        elif c == "u" and i > 0 and chars[i - 1] == "q":
+            chars[i] = "U"
+    return "".join(chars)
+
+
+def _fr_rv(lw: str) -> int:
+    n = len(lw)
+    if n >= 3 and lw[0] in _FR_VOWELS and lw[1] in _FR_VOWELS:
+        return 3
+    if lw[:3] in ("par", "col", "tap"):
+        return 3
+    # region after the first vowel not at the beginning
+    for i in range(1, n):
+        if lw[i] in _FR_VOWELS:
+            return i + 1
+    return n
+
+
+def french_stem(word: str) -> str:  # noqa: C901 (faithful to the spec's shape)
+    w = _fr_mark(word.lower())
+    lw = w.lower()
+    r1, r2 = _r1_r2(lw, _FR_VOWELS)
+    rv = _fr_rv(lw)
+
+    def in_r1(i):
+        return i >= r1
+
+    def in_r2(i):
+        return i >= r2
+
+    def in_rv(i):
+        return i >= rv
+
+    changed = False
+    step1_done = False
+
+    def try_step1(w: str) -> tuple[str, bool, bool]:
+        """Returns (word, changed, found_mn) where found_mn marks the
+        amment/emment/ment(s) family (step 2a still allowed after those)."""
+        lw = w.lower()
+        suffixes = sorted(
+            [
+                "ance", "iqUe", "isme", "able", "iste", "eux", "ances",
+                "iqUes", "ismes", "ables", "istes", "atrice", "ateur",
+                "ation", "atrices", "ateurs", "ations", "logie", "logies",
+                "usion", "ution", "usions", "utions", "ence", "ences",
+                "ement", "ements", "ité", "ités", "if", "ive", "ifs",
+                "ives", "eaux", "aux", "euse", "euses", "issement",
+                "issements", "amment", "emment", "ment", "ments",
+            ],
+            key=len,
+            reverse=True,
+        )
+        for suf in suffixes:
+            if not w.endswith(suf):
+                continue
+            i = len(w) - len(suf)
+            base = w[:i]
+            lbase = base.lower()
+            if suf in ("ance", "iqUe", "isme", "able", "iste", "eux",
+                       "ances", "iqUes", "ismes", "ables", "istes"):
+                if in_r2(i):
+                    return base, True, False
+            elif suf in ("atrice", "ateur", "ation", "atrices", "ateurs",
+                         "ations"):
+                if in_r2(i):
+                    w2 = base
+                    if w2.lower().endswith("ic"):
+                        if in_r2(len(w2) - 2):
+                            w2 = w2[:-2]
+                        else:
+                            w2 = w2[:-2] + "iqU"
+                    return w2, True, False
+            elif suf in ("logie", "logies"):
+                if in_r2(i):
+                    return base + "log", True, False
+            elif suf in ("usion", "ution", "usions", "utions"):
+                if in_r2(i):
+                    return base + "u", True, False
+            elif suf in ("ence", "ences"):
+                if in_r2(i):
+                    return base + "ent", True, False
+            elif suf in ("ement", "ements"):
+                if in_rv(i):
+                    w2 = base
+                    lb = w2.lower()
+                    if lb.endswith("iv") and in_r2(len(w2) - 2):
+                        w2 = w2[:-2]
+                        if w2.lower().endswith("at") and in_r2(len(w2) - 2):
+                            w2 = w2[:-2]
+                    elif lb.endswith("eus"):
+                        if in_r2(len(w2) - 3):
+                            w2 = w2[:-3]
+                        elif in_r1(len(w2) - 3):
+                            w2 = w2[:-3] + "eux"
+                    elif lb.endswith("abl") and in_r2(len(w2) - 3):
+                        w2 = w2[:-3]
+                    elif w2.endswith("iqU") and in_r2(len(w2) - 3):
+                        w2 = w2[:-3]
+                    elif lb.endswith("ièr") or w2.endswith("Ièr"):
+                        if in_rv(len(w2) - 3):
+                            w2 = w2[:-3] + "i"
+                    return w2, True, False
+            elif suf in ("ité", "ités"):
+                if in_r2(i):
+                    w2 = base
+                    lb = w2.lower()
+                    if lb.endswith("abil"):
+                        if in_r2(len(w2) - 4):
+                            w2 = w2[:-4]
+                        else:
+                            w2 = w2[:-4] + "abl"
+                    elif lb.endswith("ic"):
+                        if in_r2(len(w2) - 2):
+                            w2 = w2[:-2]
+                        else:
+                            w2 = w2[:-2] + "iqU"
+                    elif lb.endswith("iv") and in_r2(len(w2) - 2):
+                        w2 = w2[:-2]
+                    return w2, True, False
+            elif suf in ("if", "ive", "ifs", "ives"):
+                if in_r2(i):
+                    w2 = base
+                    if w2.lower().endswith("at") and in_r2(len(w2) - 2):
+                        w2 = w2[:-2]
+                        if w2.lower().endswith("ic"):
+                            if in_r2(len(w2) - 2):
+                                w2 = w2[:-2]
+                            else:
+                                w2 = w2[:-2] + "iqU"
+                    return w2, True, False
+            elif suf == "eaux":
+                return base + "eau", True, False
+            elif suf == "aux":
+                if in_r1(i):
+                    return base + "al", True, False
+            elif suf in ("euse", "euses"):
+                if in_r2(i):
+                    return base, True, False
+                if in_r1(i):
+                    return base + "eux", True, False
+            elif suf in ("issement", "issements"):
+                if in_r1(i) and i > 0 and lbase[-1] not in _FR_VOWELS:
+                    return base, True, False
+            elif suf == "amment":
+                if in_rv(i):
+                    return base + "ant", True, True
+            elif suf == "emment":
+                if in_rv(i):
+                    return base + "ent", True, True
+            elif suf in ("ment", "ments"):
+                if i > 0 and lbase[-1] in _FR_VOWELS and in_rv(i - 1):
+                    return base, True, True
+        return w, False, False
+
+    w1, ch1, allow2a = try_step1(w)
+    step2_applied = False
+    if not ch1 or allow2a:
+        # step 2a: verb suffixes beginning i
+        lw1 = w1.lower()
+        sufs_2a = sorted(
+            [
+                "îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira", "irai",
+                "iraIent", "irais", "irait", "iras", "irent", "irez",
+                "iriez", "irions", "irons", "iront", "is", "issaIent",
+                "issais", "issait", "issant", "issante", "issantes",
+                "issants", "isse", "issent", "isses", "issez", "issiez",
+                "issions", "issons", "it",
+            ],
+            key=len,
+            reverse=True,
+        )
+        done2a = False
+        for suf in sufs_2a:
+            if w1.endswith(suf):
+                i = len(w1) - len(suf)
+                if in_rv(i) and i > 0 and lw1[i - 1] not in _FR_VOWELS and in_rv(i - 1):
+                    w1 = w1[:i]
+                    done2a = True
+                    step2_applied = True
+                    break
+        if not done2a:
+            # step 2b
+            lw1 = w1.lower()
+            sufs_2b = sorted(
+                [
+                    "ions", "é", "ée", "ées", "és", "èrent", "er", "era",
+                    "erai", "eraIent", "erais", "erait", "eras", "erez",
+                    "eriez", "erions", "erons", "eront", "ez", "iez",
+                    "âmes", "ât", "âtes", "a", "ai", "aIent", "ais", "ait",
+                    "ant", "ante", "antes", "ants", "as", "asse", "assent",
+                    "asses", "assiez", "assions",
+                ],
+                key=len,
+                reverse=True,
+            )
+            for suf in sufs_2b:
+                if not w1.endswith(suf):
+                    continue
+                i = len(w1) - len(suf)
+                if not in_rv(i):
+                    continue
+                if suf == "ions":
+                    if in_r2(i):
+                        w1 = w1[:i]
+                        step2_applied = True
+                    else:
+                        continue
+                elif suf in ("é", "ée", "ées", "és", "èrent", "er", "era",
+                             "erai", "eraIent", "erais", "erait", "eras",
+                             "erez", "eriez", "erions", "erons", "eront",
+                             "ez", "iez"):
+                    w1 = w1[:i]
+                    step2_applied = True
+                else:
+                    w1 = w1[:i]
+                    if w1.lower().endswith("e") and in_rv(len(w1) - 1):
+                        w1 = w1[:-1]
+                    step2_applied = True
+                break
+
+    changed = ch1 or step2_applied
+    w = w1
+    lw = w.lower()
+
+    if changed:
+        # step 3
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # step 4 (residual)
+        lw = w.lower()
+        if lw.endswith("s") and len(w) >= 2 and lw[-2] not in "aiouès" and w[-2] != "Hi":
+            w = w[:-1]
+            lw = w.lower()
+        if lw.endswith("ion") and in_r2(len(w) - 3) and len(w) >= 4 and lw[-4] in "st" and in_rv(len(w) - 4):
+            w = w[:-3]
+        else:
+            for suf, rep in (("ière", "i"), ("Ière", "i"), ("ier", "i"),
+                             ("Ier", "i")):
+                if w.endswith(suf) and in_rv(len(w) - len(suf)):
+                    w = w[: -len(suf)] + rep
+                    break
+            else:
+                if lw.endswith("e") and in_rv(len(w) - 1):
+                    w = w[:-1]
+                elif lw.endswith("ë") and in_rv(len(w) - 1) and w[-3:-1].lower() == "gu":
+                    w = w[:-1]
+
+    # step 5: undouble
+    for end in ("enn", "onn", "ett", "ell", "eill"):
+        if w.lower().endswith(end):
+            w = w[:-1]
+            break
+
+    # step 6: un-accent é/è followed only by non-vowels
+    chars = list(w)
+    i = len(chars) - 1
+    seen_nonvowel = False
+    while i >= 0:
+        c = chars[i].lower()
+        if c in _FR_VOWELS:
+            if c in "éè" and seen_nonvowel:
+                chars[i] = "e"
+            break
+        seen_nonvowel = True
+        i -= 1
+    w = "".join(chars)
+    return w.replace("I", "i").replace("U", "u").replace("Y", "y")
+
+
+# ---------------------------------------------------------------------------
+# Spanish  (reference chain: schema.xml Spanish SnowballPorterFilter)
+# ---------------------------------------------------------------------------
+
+_ES_VOWELS = "aeiouáéíóúü"
+
+
+def _es_rv(lw: str) -> int:
+    n = len(lw)
+    if n < 3:
+        return n
+    if lw[1] not in _ES_VOWELS:
+        # consonant in 2nd position: RV after the next vowel
+        for i in range(2, n):
+            if lw[i] in _ES_VOWELS:
+                return i + 1
+        return n
+    if lw[0] in _ES_VOWELS and lw[1] in _ES_VOWELS:
+        # two vowels at start: RV after the next consonant
+        for i in range(2, n):
+            if lw[i] not in _ES_VOWELS:
+                return i + 1
+        return n
+    return 3
+
+
+_ES_UNACCENT = str.maketrans("áéíóú", "aeiou")
+
+
+def spanish_stem(word: str) -> str:  # noqa: C901 (faithful to the spec's shape)
+    w = word.lower()
+    r1, r2 = _r1_r2(w, _ES_VOWELS)
+    rv = _es_rv(w)
+
+    def in_r1(i):
+        return i >= r1
+
+    def in_r2(i):
+        return i >= r2
+
+    def in_rv(i):
+        return i >= rv
+
+    # step 0: attached pronouns
+    pronouns = ("selas", "selos", "sela", "selo", "las", "les", "los", "nos",
+                "me", "se", "la", "le", "lo")
+    for p in pronouns:
+        if not w.endswith(p):
+            continue
+        base = w[: -len(p)]
+        matched = False
+        for pre, rep in (("iéndo", "iendo"), ("ándo", "ando"), ("ár", "ar"),
+                         ("ér", "er"), ("ír", "ir")):
+            if base.endswith(pre) and in_rv(len(base) - len(pre)):
+                w = base[: -len(pre)] + rep
+                matched = True
+                break
+        if not matched:
+            for pre in ("iendo", "ando", "ar", "er", "ir"):
+                if base.endswith(pre) and in_rv(len(base) - len(pre)):
+                    w = base
+                    matched = True
+                    break
+        if not matched and base.endswith("yendo") and base[: -5].endswith("u"):
+            w = base
+            matched = True
+        if matched:
+            break
+
+    # step 1: standard suffixes (longest match)
+    step1 = False
+    sufs = sorted(
+        [
+            "anza", "anzas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+            "able", "ables", "ible", "ibles", "ista", "istas", "oso", "osa",
+            "osos", "osas", "amiento", "amientos", "imiento", "imientos",
+            "adora", "ador", "ación", "adoras", "adores", "aciones",
+            "ante", "antes", "ancia", "ancias", "logía", "logías",
+            "ución", "uciones", "encia", "encias", "amente", "mente",
+            "idad", "idades", "iva", "ivo", "ivas", "ivos",
+        ],
+        key=len,
+        reverse=True,
+    )
+    for suf in sufs:
+        if not w.endswith(suf):
+            continue
+        i = len(w) - len(suf)
+        base = w[:i]
+        if suf in ("anza", "anzas", "ico", "ica", "icos", "icas", "ismo",
+                   "ismos", "able", "ables", "ible", "ibles", "ista",
+                   "istas", "oso", "osa", "osos", "osas", "amiento",
+                   "amientos", "imiento", "imientos"):
+            if in_r2(i):
+                w = base
+                step1 = True
+        elif suf in ("adora", "ador", "ación", "adoras", "adores",
+                     "aciones", "ante", "antes", "ancia", "ancias"):
+            if in_r2(i):
+                w = base
+                if w.endswith("ic") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                step1 = True
+        elif suf in ("logía", "logías"):
+            if in_r2(i):
+                w = base + "log"
+                step1 = True
+        elif suf in ("ución", "uciones"):
+            if in_r2(i):
+                w = base + "u"
+                step1 = True
+        elif suf in ("encia", "encias"):
+            if in_r2(i):
+                w = base + "ente"
+                step1 = True
+        elif suf == "amente":
+            if in_r1(i):
+                w = base
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if w.endswith(pre) and in_r2(len(w) - 2):
+                            w = w[:-2]
+                            break
+                step1 = True
+        elif suf == "mente":
+            if in_r2(i):
+                w = base
+                for pre in ("ante", "able", "ible"):
+                    if w.endswith(pre) and in_r2(len(w) - 4):
+                        w = w[:-4]
+                        break
+                step1 = True
+        elif suf in ("idad", "idades"):
+            if in_r2(i):
+                w = base
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                        w = w[: -len(pre)]
+                        break
+                step1 = True
+        elif suf in ("iva", "ivo", "ivas", "ivos"):
+            if in_r2(i):
+                w = base
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                step1 = True
+        if step1:
+            break
+
+    # step 2a: verb suffixes beginning y (only if step 1 did nothing)
+    step2a = False
+    if not step1:
+        for suf in sorted(("ya", "ye", "yan", "yen", "yeron", "yendo", "yo",
+                           "yó", "yas", "yes", "yais", "yamos"),
+                          key=len, reverse=True):
+            if w.endswith(suf):
+                i = len(w) - len(suf)
+                if in_rv(i) and i > 0 and w[i - 1] == "u":
+                    w = w[:i]
+                    step2a = True
+                break
+
+    # step 2b (only if neither step 1 nor 2a changed the word)
+    if not step1 and not step2a:
+        gu_sufs = ("en", "es", "éis", "emos")
+        sufs2 = sorted(
+            [
+                "arían", "arías", "arán", "arás", "aríais", "aría",
+                "aréis", "aríamos", "aremos", "ará", "aré", "erían",
+                "erías", "erán", "erás", "eríais", "ería", "eréis",
+                "eríamos", "eremos", "erá", "eré", "irían", "irías",
+                "irán", "irás", "iríais", "iría", "iréis", "iríamos",
+                "iremos", "irá", "iré", "aba", "ada", "ida", "ía", "ara",
+                "iera", "ad", "ed", "id", "ase", "iese", "aste", "iste",
+                "an", "aban", "ían", "aran", "ieran", "asen", "iesen",
+                "aron", "ieron", "ado", "ido", "ando", "iendo", "ió",
+                "ar", "er", "ir", "as", "abas", "adas", "idas", "ías",
+                "aras", "ieras", "ases", "ieses", "ís", "áis", "abais",
+                "íais", "arais", "ierais", "aseis", "ieseis", "asteis",
+                "isteis", "ados", "idos", "amos", "ábamos", "íamos",
+                "imos", "áramos", "iéramos", "iésemos", "ásemos",
+                "en", "es", "éis", "emos",
+            ],
+            key=len,
+            reverse=True,
+        )
+        for suf in sufs2:
+            if w.endswith(suf):
+                i = len(w) - len(suf)
+                if in_rv(i):
+                    w = w[:i]
+                    if suf in gu_sufs and w.endswith("gu"):
+                        w = w[:-1]
+                break
+
+    # step 3: residual suffix
+    for suf in ("os", "a", "o", "á", "í", "ó"):
+        if w.endswith(suf):
+            i = len(w) - len(suf)
+            if in_rv(i):
+                w = w[:i]
+            break
+    else:
+        for suf in ("e", "é"):
+            if w.endswith(suf):
+                i = len(w) - 1
+                if in_rv(i):
+                    w = w[:i]
+                    if w.endswith("gu") and in_rv(len(w) - 1):
+                        w = w[:-1]
+                break
+
+    return w.translate(_ES_UNACCENT)

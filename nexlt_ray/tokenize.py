@@ -54,19 +54,36 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .porter import porter_stem
+from .snowball import french_stem, german_stem, spanish_stem
 
-PROFILES = ("code", "text_en", "simple", "cjk_bigram")
+PROFILES = (
+    "code", "text_en", "simple", "cjk_bigram",
+    "text_de", "text_fr", "text_es",
+)
+
+# Snowball chains (reference: one SnowballPorterFilter chain per language,
+# schema.xml:466-887 — German/French/Spanish here; the chain is
+# StandardTokenizer-ish Unicode word split + lowercase + stemmer, with
+# French adding the ElisionFilter)
+_LANG_STEMMERS = {
+    "text_de": german_stem,
+    "text_fr": french_stem,
+    "text_es": spanish_stem,
+}
 
 # per-language analyzer routing (the reference declares one analyzed field
 # per target language, schema.xml:927-960: CJK languages use width-normalized
 # bigrams, schema.xml:501-510; Japanese morphological analysis approximated
-# by bigrams here; English text uses the stemming chain; code-ish content the
-# WordDelimiter chain)
+# by bigrams here; English text uses the stemming chain; German/French/
+# Spanish their Snowball chains; code-ish content the WordDelimiter chain)
 LANG_PROFILES: dict[str, str] = {
     "jpn": "cjk_bigram", "chs": "cjk_bigram", "cht": "cjk_bigram",
     "kor": "cjk_bigram", "zh": "cjk_bigram", "ja": "cjk_bigram",
     "ko": "cjk_bigram",
     "eng": "text_en", "enu": "text_en", "en": "text_en",
+    "deu": "text_de", "ger": "text_de", "de": "text_de",
+    "fra": "text_fr", "fre": "text_fr", "fr": "text_fr",
+    "spa": "text_es", "esp": "text_es", "es": "text_es",
 }
 
 
@@ -112,7 +129,24 @@ def _as_array(texts) -> pa.Array:
 
 def char_filter(texts: pa.Array) -> pa.Array:
     """HTML tag strip + `&amp;`->`&` + accelerator `&x` -> `x` (reference char
-    filters, schema.xml:275-276; unescape analog parseJSON.pl:308-312)."""
+    filters, schema.xml:275-276; unescape analog parseJSON.pl:308-312).
+
+    Fast path: rows without '<' or '&' (the overwhelming majority in real
+    corpora) skip all three full-string regex passes — one cheap match pass
+    instead of three rewrite passes over every byte."""
+    needs = pc.fill_null(pc.match_substring_regex(texts, "[<&]"), True)
+    n_needs = pc.sum(pc.cast(needs, pa.int8())).as_py() or 0
+    if n_needs == 0:
+        return texts
+    if n_needs < len(texts):
+        idx = np.flatnonzero(needs.to_numpy(zero_copy_only=False))
+        sub = texts.take(pa.array(idx))
+        sub = pc.replace_substring_regex(sub, pattern=r"<[^>]*>", replacement=" ")
+        sub = pc.replace_substring_regex(sub, pattern=r"&amp;", replacement="&")
+        sub = pc.replace_substring_regex(sub, pattern=r"&([^&\s])", replacement=r"\1")
+        out = texts.to_numpy(zero_copy_only=False).copy()
+        out[idx] = sub.to_numpy(zero_copy_only=False)
+        return pa.array(out, pa.string())
     out = pc.replace_substring_regex(texts, pattern=r"<[^>]*>", replacement=" ")
     out = pc.replace_substring_regex(out, pattern=r"&amp;", replacement="&")
     out = pc.replace_substring_regex(out, pattern=r"&([^&\s])", replacement=r"\1")
@@ -163,6 +197,8 @@ def tokenize_batch(
         return _tokenize_simple(arr, n_docs)
     if profile == "cjk_bigram":
         return _tokenize_cjk(arr, n_docs)
+    if profile in _LANG_STEMMERS:
+        return _tokenize_stemmed_lang(arr, n_docs, profile, protected)
     if profile not in PROFILES:
         raise ValueError(f"unknown profile {profile!r}")
 
@@ -293,6 +329,53 @@ def _tokenize_simple(arr: pa.Array, n_docs: int) -> TokenizedBatch:
     )
 
 
+_FR_ELISION = (
+    r"\b([lmtnsjdcLMTNSJDC]|[qQ]u|[jJ]usqu|[qQ]uoiqu|[lL]orsqu|[pP]uisqu)"
+    r"['’]"
+)
+
+
+def _tokenize_stemmed_lang(
+    arr: pa.Array, n_docs: int, profile: str, protected: frozenset[str]
+) -> TokenizedBatch:
+    """Snowball language chains (text_de / text_fr / text_es): char filters
+    + (French) elision + lowercase + Unicode word split + Snowball stemmer
+    over deduped tokens. Same chain at query time (no catenation step)."""
+    stem = _LANG_STEMMERS[profile]
+    filtered = char_filter(arr)
+    if profile == "text_fr":
+        # ElisionFilter analog (reference French chain): l'avion -> avion
+        filtered = pc.replace_substring_regex(
+            filtered, pattern=_FR_ELISION, replacement=" "
+        )
+    lower = pc.utf8_lower(filtered)
+    parts = pc.split_pattern_regex(lower, pattern=r"[^\p{L}\p{N}]+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    nonempty = pc.greater(pc.utf8_length(parts.values), 0)
+    keep = nonempty.to_numpy(zero_copy_only=False).astype(bool)
+    flat = parts.values.to_numpy(zero_copy_only=False)[keep]
+    offsets = _offsets_of(parts)
+    per_doc = np.diff(offsets)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)[keep]
+    if flat.size:
+        uniq, inv = np.unique(flat.astype("U"), return_inverse=True)
+        stemmed = np.array(
+            [t if t in protected else stem(str(t)) for t in uniq], dtype=object
+        )
+        flat = stemmed[inv]
+    doc_len = np.bincount(doc_of, minlength=n_docs).astype(np.int32)
+    starts = np.concatenate(([0], np.cumsum(doc_len.astype(np.int64))[:-1]))
+    pos = (np.arange(flat.size, dtype=np.int64) - starts[doc_of]).astype(np.int32)
+    return TokenizedBatch(
+        terms=np.asarray(flat, dtype=object),
+        positions=pos,
+        doc_idx=doc_of.astype(np.int32),
+        doc_len=doc_len,
+        n_docs=n_docs,
+    )
+
+
 import re as _re
 import unicodedata as _ud
 
@@ -378,6 +461,92 @@ def tokenize_by_lang(
         doc_len=doc_len,
         n_docs=n_docs,
     )
+
+
+def doc_token_lengths(texts, profile: str = "code") -> np.ndarray:
+    """Per-doc token counts (the doc_len / norm input) WITHOUT materializing
+    per-occurrence term arrays — stage 1 of the build needs only lengths, and
+    skipping the object-array expansion roughly halves its string traffic.
+    Matches tokenize_batch(...).doc_len exactly (tested)."""
+    arr = _as_array(texts)
+    n_docs = len(arr)
+    if profile == "cjk_bigram":
+        return tokenize_batch(arr, profile=profile).doc_len
+    if profile == "simple" or profile in _LANG_STEMMERS:
+        if profile in _LANG_STEMMERS:
+            filtered = char_filter(arr)
+            if profile == "text_fr":
+                filtered = pc.replace_substring_regex(
+                    filtered, pattern=_FR_ELISION, replacement=" "
+                )
+            parts = pc.split_pattern_regex(
+                pc.utf8_lower(filtered), pattern=r"[^\p{L}\p{N}]+"
+            )
+        else:
+            parts = pc.split_pattern_regex(
+                pc.utf8_lower(arr), pattern="[^a-z0-9]+"
+            )
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        keep = pc.greater(pc.utf8_length(parts.values), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(bool)
+        per_doc = np.diff(_offsets_of(parts))
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)[keep]
+        return np.bincount(doc_of, minlength=n_docs).astype(np.int32)
+    # code / text_en: unique-token part counts (stemming doesn't change them)
+    filtered = char_filter(arr)
+    ws = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(filtered))
+    if isinstance(ws, pa.ChunkedArray):
+        ws = ws.combine_chunks()
+    tok_flat = ws.values
+    nonempty = pc.greater(pc.utf8_length(tok_flat), 0)
+    toks_per_doc = np.diff(_offsets_of(ws))
+    doc_of_tok = np.repeat(np.arange(n_docs, dtype=np.int64), toks_per_doc)
+    ne = nonempty.to_numpy(zero_copy_only=False).astype(bool)
+    tok_flat = tok_flat.filter(nonempty)
+    doc_of_tok = doc_of_tok[ne]
+    if len(tok_flat) == 0:
+        return np.zeros(n_docs, dtype=np.int32)
+    dict_arr = pc.dictionary_encode(tok_flat)
+    if isinstance(dict_arr, pa.ChunkedArray):
+        dict_arr = dict_arr.combine_chunks()
+    uniq = dict_arr.dictionary
+    ids = np.asarray(dict_arr.indices, dtype=np.int64)
+    marked = uniq
+    for pat, repl in _BOUNDARY_PATTERNS:
+        marked = pc.replace_substring_regex(marked, pattern=pat, replacement=repl)
+    marked = pc.utf8_trim_whitespace(marked)
+    parts = pc.utf8_split_whitespace(marked)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    pne = pc.greater(pc.utf8_length(parts.values), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(bool)
+    u_of_rawpart = np.repeat(
+        np.arange(len(uniq), dtype=np.int64), np.diff(_offsets_of(parts))
+    )
+    u_nparts = np.bincount(u_of_rawpart[pne], minlength=len(uniq))
+    return np.bincount(
+        doc_of_tok, weights=u_nparts[ids], minlength=n_docs
+    ).astype(np.int32)
+
+
+def doc_token_lengths_by_lang(texts, langs, default_profile: str = "code") -> np.ndarray:
+    """Per-language-routed doc_token_lengths (auto profile)."""
+    arr = _as_array(texts)
+    lang_list = (
+        langs.to_pylist()
+        if isinstance(langs, (pa.Array, pa.ChunkedArray))
+        else list(langs)
+    )
+    n_docs = len(arr)
+    profs = np.asarray([profile_for_lang(l, default_profile) for l in lang_list])
+    doc_len = np.zeros(n_docs, dtype=np.int32)
+    for prof in np.unique(profs):
+        rows = np.flatnonzero(profs == prof)
+        doc_len[rows] = doc_token_lengths(arr.take(pa.array(rows)), str(prof))
+    return doc_len
 
 
 def tokenize_query(

@@ -90,3 +90,90 @@ def test_auto_profile_build_and_query(ray_session, tmp_path):
         assert got == exp, (q, lang)
     # cross-analyzer reality check: the jpn text matched via bigrams
     assert r.match_count("東京", lang="jpn") == 7  # 7 distinct contents after dedup
+
+
+def test_snowball_stemmer_units():
+    """Hand-checked Snowball outputs (public algorithm, snowballstem.org):
+    conflation classes the reference's per-language chains rely on."""
+    from nexlt_ray.snowball import french_stem, german_stem, spanish_stem
+
+    # German: plural/derivation conflation + umlaut/ß folding
+    assert german_stem("bücher") == german_stem("buch") == "buch"
+    assert german_stem("aufgaben") == german_stem("aufgabe") == "aufgab"
+    assert german_stem("übersetzungen") == german_stem("übersetzung")
+    assert german_stem("straße") == "strass"
+    assert german_stem("dankbarkeit") == "dankbar"
+    # French: derivation conflation + elision handled in the chain
+    assert french_stem("continuation") == french_stem("continuer") == "continu"
+    assert french_stem("majestueux") == french_stem("majestueuse")
+    assert french_stem("nationale") == french_stem("national")
+    # Spanish: verb forms + derivational suffixes
+    assert spanish_stem("cantando") == spanish_stem("cantar") == "cant"
+    assert spanish_stem("comiendo") == spanish_stem("comer") == "com"
+    assert spanish_stem("rápidamente") == "rapid"
+    assert spanish_stem("traducción") == spanish_stem("traducciones")
+
+
+def test_lang_chain_tokenization():
+    # Unicode-aware split keeps accented words whole; French elision strips
+    # the article; each chain stems with its language's Snowball
+    assert toks("Die Bücher und Aufgaben", "text_de") == sorted(
+        ["die", "buch", "und", "aufgab"], key=str
+    ) or toks("Die Bücher und Aufgaben", "text_de") == ["die", "buch", "und", "aufgab"]
+    tb = tokenize_batch(["l'avion d'essai"], profile="text_fr")
+    assert "avion" in {str(t) for t in tb.terms}
+    assert "l" not in {str(t) for t in tb.terms}
+    q = tokenize_query("Bücher", profile="text_de")
+    assert q == ["buch"]
+
+
+def test_snowball_profiles_rank_identity(ray_session, tmp_path):
+    """German/French/Spanish Snowball chains end-to-end: auto-profile build
+    routes deu/fra/spa, and WAND == oracle per language."""
+    import pyarrow.parquet as pq_
+
+    from nexlt_ray.build import BuildConfig, build_index
+    from nexlt_ray.oracle import OracleIndex
+    from nexlt_ray.query import IndexReader
+
+    rows = []
+    for i in range(90):
+        if i % 3 == 0:
+            rows.append(("deu", f"die übersetzung der bücher {i % 5} aufgaben"))
+        elif i % 3 == 1:
+            rows.append(("fra", f"la continuation des traductions {i % 4} nationales"))
+        else:
+            rows.append(("spa", f"la traducción de los documentos {i % 6} generosidad"))
+    t = pa.table(
+        {
+            "repo": pa.array([f"org{i%2}/r" for i in range(90)]),
+            "path": pa.array([f"f{i}.txt" for i in range(90)]),
+            "commit": pa.array(["c" * 40] * 90),
+            "lang": pa.array([l for l, _ in rows]),
+            "content": pa.array([c for _, c in rows]),
+        }
+    )
+    src = str(tmp_path / "sn.parquet")
+    pq_.write_table(t, src)
+    idx = str(tmp_path / "idx_sn")
+    m = build_index(src, idx, BuildConfig(profile="auto", num_doc_buckets=4,
+                                          num_term_buckets=2))
+    r = IndexReader(idx)
+    meta = pq_.read_table(f"{idx}/docstore")
+    did = (
+        np.asarray(m["doc_offsets"])[np.asarray(meta["doc_bucket"])]
+        + np.asarray(meta["local_rank"])
+    )
+    o = OracleIndex(
+        list(zip(did.tolist(), meta["content"].to_pylist())),
+        profile="auto",
+        langs=meta["lang"].to_pylist(),
+    )
+    cases = [("Bücher", "deu"), ("übersetzungen", "deu"),
+             ("continuer", "fra"), ("traduction nationale", "fra"),
+             ("traducciones", "spa"), ("generoso documento", "spa")]
+    for q, lang in cases:
+        got = r.search(q, k=10, lang=lang)
+        exp = [(d, float(np.float32(s))) for d, s in o.search(q, k=10, lang=lang)]
+        assert got == exp, (q, lang)
+        assert got, (q, lang)  # stemming actually conflates -> non-empty

@@ -97,3 +97,32 @@ def test_char_filter_batch():
 
     out = char_filter(pa.array(["<i>x</i> &amp;y", "a & b"])).to_pylist()
     assert out == [" x  y", "a & b"]
+
+
+def test_doc_token_lengths_matches_tokenize_batch():
+    """The count-only stage-1 path must agree with the full tokenizer's
+    doc_len on every profile (it feeds the norm byte, which scoring uses)."""
+    from nexlt_ray.tokenize import (
+        doc_token_lengths,
+        doc_token_lengths_by_lang,
+        tokenize_batch,
+        tokenize_by_lang,
+    )
+
+    texts = [
+        "getFooBar baz-Quux 123abc",
+        "",
+        "  <b>html&amp;stuff</b> l'avion ",
+        "Die Bücher und Übersetzungen",
+        "plain words here the import",
+        "WiFi2 Wi-Fi 99 bottles",
+    ]
+    for profile in ("code", "text_en", "simple", "text_de", "text_fr",
+                    "text_es", "cjk_bigram"):
+        got = doc_token_lengths(texts, profile)
+        exp = tokenize_batch(texts, profile=profile).doc_len
+        assert got.tolist() == exp.tolist(), profile
+    langs = ["python", "jpn", "eng", "deu", "fra", "spa"]
+    got = doc_token_lengths_by_lang(texts, langs)
+    exp = tokenize_by_lang(texts, langs).doc_len
+    assert got.tolist() == exp.tolist()
