@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_dup_pairs": P.jaccard_dup_pairs_docs,
         "minhash_pairs_corpus": P.minhash_pairs_corpus,
         "simhash_docs": P.simhash_docs,
+        "simhash_pairs": P.simhash_pairs_docs,
         # normalization / text analysis
         "normalize_text": P.normalize_text_docs,
         "quality_stats": P.quality_stats_docs,

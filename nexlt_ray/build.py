@@ -70,6 +70,17 @@ class BuildConfig:
     profile: str = "code"              # tokenizer profile (tokenize.PROFILES)
     num_doc_buckets: int = 64          # dedup/docID shuffle partitions
     num_term_buckets: int = 32         # postings merge shuffle partitions
+    # docID layout:
+    #   "dense"   — docID = global content-sha rank (0..n-1). Deterministic
+    #               and compact, but inserting a doc shifts every later id,
+    #               so the index is rebuild-only.
+    #   "strided" — docID = doc_bucket << bucket_capacity_bits + local rank.
+    #               Untouched buckets keep their ids when new shards are
+    #               merged, enabling extend_index() (the reference's
+    #               continuous uniqueKey upsert, schema.xml:1030-1033) with
+    #               re-dedup + re-encode of TOUCHED doc buckets only.
+    id_mode: str = "dense"
+    bucket_capacity_bits: int = 40     # strided: id space per doc bucket
     # doc-range salt: doc_id >> range_bits. None -> resolved adaptively at
     # build time (see _resolve_range_bits) so a hot term's postings split
     # into ~16 independently-mergeable ranges at ANY corpus size — the
@@ -252,12 +263,47 @@ def _sha_and_bucket(batch: pa.Table, cfg: BuildConfig) -> pa.Table:
     return out
 
 
-class BucketWriter:
-    """Stage-1 group fn: dedup + rank + tokenize + atomic docstore write."""
+def _make_doc_spiller(cfg: BuildConfig, tmp_dir: str):
+    """Stage-1 map fn factory: sha/bucket/doc_len a batch, spill partitioned
+    by doc_bucket (content-derived part names — a task retry rewrites its own
+    file). Shared by build_index and extend_index."""
 
-    def __init__(self, index_dir: str, cfg: BuildConfig):
+    def map_and_spill(batch: pa.Table) -> pa.Table:
+        out = _sha_and_bucket(batch, cfg)
+        if out.num_rows == 0:
+            return pa.table({"doc_bucket": pa.array([], pa.int32())})
+        h = hashlib.sha256()
+        h.update("\x1f".join(out["content_sha256"].to_pylist()).encode())
+        h.update("\x1f".join(out["path"].to_pylist()).encode())
+        fname = f"part-{h.hexdigest()[:32]}.parquet"
+        b = np.asarray(out["doc_bucket"])
+        order = np.argsort(b, kind="stable")
+        out = out.take(pa.array(order))
+        bs = b[order]
+        bounds = np.flatnonzero(np.concatenate(([True], bs[1:] != bs[:-1])))
+        ends = np.concatenate((bounds[1:], [bs.size]))
+        acks = []
+        for lo, hi in zip(bounds, ends):
+            bb = int(bs[lo])
+            atomic_write_parquet(
+                os.path.join(tmp_dir, f"bucket={bb:05d}", fname),
+                out.slice(lo, hi - lo),
+            )
+            acks.append(bb)
+        return pa.table({"doc_bucket": pa.array(acks, pa.int32())})
+
+    return map_and_spill
+
+
+class BucketWriter:
+    """Stage-1 group fn: dedup + rank + tokenize + atomic docstore write.
+    `force=True` (extend_index) bypasses the completed-partition shortcut and
+    overwrites the bucket (merge-upsert semantics)."""
+
+    def __init__(self, index_dir: str, cfg: BuildConfig, force: bool = False):
         self.index_dir = index_dir
         self.cfg = cfg
+        self.force = force
 
     def _summary_table(self, rec: dict) -> pa.Table:
         return pa.table(
@@ -274,9 +320,10 @@ class BucketWriter:
         bucket = int(group["doc_bucket"][0].as_py())
         out_path = os.path.join(self.index_dir, "docstore", f"bucket={bucket:05d}.parquet")
         ledger = Ledger(self.index_dir, "docstore")
-        rec = ledger.get(bucket, out_path)
-        if rec is not None:
-            return self._summary_table(rec)
+        if not self.force:
+            rec = ledger.get(bucket, out_path)
+            if rec is not None:
+                return self._summary_table(rec)
 
         sha = np.asarray(group["content_sha256"].to_numpy(zero_copy_only=False))
         repo = group["repo"].to_numpy(zero_copy_only=False)
@@ -361,9 +408,42 @@ class PartialIndexer:
 
         if "tokens" in batch.column_names:
             tb = _token_vectors_to_batch(batch)
+            if tb.terms.size == 0:
+                codes = np.empty(0, np.int64)
+            else:
+                dictionary, codes = np.unique(
+                    tb.terms.astype("U"), return_inverse=True
+                )
+                dictionary = dictionary.astype(object)
+                codes = codes.astype(np.int64)
+            positions, doc_idx = tb.positions, tb.doc_idx
+        elif cfg.profile == "auto":
+            from .tokenize import tokenize_by_lang
+
+            tb = tokenize_by_lang(batch["content"], batch["lang"])
+            if tb.terms.size == 0:
+                codes = np.empty(0, np.int64)
+            else:
+                dictionary, codes = np.unique(
+                    tb.terms.astype("U"), return_inverse=True
+                )
+                dictionary = dictionary.astype(object)
+                codes = codes.astype(np.int64)
+            positions, doc_idx = tb.positions, tb.doc_idx
         else:
-            tb = _tokenize_cfg(batch, cfg)
-        if tb.terms.size == 0:
+            # integer-coded tokenize: no per-occurrence string arrays in the
+            # hot path (the object-array + fixed-width-unicode expansion was
+            # the stage's dominant memory traffic)
+            from .tokenize import tokenize_batch_encoded
+
+            eb = tokenize_batch_encoded(
+                batch["content"], profile=cfg.profile,
+                protected=frozenset(cfg.protected_words),
+            )
+            codes = eb.codes
+            dictionary = eb.vocab
+            positions, doc_idx = eb.positions, eb.doc_idx
+        if codes.size == 0:
             if self.partials_dir is not None:
                 return pa.table(
                     {
@@ -372,16 +452,11 @@ class PartialIndexer:
                     }
                 )
             return _empty_partial_table()
-        denc = pc.dictionary_encode(pa.array(tb.terms.astype("U")))
-        if isinstance(denc, pa.ChunkedArray):
-            denc = denc.combine_chunks()
-        codes = np.asarray(denc.indices, dtype=np.int64)
-        dictionary = denc.dictionary.to_numpy(zero_copy_only=False)
 
-        d = doc_id[tb.doc_idx]
-        nb = norm_byte[tb.doc_idx]
-        order = np.lexsort((tb.positions, d, codes))
-        c, dd, pp, nn = codes[order], d[order], tb.positions[order], nb[order]
+        d = doc_id[doc_idx]
+        nb = norm_byte[doc_idx]
+        order = np.lexsort((positions, d, codes))
+        c, dd, pp, nn = codes[order], d[order], positions[order], nb[order]
 
         # posting boundaries: one posting per (term, doc)
         new_post = np.concatenate(([True], (c[1:] != c[:-1]) | (dd[1:] != dd[:-1])))
@@ -390,7 +465,7 @@ class PartialIndexer:
         p_doc = dd[new_post]
         p_code = c[new_post]
         p_norm = nn[new_post]
-        p_rb = (p_doc >> cfg.range_bits).astype(np.int32)
+        p_rb = p_doc >> np.int64(cfg.range_bits)
 
         # row boundaries: one output row per (term, doc-range)
         new_row = np.concatenate(
@@ -420,7 +495,7 @@ class PartialIndexer:
             {
                 "term_bucket": pa.array(tbuckets, pa.int32()),
                 "term": pa.array(terms_str.astype("U"), pa.string()),
-                "range_bucket": pa.array(row_rb, pa.int32()),
+                "range_bucket": pa.array(row_rb, pa.int64()),
                 "doc_ids": list_arr(post_offsets, p_doc, pa.int64()),
                 "tfs": list_arr(post_offsets, tf, pa.int32()),
                 "norms": list_arr(post_offsets, p_norm.astype(np.uint8), pa.uint8()),
@@ -439,7 +514,8 @@ class PartialIndexer:
         # the same file instead of leaving a duplicate (duplicate postings
         # would make encode_postings raise 'doc_ids must be strictly
         # increasing' and wedge the resume).
-        pair_key = tbuckets.astype(np.int64) * (1 << 32) + row_rb.astype(np.int64)
+        # rb can exceed 32 bits under strided ids; tb < 2^15, rb < 2^48
+        pair_key = tbuckets.astype(np.int64) * (1 << 48) + row_rb.astype(np.int64)
         order = np.argsort(pair_key, kind="stable")
         out = out.take(pa.array(order))
         key_sorted = pair_key[order]
@@ -453,10 +529,10 @@ class PartialIndexer:
         )
         acks = []
         for lo, hi in zip(bounds, ends):
-            tb = int(key_sorted[lo] >> 32)
-            rb = int(key_sorted[lo] & 0xFFFFFFFF)
+            tb = int(key_sorted[lo] >> 48)
+            rb = int(key_sorted[lo] & ((1 << 48) - 1))
             path = os.path.join(
-                self.partials_dir, f"bucket={tb:05d}-r{rb:05d}", fname
+                self.partials_dir, f"bucket={tb:05d}-r{rb:015d}", fname
             )
             atomic_write_parquet(path, out.slice(lo, hi - lo))
             acks.append((tb, hi - lo))
@@ -473,7 +549,7 @@ def _empty_partial_table() -> pa.Table:
         {
             "term_bucket": pa.array([], pa.int32()),
             "term": pa.array([], pa.string()),
-            "range_bucket": pa.array([], pa.int32()),
+            "range_bucket": pa.array([], pa.int64()),
             "doc_ids": pa.array([], pa.list_(pa.int64())),
             "tfs": pa.array([], pa.list_(pa.int32())),
             "norms": pa.array([], pa.list_(pa.uint8())),
@@ -531,6 +607,70 @@ class SegmentWriter:
             "output": os.path.relpath(out_path, self.index_dir),
         }
         ledger.put(bucket, rec)
+        return self._summary_table(rec)
+
+    def merge_dir_to_piece(self, partials_dir: str, name: str, pieces_dir: str) -> None:
+        """Merge one (term_bucket, range_bucket) partials dir into an encoded
+        piece file (idempotent: an existing piece is a completed merge)."""
+        import pyarrow.parquet as _pq
+
+        piece_path = os.path.join(pieces_dir, f"{name}.parquet")
+        if os.path.exists(piece_path):
+            return
+        tbl = _pq.read_table(os.path.join(partials_dir, name))
+        if tbl.num_rows == 0:
+            return
+        rows, _ = self.merge_rows(tbl)
+        rows.sort(key=lambda r: (r["term"], r["range_bucket"]))
+        atomic_write_parquet(
+            piece_path, pa.Table.from_pylist(rows, schema=segment_schema())
+        )
+
+    def assemble(
+        self,
+        tb: int,
+        pieces_dir: str,
+        extra_rows: pa.Table | None = None,
+        force: bool = False,
+    ) -> pa.Table | None:
+        """Concat + sort a bucket's piece files (plus optional retained rows
+        from an existing segment) into the final segment file; ledger commit.
+        Returns the summary table, or None when the bucket has no rows."""
+        import pyarrow.parquet as _pq
+
+        out_path = os.path.join(
+            self.index_dir, "segments", f"bucket={tb:05d}.parquet"
+        )
+        ledger = Ledger(self.index_dir, "segments")
+        if not force:
+            rec = ledger.get(tb, out_path)
+            if rec is not None:
+                return self._summary_table(rec)
+        piece_files = sorted(
+            os.path.join(pieces_dir, f)
+            for f in os.listdir(pieces_dir)
+            if f.startswith(f"bucket={tb:05d}-") and f.endswith(".parquet")
+        )
+        tables = [_pq.read_table(f) for f in piece_files]
+        if extra_rows is not None and extra_rows.num_rows:
+            tables.append(extra_rows)
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return None
+        seg = pa.concat_tables(tables).combine_chunks()
+        seg = seg.sort_by([("term", "ascending"), ("range_bucket", "ascending")])
+        # normalize physical layout through pylist so the file is
+        # byte-identical to the sort-shuffle mode's from_pylist path
+        seg = pa.Table.from_pylist(seg.to_pylist(), schema=segment_schema())
+        atomic_write_parquet(out_path, seg)
+        rec = {
+            "partition_id": tb,
+            "n_terms": len(pc.unique(seg["term"])),
+            "n_rows": seg.num_rows,
+            "n_postings": int(pc.sum(seg["df"]).as_py() or 0),
+            "output": os.path.relpath(out_path, self.index_dir),
+        }
+        ledger.put(tb, rec)
         return self._summary_table(rec)
 
     def merge_rows(self, group: pa.Table) -> tuple[list[dict], int]:
@@ -627,7 +767,7 @@ def segment_schema() -> pa.Schema:
     return pa.schema(
         [
             ("term", pa.string()),
-            ("range_bucket", pa.int32()),
+            ("range_bucket", pa.int64()),
             ("df", pa.int64()),
             ("cf", pa.int64()),
             ("max_tf", pa.int32()),
@@ -722,37 +862,9 @@ def build_index(
                 shutil.rmtree(tmp_dir)
             os.makedirs(tmp_dir, exist_ok=True)  # empty input still publishes
 
-            def map_and_spill(batch: pa.Table) -> pa.Table:
-                out = _sha_and_bucket(batch, cfg)
-                if out.num_rows == 0:
-                    return pa.table({"doc_bucket": pa.array([], pa.int32())})
-                # content-derived part name: a task retry rewrites its own
-                # file instead of duplicating rows (duplicates would corrupt
-                # n_input_rows / n_dups_removed lineage counts)
-                h = hashlib.sha256()
-                h.update("\x1f".join(out["content_sha256"].to_pylist()).encode())
-                h.update("\x1f".join(out["path"].to_pylist()).encode())
-                fname = f"part-{h.hexdigest()[:32]}.parquet"
-                b = np.asarray(out["doc_bucket"])
-                order = np.argsort(b, kind="stable")
-                out = out.take(pa.array(order))
-                bs = b[order]
-                bounds = np.flatnonzero(
-                    np.concatenate(([True], bs[1:] != bs[:-1]))
-                )
-                ends = np.concatenate((bounds[1:], [bs.size]))
-                acks = []
-                for lo, hi in zip(bounds, ends):
-                    bb = int(bs[lo])
-                    atomic_write_parquet(
-                        os.path.join(tmp_dir, f"bucket={bb:05d}", fname),
-                        out.slice(lo, hi - lo),
-                    )
-                    acks.append(bb)
-                return pa.table({"doc_bucket": pa.array(acks, pa.int32())})
-
             ds.map_batches(
-                map_and_spill, batch_format="pyarrow", batch_size=None
+                _make_doc_spiller(cfg, tmp_dir), batch_format="pyarrow",
+                batch_size=None,
             ).count()
             os.replace(tmp_dir, docparts_dir)
         t_s1_map = time.perf_counter()
@@ -814,7 +926,14 @@ def build_index(
         total_len += row["total_len"]
         n_input += row["n_input_rows"]
         n_dups += row["n_dups_removed"]
-    offsets = np.concatenate(([0], np.cumsum(counts)[:-1])).tolist()
+    if cfg.id_mode == "strided":
+        if int(counts.max(initial=0)) >= (1 << cfg.bucket_capacity_bits):
+            raise ValueError("doc bucket overflows bucket_capacity_bits")
+        offsets = [
+            b << cfg.bucket_capacity_bits for b in range(cfg.num_doc_buckets)
+        ]
+    else:
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1])).tolist()
     n_docs = int(counts.sum())
 
     # ---- stage 3: tokenize + partial postings + term-bucket merge ----
@@ -921,20 +1040,8 @@ def build_index(
         group_names.sort(reverse=True)
 
         def merge_group(batch: pa.Table) -> pa.Table:
-            import pyarrow.parquet as _pq
-
             for name in batch["name"].to_pylist():
-                piece_path = os.path.join(pieces_dir, f"{name}.parquet")
-                if os.path.exists(piece_path):
-                    continue  # idempotent resume
-                tbl = _pq.read_table(os.path.join(partials_dir, name))
-                if tbl.num_rows == 0:
-                    continue
-                rows, _ = segment_writer.merge_rows(tbl)
-                rows.sort(key=lambda r: (r["term"], r["range_bucket"]))
-                atomic_write_parquet(
-                    piece_path, pa.Table.from_pylist(rows, schema=segment_schema())
-                )
+                segment_writer.merge_dir_to_piece(partials_dir, name, pieces_dir)
             return pa.table({"n": pa.array([len(batch)], pa.int64())})
 
         if group_names:
@@ -947,44 +1054,11 @@ def build_index(
         # ---- assemble: concat + sort each bucket's pieces into its final
         # segment file (I/O only, no re-encode); ledger commit per bucket.
         def assemble_bucket(batch: pa.Table) -> pa.Table:
-            import pyarrow.parquet as _pq
-
             outs = []
             for tb in batch["term_bucket"].to_pylist():
-                tb = int(tb)
-                out_path = _seg_path(tb)
-                rec = seg_ledger.get(tb, out_path)
-                if rec is not None:
-                    outs.append(segment_writer._summary_table(rec))
-                    continue
-                piece_files = sorted(
-                    os.path.join(pieces_dir, f)
-                    for f in os.listdir(pieces_dir)
-                    if f.startswith(f"bucket={tb:05d}-") and f.endswith(".parquet")
-                )
-                if not piece_files:
-                    continue
-                seg = pa.concat_tables(
-                    [_pq.read_table(f) for f in piece_files]
-                ).combine_chunks()
-                seg = seg.sort_by(
-                    [("term", "ascending"), ("range_bucket", "ascending")]
-                )
-                # normalize physical layout through pylist so the file is
-                # byte-identical to the sort-shuffle mode's from_pylist path
-                # (parquet encodes equal-but-differently-chunked tables with
-                # different bytes; tests pin cross-mode byte identity)
-                seg = pa.Table.from_pylist(seg.to_pylist(), schema=segment_schema())
-                atomic_write_parquet(out_path, seg)
-                rec = {
-                    "partition_id": tb,
-                    "n_terms": len(pc.unique(seg["term"])),
-                    "n_rows": seg.num_rows,
-                    "n_postings": int(pc.sum(seg["df"]).as_py() or 0),
-                    "output": os.path.relpath(out_path, index_dir),
-                }
-                seg_ledger.put(tb, rec)
-                outs.append(segment_writer._summary_table(rec))
+                s = segment_writer.assemble(int(tb), pieces_dir)
+                if s is not None:
+                    outs.append(s)
             return (
                 pa.concat_tables(outs)
                 if outs
@@ -1062,6 +1136,273 @@ def build_index(
                 if cfg.shuffle == "disk"
                 else {}
             ),
+        },
+    }
+    atomic_write_json(manifest_path, manifest)
+    return manifest
+
+
+def extend_index(
+    input_path: str | list[str],
+    index_dir: str,
+) -> dict:
+    """Merge a new input shard into an EXISTING index — the reference's
+    continuous uniqueKey-upsert maintenance (schema.xml:1030-1033; the Perl
+    indexer posts add-or-replace batches forever, parseJSON.pl:143-181) —
+    without a full rebuild:
+
+      * requires id_mode="strided" (docID = doc_bucket << capacity + local
+        rank), so untouched doc buckets keep their ids;
+      * stage 1: new rows spill by doc bucket; each TOUCHED bucket re-dedups
+        (existing survivors ∪ new rows — associative, so incremental == full
+        rebuild) and rewrites its docstore file; untouched files unchanged;
+      * stage 3: partials regenerate for touched buckets only; each segment
+        reassembles from (old rows of untouched doc ranges) + (re-encoded
+        rows of touched ranges) — encode cost scales with the new shard, not
+        the index;
+      * byte-identical to a full strided rebuild over the union input
+        (tested); the manifest is the atomic commit.
+
+    Scale note: segment FILES are rewritten whole (I/O proportional to index
+    size, though encode is proportional to the shard); at 100 TB you would
+    additionally shard segment files by range group so file I/O localizes
+    too — the merge/assembly structure above already supports it.
+    """
+    import shutil
+    import time
+
+    import ray
+    import ray.data
+    import pyarrow.parquet as pqt
+
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    with open(manifest_path) as f:
+        old = json.load(f)
+    cfgd = {k: v for k, v in old["config"].items() if k != "record_hook"}
+    cfg = BuildConfig(**cfgd)  # range_bits already resolved to an int
+    if cfg.id_mode != "strided":
+        raise ValueError(
+            "extend_index requires id_mode='strided' (dense ids shift on "
+            "insert; build with BuildConfig(id_mode='strided'))"
+        )
+    t_start = time.perf_counter()
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    if isinstance(input_path, str) and os.path.isdir(input_path):
+        new_shards = sorted(os.listdir(input_path))
+    else:
+        new_shards = (
+            [input_path] if isinstance(input_path, str) else list(input_path)
+        )
+    token = hashlib.sha256(
+        json.dumps(
+            {
+                "extend": new_shards,
+                "base": old["input_shards"],
+                "index_dir": os.path.abspath(index_dir),
+            },
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:16]
+    exroot = os.path.join(cfg.exchange_root or index_dir, f"exchange-{token}")
+
+    # ---- stage 1: spill new rows by doc bucket ----
+    docparts_dir = os.path.join(exroot, "docparts")
+    if not os.path.isdir(docparts_dir):
+        tmp_dir = docparts_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+        ds = ray.data.read_parquet(
+            input_path,
+            columns=["repo", "path", "commit", "lang", "content"],
+            override_num_blocks=max(4 * ncpu, 32),
+        )
+        ds.map_batches(
+            _make_doc_spiller(cfg, tmp_dir), batch_format="pyarrow",
+            batch_size=None,
+        ).count()
+        os.replace(tmp_dir, docparts_dir)
+    touched = sorted(
+        int(n[len("bucket="):])
+        for n in os.listdir(docparts_dir)
+        if n.startswith("bucket=")
+    )
+    touched_set = set(touched)
+
+    base_cols = [
+        "repo", "path", "commit", "lang", "content", "content_sha256",
+        "doc_bucket", "doc_len", "norm_byte",
+    ]
+    if cfg.store_token_vectors:
+        base_cols += ["tokens", "tok_pos"]
+    bucket_writer = BucketWriter(index_dir, cfg, force=True)
+
+    def extend_bucket(batch: pa.Table) -> pa.Table:
+        outs = []
+        for b in batch["doc_bucket"].to_pylist():
+            b = int(b)
+            bdir = os.path.join(docparts_dir, f"bucket={b:05d}")
+            new_tbl = pqt.read_table(bdir)
+            parts = [new_tbl.select(base_cols)]
+            old_path = os.path.join(
+                index_dir, "docstore", f"bucket={b:05d}.parquet"
+            )
+            if os.path.exists(old_path):
+                parts.append(pqt.read_table(old_path).select(base_cols))
+            group = pa.concat_tables(parts).combine_chunks()
+            s = bucket_writer(group)
+            s = s.append_column(
+                "n_new_rows", pa.array([new_tbl.num_rows], pa.int64())
+            )
+            outs.append(s)
+        return pa.concat_tables(outs)
+
+    ext_summaries = (
+        ray.data.from_arrow(
+            pa.table({"doc_bucket": pa.array(touched, pa.int32())})
+        )
+        .repartition(max(len(touched), 1))
+        .map_batches(extend_bucket, batch_format="pyarrow", batch_size=1,
+                     num_cpus=1)
+        .take_all()
+    ) if touched else []
+    t_stage1 = time.perf_counter()
+
+    # ---- stage 2: recompute counts / totals ----
+    counts = np.asarray(old["doc_counts"], dtype=np.int64).copy()
+    # per-bucket total_len: untouched from the docstore ledger records
+    lens = {
+        r["partition_id"]: int(r["total_len"])
+        for r in Ledger(index_dir, "docstore").records()
+    }
+    n_new_input = 0
+    for row in ext_summaries:
+        counts[row["doc_bucket"]] = row["n_docs"]
+        lens[int(row["doc_bucket"])] = int(row["total_len"])
+        n_new_input += int(row["n_new_rows"])
+    total_len = sum(lens.values())
+    n_docs = int(counts.sum())
+    offsets = [b << cfg.bucket_capacity_bits for b in range(cfg.num_doc_buckets)]
+
+    # ---- stage 3: partials for touched buckets; reassemble segments ----
+    touched_paths = [
+        os.path.join(index_dir, "docstore", f"bucket={b:05d}.parquet")
+        for b in touched
+        if os.path.exists(
+            os.path.join(index_dir, "docstore", f"bucket={b:05d}.parquet")
+        )
+    ]
+    concurrency = (
+        max(2, ncpu - max(1, ncpu // 8))
+        if cfg.index_concurrency is None
+        else cfg.index_concurrency
+    )
+    partials_dir = os.path.join(exroot, "partials")
+    if not os.path.isdir(partials_dir) and touched_paths:
+        tmp_dir = partials_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+        if cfg.store_token_vectors:
+            cols = ["doc_bucket", "local_rank", "norm_byte", "tokens", "tok_pos"]
+        else:
+            cols = ["doc_bucket", "local_rank", "norm_byte", "content"]
+            if cfg.profile == "auto":
+                cols.append("lang")
+        ray.data.read_parquet(
+            touched_paths, columns=cols,
+            override_num_blocks=max(4 * ncpu, len(touched_paths)),
+        ).map_batches(
+            PartialIndexer,
+            fn_constructor_args=(cfg, offsets, tmp_dir),
+            batch_format="pyarrow",
+            batch_size=cfg.index_batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        ).count()
+        os.replace(tmp_dir, partials_dir)
+
+    segment_writer = SegmentWriter(index_dir, cfg)
+    pieces_dir = os.path.join(exroot, "segpieces")
+    os.makedirs(pieces_dir, exist_ok=True)
+    group_names = sorted(
+        n for n in (os.listdir(partials_dir) if os.path.isdir(partials_dir) else [])
+        if n.startswith("bucket=")
+    )
+
+    def merge_group(batch: pa.Table) -> pa.Table:
+        for name in batch["name"].to_pylist():
+            segment_writer.merge_dir_to_piece(partials_dir, name, pieces_dir)
+        return pa.table({"n": pa.array([len(batch)], pa.int64())})
+
+    if group_names:
+        ray.data.from_arrow(
+            pa.table({"name": pa.array(group_names)})
+        ).repartition(len(group_names)).map_batches(
+            merge_group, batch_format="pyarrow", batch_size=1, num_cpus=1
+        ).count()
+
+    # retained old rows = ranges of UNTOUCHED doc buckets
+    shift = np.int64(cfg.bucket_capacity_bits - cfg.range_bits)
+
+    def assemble_ext(batch: pa.Table) -> pa.Table:
+        outs = []
+        for tb in batch["term_bucket"].to_pylist():
+            tb = int(tb)
+            seg_path = os.path.join(
+                index_dir, "segments", f"bucket={tb:05d}.parquet"
+            )
+            extra = None
+            if os.path.exists(seg_path):
+                old_seg = pqt.read_table(seg_path)
+                rb = np.asarray(old_seg["range_bucket"], dtype=np.int64)
+                keep = ~np.isin(rb >> shift, np.fromiter(
+                    touched_set, dtype=np.int64, count=len(touched_set)
+                ))
+                extra = old_seg.filter(pa.array(keep))
+            s = segment_writer.assemble(tb, pieces_dir, extra_rows=extra,
+                                        force=True)
+            if s is not None:
+                outs.append(s)
+        return (
+            pa.concat_tables(outs)
+            if outs
+            else segment_writer._summary_table(
+                {"partition_id": -1, "n_terms": 0, "n_rows": 0, "n_postings": 0}
+            ).slice(0, 0)
+        )
+
+    seg_summaries = (
+        ray.data.from_arrow(
+            pa.table(
+                {"term_bucket": pa.array(range(cfg.num_term_buckets), pa.int32())}
+            )
+        )
+        .repartition(cfg.num_term_buckets)
+        .map_batches(assemble_ext, batch_format="pyarrow", batch_size=1,
+                     num_cpus=1)
+        .take_all()
+    )
+    t_stage3 = time.perf_counter()
+    n_terms = sum(r["n_terms"] for r in seg_summaries)
+    n_postings = sum(r["n_postings"] for r in seg_summaries)
+
+    shutil.rmtree(exroot, ignore_errors=True)
+    n_input = int(old["n_input_rows"]) + n_new_input
+    manifest = {
+        "version": MANIFEST_VERSION,
+        "config": {**cfgd, "record_hook": None},
+        "input_shards": list(old["input_shards"]) + new_shards,
+        "n_docs": n_docs,
+        "n_input_rows": n_input,
+        "n_dups_removed": n_input - n_docs,
+        "total_len": int(total_len),
+        "avgdl": (total_len / n_docs) if n_docs else 0.0,
+        "doc_offsets": offsets,
+        "doc_counts": counts.tolist(),
+        "n_terms": n_terms,
+        "n_postings": n_postings,
+        "timings": {
+            "stage1_dedup_docstore_sec": round(t_stage1 - t_start, 3),
+            "stage3_index_merge_sec": round(t_stage3 - t_stage1, 3),
         },
     }
     atomic_write_json(manifest_path, manifest)

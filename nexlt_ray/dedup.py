@@ -656,6 +656,77 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text"):
+    """Near-dup pairs by SimHash sketch distance: all (doc_a, doc_b) with
+    Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole bucketing (public Manku et al. WWW'07 technique): split the
+    64-bit sketch into max_hamming+1 bit-chunks — any pair within the
+    distance budget must agree EXACTLY on at least one chunk — then a
+    (chunk_id, chunk_value) groupby co-locates candidates and the exact
+    Hamming check runs in-group. No all-pairs scan; the hot key is a chunk
+    value shared by many docs, which is exactly a near-dup cluster.
+
+    Returns a Dataset of (doc_a, doc_b, hamming).
+    """
+    k = max_hamming + 1
+    widths = [64 // k + (1 if c < 64 % k else 0) for c in range(k)]
+    shifts = np.cumsum([0] + widths[:-1]).astype(np.uint64)
+    masks = np.array([(1 << w) - 1 for w in widths], dtype=np.uint64)
+
+    def sketch_chunks(batch: pa.Table) -> pa.Table:
+        t = simhash_batch(batch, text_col)
+        h = np.asarray(t["simhash"]).view(np.uint64)
+        doc = np.asarray(t["doc_id"])
+        n = doc.size
+        chunk_id = np.repeat(np.arange(k, dtype=np.int32), n)
+        vals = np.concatenate([(h >> shifts[c]) & masks[c] for c in range(k)])
+        return pa.table(
+            {
+                "chunk_id": pa.array(chunk_id),
+                "chunk_val": pa.array(vals.view(np.int64)),
+                "doc_id": pa.array(np.tile(doc, k), pa.int64()),
+                "simhash": pa.array(np.tile(h.view(np.int64), k)),
+            }
+        )
+
+    def pairs_of_bucket(g: pa.Table) -> pa.Table:
+        doc = np.asarray(g["doc_id"])
+        h = np.asarray(g["simhash"])
+        order = np.argsort(doc)
+        doc, h = doc[order], h[order]
+        keep = np.concatenate(([True], doc[1:] != doc[:-1]))
+        doc, h = doc[keep], h[keep]
+        if doc.size < 2:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "h_p": pa.array([], pa.int64()),
+                }
+            )
+        i, j = np.triu_indices(doc.size, k=1)
+        dist = hamming_distance(h[i], h[j])
+        hit = dist <= max_hamming
+        return pa.table(
+            {
+                "doc_a": pa.array(doc[i[hit]], pa.int64()),
+                "doc_b": pa.array(doc[j[hit]], pa.int64()),
+                "h_p": pa.array(dist[hit], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    return (
+        ds.map_batches(sketch_chunks, batch_format="pyarrow")
+        .groupby(["chunk_id", "chunk_val"])
+        .map_groups(pairs_of_bucket, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("h_p", alias_name="hamming"))
+    )
+
+
 def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = (np.asarray(a).view(np.uint64)) ^ (np.asarray(b).view(np.uint64))
     return np.bitwise_count(x).astype(np.int64) if hasattr(np, "bitwise_count") else np.array(

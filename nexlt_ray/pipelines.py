@@ -408,6 +408,14 @@ def simhash_docs(sf_dir: str):
     )
 
 
+def simhash_pairs_docs(sf_dir: str):
+    """Near-dup pairs by SimHash distance <= 3 (pigeonhole chunk buckets +
+    in-group exact Hamming; EXACT for the distance budget)."""
+    return dedup_ops.simhash_pairs(
+        _documents(sf_dir, ["doc_id", "text"]), max_hamming=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # normalization / text analysis (M-ops + training-data analytics)
 # ---------------------------------------------------------------------------

@@ -92,6 +92,28 @@ class TermPostings:
         self.blk_max_tf = np.concatenate(mtfs).astype(np.int32)
         self.blk_min_norm = np.concatenate(mnorms).astype(np.uint8)
         self.blk_cnt = np.concatenate(cnts)
+        # first docID per block, decoded from just the first varint of each
+        # block (vectorized): exact skip pointers for jumping doc-space gaps
+        # (strided ids leave ~2^40-wide holes between doc buckets)
+        firsts = []
+        for r in self.rows:
+            b = np.frombuffer(r["blob"], dtype=np.uint8)
+            offs = np.asarray(r["block_off"], dtype=np.int64)
+            delta = np.zeros(offs.size, dtype=np.uint64)
+            active = np.ones(offs.size, dtype=bool)
+            for k in range(10):
+                idx = np.minimum(offs + k, b.size - 1)
+                byte = b[idx]
+                delta[active] |= (
+                    byte[active].astype(np.uint64) & np.uint64(0x7F)
+                ) << np.uint64(7 * k)
+                active = active & ((byte & 0x80) != 0)
+                if not active.any():
+                    break
+            lasts = np.asarray(r["block_last"], dtype=np.int64)
+            prev = np.concatenate(([0], lasts[:-1]))
+            firsts.append(prev + delta.astype(np.int64))
+        self.blk_first = np.concatenate(firsts)
         self._block_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._pos_block_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
@@ -792,9 +814,8 @@ class IndexReader:
         live = [(ci, tp) for ci, tp in enumerate(plist) if tp is not None]
         if not live:
             return []
-        ubs = [
-            tp.block_ubs(self.n_docs, self.avgdl, self.params) for _, tp in live
-        ]
+        for _, tp in live:  # warm the memoized per-block upper bounds
+            tp.block_ubs(self.n_docs, self.avgdl, self.params)
         R = self._range_width
         top_docs = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float32)
@@ -803,6 +824,22 @@ class IndexReader:
         lo = 0
         ranges_skipped = 0
         while lo <= max_doc:
+            # skip doc-space gaps: lower-bound the next EXISTING doc across
+            # terms via skip pointers (strided ids leave ~2^40-wide holes
+            # between doc buckets; dense ids just never take the jump)
+            j0s = []
+            nxt = None
+            for ci, tp in live:
+                j0 = int(np.searchsorted(tp.blk_last, lo))
+                j0s.append(j0)
+                if j0 < tp.n_blocks:
+                    b = max(lo, int(tp.blk_first[j0]))
+                    nxt = b if nxt is None else min(nxt, b)
+            if nxt is None:
+                break  # every term exhausted
+            if nxt >= lo + R:
+                lo = nxt - (nxt % R)
+                continue
             hi = lo + R
             if fdocs is not None:
                 # fq pre-check: skip ranges holding no filter docs, and jump
@@ -812,12 +849,12 @@ class IndexReader:
                     break
                 if fdocs[f0] >= hi:
                     lo = int(fdocs[f0]) - (int(fdocs[f0]) % R)
-                    hi = lo + R
+                    continue
             # per-term overlapping block span via skip pointers
             spans = []
             ub_sum = np.float32(0.0)
-            for (ci, tp), ub in zip(live, ubs):
-                j0 = int(np.searchsorted(tp.blk_last, lo))
+            for (ci, tp), j0 in zip(live, j0s):
+                ub = tp.block_ubs(self.n_docs, self.avgdl, self.params)
                 if j0 >= tp.n_blocks:
                     spans.append(None)
                     continue

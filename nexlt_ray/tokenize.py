@@ -463,6 +463,157 @@ def tokenize_by_lang(
     )
 
 
+@dataclass
+class EncodedBatch:
+    """Token stream as integer codes into a per-batch vocabulary — the
+    zero-object-array form for the indexing hot path (materializing 10^7+
+    per-occurrence Python strings per batch is pure DRAM traffic; postings
+    aggregation only ever needs codes + the small unique vocabulary)."""
+
+    codes: np.ndarray      # int64 vocabulary code per emitted token
+    vocab: np.ndarray      # object array of unique term strings
+    positions: np.ndarray  # int32 position within doc
+    doc_idx: np.ndarray    # int32 row index within batch
+    doc_len: np.ndarray    # int32 per row
+    n_docs: int = 0
+
+
+def tokenize_batch_encoded(
+    texts,
+    profile: str = "code",
+    protected: frozenset[str] = frozenset(),
+) -> EncodedBatch:
+    """tokenize_batch with integer-coded output. Fast path for the
+    code/text_en chains (codes flow straight from the unique-token pipeline,
+    no per-occurrence string arrays); other profiles fall back to encoding
+    tokenize_batch's output."""
+    arr = _as_array(texts)
+    n_docs = len(arr)
+    if profile not in ("code", "text_en"):
+        tb = tokenize_batch(arr, profile=profile, protected=protected)
+        if tb.terms.size == 0:
+            return EncodedBatch(
+                np.empty(0, np.int64), np.empty(0, object), tb.positions,
+                tb.doc_idx, tb.doc_len, n_docs,
+            )
+        vocab_u, codes = np.unique(tb.terms.astype("U"), return_inverse=True)
+        return EncodedBatch(
+            codes.astype(np.int64), vocab_u.astype(object), tb.positions,
+            tb.doc_idx, tb.doc_len, n_docs,
+        )
+
+    filtered = char_filter(arr)
+    ws = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(filtered))
+    if isinstance(ws, pa.ChunkedArray):
+        ws = ws.combine_chunks()
+    tok_flat = ws.values
+    nonempty = pc.greater(pc.utf8_length(tok_flat), 0)
+    tok_offsets = _offsets_of(ws)
+    toks_per_doc = np.diff(tok_offsets)
+    doc_of_tok = np.repeat(np.arange(n_docs, dtype=np.int64), toks_per_doc)
+    ne = nonempty.to_numpy(zero_copy_only=False).astype(bool)
+    tok_flat = tok_flat.filter(nonempty)
+    doc_of_tok = doc_of_tok[ne]
+    if len(tok_flat) == 0:
+        e = _empty(n_docs)
+        return EncodedBatch(
+            np.empty(0, np.int64), np.empty(0, object), e.positions,
+            e.doc_idx, e.doc_len, n_docs,
+        )
+    dict_arr = pc.dictionary_encode(tok_flat)
+    if isinstance(dict_arr, pa.ChunkedArray):
+        dict_arr = dict_arr.combine_chunks()
+    uniq = dict_arr.dictionary
+    ids = np.asarray(dict_arr.indices, dtype=np.int64)
+
+    marked = uniq
+    for pat, repl in _BOUNDARY_PATTERNS:
+        marked = pc.replace_substring_regex(marked, pattern=pat, replacement=repl)
+    marked = pc.utf8_trim_whitespace(pc.utf8_lower(marked))
+    parts = pc.utf8_split_whitespace(marked)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    p_nonempty = pc.greater(pc.utf8_length(parts.values), 0)
+    pne = p_nonempty.to_numpy(zero_copy_only=False).astype(bool)
+    u_parts_all = parts.values.to_numpy(zero_copy_only=False)
+    p_off_raw = _offsets_of(parts)
+    n_uniq = len(uniq)
+    u_of_rawpart = np.repeat(np.arange(n_uniq, dtype=np.int64), np.diff(p_off_raw))
+    u_parts_flat = u_parts_all[pne]
+    u_of_part = u_of_rawpart[pne]
+    u_nparts = np.bincount(u_of_part, minlength=n_uniq)
+    u_off = np.concatenate(([0], np.cumsum(u_nparts)[:-1]))
+
+    if profile == "text_en" and u_parts_flat.size:
+        pu, pinv = np.unique(u_parts_flat.astype("U"), return_inverse=True)
+        stemmed = np.array(
+            [t if t in protected else porter_stem(str(t)) for t in pu], dtype=object
+        )
+        u_parts_flat = stemmed[pinv]
+
+    # unique-level catenations (overlap tokens)
+    is_digit = pc.match_substring_regex(
+        pa.array(u_parts_flat.astype("U")), "^[0-9]"
+    ).to_numpy(zero_copy_only=False).astype(bool) if u_parts_flat.size else (
+        np.empty(0, bool)
+    )
+    n_alpha = np.bincount(u_of_part[~is_digit], minlength=n_uniq)
+    n_num = np.bincount(u_of_part[is_digit], minlength=n_uniq)
+    u_cat_a = pc.utf8_lower(
+        pc.replace_substring_regex(uniq, pattern=r"[^A-Za-z]+", replacement="")
+    ).to_numpy(zero_copy_only=False)
+    u_cat_n = pc.replace_substring_regex(
+        uniq, pattern=r"[^0-9]+", replacement=""
+    ).to_numpy(zero_copy_only=False)
+    if profile == "text_en":
+        u_cat_a = np.array(
+            [t if t in protected else porter_stem(str(t)) for t in u_cat_a],
+            dtype=object,
+        )
+
+    # one vocabulary over parts + catenations (all unique-level, small)
+    all_strs = np.concatenate(
+        (u_parts_flat.astype("U"), u_cat_a.astype("U"), u_cat_n.astype("U"))
+    )
+    vocab, all_codes = np.unique(all_strs, return_inverse=True)
+    part_code_of_upart = all_codes[: u_parts_flat.size]
+    cat_a_code = all_codes[u_parts_flat.size : u_parts_flat.size + len(uniq)]
+    cat_n_code = all_codes[u_parts_flat.size + len(uniq) :]
+
+    # expand parts to occurrences — integer gathers only
+    src, occ_of_part = _expand(u_off, u_nparts, ids)
+    part_codes = part_code_of_upart[src]
+    doc_of_part = doc_of_tok[occ_of_part]
+    doc_len = np.bincount(doc_of_part, minlength=n_docs).astype(np.int32)
+    doc_start = np.concatenate(([0], np.cumsum(doc_len.astype(np.int64))[:-1]))
+    part_pos = (
+        np.arange(part_codes.size, dtype=np.int64) - doc_start[doc_of_part]
+    ).astype(np.int32)
+
+    codes_list = [part_codes]
+    pos_list = [part_pos]
+    idx_list = [doc_of_part.astype(np.int32)]
+    if part_codes.size:
+        occ_first_pos = np.zeros(ids.size, dtype=np.int32)
+        has = u_nparts[ids] > 0
+        occ_part_start = np.concatenate(([0], np.cumsum(u_nparts[ids])[:-1]))
+        occ_first_pos[has] = part_pos[occ_part_start[has]]
+        for cat_codes, n_kind in ((cat_a_code, n_alpha), (cat_n_code, n_num)):
+            mask = n_kind[ids] >= 2
+            if mask.any():
+                codes_list.append(cat_codes[ids[mask]])
+                pos_list.append(occ_first_pos[mask])
+                idx_list.append(doc_of_tok[mask].astype(np.int32))
+    return EncodedBatch(
+        codes=np.concatenate(codes_list).astype(np.int64),
+        vocab=vocab.astype(object),
+        positions=np.concatenate(pos_list).astype(np.int32),
+        doc_idx=np.concatenate(idx_list).astype(np.int32),
+        doc_len=doc_len,
+        n_docs=n_docs,
+    )
+
+
 def doc_token_lengths(texts, profile: str = "code") -> np.ndarray:
     """Per-doc token counts (the doc_len / norm input) WITHOUT materializing
     per-occurrence term arrays — stage 1 of the build needs only lengths, and

@@ -1,0 +1,157 @@
+"""Incremental index maintenance (reference continuous uniqueKey upsert,
+schema.xml:1030-1033): extend_index(new shard) on a strided-id index must be
+byte-identical to a full rebuild over the union input, touch only the doc
+buckets the new shard hashes into, and serve queries rank-identically."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from nexlt_ray.corpus import generate_corpus
+
+
+def _write(tbl, path):
+    pq.write_table(tbl, path)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def corpus_parts(tmp_path_factory):
+    root = tmp_path_factory.mktemp("inc_corpus")
+    full = generate_corpus(600, seed=11)
+    a = full.slice(0, 500)
+    b = full.slice(500, 100)
+    a_dir = root / "a"
+    ab_dir = root / "ab"
+    os.makedirs(a_dir)
+    os.makedirs(ab_dir)
+    _write(a, a_dir / "a.parquet")
+    _write(a, ab_dir / "a.parquet")
+    _write(b, ab_dir / "b.parquet")
+    b_path = _write(b, root / "b.parquet")
+    return str(a_dir), b_path, str(ab_dir)
+
+
+def _tree_bytes(root, sub):
+    out = {}
+    d = os.path.join(root, sub)
+    for name in sorted(os.listdir(d)):
+        if name.endswith(".parquet"):
+            with open(os.path.join(d, name), "rb") as f:
+                out[name] = f.read()
+    return out
+
+
+def test_extend_equals_full_rebuild(ray_session, corpus_parts, tmp_path):
+    from nexlt_ray.build import BuildConfig, build_index, extend_index
+
+    a_dir, b_path, ab_dir = corpus_parts
+    cfg = BuildConfig(id_mode="strided", num_doc_buckets=8, num_term_buckets=4)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    build_index(a_dir, inc, cfg)
+    m_inc = extend_index(b_path, inc)
+    m_full = build_index(ab_dir, full, cfg)
+
+    for sub in ("docstore", "segments"):
+        ta, tb = _tree_bytes(inc, sub), _tree_bytes(full, sub)
+        assert ta.keys() == tb.keys(), sub
+        for name in ta:
+            assert ta[name] == tb[name], f"{sub}/{name}"
+    skip = {"timings", "input_shards"}
+    # json round-trip normalizes tuple/list config fields
+    norm = lambda m: json.loads(
+        json.dumps({k: v for k, v in m.items() if k not in skip}, sort_keys=True)
+    )
+    assert norm(m_inc) == norm(m_full)
+
+
+def test_extend_is_idempotent_and_repeatable(ray_session, corpus_parts, tmp_path):
+    """Re-extending with the same shard changes nothing (upsert semantics:
+    every row is already present)."""
+    from nexlt_ray.build import BuildConfig, build_index, extend_index
+
+    a_dir, b_path, _ = corpus_parts
+    cfg = BuildConfig(id_mode="strided", num_doc_buckets=8, num_term_buckets=4)
+    idx = str(tmp_path / "idx")
+    build_index(a_dir, idx, cfg)
+    m1 = extend_index(b_path, idx)
+    seg1 = _tree_bytes(idx, "segments")
+    doc1 = _tree_bytes(idx, "docstore")
+    m2 = extend_index(b_path, idx)
+    assert _tree_bytes(idx, "segments") == seg1
+    assert _tree_bytes(idx, "docstore") == doc1
+    assert m2["n_docs"] == m1["n_docs"]
+    # dup accounting: the re-sent shard rows all dedup away
+    assert m2["n_dups_removed"] == m1["n_dups_removed"] + (
+        m2["n_input_rows"] - m1["n_input_rows"]
+    )
+
+
+def test_extend_touches_only_new_shard_buckets(ray_session, corpus_parts, tmp_path):
+    from nexlt_ray.build import BuildConfig, build_index, extend_index
+
+    a_dir, _, _ = corpus_parts
+    # tiny shard over many buckets -> most docstore files must not be rewritten
+    cfg = BuildConfig(id_mode="strided", num_doc_buckets=64, num_term_buckets=4)
+    idx = str(tmp_path / "idx64")
+    build_index(a_dir, idx, cfg)
+    small = generate_corpus(900, seed=11).slice(890, 5)
+    shard = str(tmp_path / "tiny.parquet")
+    pq.write_table(small, shard)
+    before = {
+        name: os.stat(os.path.join(idx, "docstore", name)).st_mtime_ns
+        for name in os.listdir(os.path.join(idx, "docstore"))
+    }
+    extend_index(shard, idx)
+    after = {
+        name: os.stat(os.path.join(idx, "docstore", name)).st_mtime_ns
+        for name in os.listdir(os.path.join(idx, "docstore"))
+    }
+    untouched = [n for n in before if after.get(n) == before[n]]
+    rewritten = [n for n in before if after.get(n) != before[n]]
+    assert len(rewritten) <= 5  # at most one bucket per new row
+    assert len(untouched) >= len(before) - 5
+
+
+def test_extend_requires_strided(ray_session, corpus_parts, tmp_path):
+    from nexlt_ray.build import BuildConfig, build_index, extend_index
+
+    a_dir, b_path, _ = corpus_parts
+    idx = str(tmp_path / "dense")
+    build_index(a_dir, idx, BuildConfig(num_doc_buckets=8, num_term_buckets=4))
+    with pytest.raises(ValueError, match="strided"):
+        extend_index(b_path, idx)
+
+
+def test_strided_index_query_rank_identity(ray_session, corpus_parts, tmp_path):
+    """Strided docIDs (2^40-wide gaps) serve WAND == exhaustive == oracle."""
+    from nexlt_ray.build import BuildConfig, build_index, extend_index
+    from nexlt_ray.corpus import reference_queries
+    from nexlt_ray.oracle import OracleIndex
+    from nexlt_ray.query import IndexReader
+
+    a_dir, b_path, _ = corpus_parts
+    cfg = BuildConfig(id_mode="strided", num_doc_buckets=8, num_term_buckets=4)
+    idx = str(tmp_path / "idxq")
+    build_index(a_dir, idx, cfg)
+    m = extend_index(b_path, idx)
+    r = IndexReader(idx)
+    meta = pq.read_table(os.path.join(idx, "docstore"))
+    did = (
+        np.asarray(m["doc_offsets"])[np.asarray(meta["doc_bucket"])]
+        + np.asarray(meta["local_rank"])
+    )
+    o = OracleIndex(
+        list(zip(did.tolist(), meta["content"].to_pylist())), profile="code"
+    )
+    for q in reference_queries()[:8]:
+        w = r.search(q["query"], k=10, algorithm="wand")
+        e = r.search(q["query"], k=10, algorithm="exhaustive")
+        exp = [(d, float(np.float32(s))) for d, s in o.search(q["query"], k=10)]
+        assert w == e == exp, q["query"]
+    assert r.match_count("*:*") == m["n_docs"]

@@ -319,3 +319,32 @@ def test_minhash_pairs_corpus_finds_exact_dups(ray_session):
     assert len(out) >= 25  # ~30 injected dups at n=1000 (some may collide)
     exact = out[out["inter"] == out["union_"]]
     assert len(exact) >= 25
+
+
+def test_simhash_pairs_exact_vs_bruteforce(ray_session):
+    """simhash_pairs is EXACT for its distance budget (pigeonhole chunks
+    guarantee completeness): must equal all-pairs Hamming <= 3."""
+    import ray.data
+
+    texts = []
+    for i in range(60):
+        base = f"document number {i} with content words alpha beta gamma {i*3}"
+        texts.append(base)
+    texts[40] = texts[7]                      # exact dup -> hamming 0
+    texts[41] = texts[7] + " extra"           # near dup -> small hamming
+    t = pa.table({"doc_id": list(range(60)), "text": texts})
+    got = (
+        D.simhash_pairs(ray.data.from_arrow(t), max_hamming=3)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    # brute force
+    sk = D.simhash_batch(t)
+    h = np.asarray(sk["simhash"])
+    i, j = np.triu_indices(60, k=1)
+    dist = D.hamming_distance(h[i], h[j])
+    hit = dist <= 3
+    exp = sorted(zip(i[hit].tolist(), j[hit].tolist(), dist[hit].tolist()))
+    assert list(map(tuple, got[["doc_a", "doc_b", "hamming"]].values)) == exp
+    assert (7, 40, 0) in exp  # the exact dup surfaced

@@ -126,3 +126,33 @@ def test_doc_token_lengths_matches_tokenize_batch():
     got = doc_token_lengths_by_lang(texts, langs)
     exp = tokenize_by_lang(texts, langs).doc_len
     assert got.tolist() == exp.tolist()
+
+
+def test_tokenize_batch_encoded_equivalence():
+    """Integer-coded tokenize must decode to exactly tokenize_batch's
+    stream (same tokens, positions, doc assignment) on every profile."""
+    from nexlt_ray.tokenize import tokenize_batch, tokenize_batch_encoded
+
+    texts = [
+        "getFooBar baz-Quux 123abc Wi-Fi",
+        "",
+        "<b>html&amp;x</b> The import of the THE",
+        "def searchEngine2(): return query_index",
+    ]
+    for profile in ("code", "text_en", "simple"):
+        tb = tokenize_batch(texts, profile=profile)
+        eb = tokenize_batch_encoded(texts, profile=profile)
+        assert eb.doc_len.tolist() == tb.doc_len.tolist(), profile
+        got = sorted(zip(eb.doc_idx.tolist(), eb.positions.tolist(),
+                         [str(eb.vocab[c]) for c in eb.codes]))
+        exp = sorted(zip(tb.doc_idx.tolist(), tb.positions.tolist(),
+                         [str(t) for t in tb.terms]))
+        assert got == exp, profile
+    # protected words respected
+    tb = tokenize_batch(["motoring vehicles"], profile="text_en",
+                        protected=frozenset({"motoring"}))
+    eb = tokenize_batch_encoded(["motoring vehicles"], profile="text_en",
+                                protected=frozenset({"motoring"}))
+    assert sorted(str(eb.vocab[c]) for c in eb.codes) == sorted(
+        str(t) for t in tb.terms
+    )
