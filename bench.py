@@ -132,7 +132,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16, trials: int = 2) -> dict:
+def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16, trials: int = 3) -> dict:
     """Same build at two parallelism levels (N and 4N) in FRESH processes —
     the in-sandbox evidence for the N->4N cluster-scaling criterion
     (BASELINE.md).

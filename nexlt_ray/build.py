@@ -263,6 +263,76 @@ def _sha_and_bucket(batch: pa.Table, cfg: BuildConfig) -> pa.Table:
     return out
 
 
+def _list_fragments(input_path: str | list[str]) -> list[tuple[str, int]]:
+    """(file, row_group) work units for storage-direct map tasks. Ray 2.49
+    does NOT fuse ReadParquet with a following map_batches (verified via the
+    execution plan), so a Dataset-read feeding a map round-trips every batch
+    through the object store — pure memory-bandwidth cost at high CPU counts.
+    Reading fragments INSIDE the map task leaves only tiny acks on the
+    object store. (At 100 TB the listing itself parallelizes; metadata-only
+    reads here.)"""
+    import pyarrow.parquet as pqt
+
+    if isinstance(input_path, str):
+        if os.path.isdir(input_path):
+            files = sorted(
+                os.path.join(input_path, f)
+                for f in os.listdir(input_path)
+                if f.endswith(".parquet")
+            )
+        else:
+            files = [input_path]
+    else:
+        files = list(input_path)
+    frags = []
+    for f in files:
+        md = pqt.ParquetFile(f).metadata
+        frags.extend((f, rg) for rg in range(md.num_row_groups))
+    return frags
+
+
+def _fragment_dataset(frags: list[tuple[str, int]]):
+    import ray.data
+
+    t = pa.table(
+        {
+            "path": pa.array([p for p, _ in frags], pa.string()),
+            "rg": pa.array([r for _, r in frags], pa.int32()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(max(len(frags), 1))
+
+
+def _run_partial_indexing(
+    docstore_path: str | list[str],
+    cols: list[str],
+    cfg3: BuildConfig,
+    offsets,
+    tmp_dir: str,
+) -> None:
+    """Stage-3 map as storage-direct fragment tasks: each task reads its own
+    docstore row group and runs the posting combiner over index_batch_size
+    slices (PartialIndexer is plain per-task state — the offsets table and
+    term-bucket cache rebuild in milliseconds, no actor pool needed once the
+    read happens in-task)."""
+
+    def index_fragment(spec: pa.Table) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        pi = PartialIndexer(cfg3, offsets, tmp_dir)
+        n_rows = 0
+        for path, rg in zip(spec["path"].to_pylist(), spec["rg"].to_pylist()):
+            tbl = _pq.ParquetFile(path).read_row_group(int(rg), columns=cols)
+            for lo in range(0, tbl.num_rows, cfg3.index_batch_size):
+                pi(tbl.slice(lo, cfg3.index_batch_size))
+                n_rows += min(cfg3.index_batch_size, tbl.num_rows - lo)
+        return pa.table({"n": pa.array([n_rows], pa.int64())})
+
+    _fragment_dataset(_list_fragments(docstore_path)).map_batches(
+        index_fragment, batch_format="pyarrow", batch_size=1, num_cpus=1
+    ).count()
+
+
 def _make_doc_spiller(cfg: BuildConfig, tmp_dir: str):
     """Stage-1 map fn factory: sha/bucket/doc_len a batch, spill partitioned
     by doc_bucket (content-derived part names — a task retry rewrites its own
@@ -288,6 +358,9 @@ def _make_doc_spiller(cfg: BuildConfig, tmp_dir: str):
             atomic_write_parquet(
                 os.path.join(tmp_dir, f"bucket={bb:05d}", fname),
                 out.slice(lo, hi - lo),
+                compression="zstd",  # transient staging: fewer bytes through
+                # tmpfs/shared storage at slightly more CPU (the right trade
+                # for the bandwidth-bound high-CPU regime)
             )
             acks.append(bb)
         return pa.table({"doc_bucket": pa.array(acks, pa.int32())})
@@ -534,7 +607,8 @@ class PartialIndexer:
             path = os.path.join(
                 self.partials_dir, f"bucket={tb:05d}-r{rb:015d}", fname
             )
-            atomic_write_parquet(path, out.slice(lo, hi - lo))
+            atomic_write_parquet(path, out.slice(lo, hi - lo),
+                                 compression="zstd")
             acks.append((tb, hi - lo))
         return pa.table(
             {
@@ -623,7 +697,8 @@ class SegmentWriter:
         rows, _ = self.merge_rows(tbl)
         rows.sort(key=lambda r: (r["term"], r["range_bucket"]))
         atomic_write_parquet(
-            piece_path, pa.Table.from_pylist(rows, schema=segment_schema())
+            piece_path, pa.Table.from_pylist(rows, schema=segment_schema()),
+            compression="zstd",
         )
 
     def assemble(
@@ -838,21 +913,16 @@ def build_index(
     )
 
     # ---- stage 1: dedup + local rank per doc bucket (shuffle 1) ----
-    # override_num_blocks: the sort-shuffle's reduce parallelism tracks the
-    # upstream block count, so small local inputs must be split explicitly
-    # (a 100 TB input already has plenty of row-group splits).
-    ds = ray.data.read_parquet(
-        input_path,
-        columns=["repo", "path", "commit", "lang", "content"],
-        override_num_blocks=max(4 * ncpu, 32),
-    )
     bucket_writer = BucketWriter(index_dir, cfg)
+    input_cols = ["repo", "path", "commit", "lang", "content"]
 
     if cfg.shuffle == "disk":
         # disk-partitioned dedup exchange (same pattern as the postings
-        # exchange): the map writes doc rows partitioned by doc_bucket to
-        # shared storage (atomic dir publish), then one independent
-        # dedup+rank+docstore task per bucket — no object-store all-to-all.
+        # exchange): storage-direct map tasks read their own (file, row
+        # group) fragment, spill rows partitioned by doc_bucket to shared
+        # storage (atomic dir publish), then one independent
+        # dedup+rank+docstore task per bucket. No object-store traffic
+        # beyond tiny acks (see _list_fragments).
         docparts_dir = os.path.join(exroot, "docparts")
         if not os.path.isdir(docparts_dir):
             tmp_dir = docparts_dir + ".tmp"
@@ -861,10 +931,24 @@ def build_index(
 
                 shutil.rmtree(tmp_dir)
             os.makedirs(tmp_dir, exist_ok=True)  # empty input still publishes
+            spiller = _make_doc_spiller(cfg, tmp_dir)
 
-            ds.map_batches(
-                _make_doc_spiller(cfg, tmp_dir), batch_format="pyarrow",
-                batch_size=None,
+            def read_and_spill(spec: pa.Table) -> pa.Table:
+                import pyarrow.parquet as _pq
+
+                outs = []
+                for path, rg in zip(
+                    spec["path"].to_pylist(), spec["rg"].to_pylist()
+                ):
+                    tbl = _pq.ParquetFile(path).read_row_group(
+                        int(rg), columns=input_cols
+                    )
+                    outs.append(spiller(tbl))
+                return pa.concat_tables(outs)
+
+            _fragment_dataset(_list_fragments(input_path)).map_batches(
+                read_and_spill, batch_format="pyarrow", batch_size=1,
+                num_cpus=1,
             ).count()
             os.replace(tmp_dir, docparts_dir)
         t_s1_map = time.perf_counter()
@@ -899,8 +983,15 @@ def build_index(
             .take_all()
         )
     else:
-        # batch_size=None keeps one batch per block (no coalescing -> the
-        # downstream shuffle keeps its parallelism)
+        # override_num_blocks: the sort-shuffle's reduce parallelism tracks
+        # the upstream block count, so small local inputs must be split
+        # explicitly; batch_size=None keeps one batch per block (no
+        # coalescing -> the downstream shuffle keeps its parallelism)
+        ds = ray.data.read_parquet(
+            input_path,
+            columns=input_cols,
+            override_num_blocks=max(4 * ncpu, 32),
+        )
         mapped = ds.map_batches(
             lambda b: _sha_and_bucket(b, cfg), batch_format="pyarrow",
             batch_size=None,
@@ -969,16 +1060,18 @@ def build_index(
         concurrency = max(2, ncpu - max(1, ncpu // 8))
     else:
         concurrency = cfg.index_concurrency
-    def read_docstore():
+    def _docstore_cols() -> list[str]:
         if cfg.store_token_vectors:
-            cols = ["doc_bucket", "local_rank", "norm_byte", "tokens", "tok_pos"]
-        else:
-            cols = ["doc_bucket", "local_rank", "norm_byte", "content"]
-            if cfg.profile == "auto":
-                cols.append("lang")
+            return ["doc_bucket", "local_rank", "norm_byte", "tokens", "tok_pos"]
+        cols = ["doc_bucket", "local_rank", "norm_byte", "content"]
+        if cfg.profile == "auto":
+            cols.append("lang")
+        return cols
+
+    def read_docstore():
         return ray.data.read_parquet(
             os.path.join(index_dir, "docstore"),
-            columns=cols,
+            columns=_docstore_cols(),
             override_num_blocks=max(4 * ncpu, cfg.num_doc_buckets),
         )
 
@@ -992,9 +1085,10 @@ def build_index(
     segment_writer = SegmentWriter(index_dir, cfg3)
 
     if cfg.shuffle == "disk":
-        # map side: partial postings land partitioned by term bucket under
-        # partials/ (atomic dir publish); reduce side: one independent merge
-        # task per bucket — no object-store all-to-all.
+        # map side: storage-direct tasks read docstore fragments themselves
+        # (no object-store round trip; see _list_fragments) and spill
+        # partial postings partitioned by (term bucket, range bucket);
+        # reduce side: one independent merge task per pair.
         partials_dir = os.path.join(exroot, "partials")
         if not os.path.isdir(partials_dir):
             tmp_dir = partials_dir + ".tmp"
@@ -1003,14 +1097,10 @@ def build_index(
 
                 shutil.rmtree(tmp_dir)
             os.makedirs(tmp_dir, exist_ok=True)  # token-less corpus edge
-            read_docstore().map_batches(
-                PartialIndexer,
-                fn_constructor_args=(cfg3, offsets, tmp_dir),
-                batch_format="pyarrow",
-                batch_size=cfg.index_batch_size,
-                concurrency=concurrency,
-                num_cpus=1,
-            ).count()
+            _run_partial_indexing(
+                os.path.join(index_dir, "docstore"), _docstore_cols(),
+                cfg3, offsets, tmp_dir,
+            )
             os.replace(tmp_dir, partials_dir)
         t_s3_map = time.perf_counter()
 
@@ -1211,14 +1301,18 @@ def extend_index(
         tmp_dir = docparts_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
         os.makedirs(tmp_dir, exist_ok=True)
-        ds = ray.data.read_parquet(
-            input_path,
-            columns=["repo", "path", "commit", "lang", "content"],
-            override_num_blocks=max(4 * ncpu, 32),
-        )
-        ds.map_batches(
-            _make_doc_spiller(cfg, tmp_dir), batch_format="pyarrow",
-            batch_size=None,
+        spiller = _make_doc_spiller(cfg, tmp_dir)
+        in_cols = ["repo", "path", "commit", "lang", "content"]
+
+        def read_and_spill(spec: pa.Table) -> pa.Table:
+            outs = []
+            for path, rg in zip(spec["path"].to_pylist(), spec["rg"].to_pylist()):
+                tbl = pqt.ParquetFile(path).read_row_group(int(rg), columns=in_cols)
+                outs.append(spiller(tbl))
+            return pa.concat_tables(outs)
+
+        _fragment_dataset(_list_fragments(input_path)).map_batches(
+            read_and_spill, batch_format="pyarrow", batch_size=1, num_cpus=1
         ).count()
         os.replace(tmp_dir, docparts_dir)
     touched = sorted(
@@ -1291,11 +1385,6 @@ def extend_index(
             os.path.join(index_dir, "docstore", f"bucket={b:05d}.parquet")
         )
     ]
-    concurrency = (
-        max(2, ncpu - max(1, ncpu // 8))
-        if cfg.index_concurrency is None
-        else cfg.index_concurrency
-    )
     partials_dir = os.path.join(exroot, "partials")
     if not os.path.isdir(partials_dir) and touched_paths:
         tmp_dir = partials_dir + ".tmp"
@@ -1307,17 +1396,7 @@ def extend_index(
             cols = ["doc_bucket", "local_rank", "norm_byte", "content"]
             if cfg.profile == "auto":
                 cols.append("lang")
-        ray.data.read_parquet(
-            touched_paths, columns=cols,
-            override_num_blocks=max(4 * ncpu, len(touched_paths)),
-        ).map_batches(
-            PartialIndexer,
-            fn_constructor_args=(cfg, offsets, tmp_dir),
-            batch_format="pyarrow",
-            batch_size=cfg.index_batch_size,
-            concurrency=concurrency,
-            num_cpus=1,
-        ).count()
+        _run_partial_indexing(touched_paths, cols, cfg, offsets, tmp_dir)
         os.replace(tmp_dir, partials_dir)
 
     segment_writer = SegmentWriter(index_dir, cfg)

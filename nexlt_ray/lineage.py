@@ -34,12 +34,15 @@ def atomic_write_json(path: str, obj: dict) -> None:
     atomic_write_bytes(path, json.dumps(obj, sort_keys=True, indent=1).encode())
 
 
-def atomic_write_parquet(path: str, table) -> None:
+def atomic_write_parquet(path: str, table, compression: str | None = None) -> None:
     import pyarrow.parquet as pq
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-    pq.write_table(table, tmp)
+    if compression is None:
+        pq.write_table(table, tmp)
+    else:
+        pq.write_table(table, tmp, compression=compression)
     os.replace(tmp, path)
 
 

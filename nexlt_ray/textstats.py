@@ -116,33 +116,81 @@ def fingerprint_batch(
 ) -> pa.Table:
     """Winnowed fingerprints per doc: min hash in each sliding window of
     rolling k-gram hashes. Returns doc_id, n_grams, n_fingerprints,
-    min_fp/max_fp (as int64 via signed view) — deterministic."""
+    min_fp/max_fp (as int64 via signed view) — deterministic.
+
+    Batch-vectorized: all docs' bytes hash in ONE flat pass; per-doc gram /
+    window spans are contiguous slices of the flat arrays, so winnowing,
+    dedup and min/max all run as global sorts + segment reductions — no
+    per-doc Python loop."""
     texts = batch[text_col].to_pylist()
-    n_grams = np.zeros(len(texts), dtype=np.int64)
-    n_fps = np.zeros(len(texts), dtype=np.int64)
-    min_fp = np.zeros(len(texts), dtype=np.int64)
-    max_fp = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        h = _rolling_hashes(data, k)
-        n_grams[i] = h.size
-        if h.size == 0:
-            continue
-        if h.size <= window:
-            fps = np.unique(h.min(keepdims=True))
-        else:
-            w = np.lib.stride_tricks.sliding_window_view(h, window)
-            fps = np.unique(w.min(axis=1))
-        n_fps[i] = fps.size
-        fs = fps.view(np.int64)  # bit-reinterpret for int64 storage
-        min_fp[i] = int(fs.min())
-        max_fp[i] = int(fs.max())
-    return pa.table(
-        {
-            "doc_id": batch["doc_id"],
-            "n_grams": pa.array(n_grams),
-            "n_fingerprints": pa.array(n_fps),
-            "min_fp": pa.array(min_fp),
-            "max_fp": pa.array(max_fp),
-        }
-    )
+    n = len(texts)
+    byte_parts = [np.frombuffer(t.encode("utf-8"), dtype=np.uint8) for t in texts]
+    lens = np.array([p.size for p in byte_parts], dtype=np.int64)
+    n_grams = np.maximum(lens - k + 1, 0)
+    empty = np.zeros(n, dtype=np.int64)
+    out = {
+        "doc_id": batch["doc_id"],
+        "n_grams": pa.array(n_grams),
+        "n_fingerprints": pa.array(empty.copy()),
+        "min_fp": pa.array(empty.copy()),
+        "max_fp": pa.array(empty.copy()),
+    }
+    if int(n_grams.sum()) == 0:
+        return pa.table(out)
+    flat = np.concatenate(byte_parts) if byte_parts else np.empty(0, np.uint8)
+    h_all = _rolling_hashes(flat, k)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    # doc i's grams live at flat positions [offs[i], offs[i] + n_grams[i])
+    doc_sel = np.flatnonzero(n_grams > 0)
+    g_doc = np.repeat(doc_sel, n_grams[doc_sel])
+    g_idx = _expand_ranges(offs[doc_sel], n_grams[doc_sel])
+
+    # per-window minima: window w starts at gram j of its doc when the doc
+    # has >= window grams; docs with fewer grams emit one global min
+    few = doc_sel[n_grams[doc_sel] <= window]
+    many = doc_sel[n_grams[doc_sel] > window]
+    fp_doc_l, fp_val_l = [], []
+    if few.size:
+        # min over each short doc's grams: reduceat over the gathered gram
+        # stream at per-doc segment starts, then keep the short docs
+        seg_starts = np.concatenate(([0], np.cumsum(n_grams[doc_sel])[:-1]))
+        mins = np.minimum.reduceat(h_all[g_idx], seg_starts)
+        keep = np.isin(doc_sel, few)
+        fp_doc_l.append(doc_sel[keep])
+        fp_val_l.append(mins[keep])
+    if many.size:
+        wmins = np.lib.stride_tricks.sliding_window_view(h_all, window).min(axis=1)
+        n_win = n_grams[many] - window + 1
+        w_doc = np.repeat(many, n_win)
+        w_idx = _expand_ranges(offs[many], n_win)
+        fp_doc_l.append(w_doc)
+        fp_val_l.append(wmins[w_idx])
+    fp_doc = np.concatenate(fp_doc_l)
+    fp_val = np.concatenate(fp_val_l)
+    # per-doc dedup + stats via one global sort
+    order = np.lexsort((fp_val, fp_doc))
+    d_s, v_s = fp_doc[order], fp_val[order]
+    uniq = np.concatenate(([True], (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])))
+    d_u, v_u = d_s[uniq], v_s[uniq]
+    n_fps = np.bincount(d_u, minlength=n).astype(np.int64)
+    seg = np.flatnonzero(np.concatenate(([True], d_u[1:] != d_u[:-1])))
+    present = d_u[seg]
+    vs_signed = v_u.view(np.int64)
+    min_fp = np.zeros(n, dtype=np.int64)
+    max_fp = np.zeros(n, dtype=np.int64)
+    min_fp[present] = np.minimum.reduceat(vs_signed, seg)
+    max_fp[present] = np.maximum.reduceat(vs_signed, seg)
+    out["n_fingerprints"] = pa.array(n_fps)
+    out["min_fp"] = pa.array(min_fp)
+    out["max_fp"] = pa.array(max_fp)
+    return pa.table(out)
+
+
+def _expand_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Indices concatenating ranges [starts[i], starts[i]+counts[i])."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    of = np.repeat(np.arange(starts.size, dtype=np.int64), counts)
+    base = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return starts[of] + (np.arange(total, dtype=np.int64) - base[of])
