@@ -38,6 +38,7 @@ def cmd_build(args) -> int:
 
     cfg = BuildConfig(
         profile=args.profile,
+        id_mode=args.id_mode,
         num_doc_buckets=args.doc_buckets,
         num_term_buckets=args.term_buckets,
         store_positions=not args.no_positions,
@@ -50,12 +51,26 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_extend(args) -> int:
+    """Merge a new shard into an existing strided-id index (the reference's
+    continuous upsert loop, tr2solr.sh cron analog)."""
+    _ensure_ray(args.num_cpus)
+    from .build import extend_index
+
+    manifest = extend_index(args.input, args.index)
+    print(json.dumps({k: manifest[k] for k in
+                      ("n_docs", "n_input_rows", "n_dups_removed", "n_terms",
+                       "n_postings", "avgdl")}))
+    return 0
+
+
 def cmd_search(args) -> int:
     from .query import IndexReader
 
     reader = IndexReader(args.index)
+    filters = json.loads(args.filters) if args.filters else None
     hits = reader.search(args.query, k=args.k, mode=args.mode,
-                         algorithm=args.algorithm)
+                         algorithm=args.algorithm, filters=filters)
     fields = reader.doc_fields([d for d, _ in hits]) if hits else None
     meta = (
         {int(r["doc_id"]): r for r in fields.to_pylist()} if fits(fields) else {}
@@ -67,8 +82,16 @@ def cmd_search(args) -> int:
             "repo": row.get("repo"), "path": row.get("path"),
             "commit": row.get("commit"), "lang": row.get("lang"),
         }))
-    print(json.dumps({"num_found": reader.match_count(args.query, mode=args.mode)}),
-          file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "num_found": reader.match_count(
+                    args.query, mode=args.mode, filters=filters
+                )
+            }
+        ),
+        file=sys.stderr,
+    )
     return 0
 
 
@@ -91,7 +114,12 @@ def main(argv=None) -> int:
     b = sub.add_parser("build", help="build an inverted index from parquet")
     b.add_argument("--input", required=True)
     b.add_argument("--index", required=True)
-    b.add_argument("--profile", default="code", choices=["code", "text_en", "simple"])
+    b.add_argument(
+        "--profile", default="code",
+        choices=["code", "text_en", "text_de", "text_fr", "text_es",
+                 "simple", "cjk_bigram", "auto"],
+    )
+    b.add_argument("--id-mode", default="dense", choices=["dense", "strided"])
     b.add_argument("--doc-buckets", type=int, default=64)
     b.add_argument("--term-buckets", type=int, default=32)
     b.add_argument("--no-positions", action="store_true")
@@ -99,12 +127,20 @@ def main(argv=None) -> int:
     b.add_argument("--num-cpus", type=int, default=None)
     b.set_defaults(fn=cmd_build)
 
+    e = sub.add_parser("extend", help="merge a new shard into a strided index")
+    e.add_argument("--input", required=True)
+    e.add_argument("--index", required=True)
+    e.add_argument("--num-cpus", type=int, default=None)
+    e.set_defaults(fn=cmd_extend)
+
     s = sub.add_parser("search", help="top-k BM25 search")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--mode", default="OR", choices=["OR", "AND"])
     s.add_argument("--algorithm", default="wand", choices=["wand", "exhaustive"])
+    s.add_argument("--filters", default=None,
+                   help='fq JSON, e.g. \'{"lang": ["python", "c"]}\'')
     s.set_defaults(fn=cmd_search)
 
     st = sub.add_parser("stats", help="print index manifest")
