@@ -117,6 +117,7 @@ def main(argv=None) -> int:
     b.add_argument(
         "--profile", default="code",
         choices=["code", "text_en", "text_de", "text_fr", "text_es",
+                 "text_it", "text_pt", "text_nl", "text_ru",
                  "simple", "cjk_bigram", "auto"],
     )
     b.add_argument("--id-mode", default="dense", choices=["dense", "strided"])

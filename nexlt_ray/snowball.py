@@ -667,3 +667,593 @@ def spanish_stem(word: str) -> str:  # noqa: C901 (faithful to the spec's shape)
                 break
 
     return w.translate(_ES_UNACCENT)
+
+
+# ---------------------------------------------------------------------------
+# Italian  (reference chain: schema.xml Italian SnowballPorterFilter)
+# ---------------------------------------------------------------------------
+
+_IT_VOWELS = "aeiouàèìòù"
+
+
+def _it_rv_r1_r2(w: str) -> tuple[int, int, int]:
+    rv = _es_like_rv(w, _IT_VOWELS)
+    r1, r2 = _r1_r2(w, _IT_VOWELS)
+    return rv, r1, r2
+
+
+def _es_like_rv(lw: str, vowels: str) -> int:
+    n = len(lw)
+    if n < 3:
+        return n
+    if lw[1] not in vowels:
+        for i in range(2, n):
+            if lw[i] in vowels:
+                return i + 1
+        return n
+    if lw[0] in vowels and lw[1] in vowels:
+        for i in range(2, n):
+            if lw[i] not in vowels:
+                return i + 1
+        return n
+    return 3
+
+
+_IT_ACUTE = str.maketrans("áéíóúÁÉÍÓÚ", "àèìòùàèìòù")
+
+_IT_PRONOUNS = (
+    "gliela", "gliele", "glieli", "glielo", "gliene", "sene",
+    "mela", "mele", "meli", "melo", "mene", "tela", "tele", "teli",
+    "telo", "tene", "cela", "cele", "celi", "celo", "cene", "vela",
+    "vele", "veli", "velo", "vene",
+    "gli", "ci", "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi",
+)
+
+
+def italian_stem(word: str) -> str:  # noqa: C901 (faithful to the spec's shape)
+    w = word.lower().translate(_IT_ACUTE)
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "ui" and chars[i - 1] in _IT_VOWELS and chars[i + 1] in _IT_VOWELS:
+            chars[i] = chars[i].upper()
+        if chars[i] == "u" and chars[i - 1] == "q":
+            chars[i] = "U"
+    w = "".join(chars)
+    lw = w.lower()
+    rv, r1, r2 = _it_rv_r1_r2(lw)
+
+    def in_rv(i):
+        return i >= rv
+
+    def in_r1(i):
+        return i >= r1
+
+    def in_r2(i):
+        return i >= r2
+
+    # step 0: attached pronouns after ando/endo (delete) or ar/er/ir (-> e)
+    for p in sorted(_IT_PRONOUNS, key=len, reverse=True):
+        if not lw.endswith(p):
+            continue
+        base = w[: -len(p)]
+        lb = base.lower()
+        if (lb.endswith("ando") or lb.endswith("endo")) and in_rv(len(base) - 4):
+            w = base
+        elif (
+            lb.endswith(("ar", "er", "ir")) and in_rv(len(base) - 2)
+        ):
+            w = base + "e"
+        break
+    lw = w.lower()
+
+    # step 1: standard suffixes
+    step1 = False
+    sufs = sorted(
+        [
+            "anza", "anze", "ico", "ici", "ica", "ice", "iche", "ichi",
+            "ismo", "ismi", "abile", "abili", "ibile", "ibili", "ista",
+            "iste", "isti", "istà", "istè", "istì", "oso", "osi", "osa",
+            "ose", "mente", "atrice", "atrici", "ante", "anti",
+            "azione", "azioni", "atore", "atori", "logia", "logie",
+            "uzione", "uzioni", "usione", "usioni", "enza", "enze",
+            "amento", "amenti", "imento", "imenti", "amente", "ità",
+            "ivo", "ivi", "iva", "ive",
+        ],
+        key=len,
+        reverse=True,
+    )
+    for suf in sufs:
+        if not lw.endswith(suf):
+            continue
+        i = len(w) - len(suf)
+        base = w[:i]
+        lb = base.lower()
+        if suf in ("anza", "anze", "ico", "ici", "ica", "ice", "iche",
+                   "ichi", "ismo", "ismi", "abile", "abili", "ibile",
+                   "ibili", "ista", "iste", "isti", "istà", "istè", "istì",
+                   "oso", "osi", "osa", "ose", "mente", "atrice", "atrici",
+                   "ante", "anti"):
+            if in_r2(i):
+                w = base
+                step1 = True
+        elif suf in ("azione", "azioni", "atore", "atori"):
+            if in_r2(i):
+                w = base
+                if w.lower().endswith("ic") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                step1 = True
+        elif suf in ("logia", "logie"):
+            if in_r2(i):
+                w = base + "log"
+                step1 = True
+        elif suf in ("uzione", "uzioni", "usione", "usioni"):
+            if in_r2(i):
+                w = base + "u"
+                step1 = True
+        elif suf in ("enza", "enze"):
+            if in_r2(i):
+                w = base + "ente"
+                step1 = True
+        elif suf in ("amento", "amenti", "imento", "imenti"):
+            if in_rv(i):
+                w = base
+                step1 = True
+        elif suf == "amente":
+            if in_r1(i):
+                w = base
+                lb = w.lower()
+                if lb.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.lower().endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                else:
+                    for pre in ("os", "ic"):
+                        if lb.endswith(pre) and in_r2(len(w) - 2):
+                            w = w[:-2]
+                            break
+                    else:
+                        if lb.endswith("abil") and in_r2(len(w) - 4):
+                            w = w[:-4]
+                step1 = True
+        elif suf == "ità":
+            if in_r2(i):
+                w = base
+                lb = w.lower()
+                if lb.endswith("abil") and in_r2(len(w) - 4):
+                    w = w[:-4]
+                elif lb.endswith(("ic", "iv")) and in_r2(len(w) - 2):
+                    w = w[:-2]
+                step1 = True
+        elif suf in ("ivo", "ivi", "iva", "ive"):
+            if in_r2(i):
+                w = base
+                if w.lower().endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.lower().endswith("ic") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                step1 = True
+        if step1:
+            break
+    lw = w.lower()
+
+    # step 2: verb suffixes (only if step 1 removed nothing)
+    if not step1:
+        verb_sufs = sorted(
+            [
+                "ammo", "ando", "ano", "are", "arono", "asse", "assero",
+                "assi", "assimo", "ata", "ate", "ati", "ato", "ava",
+                "avamo", "avano", "avate", "avi", "avo", "emmo", "enda",
+                "ende", "endi", "endo", "erà", "erai", "eranno", "ere",
+                "erebbe", "erebbero", "erei", "eremmo", "eremo", "ereste",
+                "eresti", "erete", "erò", "erono", "essero", "ete", "eva",
+                "evamo", "evano", "evate", "evi", "evo", "iamo", "immo",
+                "irà", "irai", "iranno", "ire", "irebbe", "irebbero",
+                "irei", "iremmo", "iremo", "ireste", "iresti", "irete",
+                "irò", "irono", "isca", "iscano", "isce", "isci", "isco",
+                "iscono", "issero", "ita", "ite", "iti", "ito", "iva",
+                "ivamo", "ivano", "ivate", "ivi", "ivo", "ono", "uta",
+                "ute", "uti", "uto", "ar", "ir",
+            ],
+            key=len,
+            reverse=True,
+        )
+        for suf in verb_sufs:
+            if lw.endswith(suf) and in_rv(len(w) - len(suf)):
+                w = w[: -len(suf)]
+                break
+        lw = w.lower()
+
+    # step 3a: final vowel
+    for suf in ("a", "e", "i", "o", "à", "è", "ì", "ò"):
+        if lw.endswith(suf) and in_rv(len(w) - 1):
+            w = w[:-1]
+            lw = w.lower()
+            if lw.endswith("i") and in_rv(len(w) - 1):
+                w = w[:-1]
+                lw = w.lower()
+            break
+    # step 3b
+    if lw.endswith(("ch",)) and in_rv(len(w) - 2):
+        w = w[:-1]
+    elif lw.endswith(("gh",)) and in_rv(len(w) - 2):
+        w = w[:-1]
+    return w.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------------------
+# Portuguese  (reference chain: schema.xml Portuguese stemmer)
+# ---------------------------------------------------------------------------
+
+_PT_VOWELS = "aeiouáéíóúâêô"
+
+
+def portuguese_stem(word: str) -> str:  # noqa: C901 (faithful to the spec's shape)
+    w = word.lower().replace("ã", "a~").replace("õ", "o~")
+    rv = _es_like_rv(w, _PT_VOWELS)
+    r1, r2 = _r1_r2(w, _PT_VOWELS)
+
+    def in_rv(i):
+        return i >= rv
+
+    def in_r1(i):
+        return i >= r1
+
+    def in_r2(i):
+        return i >= r2
+
+    step1 = False
+    sufs = sorted(
+        [
+            "eza", "ezas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+            "ável", "ível", "ista", "istas", "oso", "osa", "osos", "osas",
+            "amento", "amentos", "imento", "imentos",
+            "adora", "ador", "aça~o", "adoras", "adores", "aço~es",
+            "ante", "antes", "ância",
+            "logia", "logias", "uça~o", "uço~es", "ência", "ências",
+            "amente", "mente", "idade", "idades",
+            "iva", "ivo", "ivas", "ivos", "eira", "eiras",
+        ],
+        key=len,
+        reverse=True,
+    )
+    for suf in sufs:
+        if not w.endswith(suf):
+            continue
+        i = len(w) - len(suf)
+        base = w[:i]
+        if suf in ("eza", "ezas", "ico", "ica", "icos", "icas", "ismo",
+                   "ismos", "ável", "ível", "ista", "istas", "oso", "osa",
+                   "osos", "osas", "amento", "amentos", "imento",
+                   "imentos"):
+            if in_r2(i):
+                w = base
+                step1 = True
+        elif suf in ("adora", "ador", "aça~o", "adoras", "adores",
+                     "aço~es", "ante", "antes", "ância"):
+            if in_r2(i):
+                w = base
+                if w.endswith("ic") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                step1 = True
+        elif suf in ("logia", "logias"):
+            if in_r2(i):
+                w = base + "log"
+                step1 = True
+        elif suf in ("uça~o", "uço~es"):
+            if in_r2(i):
+                w = base + "u"
+                step1 = True
+        elif suf in ("ência", "ências"):
+            if in_r2(i):
+                w = base + "ente"
+                step1 = True
+        elif suf == "amente":
+            if in_r1(i):
+                w = base
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if w.endswith(pre) and in_r2(len(w) - 2):
+                            w = w[:-2]
+                            break
+                step1 = True
+        elif suf == "mente":
+            if in_r2(i):
+                w = base
+                for pre in ("ante", "avel", "ível"):
+                    if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                        w = w[: -len(pre)]
+                        break
+                step1 = True
+        elif suf in ("idade", "idades"):
+            if in_r2(i):
+                w = base
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                        w = w[: -len(pre)]
+                        break
+                step1 = True
+        elif suf in ("iva", "ivo", "ivas", "ivos"):
+            if in_r2(i):
+                w = base
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                step1 = True
+        elif suf in ("eira", "eiras"):
+            if in_rv(i):
+                w = base + "eir"
+                step1 = True
+        if step1:
+            break
+
+    # step 2: verb suffixes (only if step 1 removed nothing)
+    step2 = False
+    if not step1:
+        verb_sufs = sorted(
+            [
+                "ada", "ida", "ia", "aria", "eria", "iria", "ará", "ara",
+                "erá", "era", "irá", "ava", "asse", "esse", "isse",
+                "aste", "este", "iste", "ei", "arei", "erei", "irei",
+                "am", "iam", "ariam", "eriam", "iriam", "aram", "eram",
+                "iram", "avam", "em", "arem", "erem", "irem", "assem",
+                "essem", "issem", "ado", "ido", "ando", "endo", "indo",
+                "ara~o", "era~o", "ira~o", "ar", "er", "ir", "as",
+                "adas", "idas", "ias", "arias", "erias", "irias", "arás",
+                "aras", "erás", "eras", "irás", "avas", "es", "ardes",
+                "erdes", "irdes", "ares", "eres", "ires", "asses",
+                "esses", "isses", "astes", "estes", "istes", "is",
+                "ais", "eis", "íeis", "aríeis", "eríeis", "iríeis",
+                "áreis", "areis", "éreis", "ereis", "íreis", "ireis",
+                "ásseis", "ésseis", "ísseis", "áveis", "aveis", "ados",
+                "idos", "ámos", "amos", "íamos", "aríamos", "eríamos",
+                "iríamos", "áramos", "éramos", "íramos", "ávamos",
+                "emos", "aremos", "eremos", "iremos", "ássemos",
+                "êssemos", "íssemos", "imos", "armos", "ermos", "irmos",
+                "eu", "iu", "ou", "ira", "iras",
+            ],
+            key=len,
+            reverse=True,
+        )
+        for suf in verb_sufs:
+            if w.endswith(suf) and in_rv(len(w) - len(suf)):
+                w = w[: -len(suf)]
+                step2 = True
+                break
+
+    # step 3: i preceded by c
+    if (step1 or step2) and w.endswith("i") and in_rv(len(w) - 1) and w[-2:-1] == "c":
+        w = w[:-1]
+    if not step1 and not step2:
+        # step 4: residual suffix
+        for suf in ("os", "a", "i", "o", "á", "í", "ó"):
+            if w.endswith(suf) and in_rv(len(w) - len(suf)):
+                w = w[: -len(suf)]
+                break
+    # step 5
+    for suf in ("e", "é", "ê"):
+        if w.endswith(suf) and in_rv(len(w) - 1):
+            w = w[:-1]
+            if w.endswith(("gu", "ci")) and in_rv(len(w) - 1):
+                w = w[:-1]
+            break
+    else:
+        if w.endswith("ç"):
+            w = w[:-1] + "c"
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+# ---------------------------------------------------------------------------
+# Dutch  (reference chain: schema.xml Dutch SnowballPorterFilter)
+# ---------------------------------------------------------------------------
+
+_NL_VOWELS = "aeiouyè"
+_NL_UNACCENT = str.maketrans("äëïöüáéíóú", "aeiouaeiou")
+
+
+def _nl_undouble(w: str) -> str:
+    if w.endswith(("kk", "dd", "tt")):
+        return w[:-1]
+    return w
+
+
+def dutch_stem(word: str) -> str:  # noqa: C901 (faithful to the spec's shape)
+    w = word.lower().translate(_NL_UNACCENT)
+    chars = list(w)
+    for i, c in enumerate(chars):
+        prev_v = i > 0 and chars[i - 1].lower() in _NL_VOWELS
+        next_v = i + 1 < len(chars) and chars[i + 1].lower() in _NL_VOWELS
+        if c == "y" and (i == 0 or prev_v):
+            chars[i] = "Y"
+        elif c == "i" and prev_v and next_v:
+            chars[i] = "I"
+        elif c == "u" and prev_v and next_v:
+            chars[i] = "U"
+    w = "".join(chars)
+    lw = w.lower()
+    r1, r2 = _r1_r2(lw, _NL_VOWELS)
+    r1 = max(r1, min(3, len(w)))
+
+    def in_r1(i):
+        return i >= r1
+
+    def in_r2(i):
+        return i >= r2
+
+    e_removed = False
+    # step 1
+    if lw.endswith("heden") and in_r1(len(w) - 5):
+        w = w[:-5] + "heid"
+    elif lw.endswith(("ene", "en")):
+        k = 3 if lw.endswith("ene") else 2
+        i = len(w) - k
+        if in_r1(i) and i > 0 and lw[i - 1] not in _NL_VOWELS and lw[i - 3:i] != "gem":
+            w = _nl_undouble(w[:i])
+    elif lw.endswith(("se", "s")):
+        k = 2 if lw.endswith("se") else 1
+        i = len(w) - k
+        if in_r1(i) and i > 0 and lw[i - 1] not in _NL_VOWELS and lw[i - 1] != "j":
+            w = w[:i]
+    lw = w.lower()
+
+    # step 2: final e
+    if lw.endswith("e") and in_r1(len(w) - 1) and len(w) >= 2 and lw[-2] not in _NL_VOWELS:
+        w = _nl_undouble(w[:-1])
+        e_removed = True
+        lw = w.lower()
+
+    # step 3a: heid
+    if lw.endswith("heid") and in_r2(len(w) - 4) and (len(w) < 5 or lw[-5] != "c"):
+        w = w[:-4]
+        lw = w.lower()
+        if lw.endswith("en"):
+            i = len(w) - 2
+            if in_r1(i) and i > 0 and lw[i - 1] not in _NL_VOWELS and lw[i - 3:i] != "gem":
+                w = _nl_undouble(w[:i])
+                lw = w.lower()
+
+    # step 3b: d-suffixes
+    if lw.endswith("ing") or lw.endswith("end"):
+        i = len(w) - 3
+        if in_r2(i):
+            w = w[:i]
+            lw = w.lower()
+            if lw.endswith("ig") and in_r2(len(w) - 2) and (len(w) < 3 or lw[-3] != "e"):
+                w = w[:-2]
+            else:
+                w = _nl_undouble(w)
+            lw = w.lower()
+    elif lw.endswith("ig"):
+        i = len(w) - 2
+        if in_r2(i) and (i == 0 or lw[i - 1] != "e"):
+            w = w[:i]
+            lw = w.lower()
+    elif lw.endswith("lijk"):
+        i = len(w) - 4
+        if in_r2(i):
+            w = w[:i]
+            lw = w.lower()
+            if lw.endswith("e") and in_r1(len(w) - 1) and len(w) >= 2 and lw[-2] not in _NL_VOWELS:
+                w = _nl_undouble(w[:-1])
+                lw = w.lower()
+    elif lw.endswith("baar"):
+        i = len(w) - 4
+        if in_r2(i):
+            w = w[:i]
+            lw = w.lower()
+    elif lw.endswith("bar"):
+        i = len(w) - 3
+        if in_r2(i) and e_removed:
+            w = w[:i]
+            lw = w.lower()
+
+    # step 4: undouble vowel (CVD pattern: ...C vv D with D a non-vowel, not I)
+    if len(w) >= 4:
+        c, v1, v2, d = w[-4], w[-3], w[-2], w[-1]
+        if (
+            v1 == v2
+            and v1.lower() in "aeou"
+            and c.lower() not in _NL_VOWELS
+            and d.lower() not in _NL_VOWELS
+            and d != "I"
+        ):
+            w = w[:-2] + w[-1]
+    return w.replace("Y", "y").replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------------------
+# Russian  (reference chain: schema.xml Russian SnowballPorterFilter)
+# ---------------------------------------------------------------------------
+
+_RU_VOWELS = "аеиоуыэюя"
+
+_RU_PERFECTIVE_1 = ("вшись", "вши", "в")                 # after а/я
+_RU_PERFECTIVE_2 = ("ившись", "ывшись", "ивши", "ывши", "ив", "ыв")
+_RU_ADJECTIVE = (
+    "ими", "ыми", "его", "ого", "ему", "ому", "ее", "ие", "ые", "ое",
+    "ей", "ий", "ый", "ой", "ем", "им", "ым", "ом", "их", "ых", "ую",
+    "юю", "ая", "яя", "ою", "ею",
+)
+_RU_PARTICIPLE_1 = ("ем", "нн", "вш", "ющ", "щ")         # after а/я
+_RU_PARTICIPLE_2 = ("ивш", "ывш", "ующ")
+_RU_VERB_1 = (                                            # after а/я
+    "ете", "йте", "ешь", "нно", "ла", "на", "ли", "ем", "ло", "но",
+    "ет", "ют", "ны", "ть", "й", "л", "н",
+)
+_RU_VERB_2 = (
+    "ейте", "уйте", "ила", "ыла", "ена", "ите", "или", "ыли", "ило",
+    "ыло", "ено", "ует", "уют", "ены", "ить", "ыть", "ишь", "ишь",
+    "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ят", "ит", "ыт", "ую",
+    "ю",
+)
+_RU_NOUN = (
+    "иями", "ями", "ами", "ией", "иям", "ием", "иях", "ев", "ов", "ие",
+    "ье", "еи", "ии", "ей", "ой", "ий", "ям", "ем", "ам", "ом", "ах",
+    "ях", "ию", "ью", "ия", "ья", "а", "е", "и", "й", "о", "у", "ы",
+    "ь", "ю", "я",
+)
+
+
+def russian_stem(word: str) -> str:  # noqa: C901 (faithful to the spec's shape)
+    w = word.lower().replace("ё", "е")
+    n = len(w)
+    rv = n
+    for i, c in enumerate(w):
+        if c in _RU_VOWELS:
+            rv = i + 1
+            break
+    r1, r2 = _r1_r2(w, _RU_VOWELS)
+
+    def in_rv(i):
+        return i >= rv
+
+    def in_r2(i):
+        return i >= r2
+
+    def try_strip(sufs, require_ajar=False):
+        nonlocal w
+        for suf in sorted(sufs, key=len, reverse=True):
+            if not w.endswith(suf):
+                continue
+            i = len(w) - len(suf)
+            if not in_rv(i):
+                continue
+            if require_ajar:
+                if i > 0 and w[i - 1] in "ая" and in_rv(i - 1):
+                    w = w[:i]
+                    return True
+                continue
+            w = w[:i]
+            return True
+        return False
+
+    # step 1: perfective gerund, else adjective/participle/reflexive/verb/noun
+    if not (try_strip(_RU_PERFECTIVE_2) or try_strip(_RU_PERFECTIVE_1, True)):
+        try_strip(("ся", "сь"))  # reflexive
+        if try_strip(_RU_ADJECTIVE):
+            try_strip(_RU_PARTICIPLE_2) or try_strip(_RU_PARTICIPLE_1, True)
+        elif not (try_strip(_RU_VERB_2) or try_strip(_RU_VERB_1, True)):
+            try_strip(_RU_NOUN)
+
+    # step 2: final и
+    if w.endswith("и") and in_rv(len(w) - 1):
+        w = w[:-1]
+    # step 3: derivational
+    for suf in ("ость", "ост"):
+        if w.endswith(suf) and in_r2(len(w) - len(suf)):
+            w = w[: -len(suf)]
+            break
+    # step 4: tidy
+    if w.endswith("нн") and in_rv(len(w) - 1):
+        w = w[:-1]
+    elif w.endswith(("ейше", "ейш")):
+        k = 4 if w.endswith("ейше") else 3
+        if in_rv(len(w) - k):
+            w = w[:-k]
+            if w.endswith("нн") and in_rv(len(w) - 1):
+                w = w[:-1]
+    if w.endswith("ь") and in_rv(len(w) - 1):
+        w = w[:-1]
+    return w

@@ -54,21 +54,34 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .porter import porter_stem
-from .snowball import french_stem, german_stem, spanish_stem
+from .snowball import (
+    dutch_stem,
+    french_stem,
+    german_stem,
+    italian_stem,
+    portuguese_stem,
+    russian_stem,
+    spanish_stem,
+)
 
 PROFILES = (
     "code", "text_en", "simple", "cjk_bigram",
-    "text_de", "text_fr", "text_es",
+    "text_de", "text_fr", "text_es", "text_it", "text_pt", "text_nl",
+    "text_ru",
 )
 
 # Snowball chains (reference: one SnowballPorterFilter chain per language,
-# schema.xml:466-887 — German/French/Spanish here; the chain is
-# StandardTokenizer-ish Unicode word split + lowercase + stemmer, with
-# French adding the ElisionFilter)
+# schema.xml:466-887 — German/French/Spanish/Italian/Portuguese/Dutch/
+# Russian here; the chain is StandardTokenizer-ish Unicode word split +
+# lowercase + stemmer, with French adding the ElisionFilter)
 _LANG_STEMMERS = {
     "text_de": german_stem,
     "text_fr": french_stem,
     "text_es": spanish_stem,
+    "text_it": italian_stem,
+    "text_pt": portuguese_stem,
+    "text_nl": dutch_stem,
+    "text_ru": russian_stem,
 }
 
 # per-language analyzer routing (the reference declares one analyzed field
@@ -84,6 +97,10 @@ LANG_PROFILES: dict[str, str] = {
     "deu": "text_de", "ger": "text_de", "de": "text_de",
     "fra": "text_fr", "fre": "text_fr", "fr": "text_fr",
     "spa": "text_es", "esp": "text_es", "es": "text_es",
+    "ita": "text_it", "it": "text_it",
+    "por": "text_pt", "ptb": "text_pt", "pt": "text_pt",
+    "nld": "text_nl", "dut": "text_nl", "nl": "text_nl",
+    "rus": "text_ru", "ru": "text_ru",
 }
 
 

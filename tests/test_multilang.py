@@ -177,3 +177,30 @@ def test_snowball_profiles_rank_identity(ray_session, tmp_path):
         exp = [(d, float(np.float32(s))) for d, s in o.search(q, k=10, lang=lang)]
         assert got == exp, (q, lang)
         assert got, (q, lang)  # stemming actually conflates -> non-empty
+
+
+def test_snowball_extended_languages():
+    """Italian/Portuguese/Dutch/Russian Snowball chains: conflation classes
+    + fuzz-no-crash + chain tokenization (Cyrillic word split)."""
+    from nexlt_ray.snowball import (
+        dutch_stem, italian_stem, portuguese_stem, russian_stem,
+    )
+
+    assert italian_stem("abbandonata") == italian_stem("abbandonare") == "abbandon"
+    assert italian_stem("nazionale") == italian_stem("nazionali")
+    assert portuguese_stem("cantava") == portuguese_stem("cantar") == "cant"
+    assert portuguese_stem("trabalhando") == portuguese_stem("trabalhar")
+    assert dutch_stem("boeken") == dutch_stem("boek") == "boek"
+    assert dutch_stem("lichamelijk") == dutch_stem("lichamelijke")
+    assert russian_stem("книгами") == russian_stem("книга") == "книг"
+    assert russian_stem("переводов") == russian_stem("перевод")
+    import random
+    rng = random.Random(1)
+    pool = "abcdefghijàèìòùãõçáéíóúäëïöüабвгдежзиклмнопрстуфхцчшщыьэюя"
+    for f in (italian_stem, portuguese_stem, dutch_stem, russian_stem):
+        for _ in range(3000):
+            w = "".join(rng.choice(pool) for _ in range(rng.randint(0, 10)))
+            assert isinstance(f(w), str)
+    # chain: Cyrillic tokenization + stemming through the profile
+    assert toks("Перевод книгами", "text_ru") == ["перевод", "книг"]
+    assert toks("le traduzioni nazionali", "text_it") == ["le", "traduzion", "nazional"]
