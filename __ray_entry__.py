@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "embedding_topk": P.embedding_topk,
         "ann_lsh_topk": P.ann_lsh_topk,
+        "ann_ivf_topk": P.ann_ivf_topk,
         # flagship engine (Lucene-exact scoring; oracle = pytest rank-identity)
         "corpus_doc_meta": P.corpus_doc_meta,
         "corpus_bm25_topk": P.corpus_bm25_topk,

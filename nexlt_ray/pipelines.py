@@ -768,6 +768,27 @@ def embedding_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def ann_ivf_topk(sf_dir: str) -> pa.Table:
+    """IVF-quantized ANN variant of embedding_topk (k-means coarse cells,
+    n_probe nearest cells scored) — the classic 100 TB path; recall vs brute
+    force asserted in tests."""
+    import ray.data
+
+    qids, qvecs = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    out = sim_ops.ivf_topk(ds, qvecs, k=10, n_centroids=32, n_probe=8,
+                           concurrency=2).to_pandas()
+    qmap = {i: int(q) for i, q in enumerate(qids)}
+    return pa.table(
+        {
+            "qid": pa.array([qmap[int(q)] for q in out["qid"]], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "sim_e6": pa.array(np.round(out["sim"].to_numpy() * 1e6).astype(np.int64)),
+        }
+    )
+
+
 def ann_lsh_topk(sf_dir: str) -> pa.Table:
     """Approximate (LSH-bucketed) variant of embedding_topk — the scale
     path; recall vs brute force asserted in tests, not rank-identity."""

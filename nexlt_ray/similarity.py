@@ -204,3 +204,74 @@ def cosine_near_dup_pairs(ds, tau: float = 0.95, nbits: int = 8, concurrency: in
         )
 
     return coded.groupby("lsh_code").map_groups(pairs_of_bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN (k-means coarse quantizer) — the classic scale path
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(
+    sample: np.ndarray, n_centroids: int = 64, n_iter: int = 10, seed: int = 17
+) -> np.ndarray:
+    """Spherical k-means on a driver-side SAMPLE (public IVF/Faiss-style
+    coarse quantizer; the sample is small — training cost is independent of
+    corpus size). Deterministic given the seed."""
+    rng = np.random.default_rng(seed)
+    s = _normalize(np.asarray(sample, dtype=np.float64))
+    n = s.shape[0]
+    n_centroids = min(n_centroids, n)
+    cent = s[rng.choice(n, size=n_centroids, replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(s @ cent.T, axis=1)
+        for c in range(n_centroids):
+            sel = assign == c
+            if sel.any():
+                cent[c] = s[sel].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    train_sample: int = 4096,
+    concurrency: int = 4,
+):
+    """Approximate top-k via an IVF coarse quantizer: rows are assigned to
+    their nearest centroid; a query scores only rows in its `n_probe`
+    closest centroid cells. Same output schema as brute_force_topk; recall
+    measured in tests (not exact by design).
+
+    Scale shape: centroids are broadcast once (`ray.put`); assignment and
+    the probe filter are one matmul per batch; scored candidates are ~
+    n_probe/n_centroids of the corpus. At 100 TB the cell assignment is a
+    one-off indexed column and queries prune at the read."""
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    sample = ds.limit(train_sample).to_pandas()
+    smat = np.asarray(
+        np.stack(sample["embedding"].to_numpy()), dtype=np.float64
+    )
+    cent = train_centroids(smat, n_centroids=n_centroids)
+    # per query: the n_probe nearest cells
+    order = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
+    probe_cells = np.unique(order)
+    cent_ref = ray.put(cent)
+    cells_ref = ray.put(np.sort(probe_cells))
+
+    def probe_filter(batch: pa.Table) -> pa.Table:
+        cent_l = ray.get(cent_ref)
+        cells = ray.get(cells_ref)
+        m = _normalize(_matrix_of(batch))
+        assign = np.argmax(m @ cent_l.T, axis=1)
+        idx = np.searchsorted(cells, assign)
+        hit = (idx < cells.size) & (cells[np.minimum(idx, cells.size - 1)] == assign)
+        return batch.filter(pa.array(hit))
+
+    cand = ds.map_batches(probe_filter, batch_format="pyarrow")
+    return brute_force_topk(cand, queries, k=k, concurrency=concurrency)

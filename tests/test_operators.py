@@ -348,3 +348,37 @@ def test_simhash_pairs_exact_vs_bruteforce(ray_session):
     exp = sorted(zip(i[hit].tolist(), j[hit].tolist(), dist[hit].tolist()))
     assert list(map(tuple, got[["doc_a", "doc_b", "hamming"]].values)) == exp
     assert (7, 40, 0) in exp  # the exact dup surfaced
+
+
+def test_ivf_topk_recall(ray_session):
+    """IVF ANN: recall@10 vs brute force must be high on clustered data."""
+    import ray.data
+
+    from nexlt_ray import similarity as S2
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((8, 16)) * 3
+    pts = np.concatenate(
+        [c + rng.standard_normal((50, 16)) * 0.4 for c in centers]
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(pts), dtype=np.int64)),
+            "embedding": pa.array(
+                [r.astype(np.float32).tolist() for r in pts], pa.list_(pa.float32())
+            ),
+        }
+    )
+    q = pts[:4]
+    ds = ray.data.from_arrow(t).repartition(4)
+    exact = S2.brute_force_topk(ds, q, k=10, concurrency=2).to_pandas()
+    approx = S2.ivf_topk(
+        ray.data.from_arrow(t).repartition(4), q, k=10, n_centroids=16,
+        n_probe=4, concurrency=2,
+    ).to_pandas()
+    recalls = []
+    for qi in range(4):
+        e = set(exact[exact["qid"] == qi]["vec_id"])
+        a = set(approx[approx["qid"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.8, recalls
