@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": P.fingerprint_docs,
         "lang_normalize_counts": P.lang_normalize_counts,
         "facet_counts": P.facet_counts_docs,
+        "facet_drilldown": P.facet_drilldown_docs,
         "srclc_sort_top100": P.srclc_sort_top100,
         # streaming-shaped + relational
         "tumbling_window_events": P.tumbling_window_events,
@@ -129,6 +130,16 @@ SELECT qid, doc_id, round(score, 4) AS score_r
 FROM scores
 QUALIFY row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id) <= 10
 """
+
+
+def _facet_drill_sql() -> str:
+    from nexlt_ray.pipelines import FILTER_LANGS
+
+    vals = ", ".join(f"'{v}'" for v in FILTER_LANGS)
+    return (
+        f"SELECT source, count(*)::BIGINT AS n FROM documents "
+        f"WHERE lang IN ({vals}) GROUP BY source"
+    )
 
 
 def _filtered_sql() -> str:
@@ -231,6 +242,7 @@ SELECT 'lang' AS field, lang AS value, count(*)::BIGINT AS n FROM documents GROU
 UNION ALL
 SELECT 'source' AS field, source AS value, count(*)::BIGINT AS n FROM documents GROUP BY source
 """,
+        "facet_drilldown": _facet_drill_sql(),
         "srclc_sort_top100": """
 SELECT doc_id, lower(text) AS srclc FROM documents
 ORDER BY lower(text), doc_id LIMIT 100

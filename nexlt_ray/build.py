@@ -1248,15 +1248,23 @@ def extend_index(
         rebuild) and rewrites its docstore file; untouched files unchanged;
       * stage 3: partials regenerate for touched buckets only; each segment
         reassembles from (old rows of untouched doc ranges) + (re-encoded
-        rows of touched ranges) — encode cost scales with the new shard, not
-        the index;
+        rows of touched ranges) — encode cost scales with the TOUCHED
+        BUCKETS (sha-uniform shards touch min(|shard|, num_doc_buckets)
+        buckets, so a shard much larger than the bucket count re-encodes
+        everything; the raw-input ingest of the base corpus is still always
+        skipped);
       * byte-identical to a full strided rebuild over the union input
         (tested); the manifest is the atomic commit.
 
-    Scale note: segment FILES are rewritten whole (I/O proportional to index
-    size, though encode is proportional to the shard); at 100 TB you would
-    additionally shard segment files by range group so file I/O localizes
-    too — the merge/assembly structure above already supports it.
+    Scale guidance: size num_doc_buckets well above the expected update
+    shard (at 100 TB, 2^16 buckets make a 1k-doc hotfix touch <=1.5% of the
+    index). Byte-identity with a rebuild is a STRONGER contract than
+    Lucene's append-a-segment upsert — the cost is touched-bucket re-encode
+    instead of background segment merges. Segment FILES are rewritten whole
+    (I/O proportional to index size, encode only to touched ranges); at
+    100 TB you would additionally shard segment files by range group so
+    file I/O localizes too — the merge/assembly structure already supports
+    it.
     """
     import shutil
     import time

@@ -491,6 +491,37 @@ def facet_counts_docs(sf_dir: str) -> pa.Table:
     )
 
 
+def facet_drilldown_docs(sf_dir: str) -> pa.Table:
+    """Facet drill-down (clicking a facet value adds an fq,
+    ResultWidget.js:11-38): source-facet counts restricted to
+    lang IN FILTER_LANGS. Partial per-batch aggregation, SQL-checked."""
+    from ray.data.aggregate import Sum
+
+    ds = _documents(sf_dir, ["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(
+            pc.is_in(batch["lang"], value_set=pa.array(FILTER_LANGS))
+        )
+        g = pa.TableGroupBy(sel.select(["source"]), "source").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["source", "n_p"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_p", alias_name="n"))
+    )
+    df = agg.to_pandas()
+    return pa.table(
+        {
+            "source": pa.array(df["source"], pa.string()),
+            "n": pa.array(df["n"].astype(np.int64)),
+        }
+    )
+
+
 def srclc_sort_top100(sf_dir: str) -> pa.Table:
     """M12 lowercase sort key + O2 field sort + O3 pagination window.
 

@@ -411,7 +411,7 @@ def french_stem(word: str) -> str:  # noqa: C901 (faithful to the spec's shape)
     else:
         # step 4 (residual)
         lw = w.lower()
-        if lw.endswith("s") and len(w) >= 2 and lw[-2] not in "aiouès" and w[-2] != "Hi":
+        if lw.endswith("s") and len(w) >= 2 and lw[-2] not in "aiouès":
             w = w[:-1]
             lw = w.lower()
         if lw.endswith("ion") and in_r2(len(w) - 3) and len(w) >= 4 and lw[-4] in "st" and in_rv(len(w) - 4):
