@@ -255,6 +255,19 @@ def verify_pairs_exact(
 
     a = np.asarray(cand_pairs["doc_a"], dtype=np.int64)
     b = np.asarray(cand_pairs["doc_b"], dtype=np.int64)
+    if a.size == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "inter": pa.array([], pa.int64()),
+                    "union_": pa.array([], pa.int64()),
+                }
+            )
+        )
     cand_docs = np.unique(np.concatenate((a, b))) if a.size else np.empty(0, np.int64)
     m = int(cand_docs.size)
     pair_keys = np.unique(
@@ -361,12 +374,18 @@ def jaccard_pairs(
     # candidate pairs to the driver: bounded by the (prefix-pruned)
     # candidate count, which tracks the true near-dup pair count
     df = cand.to_pandas()
-    cand_tbl = pa.table(
-        {
-            "doc_a": pa.array(df["doc_a"].to_numpy(dtype=np.int64)),
-            "doc_b": pa.array(df["doc_b"].to_numpy(dtype=np.int64)),
-        }
-    )
+    if len(df) == 0 or "doc_a" not in df.columns:
+        # an EMPTY Ray dataset loses its schema through to_pandas()
+        cand_tbl = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+    else:
+        cand_tbl = pa.table(
+            {
+                "doc_a": pa.array(df["doc_a"].to_numpy(dtype=np.int64)),
+                "doc_b": pa.array(df["doc_b"].to_numpy(dtype=np.int64)),
+            }
+        )
     return verify_pairs_exact(ds, cand_tbl, tau_num, tau_den, text_col=text_col)
 
 

@@ -392,12 +392,18 @@ def minhash_pairs_corpus(sf_dir: str):
         path, columns=["repo", "path", "commit", "content"]
     ).map_batches(_sha_doc_id, batch_format="pyarrow")
     cand = dedup_ops.minhash_lsh_pairs(ds, concurrency=4).to_pandas()
-    cand_tbl = pa.table(
-        {
-            "doc_a": pa.array(cand["doc_a"].to_numpy(dtype=np.int64)),
-            "doc_b": pa.array(cand["doc_b"].to_numpy(dtype=np.int64)),
-        }
-    )
+    if len(cand) == 0 or "doc_a" not in cand.columns:
+        # an EMPTY Ray dataset loses its schema through to_pandas()
+        cand_tbl = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+    else:
+        cand_tbl = pa.table(
+            {
+                "doc_a": pa.array(cand["doc_a"].to_numpy(dtype=np.int64)),
+                "doc_b": pa.array(cand["doc_b"].to_numpy(dtype=np.int64)),
+            }
+        )
     return dedup_ops.verify_pairs_exact(ds, cand_tbl, 9, 10)
 
 

@@ -382,3 +382,20 @@ def test_ivf_topk_recall(ray_session):
         a = set(approx[approx["qid"] == qi]["vec_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_dedup_pipelines_with_no_duplicates(ray_session):
+    """Regression: an EMPTY Ray dataset loses its schema through to_pandas();
+    the pair pipelines must return typed empty results, not KeyError."""
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta gamma", "delta epsilon zeta", "eta theta iota"],
+        }
+    )
+    out = D.jaccard_pairs(ray.data.from_arrow(t), tau_num=9, tau_den=10).to_pandas()
+    assert len(out) == 0
+    out2 = D.simhash_pairs(ray.data.from_arrow(t), max_hamming=0).to_pandas()
+    assert len(out2) == 0
