@@ -92,7 +92,7 @@ class BuildConfig:
     store_positions: bool = True       # positional index (phrase queries)
     max_content_chars: int | None = None  # drop longer docs (reference: 5000,
                                           # parseJSON.pl:313,321)
-    index_batch_size: int = 1024       # docs per PartialIndexer batch
+    index_batch_size: int = 1024       # docs per posting-combiner slice
     index_concurrency: int | None = None  # actor pool size (None -> CPUs)
     # postings exchange strategy:
     #   "disk" — partial postings land in shared storage partitioned by
