@@ -596,9 +596,18 @@ class IndexReader:
         kind, body = self.parse(query)
         fdocs = self._filter_docs(filters)
         if kind == "all":
-            # constant-score match-all (Solr q=*:* scores 1.0)
-            docs = fdocs if fdocs is not None else self._all_docs()
-            return [(int(d), 1.0) for d in docs[: max(k, 0)]]
+            # constant-score match-all (Solr q=*:* scores 1.0). Without a
+            # filter, emit only the first k existing ids bucket-by-bucket —
+            # never materialize an n_docs-sized array (10^12 at scale).
+            if fdocs is None:
+                out: list[tuple[int, float]] = []
+                for o, c in zip(self._doc_offsets, self._doc_counts):
+                    take = min(int(c), max(k, 0) - len(out))
+                    out.extend((int(o) + i, 1.0) for i in range(take))
+                    if len(out) >= max(k, 0):
+                        break
+                return out
+            return [(int(d), 1.0) for d in fdocs[: max(k, 0)]]
         terms = tokenize_query(
             body, profile=self._query_profile(lang), protected=self.protected
         )
@@ -629,6 +638,8 @@ class IndexReader:
         filters: dict | None = None,
     ) -> int:
         """numFound analog (reference G3, corpus.cgi:409)."""
+        if self.parse(query)[0] == "all" and not filters:
+            return int(self.n_docs)  # no doc-array materialization
         return int(self._matching_docs(query, mode, lang=lang, filters=filters).size)
 
     # ------------------------------------------------------------------
