@@ -7,27 +7,32 @@ disk-partitioned exchange — map outputs land in shared storage partitioned by
 the key, one independent reduce task per bucket, atomic dir publish — with a
 Ray-Data sort-based groupby kept as `shuffle="sort"`, byte-identical output):
 
-  stage 1  read_parquet(input)                                    [stream]
-           map_batches: + content_sha256, + doc_bucket, tokenize ->
-           doc_len + SmallFloat norm byte                         [stateless]
+  stage 1  storage-direct fragment tasks (each reads its own parquet row
+           group — Ray 2.49 does not fuse read->map, so a Dataset read
+           feeding a map would round-trip every batch through the object
+           store): + content_sha256, + doc_bucket, count-only tokenize ->
+           doc_len + SmallFloat norm byte, spill partitioned by doc_bucket
            exchange by doc_bucket -> per-bucket BucketWriter      [SHUFFLE 1]
              -> exact dedup by content sha (reference analog: md5 uniqueKey
                 upsert, parseJSON.pl:330 + schema.xml:1033), deterministic
                 sort by (sha, repo, path, commit), local_rank assignment,
                 atomic write of docstore/bucket=N.parquet + lineage record.
-  stage 2  driver: per-bucket doc counts -> prefix-sum doc_id offsets
-           (docIDs are dense, content-sha-ordered, scheduling-independent).
-  stage 3  read docstore -> map_batches(PartialIndexer actor pool):
-           +doc_id (broadcast offsets), tokenize + per-batch partial posting
-           aggregation (the combiner that makes stopword-skew survivable:
-           each batch emits at most ONE row per (term, doc-range), so a
-           ubiquitous term contributes #batches rows to the merge, not
-           #postings rows — the "salted pre-aggregation" of the north rule,
-           with doc-range buckets as the salt)
-           exchange by term_bucket -> per-bucket SegmentWriter    [SHUFFLE 2]
-             -> merge partials per (term, range_bucket), delta+varint encode
-                with block-max metadata, atomic write of
-                segments/bucket=N.parquet + lineage record.
+  stage 2  driver: per-bucket doc counts -> doc_id offsets (dense prefix
+           sums, content-sha-ordered and scheduling-independent; or strided
+           bucket<<capacity for incremental maintenance).
+  stage 3  storage-direct fragment tasks over the docstore:
+           +doc_id (offsets table), integer-coded tokenize + per-slice
+           partial posting aggregation (the combiner that makes
+           stopword-skew survivable: each slice emits at most ONE row per
+           (term, doc-range), so a ubiquitous term contributes #slices
+           rows to the merge, not #postings rows), spill partitioned by
+           (term_bucket, range_bucket)                            [SHUFFLE 2]
+             -> one independent merge task per (term_bucket, range_bucket)
+                pair (a hot term's ranges encode in PARALLEL — the
+                single-term encode was the merge straggler), delta+varint
+                encode with block-max metadata -> per-bucket assembly
+                concatenates the encoded pieces into
+                segments/bucket=N.parquet (I/O only) + lineage record.
   stage 4  driver: atomic manifest.json (the "commit"; analog of the
            reference's lastrefresh swap, tr2solr.sh:58,83).
 
@@ -1254,7 +1259,12 @@ def extend_index(
         everything; the raw-input ingest of the base corpus is still always
         skipped);
       * byte-identical to a full strided rebuild over the union input
-        (tested); the manifest is the atomic commit.
+        (tested); the manifest is the atomic commit. Precondition: the
+        rebuild must use the same resolved range_bits — extend inherits the
+        base index's value, while a fresh adaptive build resolves from the
+        UNION's n_docs (pin cfg.range_bits explicitly when the corpus growth
+        would cross a resolution boundary and byte-level comparison
+        matters; query results are identical either way).
 
     Scale guidance: size num_doc_buckets well above the expected update
     shard (at 100 TB, 2^16 buckets make a 1k-doc hotfix touch <=1.5% of the
