@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match_count": P.phrase_match_count,
         # dedup family
         "exact_dedup_docs": P.exact_dedup_docs,
+        "curated_docs": P.curated_docs,
         "jaccard_dup_pairs": P.jaccard_dup_pairs_docs,
         "minhash_pairs_corpus": P.minhash_pairs_corpus,
         "simhash_docs": P.simhash_docs,
@@ -132,6 +133,35 @@ QUALIFY row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, doc_i
 """
 
 
+def _curated_sql() -> str:
+    from nexlt_ray.pipelines import MIN_CHARS, MIN_TOKENS
+
+    return f"""
+{_TOK},
+qual AS (
+  SELECT d.doc_id, count(*)::BIGINT AS n_tokens
+  FROM documents d JOIN tok ON tok.doc_id = d.doc_id
+  WHERE length(d.text) >= {MIN_CHARS}
+  GROUP BY d.doc_id
+  HAVING count(*) >= {MIN_TOKENS}
+),
+t AS (SELECT DISTINCT tok.doc_id, term FROM tok
+      JOIN qual ON qual.doc_id = tok.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+          FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+dropped AS (
+  SELECT DISTINCT p.db AS doc_id
+  FROM pairs p JOIN sizes sa ON p.da = sa.doc_id
+  JOIN sizes sb ON p.db = sb.doc_id
+  WHERE 10 * p.inter >= 9 * (sa.n + sb.n - p.inter)
+)
+SELECT q.doc_id, q.n_tokens FROM qual q
+WHERE q.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
 def _facet_drill_sql() -> str:
     from nexlt_ray.pipelines import FILTER_LANGS
 
@@ -213,6 +243,7 @@ SELECT min(doc_id)::BIGINT AS doc_id, sha256(text) AS text_sha256,
        count(*)::BIGINT AS n_copies
 FROM documents GROUP BY text
 """,
+        "curated_docs": _curated_sql(),
         "jaccard_dup_pairs": f"""
 {_TOK},
 t AS (SELECT DISTINCT doc_id, term FROM tok),

@@ -565,6 +565,54 @@ def srclc_sort_top100(sf_dir: str) -> pa.Table:
     ).to_pandas()
 
 
+MIN_TOKENS, MIN_CHARS = 5, 20  # curation thresholds (integer-exact)
+
+
+def curated_docs(sf_dir: str) -> pa.Table:
+    """End-to-end training-data curation (the composition a 100 TB corpus
+    pipeline actually runs): quality filter (integer thresholds) ->
+    near-duplicate removal at Jaccard >= 0.9 (which subsumes exact dedup:
+    an exact pair has J = 1, and the kept side is the lower doc_id) ->
+    surviving (doc_id, n_tokens). Every stage distributed; the only
+    driver-side state is the near-dup drop set (bounded by the duplicate
+    count). DuckDB-oracled end to end."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def quality_filter(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        n_chars = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
+        keep = (tb.doc_len >= MIN_TOKENS) & (n_chars >= MIN_CHARS)
+        out = batch.filter(pa.array(keep))
+        return out.append_column(
+            "n_tokens", pa.array(tb.doc_len[keep].astype(np.int64))
+        )
+
+    q_ds = ds.map_batches(quality_filter, batch_format="pyarrow")
+    pairs = dedup_ops.jaccard_pairs(q_ds, tau_num=9, tau_den=10)
+    pdf = pairs.to_pandas()
+    drop = (
+        np.unique(pdf["doc_b"].to_numpy(dtype=np.int64))
+        if len(pdf) and "doc_b" in pdf.columns
+        else np.empty(0, np.int64)
+    )
+    import ray
+
+    drop_ref = ray.put(pa.array(drop, pa.int64()))
+
+    def not_dropped(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch["doc_id"], value_set=ray.get(drop_ref)))
+        return batch.select(["doc_id", "n_tokens"]).filter(mask)
+
+    out = q_ds.map_batches(not_dropped, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy(dtype=np.int64)),
+            "n_tokens": pa.array(out["n_tokens"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # events: tumbling-window aggregate (SURVEY.md §2.10 streaming analog)
 # ---------------------------------------------------------------------------
