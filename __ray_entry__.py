@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "srclc_sort_top100": P.srclc_sort_top100,
         # streaming-shaped + relational
         "tumbling_window_events": P.tumbling_window_events,
+        "purchase_asof_signup": P.purchase_asof_signup,
         "supplier_nation_agg": P.supplier_nation_agg,
         "order_lineitem_join_agg": P.order_lineitem_join_agg,
         "customers_without_orders": P.customers_without_orders,
@@ -284,6 +285,14 @@ SELECT event_type,
        count(*)::BIGINT AS n,
        CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
+""",
+        "purchase_asof_signup": """
+WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'signup')
+SELECT p.event_id,
+       s.event_id AS asof_event_id,
+       (epoch_us(p.ts) - epoch_us(s.ts))::BIGINT AS gap_us
+FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
 """,
         "supplier_nation_agg": """
 SELECT n.n_name, r.r_name, count(*)::BIGINT AS n_suppliers,

@@ -118,3 +118,92 @@ def broadcast_semi_anti_join(
         return batch.filter(mask)
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def asof_join(
+    left,
+    right,
+    by: str,
+    on: str,
+    tiebreak: str,
+    num_buckets: int = 32,
+):
+    """Backward as-of join (the standard time-series operator Ray Data
+    lacks): each left row matches the LAST right row with the same `by` key
+    and right.on <= left.on. Inner semantics; among right rows tying on
+    (by, on), the greatest `tiebreak` wins (deterministic across runs and
+    partitionings).
+
+    ONE shuffle: both sides hash-bucket by the `by` key (co-partitioning is
+    exact — an as-of match never crosses keys), then each bucket resolves
+    matches with a packed (key-code, on-rank) searchsorted — no per-row
+    Python. Skew note: a hot key lands one bucket; salt by key+time-range
+    and de-overlap if a single key exceeds worker memory.
+
+    Returns left columns + right columns prefixed `r_`.
+    """
+    lschema, rschema = left.schema(), right.schema()
+    lnames = list(lschema.names)
+    rnames = list(rschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    all_cols = lnames + [n for n in rnames if n not in lnames]
+    all_types = {**rtypes, **ltypes}
+
+    def tag(side_is_right: bool, own: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = np.asarray(batch[by], dtype=np.int64)
+            bucket = (_mix64(keys) % np.uint64(num_buckets)).astype(np.int32)
+            cols = {}
+            for name in all_cols:
+                cols[name] = (
+                    batch[name]
+                    if name in own
+                    else pa.nulls(len(batch), type=all_types[name])
+                )
+            cols["__bucket"] = pa.array(bucket)
+            cols["__side"] = pa.array(np.full(len(batch), side_is_right))
+            return pa.table(cols)
+
+        return fn
+
+    tagged = left.map_batches(tag(False, lnames), batch_format="pyarrow").union(
+        right.map_batches(tag(True, rnames), batch_format="pyarrow")
+    )
+    out_r = [n for n in rnames if n != by]
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = np.asarray(g["__side"])
+        lt = g.filter(pa.array(~side))
+        rt = g.filter(pa.array(side))
+        empty_cols = {c: lt[c].slice(0, 0) for c in lnames}
+        empty_cols.update(
+            {f"r_{c}": pa.nulls(0, type=rtypes[c]) for c in out_r}
+        )
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return pa.table(empty_cols)
+        l_key = np.asarray(lt[by], dtype=np.int64)
+        r_key = np.asarray(rt[by], dtype=np.int64)
+        uniq_keys, inv = np.unique(np.concatenate((l_key, r_key)), return_inverse=True)
+        l_kc, r_kc = inv[: l_key.size], inv[l_key.size :]
+        l_on = np.asarray(lt[on]).astype(np.int64)
+        r_on = np.asarray(rt[on]).astype(np.int64)
+        ranks_src, rinv = np.unique(np.concatenate((l_on, r_on)), return_inverse=True)
+        l_rank, r_rank = rinv[: l_on.size], rinv[l_on.size :]
+        M = np.int64(ranks_src.size + 1)
+        r_tie = np.asarray(rt[tiebreak]).astype(np.int64)
+        order = np.lexsort((r_tie, r_rank, r_kc))
+        r_pack = r_kc[order] * M + r_rank[order]
+        l_pack = l_kc * M + l_rank
+        idx = np.searchsorted(r_pack, l_pack, side="right") - 1
+        valid = idx >= 0
+        safe = np.maximum(idx, 0)
+        valid &= r_kc[order][safe] == l_kc
+        sel_l = np.flatnonzero(valid)
+        sel_r = order[safe[valid]]
+        out = {c: lt[c].take(pa.array(sel_l)) for c in lnames}
+        for c in out_r:
+            out[f"r_{c}"] = rt[c].take(pa.array(sel_r))
+        return pa.table(out)
+
+    return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

@@ -780,6 +780,59 @@ def order_lineitem_join_agg(sf_dir: str) -> pa.Table:
     )
 
 
+def purchase_asof_signup(sf_dir: str) -> pa.Table:
+    """As-of join over the events stream (SURVEY.md custom-operator class):
+    each purchase matched to the user's LATEST signup at-or-before its
+    timestamp. One co-partitioning shuffle; integer-exact output
+    (microsecond gap). DuckDB ASOF JOIN is the oracle."""
+    import ray.data
+
+    from .joins import asof_join
+
+    ev = os.path.join(sf_dir, "events.parquet")
+    cols = ["event_id", "ts", "user_id", "event_type"]
+
+    def only(kind):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["event_type"], kind)).drop_columns(
+                ["event_type"]
+            )
+        return f
+
+    left = ray.data.read_parquet(ev, columns=cols).map_batches(
+        only("purchase"), batch_format="pyarrow"
+    )
+    right = ray.data.read_parquet(ev, columns=cols).map_batches(
+        only("signup"), batch_format="pyarrow"
+    )
+    j = asof_join(left, right, by="user_id", on="ts", tiebreak="event_id",
+                  num_buckets=8)
+    df = j.to_pandas()
+    if len(df) == 0:
+        return pa.table(
+            {"event_id": pa.array([], pa.int64()),
+             "asof_event_id": pa.array([], pa.int64()),
+             "gap_us": pa.array([], pa.int64())}
+        )
+    gap = (
+        df["ts"].astype("datetime64[us]").astype(np.int64)
+        - df["r_ts"].astype("datetime64[us]").astype(np.int64)
+    )
+    out = (
+        pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(dtype=np.int64)),
+                "asof_event_id": pa.array(
+                    df["r_event_id"].to_numpy(dtype=np.int64)
+                ),
+                "gap_us": pa.array(gap.to_numpy(dtype=np.int64)),
+            }
+        )
+        .sort_by("event_id")
+    )
+    return out
+
+
 BIG_ORDER_THRESHOLD = 400_000
 
 

@@ -399,3 +399,40 @@ def test_dedup_pipelines_with_no_duplicates(ray_session):
     assert len(out) == 0
     out2 = D.simhash_pairs(ray.data.from_arrow(t), max_hamming=0).to_pandas()
     assert len(out2) == 0
+
+
+def test_asof_join_edges(ray_session):
+    """Backward as-of: exact-ts match included, later-only right rows
+    excluded, per-key isolation, deterministic tiebreak on equal (key, ts)."""
+    import ray.data
+
+    from nexlt_ray.joins import asof_join
+
+    left = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "k": pa.array([10, 10, 20, 30], pa.int64()),
+            "t": pa.array([100, 50, 100, 100], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rid": pa.array([7, 8, 9, 11, 12], pa.int64()),
+            "k": pa.array([10, 10, 20, 20, 20], pa.int64()),
+            "t": pa.array([60, 100, 200, 90, 90], pa.int64()),
+        }
+    )
+    out = (
+        asof_join(
+            ray.data.from_arrow(left).repartition(2),
+            ray.data.from_arrow(right).repartition(2),
+            by="k", on="t", tiebreak="rid", num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    got = {int(r["id"]): int(r["r_rid"]) for _, r in out.iterrows()}
+    # id1: k10 t100 -> rid8 (t=100 inclusive); id2: k10 t50 -> no match;
+    # id3: k20 t100 -> ties at t90 -> greatest tiebreak rid12; id4: k30 none
+    assert got == {1: 8, 3: 12}
