@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaming-shaped + relational
         "tumbling_window_events": P.tumbling_window_events,
         "purchase_asof_signup": P.purchase_asof_signup,
+        "session_windows": P.session_windows,
         "supplier_nation_agg": P.supplier_nation_agg,
         "order_lineitem_join_agg": P.order_lineitem_join_agg,
         "customers_without_orders": P.customers_without_orders,
@@ -285,6 +286,28 @@ SELECT event_type,
        count(*)::BIGINT AS n,
        CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
+""",
+        "session_windows": """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, us,
+         CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+sess AS (
+  SELECT user_id, us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM marked
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS n_events,
+       (max(us) - min(us))::BIGINT AS duration_us
+FROM sess GROUP BY user_id, session_id
 """,
         "purchase_asof_signup": """
 WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),

@@ -780,6 +780,53 @@ def order_lineitem_join_agg(sf_dir: str) -> pa.Table:
     )
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def session_windows(sf_dir: str) -> pa.Table:
+    """Gap-based session windows per user (the classic streaming
+    sessionization Ray Data lacks natively): events split into sessions
+    wherever the inactivity gap exceeds 30 minutes; per session: event
+    count + duration. ONE shuffle (hash by user), per-group sort + gap
+    scan, all integer-exact. Oracle: DuckDB lag()/cumulative-sum window
+    functions."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
+
+    def sess(g: pa.Table) -> pa.Table:
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        uid = int(g["user_id"][0].as_py())
+        t = np.sort(us)
+        new_sess = np.concatenate(([True], np.diff(t) > SESSION_GAP_US))
+        sid = np.cumsum(new_sess) - 1
+        n_sessions = int(sid[-1]) + 1
+        n_events = np.bincount(sid, minlength=n_sessions)
+        starts = t[new_sess]
+        ends = t[np.concatenate((new_sess[1:], [True]))]
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(n_sessions, uid, dtype=np.int64)),
+                "session_id": pa.array(np.arange(n_sessions, dtype=np.int64)),
+                "n_events": pa.array(n_events.astype(np.int64)),
+                "duration_us": pa.array((ends - starts).astype(np.int64)),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sess, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"].to_numpy(dtype=np.int64)),
+            "session_id": pa.array(out["session_id"].to_numpy(dtype=np.int64)),
+            "n_events": pa.array(out["n_events"].to_numpy(dtype=np.int64)),
+            "duration_us": pa.array(out["duration_us"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
 def purchase_asof_signup(sf_dir: str) -> pa.Table:
     """As-of join over the events stream (SURVEY.md custom-operator class):
     each purchase matched to the user's LATEST signup at-or-before its
