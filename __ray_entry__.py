@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": P.exact_dedup_docs,
         "curated_docs": P.curated_docs,
         "jaccard_dup_pairs": P.jaccard_dup_pairs_docs,
+        "shingle_jaccard_pairs": P.shingle_jaccard_pairs_docs,
         "minhash_pairs_corpus": P.minhash_pairs_corpus,
         "simhash_docs": P.simhash_docs,
         "simhash_pairs": P.simhash_pairs_docs,
@@ -246,6 +247,29 @@ SELECT min(doc_id)::BIGINT AS doc_id, sha256(text) AS text_sha256,
 FROM documents GROUP BY text
 """,
         "curated_docs": _curated_sql(),
+        "shingle_jaccard_pairs": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts) - 1),
+                               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS term
+  FROM toks WHERE len(ts) >= 3
+),
+t AS (SELECT DISTINCT doc_id, term FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+          FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT p.da::BIGINT AS doc_a, p.db::BIGINT AS doc_b, p.inter::BIGINT AS inter,
+       (sa.n + sb.n - p.inter)::BIGINT AS union_
+FROM pairs p
+JOIN sizes sa ON p.da = sa.doc_id
+JOIN sizes sb ON p.db = sb.doc_id
+WHERE 5 * p.inter >= 4 * (sa.n + sb.n - p.inter)
+""",
         "jaccard_dup_pairs": f"""
 {_TOK},
 t AS (SELECT DISTINCT doc_id, term FROM tok),

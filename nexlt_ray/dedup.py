@@ -70,12 +70,41 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 # ---------------------------------------------------------------------------
 
 
-def distinct_doc_terms(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Explode to distinct (doc_id, term) rows (simple profile)."""
+def distinct_doc_terms(
+    batch: pa.Table, text_col: str = "text", shingle: int = 1
+) -> pa.Table:
+    """Explode to distinct (doc_id, term) rows (simple profile). With
+    shingle > 1 the unit is a w-shingle of consecutive tokens (space-joined,
+    position order) — the n-gram Jaccard variant; docs with fewer than
+    `shingle` tokens contribute nothing."""
     tb = tokenize_batch(batch[text_col], profile="simple")
-    if tb.terms.size == 0:
+    if tb.terms.size == 0 or (shingle > 1 and tb.terms.size < shingle):
         return pa.table(
             {"doc_id": pa.array([], pa.int64()), "term": pa.array([], pa.string())}
+        )
+    if shingle > 1:
+        order = np.lexsort((tb.positions, tb.doc_idx))
+        t = tb.terms[order]
+        d = tb.doc_idx[order]
+        cnt = t.size - (shingle - 1)
+        valid = np.flatnonzero(d[:cnt] == d[shingle - 1 :])
+        if valid.size == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string())}
+            )
+        sh = np.array(
+            [" ".join(map(str, t[i : i + shingle])) for i in valid], dtype=object
+        )
+        doc_ids = np.asarray(batch["doc_id"])[d[valid]]
+        uniq, inv = np.unique(sh.astype("U"), return_inverse=True)
+        key = d[valid].astype(np.int64) * np.int64(uniq.size) + inv
+        _, first = np.unique(key, return_index=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[first], pa.int64()),
+                "term": pa.array(sh[first].astype("U"), pa.string()),
+            }
         )
     doc_ids = np.asarray(batch["doc_id"])[tb.doc_idx]
     terms = tb.terms.astype("U")
@@ -105,14 +134,15 @@ def _empty_pairs() -> pa.Table:
     )
 
 
-def hot_term_dfs(ds, text_col: str = "text", hot_df_min: int = 32) -> dict[str, int]:
+def hot_term_dfs(ds, text_col: str = "text", hot_df_min: int = 32,
+                 shingle: int = 1) -> dict[str, int]:
     """Global df of every term with df >= hot_df_min (the broadcast-small
     side of the prefix ordering). Bounded: at most total_tokens/hot_df_min
     entries, regardless of corpus size."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        t = distinct_doc_terms(batch, text_col)
+        t = distinct_doc_terms(batch, text_col, shingle)
         if t.num_rows == 0:
             return pa.table(
                 {"term": pa.array([], pa.string()), "df_p": pa.array([], pa.int64())}
@@ -148,6 +178,7 @@ def prefix_candidate_pairs(
     tau_den: int,
     text_col: str = "text",
     hot_df_min: int = 32,
+    shingle: int = 1,
 ):
     """Candidate pairs via AllPairs prefix filtering (Bayardo et al., WWW'07
     semantics; public algorithm). Exact-complete for token-set Jaccard >=
@@ -167,12 +198,12 @@ def prefix_candidate_pairs(
     import ray
     from ray.data.aggregate import Max
 
-    hot = hot_term_dfs(ds, text_col, hot_df_min)
+    hot = hot_term_dfs(ds, text_col, hot_df_min, shingle)
     hot_ref = ray.put(hot)
 
     def prefix_tokens(batch: pa.Table) -> pa.Table:
         hot_map = ray.get(hot_ref)
-        t = distinct_doc_terms(batch, text_col)
+        t = distinct_doc_terms(batch, text_col, shingle)
         if t.num_rows == 0:
             return pa.table(
                 {
@@ -241,6 +272,7 @@ def verify_pairs_exact(
     tau_num: int,
     tau_den: int,
     text_col: str = "text",
+    shingle: int = 1,
 ):
     """Distributed exact-Jaccard verification of candidate pairs: one
     streaming pass over `ds` restricted (pc.is_in) to candidate docs,
@@ -279,7 +311,7 @@ def verify_pairs_exact(
 
     def cand_doc_terms(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch["doc_id"], value_set=ray.get(docs_ref))
-        return distinct_doc_terms(batch.filter(mask), text_col)
+        return distinct_doc_terms(batch.filter(mask), text_col, shingle)
 
     dt = ds.map_batches(cand_doc_terms, batch_format="pyarrow")
 
@@ -361,6 +393,7 @@ def jaccard_pairs(
     tau_den: int = 10,
     text_col: str = "text",
     hot_df_min: int = 32,
+    shingle: int = 1,
 ):
     """All doc pairs with token-set Jaccard >= tau_num/tau_den — EXACT
     (prefix-filter candidates, complete by construction; distributed
@@ -369,7 +402,8 @@ def jaccard_pairs(
     O(df^2) term group, no corpus-sized driver state.
     """
     cand = prefix_candidate_pairs(
-        ds, tau_num, tau_den, text_col=text_col, hot_df_min=hot_df_min
+        ds, tau_num, tau_den, text_col=text_col, hot_df_min=hot_df_min,
+        shingle=shingle,
     )
     # candidate pairs to the driver: bounded by the (prefix-pruned)
     # candidate count, which tracks the true near-dup pair count
@@ -386,7 +420,8 @@ def jaccard_pairs(
                 "doc_b": pa.array(df["doc_b"].to_numpy(dtype=np.int64)),
             }
         )
-    return verify_pairs_exact(ds, cand_tbl, tau_num, tau_den, text_col=text_col)
+    return verify_pairs_exact(ds, cand_tbl, tau_num, tau_den,
+                              text_col=text_col, shingle=shingle)
 
 
 # ---------------------------------------------------------------------------

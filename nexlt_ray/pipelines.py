@@ -378,6 +378,16 @@ def _sha_doc_id(batch: pa.Table) -> pa.Table:
     )
 
 
+def shingle_jaccard_pairs_docs(sf_dir: str):
+    """n-gram (3-shingle) Jaccard similarity join at tau=0.8 — the
+    order-sensitive near-dup variant (token-set Jaccard treats permuted
+    docs as identical; shingles do not). Same exact prefix-filter +
+    distributed-verify machinery, unit = consecutive-token 3-grams."""
+    return dedup_ops.jaccard_pairs(
+        _documents(sf_dir, ["doc_id", "text"]), tau_num=4, tau_den=5, shingle=3
+    )
+
+
 def minhash_pairs_corpus(sf_dir: str):
     """MinHash-LSH candidate pairs over the synthetic code corpus, verified
     with exact token-set Jaccard >= 0.9 (integer-exact columns). Fully
