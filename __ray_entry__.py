@@ -7,11 +7,15 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  the synthetic source-code corpus and return its doc-meta
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
-                 (SURVEY.md §2 inventory + training-data extensions).
-  oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible;
-                 non-SQL ops (WAND/Lucene-float32 scoring, MinHash/SimHash
-                 sketches, LSH ANN, heuristic langid, fingerprints,
-                 multimodal stubs) are rows-only checked by design.
+                 (SURVEY.md §2 inventory + training-data extensions):
+                 35 entries, 22 DuckDB-oracled.
+  oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
+                 (incl. ASOF JOIN, window-function sessionization, shingle
+                 Jaccard via list_transform, fq-composed BM25); non-SQL ops
+                 (WAND/Lucene-float32 scoring, MinHash/SimHash sketches,
+                 LSH/IVF ANN, heuristic langid, fingerprints, multimodal
+                 stubs) are rows-only checked by design, each with a pytest
+                 oracle (rank identity, recall, exactness-vs-brute-force).
 """
 
 from __future__ import annotations
