@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window_events": P.tumbling_window_events,
         "purchase_asof_signup": P.purchase_asof_signup,
         "session_windows": P.session_windows,
+        "purchase_near_error": P.purchase_near_error,
         "supplier_nation_agg": P.supplier_nation_agg,
         "order_lineitem_join_agg": P.order_lineitem_join_agg,
         "customers_without_orders": P.customers_without_orders,
@@ -314,6 +315,15 @@ SELECT event_type,
        count(*)::BIGINT AS n,
        CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
+""",
+        "purchase_near_error": """
+WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
+     e AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'error')
+SELECT p.event_id,
+       e.event_id AS error_event_id,
+       (epoch_us(p.ts) - epoch_us(e.ts))::BIGINT AS dt_us
+FROM p JOIN e ON p.user_id = e.user_id
+WHERE abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 600000000
 """,
         "session_windows": """
 WITH e AS (

@@ -207,3 +207,118 @@ def asof_join(
         return pa.table(out)
 
     return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def range_join(
+    left,
+    right,
+    by: str,
+    on: str,
+    window: int,
+    num_buckets: int = 32,
+):
+    """Banded range join: all (left, right) pairs with the same `by` key and
+    |left.on - right.on| <= window (int64 units). The other classic
+    time-series operator Ray Data lacks.
+
+    ONE shuffle: rows co-partition on (key-hash, on // window) with the
+    RIGHT side replicated to its three adjacent bands (a qualifying pair's
+    band distance is at most 1), so each pair materializes in exactly one
+    group — the left row's band — and the in-group |dt| <= window filter is
+    a vectorized key-segmented sweep. Replication factor is a constant 3x of
+    the right side, independent of corpus size; skew = a hot (key, band),
+    bounded by window width.
+
+    Returns left columns + right columns prefixed `r_`.
+    """
+    lschema, rschema = left.schema(), right.schema()
+    lnames = list(lschema.names)
+    rnames = list(rschema.names)
+    rtypes = dict(zip(rschema.names, rschema.types))
+    all_cols = lnames + [n for n in rnames if n not in lnames]
+    all_types = {**rtypes, **dict(zip(lschema.names, lschema.types))}
+    W = np.int64(window)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[by], dtype=np.int64)
+        band = np.asarray(batch[on]).astype(np.int64) // W
+        bucket = (
+            _mix64(keys * np.int64(1_000_003) + band) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        cols = {
+            n: (batch[n] if n in lnames else pa.nulls(len(batch), all_types[n]))
+            for n in all_cols
+        }
+        cols["__band"] = pa.array(band)
+        cols["__bucket"] = pa.array(bucket)
+        cols["__side"] = pa.array(np.zeros(len(batch), dtype=bool))
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[by], dtype=np.int64)
+        band0 = np.asarray(batch[on]).astype(np.int64) // W
+        n = len(batch)
+        idx = np.repeat(np.arange(n, dtype=np.int64), 3)
+        band = np.concatenate([band0 - 1, band0, band0 + 1]).reshape(3, n).T.ravel()
+        rep = batch.take(pa.array(idx))
+        keys3 = keys[idx]
+        bucket = (
+            _mix64(keys3 * np.int64(1_000_003) + band) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        cols = {
+            n: (rep[n] if n in rnames else pa.nulls(len(rep), all_types[n]))
+            for n in all_cols
+        }
+        cols["__band"] = pa.array(band)
+        cols["__bucket"] = pa.array(bucket)
+        cols["__side"] = pa.array(np.ones(len(rep), dtype=bool))
+        return pa.table(cols)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    out_r = [n for n in rnames if n != by]
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = np.asarray(g["__side"])
+        lt = g.filter(pa.array(~side))
+        rt = g.filter(pa.array(side))
+        empty = {c: lt[c].slice(0, 0) for c in lnames}
+        empty.update({f"r_{c}": pa.nulls(0, type=rtypes[c]) for c in out_r})
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return pa.table(empty)
+        # pair only within matching (key, band): the left row's band is the
+        # group identity; right rows were replicated INTO this band
+        l_key = np.asarray(lt[by], dtype=np.int64)
+        r_key = np.asarray(rt[by], dtype=np.int64)
+        l_band = np.asarray(lt["__band"])
+        r_band = np.asarray(rt["__band"])
+        l_on = np.asarray(lt[on]).astype(np.int64)
+        r_on = np.asarray(rt[on]).astype(np.int64)
+        # collision-free composite (key, band) codes via rank encoding
+        ku, kinv = np.unique(np.concatenate((l_key, r_key)), return_inverse=True)
+        bu, binv = np.unique(np.concatenate((l_band, r_band)), return_inverse=True)
+        code = kinv.astype(np.int64) * np.int64(bu.size) + binv
+        l_code, r_code = code[: l_key.size], code[l_key.size :]
+        # sort right rows by code; binary-search each left row's segment
+        r_order = np.argsort(r_code, kind="stable")
+        r_code_s = r_code[r_order]
+        lo = np.searchsorted(r_code_s, l_code, side="left")
+        hi = np.searchsorted(r_code_s, l_code, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table(empty)
+        li = np.repeat(np.arange(l_key.size, dtype=np.int64), cnt)
+        of = np.repeat(np.arange(l_key.size, dtype=np.int64), cnt)
+        base = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        within = np.arange(total, dtype=np.int64) - base[of]
+        ri = r_order[lo[of] + within]
+        keep = np.abs(l_on[li] - r_on[ri]) <= W
+        li, ri = li[keep], ri[keep]
+        out = {c: lt[c].take(pa.array(li)) for c in lnames}
+        for c in out_r:
+            out[f"r_{c}"] = rt[c].take(pa.array(ri))
+        return pa.table(out)
+
+    return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

@@ -790,6 +790,58 @@ def order_lineitem_join_agg(sf_dir: str) -> pa.Table:
     )
 
 
+RANGE_WINDOW_US = 10 * 60 * 1_000_000  # ±10-minute proximity window
+
+
+def purchase_near_error(sf_dir: str) -> pa.Table:
+    """Banded range join over the events stream: every (purchase, error)
+    pair for the same user within ±10 minutes. One co-partitioning shuffle
+    with constant 3x banding replication; integer-exact signed gap.
+    Oracle: DuckDB inequality join."""
+    import ray.data
+
+    from .joins import range_join
+
+    ev = os.path.join(sf_dir, "events.parquet")
+    cols = ["event_id", "ts", "user_id", "event_type"]
+
+    def only(kind):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["event_type"], kind)).drop_columns(
+                ["event_type"]
+            )
+        return f
+
+    left = ray.data.read_parquet(ev, columns=cols).map_batches(
+        only("purchase"), batch_format="pyarrow"
+    )
+    right = ray.data.read_parquet(ev, columns=cols).map_batches(
+        only("error"), batch_format="pyarrow"
+    )
+    j = range_join(left, right, by="user_id", on="ts",
+                   window=RANGE_WINDOW_US, num_buckets=8)
+    df = j.to_pandas()
+    if len(df) == 0:
+        return pa.table(
+            {"event_id": pa.array([], pa.int64()),
+             "error_event_id": pa.array([], pa.int64()),
+             "dt_us": pa.array([], pa.int64())}
+        )
+    dt = (
+        df["ts"].astype("datetime64[us]").astype(np.int64)
+        - df["r_ts"].astype("datetime64[us]").astype(np.int64)
+    )
+    return pa.table(
+        {
+            "event_id": pa.array(df["event_id"].to_numpy(dtype=np.int64)),
+            "error_event_id": pa.array(
+                df["r_event_id"].to_numpy(dtype=np.int64)
+            ),
+            "dt_us": pa.array(dt.to_numpy(dtype=np.int64)),
+        }
+    ).sort_by([("event_id", "ascending"), ("error_event_id", "ascending")])
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
 

@@ -436,3 +436,45 @@ def test_asof_join_edges(ray_session):
     # id1: k10 t100 -> rid8 (t=100 inclusive); id2: k10 t50 -> no match;
     # id3: k20 t100 -> ties at t90 -> greatest tiebreak rid12; id4: k30 none
     assert got == {1: 8, 3: 12}
+
+
+def test_range_join_band_edges(ray_session):
+    """Banded range join: boundary-inclusive, band-crossing pairs found
+    exactly once, per-key isolation."""
+    import ray.data
+
+    from nexlt_ray.joins import range_join
+
+    W = 100
+    left = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "k": pa.array([5, 5, 6], pa.int64()),
+            "t": pa.array([100, 350, 100], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rid": pa.array([7, 8, 9, 11], pa.int64()),
+            "k": pa.array([5, 5, 5, 6], pa.int64()),
+            "t": pa.array([199, 201, 250, 500], pa.int64()),
+        }
+    )
+    out = (
+        range_join(
+            ray.data.from_arrow(left).repartition(2),
+            ray.data.from_arrow(right).repartition(2),
+            by="k", on="t", window=W, num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["id", "r_rid"])
+        .reset_index(drop=True)
+    )
+    pairs = sorted((int(r["id"]), int(r["r_rid"])) for _, r in out.iterrows())
+    # id1 t100: rid7 (dt 99, band-crossing), rid8 (dt 101 > W? 201-100=101 NO)
+    # -> only rid7... wait |100-199|=99 ok; |100-201|=101 excluded; |100-250|=150 excluded
+    # id2 t350: rid9 (|350-250|=100 inclusive), rid8 (|350-201|=149 excluded)
+    # id3 k6 t100: rid11 t500 excluded
+    assert pairs == [(1, 7), (2, 9)]
+    # no duplicates from banding replication
+    assert len(pairs) == len(set(pairs))
