@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_asof_signup": P.purchase_asof_signup,
         "session_windows": P.session_windows,
         "purchase_near_error": P.purchase_near_error,
+        "hopping_window_events": P.hopping_window_events,
+        "top_purchases_per_user": P.top_purchases_per_user,
         "supplier_nation_agg": P.supplier_nation_agg,
         "order_lineitem_join_agg": P.order_lineitem_join_agg,
         "customers_without_orders": P.customers_without_orders,
@@ -315,6 +317,31 @@ SELECT event_type,
        count(*)::BIGINT AS n,
        CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
+""",
+        "hopping_window_events": """
+WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+w AS (
+  SELECT event_type, value,
+         unnest(list_transform(range(0, 5),
+                               i -> (us // 60000000) - i)) AS window_id
+  FROM e
+)
+SELECT event_type, window_id::BIGINT AS window_id,
+       count(*)::BIGINT AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+FROM w WHERE window_id >= 0
+GROUP BY event_type, window_id
+""",
+        "top_purchases_per_user": """
+SELECT user_id,
+       event_id,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM events
+WHERE event_type = 'purchase'
+QUALIFY row_number() OVER (
+  PARTITION BY user_id
+  ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id
+) <= 3
 """,
         "purchase_near_error": """
 WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),

@@ -790,6 +790,131 @@ def order_lineitem_join_agg(sf_dir: str) -> pa.Table:
     )
 
 
+HOP_US = 60 * 1_000_000              # hop: 1 minute
+HOP_WIN_US = 5 * 60 * 1_000_000      # window width: 5 minutes
+
+
+def hopping_window_events(sf_dir: str) -> pa.Table:
+    """Hopping (sliding) window aggregate: 5-minute windows advancing every
+    minute, count + integer-cent sum per (event_type, window). Each event
+    belongs to width/hop = 5 windows — replicated per batch (constant
+    factor), partial-aggregated before the small groupby; the hopping
+    variant of tumbling_window_events."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+    k = HOP_WIN_US // HOP_US  # windows per event
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = us.size
+        last_win = us // HOP_US  # last hop index whose window contains ts
+        idx = np.repeat(np.arange(n, dtype=np.int64), k)
+        off = np.tile(np.arange(k, dtype=np.int64), n)
+        win = last_win[idx] - off
+        keep = win >= 0  # clip pre-epoch windows
+        t = pa.table(
+            {
+                "event_type": batch["event_type"].take(pa.array(idx[keep])),
+                "window_id": pa.array(win[keep]),
+                "value": batch["value"].take(pa.array(idx[keep])),
+            }
+        )
+        g = pa.TableGroupBy(t, ["event_type", "window_id"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return g.rename_columns(["event_type", "window_id", "n_p", "v_p"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_id"])
+        .aggregate(Sum("n_p", alias_name="n"), Sum("v_p", alias_name="v"))
+    )
+    df = agg.to_pandas()
+    return pa.table(
+        {
+            "event_type": pa.array(df["event_type"], pa.string()),
+            "window_id": pa.array(df["window_id"].astype(np.int64)),
+            "n": pa.array(df["n"].astype(np.int64)),
+            "value_cents": pa.array(
+                np.round(df["v"].to_numpy() * 100).astype(np.int64)
+            ),
+        }
+    )
+
+
+TOPK_PER_USER = 3
+
+
+def top_purchases_per_user(sf_dir: str) -> pa.Table:
+    """Grouped top-k: each user's 3 highest-value purchases (value desc,
+    event_id asc tie-break) — per-batch partial top-k per group BEFORE the
+    groupby (the combiner discipline: a group's global top-3 is contained
+    in the union of its per-batch top-3s). Integer-cent values."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        if b.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "event_id": pa.array([], pa.int64()),
+                 "value_cents": pa.array([], pa.int64())}
+            )
+        uid = np.asarray(b["user_id"])
+        eid = np.asarray(b["event_id"])
+        cents = np.round(np.asarray(b["value"]) * 100).astype(np.int64)
+        order = np.lexsort((eid, -cents, uid))  # group, value desc, id asc
+        u_s, e_s, c_s = uid[order], eid[order], cents[order]
+        first = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.concatenate((starts, [u_s.size])))
+        rank = np.arange(u_s.size) - np.repeat(starts, sizes)
+        keep = rank < TOPK_PER_USER
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[keep], pa.int64()),
+                "event_id": pa.array(e_s[keep], pa.int64()),
+                "value_cents": pa.array(c_s[keep], pa.int64()),
+            }
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        eid = np.asarray(g["event_id"])
+        cents = np.asarray(g["value_cents"])
+        order = np.lexsort((eid, -cents))[:TOPK_PER_USER]
+        return pa.table(
+            {
+                "user_id": g["user_id"].take(pa.array(order)),
+                "event_id": pa.array(eid[order], pa.int64()),
+                "value_cents": pa.array(cents[order], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(final, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"].to_numpy(dtype=np.int64)),
+            "event_id": pa.array(out["event_id"].to_numpy(dtype=np.int64)),
+            "value_cents": pa.array(out["value_cents"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
 RANGE_WINDOW_US = 10 * 60 * 1_000_000  # ±10-minute proximity window
 
 
