@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 35 entries, 22 DuckDB-oracled.
+                 38 entries, 25 DuckDB-oracled.
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
                  (incl. ASOF JOIN, window-function sessionization, shingle
                  Jaccard via list_transform, fq-composed BM25); non-SQL ops
