@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 38 entries, 25 DuckDB-oracled.
+                 39 entries, 26 DuckDB-oracled.
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
                  (incl. ASOF JOIN, window-function sessionization, shingle
                  Jaccard via list_transform, fq-composed BM25); non-SQL ops
@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": P.session_windows,
         "purchase_near_error": P.purchase_near_error,
         "hopping_window_events": P.hopping_window_events,
+        "value_percentiles_by_type": P.value_percentiles_by_type,
         "top_purchases_per_user": P.top_purchases_per_user,
         "supplier_nation_agg": P.supplier_nation_agg,
         "order_lineitem_join_agg": P.order_lineitem_join_agg,
@@ -317,6 +318,16 @@ SELECT event_type,
        count(*)::BIGINT AS n,
        CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
+""",
+        "value_percentiles_by_type": """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+)
+SELECT event_type, 50::BIGINT AS pct, quantile_disc(cents, 0.50)::BIGINT AS cents FROM c GROUP BY event_type
+UNION ALL
+SELECT event_type, 90::BIGINT, quantile_disc(cents, 0.90)::BIGINT FROM c GROUP BY event_type
+UNION ALL
+SELECT event_type, 99::BIGINT, quantile_disc(cents, 0.99)::BIGINT FROM c GROUP BY event_type
 """,
         "hopping_window_events": """
 WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),

@@ -790,6 +790,62 @@ def order_lineitem_join_agg(sf_dir: str) -> pa.Table:
     )
 
 
+PCTS = (0.5, 0.9, 0.99)
+
+
+def value_percentiles_by_type(sf_dir: str) -> pa.Table:
+    """EXACT distributed percentiles per event_type (p50/p90/p99 of integer
+    cents) via the bounded-domain histogram trick: every batch emits a
+    partial (event_type, cents)->count histogram, the groupby sums counts,
+    and the percentile is read off the cumulative histogram — a constant
+    per-key payload regardless of corpus size (the exact-sketch analog of
+    t-digest for bounded integer domains). quantile_disc semantics: value at
+    index floor((n-1)*q) of the sorted multiset (matches DuckDB)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(np.asarray(batch["value"]) * 100).astype(np.int64)
+        t = pa.table(
+            {"event_type": batch["event_type"], "cents": pa.array(cents)}
+        )
+        g = pa.TableGroupBy(t, ["event_type", "cents"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "cents", "n_p"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("cents")
+        counts = g["n"].to_numpy(dtype=np.int64)
+        vals = g["cents"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        for q in PCTS:
+            pct = int(round(q * 100))
+            # quantile_disc position = ceil(n*q) - 1, computed in integer
+            # arithmetic (float ceil would overshoot on exact boundaries)
+            idx = -((-pct * total) // 100) - 1
+            v = vals[int(np.searchsorted(cum, idx + 1))]
+            rows.append((str(et), pct, int(v)))
+    rows.sort()
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "pct": pa.array([r[1] for r in rows], pa.int64()),
+            "cents": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
 HOP_US = 60 * 1_000_000              # hop: 1 minute
 HOP_WIN_US = 5 * 60 * 1_000_000      # window width: 5 minutes
 
