@@ -155,3 +155,42 @@ def test_strided_index_query_rank_identity(ray_session, corpus_parts, tmp_path):
         exp = [(d, float(np.float32(s))) for d, s in o.search(q["query"], k=10)]
         assert w == e == exp, q["query"]
     assert r.match_count("*:*") == m["n_docs"]
+
+
+def test_extend_auto_profile(ray_session, tmp_path):
+    """extend_index over an auto-profile strided index (per-language
+    analyzer routing must survive the incremental path)."""
+    import pyarrow as pa
+
+    from nexlt_ray.build import BuildConfig, build_index, extend_index
+    from nexlt_ray.query import IndexReader
+
+    def mk(rows, path):
+        t = pa.table(
+            {
+                "repo": pa.array([f"o/r{i}" for i in range(len(rows))]),
+                "path": pa.array([f"f{i}_{rows[i][1][:4]}.txt" for i in range(len(rows))]),
+                "commit": pa.array(["c" * 40] * len(rows)),
+                "lang": pa.array([l for l, _ in rows]),
+                "content": pa.array([c for _, c in rows]),
+            }
+        )
+        pq.write_table(t, path)
+        return str(path)
+
+    base_rows = [("deu", f"die übersetzung der bücher {i}") for i in range(30)] + [
+        ("eng", f"searching engines generally {i}") for i in range(30)
+    ]
+    new_rows = [("deu", f"neue aufgaben und bücher {i}") for i in range(10)]
+    a = mk(base_rows, tmp_path / "a.parquet")
+    b = mk(new_rows, tmp_path / "b.parquet")
+    idx = str(tmp_path / "idx_auto")
+    cfg = BuildConfig(profile="auto", id_mode="strided", num_doc_buckets=4,
+                      num_term_buckets=2)
+    m0 = build_index(a, idx, cfg)
+    m1 = extend_index(b, idx)
+    assert m1["n_docs"] == m0["n_docs"] + 10
+    r = IndexReader(idx)
+    # German stemming conflates across old+new docs
+    n = r.match_count("Bücher", lang="deu")
+    assert n == 40  # 30 base + 10 new German docs all contain bücher
