@@ -1039,9 +1039,16 @@ def build_index(
             import shutil
 
             shutil.rmtree(exroot, ignore_errors=True)
+        # resolve range_bits even for an empty corpus: extend_index
+        # round-trips the manifest config through BuildConfig and assumes
+        # an int (a null here crashes its bucket/shift arithmetic)
         manifest = {
             "version": MANIFEST_VERSION,
-            "config": {**asdict(cfg), "record_hook": None},
+            "config": {
+                **asdict(cfg),
+                "range_bits": _resolve_range_bits(cfg, 0),
+                "record_hook": None,
+            },
             "input_shards": [],
             "n_docs": 0,
             "n_input_rows": 0,

@@ -939,43 +939,67 @@ class IndexReader:
             if cand.size == 0:
                 return empty
         ordered = sorted(enumerate(plist), key=lambda x: x[1].cf)
-        # seed phrase-start keys (doc<<32 | start+64) from the RAREST term's
-        # positions at candidate docs (binary-search the small doc set into
-        # the sorted position stream + range expansion)
+        # seed phrase-start keys (cand_rank<<32 | start+64) from the RAREST
+        # term's positions at candidate docs (binary-search the small doc set
+        # into the sorted position stream + range expansion). Doc ids may be
+        # strided (bucket << 40), so keys always pack a DENSE rank — bounded
+        # by the rarest term's df, < 2**31 — never the raw doc id, which
+        # would overflow the int64 pack.
         i0, tp0 = ordered[0]
         dp, pp = tp0.positions_for_docs(cand)
         lo = np.searchsorted(dp, cand, side="left")
         hi = np.searchsorted(dp, cand, side="right")
         cnt = hi - lo
         sel = _expand_slices(lo, cnt)
-        # +64 keeps the shifted start non-negative (no doc aliasing)
-        keys = np.repeat(cand, cnt) * (1 << 32) + (pp[sel] - i0 + 64)
+        ranks = np.arange(cand.size, dtype=np.int64)
+        # +64 keeps the shifted start non-negative (no rank aliasing)
+        keys = np.repeat(ranks, cnt) * (1 << 32) + (pp[sel] - i0 + 64)
         for i, tp in ordered[1:]:
             if keys.size == 0:
                 return empty
             # hotter terms: NEVER materialize per-query key arrays over
             # their full position stream — membership-test the (small)
-            # surviving key set against a sorted position-key array
-            # (cached once per term when fully decoded)
-            d_alive = keys >> 32
-            cur_docs = d_alive[
-                np.concatenate(([True], d_alive[1:] != d_alive[:-1]))
+            # surviving key set against a sorted position-key array packed
+            # in the TERM's own dense doc-ordinal space (query-independent,
+            # so cacheable once the term's position stream is fully decoded)
+            r_alive = keys >> 32
+            cur_docs = cand[
+                r_alive[np.concatenate(([True], r_alive[1:] != r_alive[:-1]))]
             ]
             dp, pp = tp.positions_for_docs(cur_docs)
+            if dp.size == 0:
+                return empty
             if tp._pos_flat is not None and dp is tp._pos_flat[0]:
+                docs_u = tp.decode_all()[0]
                 if tp._pos_keys is None:
-                    tp._pos_keys = dp * (1 << 32) + (pp + 64)
+                    tp._pos_keys = (
+                        np.searchsorted(docs_u, dp) * (1 << 32) + (pp + 64)
+                    )
                 K = tp._pos_keys
             else:
-                K = dp * (1 << 32) + (pp + 64)
-            target = keys + i
+                bound = np.concatenate(([True], dp[1:] != dp[:-1]))
+                docs_u = dp[bound]
+                K = (np.cumsum(bound, dtype=np.int64) - 1) * (1 << 32) + (
+                    pp + 64
+                )
+            # translate surviving keys into this term's ordinal space
+            doc_k = cand[r_alive]
+            t_ord = np.searchsorted(docs_u, doc_k)
+            mem = (t_ord < docs_u.size) & (
+                docs_u[np.minimum(t_ord, docs_u.size - 1)] == doc_k
+            )
+            target = t_ord * (1 << 32) + (keys & 0xFFFFFFFF) + i
             idx = np.searchsorted(K, target)
-            hit = (idx < K.size) & (K[np.minimum(idx, K.size - 1)] == target)
+            hit = (
+                mem
+                & (idx < K.size)
+                & (K[np.minimum(idx, K.size - 1)] == target)
+            )
             keys = keys[hit]
         if keys.size == 0:
             return empty
-        docs = keys >> 32  # sorted, possibly repeated (multiple match starts)
-        return docs[np.concatenate(([True], docs[1:] != docs[:-1]))]
+        ranks = keys >> 32  # sorted, possibly repeated (multiple starts)
+        return cand[ranks[np.concatenate(([True], ranks[1:] != ranks[:-1]))]]
 
     def _search_phrase(
         self, terms: list[str], k: int, fdocs: np.ndarray | None = None

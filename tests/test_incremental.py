@@ -149,11 +149,16 @@ def test_strided_index_query_rank_identity(ray_session, corpus_parts, tmp_path):
     o = OracleIndex(
         list(zip(did.tolist(), meta["content"].to_pylist())), profile="code"
     )
-    for q in reference_queries()[:8]:
+    # full reference set — includes quoted phrases (qids 8, 9, 15), which
+    # exercise the strided-id rank packing in _phrase_candidates (doc ids
+    # are bucket<<40 here; raw-id packing would alias/overflow)
+    for q in reference_queries():
         w = r.search(q["query"], k=10, algorithm="wand")
         e = r.search(q["query"], k=10, algorithm="exhaustive")
         exp = [(d, float(np.float32(s))) for d, s in o.search(q["query"], k=10)]
         assert w == e == exp, q["query"]
+    for pq_ in ('"index query"', '"the import"', '"batch merge"'):
+        assert r.match_count(pq_) == o.match_count(pq_), pq_
     assert r.match_count("*:*") == m["n_docs"]
 
 
