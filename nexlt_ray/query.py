@@ -287,6 +287,124 @@ class TermPostings:
         )
 
 
+class FilterSet:
+    """Lazily evaluated fielded filter (Solr fq analog, corpus.cgi:328-339)
+    restructured for doc-range sharding: the filter's doc set is represented
+    PER DOC-BUCKET, each bucket's sorted doc-id array built on first touch
+    from that bucket's meta column shard and memoized. A selective query
+    therefore evaluates the filter only on the buckets its candidate docs
+    live in — never a full-corpus column scan up front. Surfaces whose
+    semantics genuinely span the corpus (numFound of a filtered match-all,
+    filtered facet counts over everything) force every bucket, but one
+    bucket at a time — peak allocation stays O(bucket), not O(n_docs)."""
+
+    def __init__(self, reader: "IndexReader", key: tuple):
+        self.reader = reader
+        self.key = key
+        self._buckets: dict[int, np.ndarray] = {}
+        self._count: int | None = None
+
+    def bucket_docs(self, b: int) -> np.ndarray:
+        """Sorted doc ids in bucket `b` matching the filter (lazy, memoized)."""
+        ids = self._buckets.get(b)
+        if ids is None:
+            r = self.reader
+            mask: np.ndarray | None = None
+            for fname, vals in self.key:
+                col = r._meta_shard(fname, b)
+                if col.size == 0:
+                    mask = np.empty(0, bool)
+                    break
+                m = np.isin(col, np.array(vals, dtype=object))
+                mask = m if mask is None else (mask & m)
+            ids = (
+                np.flatnonzero(mask).astype(np.int64) + r._doc_offsets[b]
+                if mask is not None and mask.size
+                else np.empty(0, np.int64)
+            )
+            self._buckets[b] = ids
+        return ids
+
+    def mask(self, docs: np.ndarray) -> np.ndarray:
+        """Boolean membership for sorted `docs`, touching only their buckets."""
+        out = np.zeros(docs.size, dtype=bool)
+        buckets = self.reader._buckets_of(docs)
+        for b in np.unique(buckets):
+            sel = buckets == b
+            out[sel] = IndexReader._mask_member(
+                docs[sel], self.bucket_docs(int(b))
+            )
+        return out
+
+    def cached_range_info(self, lo: int, hi: int) -> tuple[np.ndarray, bool]:
+        """(sorted filter docs in [lo, hi) from ALREADY-evaluated buckets,
+        complete?) — complete is True iff every bucket overlapping the range
+        was previously evaluated. WAND uses this as a free pre-check: it
+        never FORCES evaluation of a bucket just because a doc range
+        overlaps it (a range can span many buckets that hold no candidate
+        postings at all); un-evaluated buckets are handled by masking the
+        decoded candidate docs instead, which evaluates exactly the buckets
+        candidates live in."""
+        offs = self.reader._doc_offsets
+        cnts = self.reader._doc_counts
+        b0 = max(0, int(np.searchsorted(offs, lo, side="right")) - 1)
+        pieces = []
+        complete = True
+        for b in range(b0, len(offs)):
+            if offs[b] >= hi:
+                break
+            if cnts[b] == 0 or offs[b] + cnts[b] <= lo:
+                continue
+            ids = self._buckets.get(b)
+            if ids is None:
+                complete = False
+                continue
+            a = int(np.searchsorted(ids, lo))
+            z = int(np.searchsorted(ids, hi))
+            if z > a:
+                pieces.append(ids[a:z])
+        return (
+            np.concatenate(pieces) if pieces else np.empty(0, np.int64)
+        ), complete
+
+    def first_k(self, k: int) -> np.ndarray:
+        """First k matching doc ids ascending — stops as soon as k are
+        found, so a match-all+fq page touches only a bucket prefix."""
+        out: list[np.ndarray] = []
+        have = 0
+        for b in range(len(self.reader._doc_offsets)):
+            if self.reader._doc_counts[b] == 0:
+                continue
+            ids = self.bucket_docs(b)
+            if ids.size:
+                out.append(ids[: k - have])
+                have += out[-1].size
+                if have >= k:
+                    break
+        return np.concatenate(out) if out else np.empty(0, np.int64)
+
+    def count(self) -> int:
+        """Total matching docs (forces all buckets, one at a time)."""
+        if self._count is None:
+            self._count = sum(
+                self.bucket_docs(b).size
+                for b in range(len(self.reader._doc_offsets))
+                if self.reader._doc_counts[b]
+            )
+        return int(self._count)
+
+    def all_docs(self) -> np.ndarray:
+        """Full sorted doc set — only for surfaces that genuinely need it
+        (offline/aux paths); serving paths use the bucket-wise accessors."""
+        parts = [
+            self.bucket_docs(b)
+            for b in range(len(self.reader._doc_offsets))
+            if self.reader._doc_counts[b]
+        ]
+        parts = [p for p in parts if p.size]
+        return np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+
 class IndexReader:
     """Loads a built index; serves top-k BM25 queries.
 
@@ -334,8 +452,9 @@ class IndexReader:
         self._shard_cap = 4096          # norm shards kept (1 B/doc — cheap)
         self._meta_shard_cap = 256      # meta column shards kept
         self._shard_loads: list[tuple[str, int]] = []
-        # Solr filterCache analog: (field, values)-tuple -> sorted doc ids
-        self._filter_cache: OrderedDict[tuple, np.ndarray] = OrderedDict()
+        # Solr filterCache analog: (field, values)-tuple -> FilterSet with
+        # lazily built per-bucket doc sets
+        self._filter_cache: OrderedDict[tuple, FilterSet] = OrderedDict()
         self._filter_cache_cap = 64
 
     # ------------------------------------------------------------------
@@ -488,10 +607,11 @@ class IndexReader:
 
     # -- fielded filters (Solr fq analog: corpus.cgi:328-339 product /
     #    resource / lang filter queries; solrTestLib_v2.js:38-102) --------
-    def _filter_docs(self, filters: dict | None) -> np.ndarray | None:
-        """Sorted doc ids matching ALL fields (values OR within a field) —
-        cached per normalized filter (the Solr filterCache, 512-entry LRU
-        discipline, solrconfig.xml:534-541)."""
+    def _filter_docs(self, filters: dict | None) -> FilterSet | None:
+        """FilterSet for the normalized filter spec (values OR within a
+        field, AND across fields) — cached per filter (the Solr filterCache
+        LRU discipline, solrconfig.xml:534-541). The set's per-bucket doc
+        arrays are built lazily as queries touch buckets (FilterSet)."""
         if not filters:
             return None
         key = tuple(
@@ -502,32 +622,17 @@ class IndexReader:
         if cached is not None:
             self._filter_cache.move_to_end(key)
             return cached
-        cur: np.ndarray | None = None
-        for fname, vals in key:
-            ids = self._docs_with_values(fname, vals)
-            cur = ids if cur is None else self._sorted_intersect(cur, ids)
-        self._filter_cache[key] = cur
+        fset = FilterSet(self, key)
+        self._filter_cache[key] = fset
         if len(self._filter_cache) > self._filter_cache_cap:
             self._filter_cache.popitem(last=False)
-        return cur
-
-    def _docs_with_values(self, field: str, vals: tuple) -> np.ndarray:
-        vset = set(vals)
-        out = []
-        for b in range(len(self._doc_offsets)):
-            col = self._meta_shard(field, b)
-            if col.size == 0:
-                continue
-            mask = np.isin(col, np.array(sorted(vset), dtype=object))
-            if mask.any():
-                out.append(np.flatnonzero(mask) + self._doc_offsets[b])
-        return (
-            np.concatenate(out) if out else np.empty(0, np.int64)
-        ).astype(np.int64)
+        return fset
 
     @staticmethod
     def _mask_member(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
         """Boolean membership of `values` in a SORTED unique id array."""
+        if sorted_set.size == 0:
+            return np.zeros(values.size, dtype=bool)
         idx = np.searchsorted(sorted_set, values)
         return (idx < sorted_set.size) & (
             sorted_set[np.minimum(idx, sorted_set.size - 1)] == values
@@ -594,12 +699,13 @@ class IndexReader:
         from .tokenize import tokenize_query
 
         kind, body = self.parse(query)
-        fdocs = self._filter_docs(filters)
+        fset = self._filter_docs(filters)
         if kind == "all":
-            # constant-score match-all (Solr q=*:* scores 1.0). Without a
-            # filter, emit only the first k existing ids bucket-by-bucket —
-            # never materialize an n_docs-sized array (10^12 at scale).
-            if fdocs is None:
+            # constant-score match-all (Solr q=*:* scores 1.0). Both arms
+            # emit only the first k existing ids bucket-by-bucket — never an
+            # n_docs-sized array (10^12 at scale); the filtered arm evaluates
+            # the fq on just the bucket prefix holding the page.
+            if fset is None:
                 out: list[tuple[int, float]] = []
                 for o, c in zip(self._doc_offsets, self._doc_counts):
                     take = min(int(c), max(k, 0) - len(out))
@@ -607,7 +713,7 @@ class IndexReader:
                     if len(out) >= max(k, 0):
                         break
                 return out
-            return [(int(d), 1.0) for d in fdocs[: max(k, 0)]]
+            return [(int(d), 1.0) for d in fset.first_k(max(k, 0))]
         terms = tokenize_query(
             body, profile=self._query_profile(lang), protected=self.protected
         )
@@ -625,21 +731,22 @@ class IndexReader:
             )
         if not terms or k <= 0:
             return []
-        if fdocs is not None and fdocs.size == 0:
-            return []
         if kind == "phrase":
-            return self._search_phrase(terms, k, fdocs)
+            return self._search_phrase(terms, k, fset)
         if algorithm == "exhaustive" or mode == "AND":
-            return self._search_exhaustive(terms, k, mode, fdocs)
-        return self._search_wand(terms, k, fdocs)
+            return self._search_exhaustive(terms, k, mode, fset)
+        return self._search_wand(terms, k, fset)
 
     def match_count(
         self, query: str, mode: str = "OR", lang: str | None = None,
         filters: dict | None = None,
     ) -> int:
         """numFound analog (reference G3, corpus.cgi:409)."""
-        if self.parse(query)[0] == "all" and not filters:
-            return int(self.n_docs)  # no doc-array materialization
+        if self.parse(query)[0] == "all":
+            if not filters:
+                return int(self.n_docs)  # no doc-array materialization
+            # filtered match-all: count bucket-by-bucket (O(bucket) peak)
+            return self._filter_docs(filters).count()
         return int(self._matching_docs(query, mode, lang=lang, filters=filters).size)
 
     # ------------------------------------------------------------------
@@ -652,15 +759,58 @@ class IndexReader:
         lang: str | None = None, filters: dict | None = None,
     ) -> dict[str, list[tuple[str, int]]]:
         """Per-field (value, count) over ALL matching docs, count-desc then
-        value-asc (Solr facet.sort=count discipline)."""
+        value-asc (Solr facet.sort=count discipline). Counts stream one doc
+        bucket at a time (np.unique per bucket, merged into a dict bounded
+        by facet-value cardinality) — a match-all facet never materializes a
+        corpus-sized doc array."""
+        counters: dict[str, dict[str, int]] = {f: {} for f in fields}
+        for b, docs_b in self._match_buckets(query, mode, lang, filters):
+            local = docs_b - self._doc_offsets[b]
+            for f in fields:
+                col = self._meta_shard(f, b)
+                vals, counts = np.unique(col[local].astype("U"), return_counts=True)
+                d = counters[f]
+                for v, c in zip(vals.tolist(), counts.tolist()):
+                    d[v] = d.get(v, 0) + int(c)
+        return {
+            f: sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))
+            for f, d in counters.items()
+        }
+
+    def _match_buckets(
+        self, query: str, mode: str = "OR", lang: str | None = None,
+        filters: dict | None = None,
+    ):
+        """Yield (doc_bucket, sorted matching doc ids in that bucket) — the
+        bucket-streaming form of _matching_docs. Match-all (the reference
+        UI's default browse view, q=*:* / q=<lang>:[* TO *],
+        solrTestLib_v2.js:38-44) never materializes a corpus-sized array:
+        each bucket's id range is generated (or its fq subset evaluated)
+        on its turn, so peak allocation is O(bucket)."""
+        kind, _ = self.parse(query)
+        if kind == "all":
+            fset = self._filter_docs(filters)
+            for b in range(len(self._doc_offsets)):
+                c = int(self._doc_counts[b])
+                if c == 0:
+                    continue
+                if fset is None:
+                    yield b, np.arange(c, dtype=np.int64) + self._doc_offsets[b]
+                else:
+                    ids = fset.bucket_docs(b)
+                    if ids.size:
+                        yield b, ids
+            return
         docs = self._matching_docs(query, mode, lang=lang, filters=filters)
-        out: dict[str, list[tuple[str, int]]] = {}
-        for f in fields:
-            col = self._meta_values(f, docs) if docs.size else np.empty(0, object)
-            vals, counts = np.unique(col.astype("U"), return_counts=True)
-            order = np.lexsort((vals, -counts))
-            out[f] = [(str(vals[i]), int(counts[i])) for i in order]
-        return out
+        if docs.size == 0:
+            return
+        buckets = self._buckets_of(docs)
+        bounds = np.flatnonzero(
+            np.concatenate(([True], buckets[1:] != buckets[:-1]))
+        )
+        for i, s in enumerate(bounds):
+            e = bounds[i + 1] if i + 1 < bounds.size else docs.size
+            yield int(buckets[s]), docs[s:e]
 
     def _matching_docs(
         self, query: str, mode: str = "OR", lang: str | None = None,
@@ -674,18 +824,20 @@ class IndexReader:
         from .tokenize import tokenize_query
 
         kind, body = self.parse(query)
-        fdocs = self._filter_docs(filters)
+        fset = self._filter_docs(filters)
         if kind == "all":
-            return fdocs if fdocs is not None else self._all_docs()
+            # offline/aux form — serving surfaces (facets/search_sorted/
+            # match_count) go through _match_buckets and never hit this
+            return fset.all_docs() if fset is not None else self._all_docs()
         terms = tokenize_query(
             body, profile=self._query_profile(lang), protected=self.protected
         )
         if kind != "phrase" and self.synonyms:
             terms = [x for t in terms for x in (t, *self.synonyms.get(t, []))]
-        if not terms or (fdocs is not None and fdocs.size == 0):
+        if not terms:
             return np.empty(0, np.int64)
         if kind == "phrase":
-            return self._phrase_candidates(terms, fdocs)
+            return self._phrase_candidates(terms, fset)
         sets = [
             tp.decode_all()[0] if tp else np.empty(0, np.int64)
             for tp in self._clause_postings(terms)
@@ -696,8 +848,8 @@ class IndexReader:
                 cur = np.intersect1d(cur, s, assume_unique=True)
         else:
             cur = np.unique(np.concatenate(sets)) if sets else np.empty(0, np.int64)
-        if fdocs is not None:
-            cur = self._sorted_intersect(cur, fdocs)
+        if fset is not None and cur.size:
+            cur = cur[fset.mask(cur)]
         return cur
 
     # ------------------------------------------------------------------
@@ -721,7 +873,14 @@ class IndexReader:
         page. Multi-key sort matches the reference UI's `product asc,
         srclc asc` / `release desc, srclc asc` orderings
         (solrTestLib_v2.js:83-96). numFound rides in the result's schema
-        metadata (b"num_found") like Solr's response header."""
+        metadata (b"num_found") like Solr's response header.
+
+        Scale discipline: the sort streams one doc bucket at a time — each
+        bucket contributes only its partial top-(start+rows) candidates
+        (per-bucket lexsort), and the global page comes from a bounded merge
+        of O(buckets * page) candidates. The match-all browse view (the
+        reference UI default, q=*:* + sort=srclc asc) therefore never
+        allocates an O(n_docs) array or runs a corpus-wide lexsort."""
         sort_fields = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         asc = (
             [ascending] * len(sort_fields)
@@ -730,20 +889,38 @@ class IndexReader:
         )
         if len(asc) != len(sort_fields):
             raise ValueError("ascending must match sort_by length")
-        docs = self._matching_docs(query, mode, lang=lang, filters=filters)
-        num_found = int(docs.size)
-        if docs.size == 0:
+
+        def lex_order(docs_a: np.ndarray, keys_a: list[np.ndarray]) -> np.ndarray:
+            # np.lexsort: LAST key is primary -> (doc_id, key_n, ..., key_1);
+            # descending via negated dense rank — ranks over any subset give
+            # the same comparative order as over the full set
+            lex: list[np.ndarray] = [docs_a]
+            for kb, a in zip(reversed(keys_a), reversed(asc)):
+                lex.append(kb if a else -np.unique(kb, return_inverse=True)[1])
+            return np.lexsort(tuple(lex))
+
+        need = start + rows
+        num_found = 0
+        cand_docs: list[np.ndarray] = []
+        cand_keys: list[list[np.ndarray]] = [[] for _ in sort_fields]
+        for b, docs_b in self._match_buckets(query, mode, lang, filters):
+            num_found += int(docs_b.size)
+            local = docs_b - self._doc_offsets[b]
+            keys_b = [
+                self._meta_shard(f, b)[local].astype("U") for f in sort_fields
+            ]
+            if docs_b.size > need:
+                order_b = lex_order(docs_b, keys_b)[:need]
+                docs_b = docs_b[order_b]
+                keys_b = [kb[order_b] for kb in keys_b]
+            cand_docs.append(docs_b)
+            for i, kb in enumerate(keys_b):
+                cand_keys[i].append(kb)
+        if num_found == 0:
             return pa.table({}).replace_schema_metadata({b"num_found": b"0"})
-        # np.lexsort: LAST key is primary -> (doc_id, key_n, ..., key_1)
-        lex_keys: list[np.ndarray] = [docs]
-        for f, a in zip(reversed(sort_fields), reversed(asc)):
-            keys = self._meta_values(f, docs).astype("U")
-            if a:
-                lex_keys.append(keys)
-            else:
-                rank = np.unique(keys, return_inverse=True)[1]
-                lex_keys.append(-rank)
-        order = np.lexsort(tuple(lex_keys))
+        docs = np.concatenate(cand_docs)
+        keys = [np.concatenate(ks) for ks in cand_keys]
+        order = lex_order(docs, keys)
         page = docs[order[start : start + rows]]
         fields = self.doc_fields([int(d) for d in page])
         if fields.num_rows == 0:
@@ -775,34 +952,35 @@ class IndexReader:
             acc[idx] += s
         return union, acc
 
-    @classmethod
+    @staticmethod
     def _clip_to_filter(
-        cls, decoded: list[tuple[np.ndarray, np.ndarray]], fdocs: np.ndarray | None
+        decoded: list[tuple[np.ndarray, np.ndarray]], fset: FilterSet | None
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         """Restrict decoded postings to the filter's doc set BEFORE scoring
-        (docs outside the fq never enter the union/accumulator)."""
-        if fdocs is None:
+        (docs outside the fq never enter the union/accumulator). The filter
+        evaluates lazily per doc bucket — only buckets the postings touch."""
+        if fset is None:
             return decoded
         out = []
         for d, t in decoded:
             if d.size == 0:
                 out.append((d, t))
                 continue
-            m = cls._mask_member(d, fdocs)
+            m = fset.mask(d)
             out.append((d[m], t[m]))
         return out
 
     # -- exhaustive ----------------------------------------------------
     def _search_exhaustive(
         self, terms: list[str], k: int, mode: str = "OR",
-        fdocs: np.ndarray | None = None,
+        fset: FilterSet | None = None,
     ) -> list[tuple[int, float]]:
         plist = self._clause_postings(terms)
         decoded = [
             tp.decode_all() if tp else (np.empty(0, np.int64), np.empty(0, np.int64))
             for tp in plist
         ]
-        decoded = self._clip_to_filter(decoded, fdocs)
+        decoded = self._clip_to_filter(decoded, fset)
         union, acc = self._score_union(plist, decoded)
         if union.size == 0:
             return []
@@ -819,7 +997,7 @@ class IndexReader:
 
     # -- vectorized block-max WAND -------------------------------------
     def _search_wand(
-        self, terms: list[str], k: int, fdocs: np.ndarray | None = None
+        self, terms: list[str], k: int, fset: FilterSet | None = None
     ) -> list[tuple[int, float]]:
         plist = [tp for tp in self._clause_postings(terms)]
         live = [(ci, tp) for ci, tp in enumerate(plist) if tp is not None]
@@ -852,15 +1030,18 @@ class IndexReader:
                 lo = nxt - (nxt % R)
                 continue
             hi = lo + R
-            if fdocs is not None:
-                # fq pre-check: skip ranges holding no filter docs, and jump
-                # straight to the next filter doc past empty stretches
-                f0 = int(np.searchsorted(fdocs, lo))
-                if f0 >= fdocs.size:
-                    break
-                if fdocs[f0] >= hi:
-                    lo = int(fdocs[f0]) - (int(fdocs[f0]) % R)
-                    continue
+            frange: np.ndarray | None = None
+            if fset is not None:
+                # fq pre-check from already-evaluated filter buckets only
+                # (free): skip the range outright when the filter provably
+                # holds no docs here. Never forces bucket evaluation — that
+                # happens bucket-exactly via mask() after decode.
+                fr, complete = fset.cached_range_info(lo, hi)
+                if complete:
+                    if fr.size == 0:
+                        lo = hi
+                        continue
+                    frange = fr
             # per-term overlapping block span via skip pointers
             spans = []
             ub_sum = np.float32(0.0)
@@ -887,7 +1068,17 @@ class IndexReader:
                 a = int(np.searchsorted(d, lo))
                 b = int(np.searchsorted(d, hi))
                 decoded.append((d[a:b], t[a:b]))
-            decoded = self._clip_to_filter(decoded, fdocs)
+            if frange is not None:
+                # clip to the range's filter docs (already evaluated above)
+                decoded = [
+                    (d[m], t[m])
+                    for d, t in decoded
+                    for m in (self._mask_member(d, frange),)
+                ]
+            elif fset is not None:
+                # lazy path: evaluates the filter on exactly the buckets
+                # the decoded candidate docs live in
+                decoded = self._clip_to_filter(decoded, fset)
             union, acc = self._score_union([tp for _, tp in live], decoded)
             if union.size:
                 cand_docs = np.concatenate((top_docs, union))
@@ -915,7 +1106,7 @@ class IndexReader:
         return a[sel]
 
     def _phrase_candidates(
-        self, terms: list[str], fdocs: np.ndarray | None = None
+        self, terms: list[str], fset: FilterSet | None = None
     ) -> np.ndarray:
         """Docs containing the terms at consecutive positions — fully
         vectorized: per term, flat (doc, pos) arrays filtered to the AND
@@ -926,11 +1117,14 @@ class IndexReader:
         empty = np.empty(0, dtype=np.int64)
         if any(tp is None for tp in plist):
             return empty
-        cand = fdocs
+        cand = None
         for tp in sorted(plist, key=lambda t: t.df):  # rarest first
             if cand is None:
-                d = tp.decode_all()[0]
-                cand = d
+                cand = tp.decode_all()[0]
+                if fset is not None and cand.size:
+                    # fq clip right after the rarest term: the filter
+                    # evaluates only on buckets holding phrase candidates
+                    cand = cand[fset.mask(cand)]
             else:
                 # later (more frequent) terms: decode only blocks that can
                 # hold a current candidate
@@ -1002,9 +1196,9 @@ class IndexReader:
         return cand[ranks[np.concatenate(([True], ranks[1:] != ranks[:-1]))]]
 
     def _search_phrase(
-        self, terms: list[str], k: int, fdocs: np.ndarray | None = None
+        self, terms: list[str], k: int, fset: FilterSet | None = None
     ) -> list[tuple[int, float]]:
-        cand = self._phrase_candidates(terms, fdocs)
+        cand = self._phrase_candidates(terms, fset)
         if cand.size == 0:
             return []
         plist = self._clause_postings(terms)

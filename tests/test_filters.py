@@ -146,3 +146,85 @@ def test_serving_state_shard_locality(built_index):
     r._shard_loads.clear()
     r.match_count("parse", filters={"lang": "python"})  # filterCache hit
     assert r._shard_loads == []
+
+
+def test_match_all_browse_never_materializes_corpus(built_index, monkeypatch):
+    """The reference UI's default view (q=*:* + sort + facet sidebar,
+    solrTestLib_v2.js:38-96) must stream per doc bucket: no O(n_docs) doc
+    array (_all_docs / FilterSet.all_docs) and no corpus-wide lexsort —
+    per-bucket partial top-(start+rows) + a bounded merge instead."""
+    from nexlt_ray.query import FilterSet, IndexReader
+
+    idx, manifest = built_index
+    r = IndexReader(idx)
+    # oracle page computed the straightforward way BEFORE the traps go in
+    docs = r._matching_docs("*:*")
+    paths = r._meta_values("path", docs).astype("U")
+    order = np.lexsort((docs, paths))
+    exp_page = docs[order][3:10].tolist()
+    exp_facets = r.facets("*:*", ["lang"])
+
+    def trap(*a, **k):  # pragma: no cover - failing is the point
+        raise AssertionError("O(n_docs) materialization on the browse path")
+
+    monkeypatch.setattr(IndexReader, "_all_docs", trap)
+    monkeypatch.setattr(FilterSet, "all_docs", trap)
+    lex_calls = []
+    real_lexsort = np.lexsort
+    max_bucket = int(np.asarray(manifest["doc_counts"]).max())
+
+    def counting_lexsort(keys, *a, **k):
+        lex_calls.append(len(keys[0]))
+        return real_lexsort(keys, *a, **k)
+
+    monkeypatch.setattr(np, "lexsort", counting_lexsort)
+    page = r.search_sorted("*:*", sort_by="path", start=3, rows=7)
+    assert page["doc_id"].to_pylist() == exp_page
+    assert int(page.schema.metadata[b"num_found"]) == manifest["n_docs"]
+    # every lexsort is per-bucket (<= max bucket size) or the bounded
+    # candidate merge (<= buckets * (start+rows)), never corpus-sized
+    n_buckets = int((np.asarray(manifest["doc_counts"]) > 0).sum())
+    bound = max(max_bucket, n_buckets * 10)
+    assert lex_calls and all(n <= bound for n in lex_calls)
+    assert r.facets("*:*", ["lang"]) == exp_facets
+    assert r.match_count("*:*") == manifest["n_docs"]
+    # filtered match-all count/browse also avoid the global array
+    lang = exp_facets["lang"][0][0]
+    n_lang = exp_facets["lang"][0][1]
+    assert r.match_count("*:*", filters={"lang": lang}) == n_lang
+    fpage = r.search_sorted("*:*", "path", rows=5, filters={"lang": lang})
+    assert int(fpage.schema.metadata[b"num_found"]) == n_lang
+
+
+def test_selective_filter_bucket_locality(built_index):
+    """An fq on a selective term query must evaluate its doc sets only on
+    the buckets the query's candidate docs touch (lazy per-bucket
+    FilterSet), not full-corpus column scans (VERDICT r2 item 2)."""
+    from nexlt_ray.query import IndexReader
+
+    idx, manifest = built_index
+    r = IndexReader(idx)
+    # pick a genuinely rare term (df small => candidates touch few buckets)
+    # straight out of the segment files, requiring that it round-trips
+    # through the query tokenizer unchanged
+    from nexlt_ray.tokenize import tokenize_query
+
+    seg = pq.read_table(os.path.join(idx, "segments"), columns=["term", "df"])
+    agg: dict[str, int] = {}
+    for t, d in zip(seg["term"].to_pylist(), seg["df"].to_pylist()):
+        agg[t] = agg.get(t, 0) + int(d)
+    term = min(
+        (t for t in agg if tokenize_query(t, profile="code") == [t]),
+        key=lambda t: agg[t],
+    )
+    tp = r.postings(term)
+    cand_buckets = set(r._buckets_of(tp.decode_all()[0]).tolist())
+    assert len(cand_buckets) < int((np.asarray(manifest["doc_counts"]) > 0).sum())
+    r._shard_loads.clear()
+    r.search(term, k=10, filters={"lang": "python"})
+    lang_loads = {b for name, b in r._shard_loads if name == "lang"}
+    assert lang_loads <= cand_buckets
+    # WAND and exhaustive agree under the lazy filter
+    w = r.search(term, k=10, algorithm="wand", filters={"lang": "python"})
+    e = r.search(term, k=10, algorithm="exhaustive", filters={"lang": "python"})
+    assert w == e
