@@ -45,24 +45,52 @@ def add_text_sha(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("text_sha256", pa.array(shas, pa.string()))
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Hash-partition by content sha; keep the min-id row per group.
-    Returns a Dataset of (doc_id, text_sha256, n_copies)."""
+def exact_dedup(
+    ds, text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64
+):
+    """Keep the min-id row per content sha; returns a Dataset of
+    (doc_id, text_sha256, n_copies).
+
+    Scale shape (same discipline as the build path's BucketWriter,
+    build.py): rows hash-partition into `num_buckets` sha-range buckets and
+    each bucket deduplicates VECTORIZED — lexsort by (sha, id), then
+    first-of-run + run lengths. One Python call per bucket, never one per
+    unique document (a per-sha map_groups UDF is ~9x slower and at 10^9
+    groups becomes the pipeline)."""
     ds = ds.map_batches(
         lambda b: add_text_sha(b, text_col), batch_format="pyarrow"
     )
 
-    def keep_first(g: pa.Table) -> pa.Table:
-        ids = np.asarray(g[id_col])
+    def add_bucket(b: pa.Table) -> pa.Table:
+        sha = np.asarray(b["text_sha256"].to_pylist(), dtype="U64")
+        bk = (
+            np.array([int(s[:8], 16) for s in sha.tolist()], dtype=np.int64)
+            % num_buckets
+        )
+        return b.append_column("dedup_bucket", pa.array(bk, pa.int64()))
+
+    def bucket_dedup(g: pa.Table) -> pa.Table:
+        sha = np.asarray(g["text_sha256"].to_pylist(), dtype="U64")
+        ids = np.asarray(g[id_col], dtype=np.int64)
+        order = np.lexsort((ids, sha))
+        sha_s, ids_s = sha[order], ids[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], sha_s[1:] != sha_s[:-1]))
+        )
+        counts = np.diff(np.append(starts, sha_s.size))
         return pa.table(
             {
-                "doc_id": pa.array([int(ids.min())], pa.int64()),
-                "text_sha256": pa.array([g["text_sha256"][0].as_py()], pa.string()),
-                "n_copies": pa.array([len(g)], pa.int64()),
+                "doc_id": pa.array(ids_s[starts], pa.int64()),
+                "text_sha256": pa.array(sha_s[starts], pa.string()),
+                "n_copies": pa.array(counts, pa.int64()),
             }
         )
 
-    return ds.groupby("text_sha256").map_groups(keep_first, batch_format="pyarrow")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("dedup_bucket")
+        .map_groups(bucket_dedup, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------

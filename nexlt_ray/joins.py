@@ -100,6 +100,12 @@ def broadcast_semi_anti_join(
     put once in the object store (zero-copy reads), read per task, no
     shuffle. For key sets too large to broadcast, swap in a Bloom filter at
     the same call site.
+
+    Key typing: integer key sets broadcast as a deduplicated int64 array;
+    any other hashable type (strings etc.) broadcasts as an Arrow array of
+    its natural inferred type. Null semantics: a null batch key is never a
+    member of the set, so semi drops null-key rows and anti KEEPS them
+    (matching `comm`'s treatment of lines only in the left input).
     """
     import pyarrow.compute as pc
     import ray
@@ -107,14 +113,23 @@ def broadcast_semi_anti_join(
     if isinstance(key_set, ray.ObjectRef):
         ref = key_set
     else:
-        arr = np.unique(np.fromiter(key_set, dtype=np.int64))
-        ref = ray.put(pa.array(arr, pa.int64()))
+        keys = list(key_set)
+        try:
+            arr = pa.array(
+                np.unique(np.fromiter(keys, dtype=np.int64, count=len(keys))),
+                pa.int64(),
+            )
+        except (TypeError, ValueError):
+            arr = pa.array(sorted(set(keys)))
+        ref = ray.put(arr)
 
     def filt(batch: pa.Table) -> pa.Table:
         value_set = ray.get(ref)
         mask = pc.is_in(batch[key], value_set=value_set)
         if anti:
+            # null keys: is_in yields false (never a member) -> anti keeps
             mask = pc.invert(mask)
+        mask = pc.fill_null(mask, anti)
         return batch.filter(mask)
 
     return ds.map_batches(filt, batch_format="pyarrow")

@@ -1001,64 +1001,161 @@ def purchase_near_error(sf_dir: str) -> pa.Table:
     )
     j = range_join(left, right, by="user_id", on="ts",
                    window=RANGE_WINDOW_US, num_buckets=8)
-    df = j.to_pandas()
+
+    def finish(b: pa.Table) -> pa.Table:
+        # gap arithmetic stays in the pipeline (map_batches) — the driver
+        # holds only the returned projection
+        dt = pc.subtract(
+            pc.cast(b["ts"], pa.int64()), pc.cast(b["r_ts"], pa.int64())
+        )
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "error_event_id": pc.cast(b["r_event_id"], pa.int64()),
+                "dt_us": pc.cast(dt, pa.int64()),
+            }
+        )
+
+    df = j.map_batches(finish, batch_format="pyarrow").to_pandas()
     if len(df) == 0:
         return pa.table(
             {"event_id": pa.array([], pa.int64()),
              "error_event_id": pa.array([], pa.int64()),
              "dt_us": pa.array([], pa.int64())}
         )
-    dt = (
-        df["ts"].astype("datetime64[us]").astype(np.int64)
-        - df["r_ts"].astype("datetime64[us]").astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False).sort_by(
+        [("event_id", "ascending"), ("error_event_id", "ascending")]
     )
-    return pa.table(
-        {
-            "event_id": pa.array(df["event_id"].to_numpy(dtype=np.int64)),
-            "error_event_id": pa.array(
-                df["r_event_id"].to_numpy(dtype=np.int64)
-            ),
-            "dt_us": pa.array(dt.to_numpy(dtype=np.int64)),
-        }
-    ).sort_by([("event_id", "ascending"), ("error_event_id", "ascending")])
 
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+SESSION_CHUNK_US = 4 * 60 * 60 * 1_000_000  # pre-sessionization time chunk
+
+
+def _chunk_sessionize(g: pa.Table, gap_us: int, chunk_us: int) -> pa.Table:
+    """Phase 1: sessionize events WITHIN each (user, time-chunk) run,
+    fully vectorized over however many keys share the group. Emits partial
+    sessions (user_id, start_us, end_us, n_events)."""
+    t = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+    uid = np.asarray(g["user_id"], dtype=np.int64)
+    chunk = t // chunk_us
+    order = np.lexsort((t, chunk, uid))
+    u, c, ts_ = uid[order], chunk[order], t[order]
+    new_run = np.concatenate(
+        ([True], (u[1:] != u[:-1]) | (c[1:] != c[:-1]))
+    )
+    new_sess = new_run | np.concatenate(([True], np.diff(ts_) > gap_us))
+    sid = np.cumsum(new_sess) - 1
+    n_events = np.bincount(sid)
+    last = np.concatenate((new_sess[1:], [True]))
+    return pa.table(
+        {
+            "user_id": pa.array(u[new_sess], pa.int64()),
+            "start_us": pa.array(ts_[new_sess], pa.int64()),
+            "end_us": pa.array(ts_[last], pa.int64()),
+            "n_events": pa.array(n_events.astype(np.int64)),
+        }
+    )
+
+
+def _merge_boundary_sessions(g: pa.Table, gap_us: int) -> pa.Table:
+    """Phase 2: merge chunk-boundary-adjacent partial sessions per user —
+    vectorized over all users in the group. Partial sessions of one user
+    are time-disjoint (chunks partition time), so consecutive sessions in
+    (user, start) order merge exactly when the inter-event gap across the
+    boundary (next.start - prev.end) is within the session gap; chained
+    merges collapse via one cumsum."""
+    u = np.asarray(g["user_id"], dtype=np.int64)
+    s = np.asarray(g["start_us"], dtype=np.int64)
+    e = np.asarray(g["end_us"], dtype=np.int64)
+    n = np.asarray(g["n_events"], dtype=np.int64)
+    order = np.lexsort((s, u))
+    u, s, e, n = u[order], s[order], e[order], n[order]
+    new_user = np.concatenate(([True], u[1:] != u[:-1]))
+    new_merged = new_user | np.concatenate(
+        ([True], (s[1:] - e[:-1]) > gap_us)
+    )
+    mid = np.cumsum(new_merged) - 1
+    n_events = np.bincount(mid, weights=n).astype(np.int64)
+    starts = s[new_merged]
+    ends = e[np.concatenate((new_merged[1:], [True]))]
+    su = u[new_merged]
+    # per-user session ordinal (sessions are user-then-start ordered)
+    first = np.concatenate(([True], su[1:] != su[:-1]))
+    idx = np.arange(su.size, dtype=np.int64)
+    session_id = idx - np.maximum.accumulate(np.where(first, idx, 0))
+    return pa.table(
+        {
+            "user_id": pa.array(su, pa.int64()),
+            "session_id": pa.array(session_id, pa.int64()),
+            "n_events": pa.array(n_events),
+            "duration_us": pa.array((ends - starts).astype(np.int64)),
+        }
+    )
+
+
+def sessionize(
+    ds,
+    gap_us: int = SESSION_GAP_US,
+    chunk_us: int = SESSION_CHUNK_US,
+    num_buckets: int = 32,
+):
+    """Gap-based session windows per user (the classic streaming
+    sessionization Ray Data lacks natively), skew-safe: phase 1 groups by
+    hash(user, time-chunk) — a hot user (bot) is split across time chunks,
+    so NO group ever materializes one user's whole event history — and
+    sessionizes within chunks vectorized; phase 2 groups the (much smaller)
+    partial-session summaries by hash(user) and merges across chunk
+    boundaries, one vectorized Python call per bucket, never per user.
+    Returns a Dataset of (user_id, session_id, n_events, duration_us)."""
+
+    def add_chunk_bucket(b: pa.Table) -> pa.Table:
+        t = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        uid = np.asarray(b["user_id"], dtype=np.int64)
+        chunk = t // chunk_us
+        bk = (
+            (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            ^ chunk.astype(np.uint64)
+        ) % np.uint64(num_buckets)
+        return b.append_column(
+            "sess_bucket", pa.array(bk.astype(np.int64), pa.int64())
+        )
+
+    def add_user_bucket(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], dtype=np.int64)
+        bk = uid.astype(np.uint64) % np.uint64(num_buckets)
+        return b.append_column(
+            "user_bucket", pa.array(bk.astype(np.int64), pa.int64())
+        )
+
+    def phase1(g: pa.Table) -> pa.Table:
+        return _chunk_sessionize(g, gap_us, chunk_us)
+
+    def phase2(g: pa.Table) -> pa.Table:
+        return _merge_boundary_sessions(g, gap_us)
+
+    return (
+        ds.map_batches(add_chunk_bucket, batch_format="pyarrow")
+        .groupby("sess_bucket")
+        .map_groups(phase1, batch_format="pyarrow")
+        .map_batches(add_user_bucket, batch_format="pyarrow")
+        .groupby("user_bucket")
+        .map_groups(phase2, batch_format="pyarrow")
+    )
 
 
 def session_windows(sf_dir: str) -> pa.Table:
-    """Gap-based session windows per user (the classic streaming
-    sessionization Ray Data lacks natively): events split into sessions
-    wherever the inactivity gap exceeds 30 minutes; per session: event
-    count + duration. ONE shuffle (hash by user), per-group sort + gap
-    scan, all integer-exact. Oracle: DuckDB lag()/cumulative-sum window
-    functions."""
+    """Session windows per user over the events stream; per session: event
+    count + duration. Two bounded shuffles (hash by (user, time-chunk),
+    then hash by user over session summaries), all integer-exact — see
+    sessionize() for the skew guarantee. Oracle: DuckDB lag()/
+    cumulative-sum window functions."""
     import ray.data
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
     )
-
-    def sess(g: pa.Table) -> pa.Table:
-        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-        uid = int(g["user_id"][0].as_py())
-        t = np.sort(us)
-        new_sess = np.concatenate(([True], np.diff(t) > SESSION_GAP_US))
-        sid = np.cumsum(new_sess) - 1
-        n_sessions = int(sid[-1]) + 1
-        n_events = np.bincount(sid, minlength=n_sessions)
-        starts = t[new_sess]
-        ends = t[np.concatenate((new_sess[1:], [True]))]
-        return pa.table(
-            {
-                "user_id": pa.array(np.full(n_sessions, uid, dtype=np.int64)),
-                "session_id": pa.array(np.arange(n_sessions, dtype=np.int64)),
-                "n_events": pa.array(n_events.astype(np.int64)),
-                "duration_us": pa.array((ends - starts).astype(np.int64)),
-            }
-        )
-
-    out = ds.groupby("user_id").map_groups(sess, batch_format="pyarrow").to_pandas()
+    out = sessionize(ds).to_pandas()
     out = out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
     return pa.table(
         {
@@ -1097,30 +1194,29 @@ def purchase_asof_signup(sf_dir: str) -> pa.Table:
     )
     j = asof_join(left, right, by="user_id", on="ts", tiebreak="event_id",
                   num_buckets=8)
-    df = j.to_pandas()
+
+    def finish(b: pa.Table) -> pa.Table:
+        # gap arithmetic stays in the pipeline (map_batches) — the driver
+        # holds only the returned projection
+        gap = pc.subtract(
+            pc.cast(b["ts"], pa.int64()), pc.cast(b["r_ts"], pa.int64())
+        )
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "asof_event_id": pc.cast(b["r_event_id"], pa.int64()),
+                "gap_us": pc.cast(gap, pa.int64()),
+            }
+        )
+
+    df = j.map_batches(finish, batch_format="pyarrow").to_pandas()
     if len(df) == 0:
         return pa.table(
             {"event_id": pa.array([], pa.int64()),
              "asof_event_id": pa.array([], pa.int64()),
              "gap_us": pa.array([], pa.int64())}
         )
-    gap = (
-        df["ts"].astype("datetime64[us]").astype(np.int64)
-        - df["r_ts"].astype("datetime64[us]").astype(np.int64)
-    )
-    out = (
-        pa.table(
-            {
-                "event_id": pa.array(df["event_id"].to_numpy(dtype=np.int64)),
-                "asof_event_id": pa.array(
-                    df["r_event_id"].to_numpy(dtype=np.int64)
-                ),
-                "gap_us": pa.array(gap.to_numpy(dtype=np.int64)),
-            }
-        )
-        .sort_by("event_id")
-    )
-    return out
+    return pa.Table.from_pandas(df, preserve_index=False).sort_by("event_id")
 
 
 BIG_ORDER_THRESHOLD = 400_000

@@ -3,6 +3,7 @@ normalization, text analytics, dedup family, similarity search, multimodal
 plumbing (SURVEY.md §2.3 M-ops + graft extensions)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -478,3 +479,98 @@ def test_range_join_band_edges(ray_session):
     assert pairs == [(1, 7), (2, 9)]
     # no duplicates from banding replication
     assert len(pairs) == len(set(pairs))
+
+
+def test_sessionize_skewed_bot_user(ray_session):
+    """Skew guard (VERDICT r2 item 8): a bot whose event history spans many
+    time chunks must sessionize identically to a straightforward per-user
+    oracle, via the chunked phase-1 + boundary-merge phase-2 path (no group
+    ever holds the bot's whole history — phase 1 keys on (user, chunk))."""
+    import ray
+
+    from nexlt_ray.pipelines import (
+        SESSION_CHUNK_US,
+        SESSION_GAP_US,
+        sessionize,
+    )
+
+    rng = np.random.default_rng(7)
+    rows_ts, rows_uid = [], []
+    # bot: an event every ~5 min for 3 days (one long session spanning
+    # ~18 chunk boundaries), plus a few clean gaps
+    t0 = 1_700_000_000_000_000
+    bot = t0 + np.cumsum(
+        rng.integers(1, SESSION_GAP_US, size=900).astype(np.int64)
+    )
+    bot[300:] += 2 * SESSION_GAP_US  # one gap -> second session
+    bot[600:] += 3 * SESSION_GAP_US  # another
+    rows_ts.append(bot)
+    rows_uid.append(np.full(bot.size, 1, dtype=np.int64))
+    # sparse users: events right at chunk boundaries (merge edge cases)
+    for uid in range(2, 12):
+        base = t0 + uid * SESSION_CHUNK_US
+        ts = np.array(
+            [
+                base - 1,
+                base,  # adjacent across a chunk boundary -> same session
+                base + SESSION_GAP_US,  # exactly gap -> still same session
+                base + 3 * SESSION_GAP_US,  # new session
+            ],
+            dtype=np.int64,
+        )
+        rows_ts.append(ts)
+        rows_uid.append(np.full(ts.size, uid, dtype=np.int64))
+    ts_all = np.concatenate(rows_ts)
+    uid_all = np.concatenate(rows_uid)
+    perm = rng.permutation(ts_all.size)
+    t = pa.table(
+        {
+            "ts": pa.array(ts_all[perm]).cast(pa.timestamp("us")),
+            "user_id": pa.array(uid_all[perm], pa.int64()),
+        }
+    )
+    got = (
+        sessionize(ray.data.from_arrow(t).repartition(4))
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+
+    # straightforward oracle
+    exp_rows = []
+    for uid in np.unique(uid_all):
+        tt = np.sort(ts_all[uid_all == uid])
+        new = np.concatenate(([True], np.diff(tt) > SESSION_GAP_US))
+        sid = np.cumsum(new) - 1
+        for s in range(int(sid[-1]) + 1):
+            seg = tt[sid == s]
+            exp_rows.append((int(uid), s, seg.size, int(seg[-1] - seg[0])))
+    exp = pd.DataFrame(
+        exp_rows, columns=["user_id", "session_id", "n_events", "duration_us"]
+    )
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64), exp.astype(np.int64)
+    )
+
+
+def test_semi_anti_join_string_keys_and_nulls(ray_session):
+    """broadcast_semi_anti_join key-typing contract (ADVICE r2): string key
+    sets broadcast at their natural type; null batch keys are dropped by
+    semi and KEPT by anti."""
+    import ray
+
+    from nexlt_ray.joins import broadcast_semi_anti_join
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "b", None, "c", "a"]),
+            "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    semi = broadcast_semi_anti_join(ds, "k", {"a", "c"}).to_pandas()
+    assert sorted(semi["v"].tolist()) == [1, 4, 5]
+    anti = broadcast_semi_anti_join(
+        ray.data.from_arrow(t), "k", {"a", "c"}, anti=True
+    ).to_pandas()
+    assert sorted(anti["v"].tolist()) == [2, 3]
