@@ -52,6 +52,39 @@ from .codec import decode_positions_span, decode_span
 MAX_BOOLEAN_CLAUSES = 1024
 
 
+def _position_bitmap(
+    dp: np.ndarray, pp: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Positional bitmap of a (doc_of_position, position) stream: doc run u
+    owns ``span[u] = max_pos + 1`` bits starting at ``starts[u]`` (positions
+    are doc-grouped and ascending within a doc, so the run's last entry is
+    its max). Bit ``starts[u] + p`` is set iff the term occurs at position
+    ``p`` in doc ``docs_u[u]``. Words hold 32 valid bits each (bit weights
+    stay exactly representable through the float64 bincount accumulate);
+    uint32 words and (when the bit space fits) int32 starts halve gather
+    traffic on stopword-sized streams. Returns
+    (docs_u, counts, starts, span, words); ``counts`` (positions per doc
+    run) lets callers rank a cached stream without re-running the boundary
+    pass."""
+    bound = np.concatenate(([True], dp[1:] != dp[:-1]))
+    docs_u = dp[bound]
+    idx = np.flatnonzero(bound)
+    ends = np.append(idx[1:], dp.size) - 1
+    span = (pp[ends] + 1).astype(np.int32)
+    counts = np.diff(np.append(idx, dp.size))
+    starts = np.concatenate(([0], np.cumsum(span, dtype=np.int64)[:-1]))
+    bit = np.repeat(starts, counts) + pp
+    nbits = int(starts[-1] + span[-1])
+    # int32 starts need headroom: a probe can overshoot its doc's span by
+    # up to the seed doc's length before the ok-mask kills the lane
+    if nbits < (1 << 31) - (1 << 24):
+        starts = starts.astype(np.int32)
+    words = np.bincount(
+        bit >> 5, weights=np.ldexp(1.0, bit & 31), minlength=(nbits + 31) >> 5
+    ).astype(np.uint32)
+    return docs_u, counts, starts, span, words
+
+
 @dataclass
 class TermPostings:
     """Merged postings of one term (all range-bucket rows, doc-ascending),
@@ -71,7 +104,7 @@ class TermPostings:
     _all: tuple | None = field(default=None, repr=False)
     _ubs: np.ndarray | None = field(default=None, repr=False)
     _pos_flat: tuple | None = field(default=None, repr=False)
-    _pos_keys: np.ndarray | None = field(default=None, repr=False)
+    _pos_keys: tuple | None = field(default=None, repr=False)  # bitmap cache
 
     def __post_init__(self):
         rows_i, local_i, lasts, mtfs, mnorms, cnts = [], [], [], [], [], []
@@ -456,6 +489,12 @@ class IndexReader:
         # lazily built per-bucket doc sets
         self._filter_cache: OrderedDict[tuple, FilterSet] = OrderedDict()
         self._filter_cache_cap = 64
+        # Solr queryResultCache analog (solrconfig.xml:544-547, LRUCache
+        # size=512): ordered doc lists keyed by (query, k, mode, algorithm,
+        # lang, filters). Repeat queries — the dominant serving pattern the
+        # reference UI produces — return without touching postings.
+        self._result_cache: OrderedDict[tuple, list] = OrderedDict()
+        self._result_cache_cap = 512
 
     # ------------------------------------------------------------------
     # postings access
@@ -686,6 +725,7 @@ class IndexReader:
         algorithm: str = "wand",
         lang: str | None = None,
         filters: dict | None = None,
+        use_cache: bool = True,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, float32 score); ties broken by ascending doc_id.
         `algorithm`: "wand" (vectorized block-max) or "exhaustive" —
@@ -695,7 +735,40 @@ class IndexReader:
         results to docs whose doc-meta columns match (values OR within a
         field, AND across fields — the Solr fq composition the reference UI
         issues, solrTestLib_v2.js:38-102); BM25 statistics stay corpus-global
-        exactly like Solr's fq (filters select, they don't re-weight)."""
+        exactly like Solr's fq (filters select, they don't re-weight).
+        `use_cache=False` bypasses the queryResultCache (for benchmarking
+        the compute path; results are identical by construction)."""
+        ckey = None
+        if use_cache:
+            fk = (
+                tuple(
+                    (f, tuple(sorted([v] if isinstance(v, str) else v)))
+                    for f, v in sorted(filters.items())
+                )
+                if filters
+                else None
+            )
+            ckey = (query, k, mode, algorithm, lang, fk)
+            hit = self._result_cache.get(ckey)
+            if hit is not None:
+                self._result_cache.move_to_end(ckey)
+                return list(hit)
+        out = self._search_impl(query, k, mode, algorithm, lang, filters)
+        if ckey is not None:
+            self._result_cache[ckey] = out
+            if len(self._result_cache) > self._result_cache_cap:
+                self._result_cache.popitem(last=False)
+        return list(out)
+
+    def _search_impl(
+        self,
+        query: str,
+        k: int,
+        mode: str,
+        algorithm: str,
+        lang: str | None,
+        filters: dict | None,
+    ) -> list[tuple[int, float]]:
         from .tokenize import tokenize_query
 
         kind, body = self.parse(query)
@@ -1109,10 +1182,10 @@ class IndexReader:
         self, terms: list[str], fset: FilterSet | None = None
     ) -> np.ndarray:
         """Docs containing the terms at consecutive positions — fully
-        vectorized: per term, flat (doc, pos) arrays filtered to the AND
-        candidate set, packed into (doc << 32 | shifted_pos) keys (sorted by
-        construction), then progressive sort-free set intersection starting
-        from the rarest term."""
+        vectorized: seed (candidate_rank, phrase_start) parallel arrays from
+        the rarest term's position stream, then for each hotter term probe
+        its positional bitmap at start+i, keeping only surviving starts.
+        Sorted by construction throughout; no per-row Python."""
         plist = self._clause_postings(terms)
         empty = np.empty(0, dtype=np.int64)
         if any(tp is None for tp in plist):
@@ -1133,67 +1206,91 @@ class IndexReader:
             if cand.size == 0:
                 return empty
         ordered = sorted(enumerate(plist), key=lambda x: x[1].cf)
-        # seed phrase-start keys (cand_rank<<32 | start+64) from the RAREST
-        # term's positions at candidate docs (binary-search the small doc set
-        # into the sorted position stream + range expansion). Doc ids may be
-        # strided (bucket << 40), so keys always pack a DENSE rank — bounded
-        # by the rarest term's df, < 2**31 — never the raw doc id, which
-        # would overflow the int64 pack.
+        # seed (rank, phrase_start) parallel int32 arrays from the RAREST
+        # term's positions at candidate docs. Ranks are DENSE candidate
+        # ordinals (bounded by the rarest df, < 2**31) — never raw doc ids,
+        # which may be strided (bucket << 40) and would overflow any int64
+        # pack; int32 parallel arrays also halve memory traffic on the
+        # 1M+-entry stopword-phrase streams vs packed int64 keys.
         i0, tp0 = ordered[0]
         dp, pp = tp0.positions_for_docs(cand)
-        lo = np.searchsorted(dp, cand, side="left")
-        hi = np.searchsorted(dp, cand, side="right")
-        cnt = hi - lo
-        sel = _expand_slices(lo, cnt)
-        ranks = np.arange(cand.size, dtype=np.int64)
-        # +64 keeps the shifted start non-negative (no rank aliasing)
-        keys = np.repeat(ranks, cnt) * (1 << 32) + (pp[sel] - i0 + 64)
-        for i, tp in ordered[1:]:
-            if keys.size == 0:
+        if dp.size == 0:
+            return empty
+        # rank each position via its doc run (one boundary pass over the
+        # stream + a doc-level binary search) — cheaper than expanding
+        # per-candidate slice index arrays over a 1M+ position stream; for
+        # a fully decoded term the run boundaries come from the cached
+        # bitmap tuple instead of a fresh pass
+        if tp0._pos_flat is not None and dp is tp0._pos_flat[0]:
+            if tp0._pos_keys is None:
+                tp0._pos_keys = _position_bitmap(dp, pp)
+            docs_u0, counts0 = tp0._pos_keys[0], tp0._pos_keys[1]
+        else:
+            bound0 = np.concatenate(([True], dp[1:] != dp[:-1]))
+            docs_u0 = dp[bound0]
+            counts0 = np.diff(np.append(np.flatnonzero(bound0), dp.size))
+        rk = np.searchsorted(cand, docs_u0)
+        rk_safe = np.minimum(rk, cand.size - 1)
+        ok_u = (rk < cand.size) & (cand[rk_safe] == docs_u0)
+        r = np.repeat(rk_safe.astype(np.int32), counts0)
+        if ok_u.all():  # candidates cover the whole stream
+            s = (pp - i0).astype(np.int32)
+        else:
+            keep = np.repeat(ok_u, counts0)
+            r = r[keep]
+            s = (pp[keep] - i0).astype(np.int32)
+        last = len(ordered) - 1
+        for j, (i, tp) in enumerate(ordered[1:], start=1):
+            if r.size == 0:
                 return empty
-            # hotter terms: NEVER materialize per-query key arrays over
-            # their full position stream — membership-test the (small)
-            # surviving key set against a sorted position-key array packed
-            # in the TERM's own dense doc-ordinal space (query-independent,
-            # so cacheable once the term's position stream is fully decoded)
-            r_alive = keys >> 32
-            cur_docs = cand[
-                r_alive[np.concatenate(([True], r_alive[1:] != r_alive[:-1]))]
-            ]
-            dp, pp = tp.positions_for_docs(cur_docs)
+            # hotter terms: probe a POSITIONAL BITMAP instead of
+            # binary-searching a packed (doc, pos) key array — for a
+            # stopword phrase the surviving set is ~cf of the rarest term
+            # (1.2M for '"the import"' at 200k docs) and a per-key
+            # searchsorted into the hot term's 2.5M-entry stream was ~80 ms
+            # alone; bitmap probes are a handful of O(survivors) gathers.
+            # The bitmap lives in the term's own compact bit space and is
+            # query-independent, so it is cached once the term's position
+            # stream is fully decoded.
+            if tp._pos_flat is not None:  # fully decoded — skip doc probing
+                dp, pp = tp._pos_flat
+            else:
+                cur = cand[r[np.concatenate(([True], r[1:] != r[:-1]))]]
+                dp, pp = tp.positions_for_docs(cur)
             if dp.size == 0:
                 return empty
             if tp._pos_flat is not None and dp is tp._pos_flat[0]:
-                docs_u = tp.decode_all()[0]
                 if tp._pos_keys is None:
-                    tp._pos_keys = (
-                        np.searchsorted(docs_u, dp) * (1 << 32) + (pp + 64)
-                    )
-                K = tp._pos_keys
+                    tp._pos_keys = _position_bitmap(dp, pp)
+                docs_u, _, starts, span, words = tp._pos_keys
             else:
-                bound = np.concatenate(([True], dp[1:] != dp[:-1]))
-                docs_u = dp[bound]
-                K = (np.cumsum(bound, dtype=np.int64) - 1) * (1 << 32) + (
-                    pp + 64
-                )
-            # translate surviving keys into this term's ordinal space
-            doc_k = cand[r_alive]
-            t_ord = np.searchsorted(docs_u, doc_k)
-            mem = (t_ord < docs_u.size) & (
-                docs_u[np.minimum(t_ord, docs_u.size - 1)] == doc_k
-            )
-            target = t_ord * (1 << 32) + (keys & 0xFFFFFFFF) + i
-            idx = np.searchsorted(K, target)
-            hit = (
-                mem
-                & (idx < K.size)
-                & (K[np.minimum(idx, K.size - 1)] == target)
-            )
-            keys = keys[hit]
-        if keys.size == 0:
+                docs_u, _, starts, span, words = _position_bitmap(dp, pp)
+            # translate candidates into this term's doc-ordinal space once
+            # (bounded by the rarest df), then gather per survivor. The
+            # clamp is a single scalar min at the bit-space end: a probe
+            # past its doc's span may read a neighbouring doc's bit, but
+            # the `ok` mask already kills that lane, so only the hard
+            # array bound needs protecting.
+            ord_c = np.searchsorted(docs_u, cand)
+            safe = np.minimum(ord_c, docs_u.size - 1)
+            in_t = (ord_c < docs_u.size) & (docs_u[safe] == cand)
+            t_ord = safe[r]
+            probe = s + np.int32(i)  # term i's required position
+            ok = in_t[r] & (probe < span[t_ord])
+            if i < i0:
+                ok &= probe >= 0
+            bit = starts[t_ord] + probe
+            np.minimum(bit, bit.dtype.type(int(words.size) * 32 - 1), out=bit)
+            if i < i0:
+                np.maximum(bit, 0, out=bit)
+            sh = (bit & 31).astype(np.uint32)
+            hit = ok & (((words[bit >> 5] >> sh) & np.uint32(1)) != 0)
+            r = r[hit]
+            if j != last:  # the last term's survivors only need ranks
+                s = s[hit]
+        if r.size == 0:
             return empty
-        ranks = keys >> 32  # sorted, possibly repeated (multiple starts)
-        return cand[ranks[np.concatenate(([True], ranks[1:] != ranks[:-1]))]]
+        return cand[r[np.concatenate(([True], r[1:] != r[:-1]))]]
 
     def _search_phrase(
         self, terms: list[str], k: int, fset: FilterSet | None = None
@@ -1203,12 +1300,15 @@ class IndexReader:
             return []
         plist = self._clause_postings(terms)
         acc = np.zeros(cand.size, dtype=np.float32)
+        nb = self._norm_bytes_for(cand)  # every term scores the same docs
         for tp in plist:
             d, t = tp.postings_for_docs(cand)
             idx = np.searchsorted(d, cand)
             sel = (idx < d.size) & (d[np.minimum(idx, d.size - 1)] == cand)
-            s = self._term_contrib(tp, d[idx[sel]], t[idx[sel]])
-            acc[sel] += s
+            acc[sel] += bm25.term_scores(
+                t[idx[sel]], nb[sel], tp.df, self.n_docs, self.avgdl,
+                self.params, self._k_table,
+            )
         order = np.lexsort((cand, -acc))
         top = order[:k]
         return [(int(cand[i]), float(acc[i])) for i in top]
