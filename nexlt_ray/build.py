@@ -119,6 +119,13 @@ class BuildConfig:
     # nodes OR the merge tasks must be co-located; default None is the
     # always-correct choice.
     exchange_root: str | None = None
+    # codec for transient exchange files (docparts/partials/segment pieces).
+    # zstd measured strictly better than lz4 end-to-end here (pyarrow's
+    # parquet lz4 framing decodes SLOWER despite the lighter algorithm:
+    # 17.4 s vs 12.3 s for the same sequential merge, and only ~18% fewer
+    # bytes saved by zstd matter when the exchange crosses shared storage).
+    # Knob kept for clusters where the trade differs.
+    exchange_compression: str = "zstd"
     # store per-doc token vectors (tokens + positions) in the docstore so the
     # index stage never re-tokenizes (Lucene's stored-term-vectors tradeoff:
     # ~2x docstore size + ~60% more stage-1 shuffle volume for one analysis
@@ -129,6 +136,17 @@ class BuildConfig:
     # stemming-protected words for the text_en profile (the reference's
     # KeywordMarkerFilter + protwords.txt, schema.xml:292; 18 entries there)
     protected_words: tuple = ()
+    # multiValued accumulation fields (the reference's atomic `{"add": ...}`
+    # update on the multiValued `productname` field, parseJSON.pl:154-181 /
+    # AthenaExportMt.java:559 / schema.xml:1006): for each named scalar
+    # string input column f, the deduped doc gains a list column `{f}_all`
+    # holding the SORTED DISTINCT values of f across every input row that
+    # shares the doc's content sha. Sorted-distinct union is associative, so
+    # extend_index() accumulates lists incrementally and stays byte-identical
+    # to a full rebuild over the union input. Filter (fq) on `{f}_all`
+    # matches list membership; like Solr, multiValued fields are not
+    # sortable.
+    multivalue_fields: tuple = ()
     # user-extension hook (the reference's StatelessScriptUpdateProcessor
     # processAdd analog, update-script.js:10-53 / solrconfig.xml:945-952):
     # a pa.Table -> pa.Table fn applied to each input batch before hashing /
@@ -296,7 +314,11 @@ def _list_fragments(input_path: str | list[str]) -> list[tuple[str, int]]:
     return frags
 
 
-def _fragment_dataset(frags: list[tuple[str, int]]):
+def _fragment_dataset(frags: list[tuple[str, int]], per_task: int = 1):
+    """Dataset of (file, row-group) specs, `per_task` fragments per block
+    (= per map task). Grouping fragments shrinks the spill fan-out: a spill
+    stage writes one file per partition per TASK, and thousands of tiny
+    exchange files cost ~1ms each just to open on the reduce side."""
     import ray.data
 
     t = pa.table(
@@ -305,7 +327,8 @@ def _fragment_dataset(frags: list[tuple[str, int]]):
             "rg": pa.array([r for _, r in frags], pa.int32()),
         }
     )
-    return ray.data.from_arrow(t).repartition(max(len(frags), 1))
+    n_blocks = max((len(frags) + per_task - 1) // max(per_task, 1), 1)
+    return ray.data.from_arrow(t).repartition(n_blocks)
 
 
 def _run_partial_indexing(
@@ -331,6 +354,11 @@ def _run_partial_indexing(
             for lo in range(0, tbl.num_rows, cfg3.index_batch_size):
                 pi(tbl.slice(lo, cfg3.index_batch_size))
                 n_rows += min(cfg3.index_batch_size, tbl.num_rows - lo)
+            # one spill file per (tb, rb) per FRAGMENT; token from the
+            # fragment identity so a task retry rewrites the same files.
+            # Zero-padded rg: the merge reads parts in sorted-NAME order and
+            # relies on it matching ascending (doc_bucket, row group) order.
+            pi.flush(f"{os.path.basename(path)}-{int(rg):06d}")
         return pa.table({"n": pa.array([n_rows], pa.int64())})
 
     _fragment_dataset(_list_fragments(docstore_path)).map_batches(
@@ -363,9 +391,7 @@ def _make_doc_spiller(cfg: BuildConfig, tmp_dir: str):
             atomic_write_parquet(
                 os.path.join(tmp_dir, f"bucket={bb:05d}", fname),
                 out.slice(lo, hi - lo),
-                compression="zstd",  # transient staging: fewer bytes through
-                # tmpfs/shared storage at slightly more CPU (the right trade
-                # for the bandwidth-bound high-CPU regime)
+                compression=cfg.exchange_compression,
             )
             acks.append(bb)
         return pa.table({"doc_bucket": pa.array(acks, pa.int32())})
@@ -414,6 +440,43 @@ class BucketWriter:
         # (repo, path, commit) wins — the reference's last-write-wins upsert
         # replaced arrival-order nondeterminism; we pick a total order instead)
         keep = np.concatenate(([True], sha[1:] != sha[:-1]))
+        # multiValued accumulation: per sha group, sorted distinct values of
+        # each configured field across ALL raw rows (the reference's atomic
+        # list-add on productname). Extend path: old survivors carry their
+        # accumulated list in `{f}_all` (exploded here); rows without a list
+        # (fresh input) contribute their scalar value — the union of distinct
+        # sets is associative, so incremental == full rebuild.
+        mv_arrays: dict[str, pa.Array] = {}
+        n_groups = int(keep.sum())
+        gi = np.cumsum(keep) - 1  # group ordinal per raw (sorted) row
+        for f in self.cfg.multivalue_fields:
+            fa = f + "_all"
+            if fa in group.column_names:
+                import pyarrow.compute as _pc
+
+                la = group[fa].combine_chunks()
+                valid = _pc.is_valid(la).to_numpy(zero_copy_only=False)
+                ln = np.asarray(
+                    _pc.fill_null(_pc.list_value_length(la), 0), dtype=np.int64
+                )
+                flat = la.flatten().to_numpy(zero_copy_only=False)
+                scal = group[f].to_numpy(zero_copy_only=False)
+                vals = np.concatenate([flat, scal[~valid]])
+                gis = np.concatenate([np.repeat(gi, ln), gi[~valid]])
+            else:
+                vals = group[f].to_numpy(zero_copy_only=False)
+                gis = gi
+            o2 = np.lexsort((vals, gis))
+            v2, g2 = vals[o2], gis[o2]
+            uniq = np.concatenate(
+                ([True], (g2[1:] != g2[:-1]) | (v2[1:] != v2[:-1]))
+            )
+            v2, g2 = v2[uniq], g2[uniq]
+            counts = np.bincount(g2, minlength=n_groups)
+            offs = np.concatenate(([0], np.cumsum(counts)))
+            mv_arrays[fa] = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), pa.array(v2, pa.string())
+            )
         group = group.filter(pa.array(keep))
         n = group.num_rows
 
@@ -427,6 +490,7 @@ class BucketWriter:
             "content_sha256": group["content_sha256"],
             "doc_len": group["doc_len"],
             "norm_byte": group["norm_byte"],
+            **mv_arrays,
             "content": group["content"],
         }
         if "tokens" in group.column_names:
@@ -462,6 +526,8 @@ class PartialIndexer:
         self.offsets = np.asarray(offsets, dtype=np.int64)
         self.partials_dir = partials_dir  # set -> disk-shuffle mode
         self._tb_cache: dict[str, int] = {}
+        # disk mode: (tb, rb) -> staged row slices, written by flush()
+        self._pending: dict[tuple[int, int], list[pa.Table]] = {}
 
     def _term_buckets(self, terms: np.ndarray) -> np.ndarray:
         cache = self._tb_cache
@@ -529,7 +595,7 @@ class PartialIndexer:
                         "n_rows": pa.array([], pa.int64()),
                     }
                 )
-            return _empty_partial_table()
+            return _empty_partial_table(cfg)
 
         d = doc_id[doc_idx]
         nb = norm_byte[doc_idx]
@@ -569,12 +635,20 @@ class PartialIndexer:
                 pa.array(offsets, pa.int32()), pa.array(values, typ)
             )
 
+        # doc ids spill RANGE-LOCAL (doc & (2^range_bits - 1)); the absolute
+        # id reconstructs from the row's range_bucket at merge time. int32
+        # when the range span allows halves the partials' dominant column.
+        rbits = int(cfg.range_bits)
+        p_dl = p_doc & np.int64((1 << rbits) - 1)
+        dl_np, dl_pa = (
+            (np.int32, pa.int32()) if rbits <= 31 else (np.int64, pa.int64())
+        )
         out = pa.table(
             {
                 "term_bucket": pa.array(tbuckets, pa.int32()),
                 "term": pa.array(terms_str.astype("U"), pa.string()),
                 "range_bucket": pa.array(row_rb, pa.int64()),
-                "doc_ids": list_arr(post_offsets, p_doc, pa.int64()),
+                "doc_local": list_arr(post_offsets, p_dl.astype(dl_np), dl_pa),
                 "tfs": list_arr(post_offsets, tf, pa.int32()),
                 "norms": list_arr(post_offsets, p_norm.astype(np.uint8), pa.uint8()),
                 "pos_flat": list_arr(tok_offsets, pp.astype(np.int32), pa.int32()),
@@ -582,16 +656,13 @@ class PartialIndexer:
         )
         if self.partials_dir is None:
             return out
-        # disk-shuffle mode: write this batch's rows partitioned by
-        # (term bucket, range bucket) — the merge-task key; a hot term's
-        # ranges merge INDEPENDENTLY so no single task encodes a stopword's
-        # whole posting list. Returns a tiny ack.
-        # The part filename derives from the batch's stable identity (its
-        # first doc row) — batches are disjoint (doc_bucket, local_rank) row
-        # ranges of the deterministic docstore, so a Ray task RETRY rewrites
-        # the same file instead of leaving a duplicate (duplicate postings
-        # would make encode_postings raise 'doc_ids must be strictly
-        # increasing' and wedge the resume).
+        # disk-shuffle mode: slice this batch's rows by (term bucket, range
+        # bucket) — the merge-task key; a hot term's ranges merge
+        # INDEPENDENTLY so no single task encodes a stopword's whole posting
+        # list. Rows are STAGED in memory; flush() (called once per fragment
+        # task) writes one file per (tb, rb) — per-BATCH writes produced
+        # n_docs/batch_size tiny files per hot dir, and the per-file
+        # open/decompress overhead dominated the merge leg at 1M docs.
         # rb can exceed 32 bits under strided ids; tb < 2^15, rb < 2^48
         pair_key = tbuckets.astype(np.int64) * (1 << 48) + row_rb.astype(np.int64)
         order = np.argsort(pair_key, kind="stable")
@@ -601,19 +672,13 @@ class PartialIndexer:
             np.concatenate(([True], key_sorted[1:] != key_sorted[:-1]))
         )
         ends = np.concatenate((bounds[1:], [key_sorted.size]))
-        fname = (
-            f"part-{int(batch['doc_bucket'][0].as_py())}-"
-            f"{int(batch['local_rank'][0].as_py())}.parquet"
-        )
         acks = []
         for lo, hi in zip(bounds, ends):
             tb = int(key_sorted[lo] >> 48)
             rb = int(key_sorted[lo] & ((1 << 48) - 1))
-            path = os.path.join(
-                self.partials_dir, f"bucket={tb:05d}-r{rb:015d}", fname
+            self._pending.setdefault((tb, rb), []).append(
+                out.slice(lo, hi - lo)
             )
-            atomic_write_parquet(path, out.slice(lo, hi - lo),
-                                 compression="zstd")
             acks.append((tb, hi - lo))
         return pa.table(
             {
@@ -622,14 +687,34 @@ class PartialIndexer:
             }
         )
 
+    def flush(self, token: str) -> None:
+        """Write staged partial rows: one part-{token}.parquet per (term
+        bucket, range bucket) dir. `token` must be stable across Ray task
+        RETRIES (derive it from the fragment's identity, not from time or
+        randomness) so a retry rewrites its own files instead of leaving
+        duplicates — duplicate postings would make encode_postings raise
+        'doc_ids must be strictly increasing' and wedge the resume."""
+        for (tb, rb), parts in self._pending.items():
+            path = os.path.join(
+                self.partials_dir, f"bucket={tb:05d}-r{rb:015d}",
+                f"part-{token}.parquet",
+            )
+            atomic_write_parquet(
+                path,
+                pa.concat_tables(parts).combine_chunks(),
+                compression=self.cfg.exchange_compression,
+            )
+        self._pending.clear()
 
-def _empty_partial_table() -> pa.Table:
+
+def _empty_partial_table(cfg: BuildConfig) -> pa.Table:
+    dl = pa.int32() if int(cfg.range_bits) <= 31 else pa.int64()
     return pa.table(
         {
             "term_bucket": pa.array([], pa.int32()),
             "term": pa.array([], pa.string()),
             "range_bucket": pa.array([], pa.int64()),
-            "doc_ids": pa.array([], pa.list_(pa.int64())),
+            "doc_local": pa.array([], pa.list_(dl)),
             "tfs": pa.array([], pa.list_(pa.int32())),
             "norms": pa.array([], pa.list_(pa.uint8())),
             "pos_flat": pa.array([], pa.list_(pa.int32())),
@@ -690,21 +775,131 @@ class SegmentWriter:
 
     def merge_dir_to_piece(self, partials_dir: str, name: str, pieces_dir: str) -> None:
         """Merge one (term_bucket, range_bucket) partials dir into an encoded
-        piece file (idempotent: an existing piece is a completed merge)."""
+        piece file (idempotent: an existing piece is a completed merge).
+
+        Part files are read in sorted-name order == ascending doc-bucket /
+        row-group order, and each part's doc ranges are DISJOINT and ordered
+        (a part spills exactly one docstore fragment, and both dense and
+        strided doc ids ascend with (doc_bucket, local_rank)). A term's
+        merged posting list is therefore the plain CONCATENATION of its rows
+        in part order — no per-posting sort. encode_postings validates the
+        strictly-increasing invariant, so a violated assumption fails loudly
+        rather than corrupting the index."""
         import pyarrow.parquet as _pq
 
         piece_path = os.path.join(pieces_dir, f"{name}.parquet")
         if os.path.exists(piece_path):
             return
-        tbl = _pq.read_table(os.path.join(partials_dir, name))
+        dirpath = os.path.join(partials_dir, name)
+        files = sorted(os.listdir(dirpath))
+        if not files:
+            return
+        # ParquetFile.read(use_threads=False): the lean single-file path —
+        # read_table spins per-call dataset machinery that costs ~1ms/file,
+        # which dominates on thousands of small exchange parts
+        tbl = pa.concat_tables(
+            [
+                _pq.ParquetFile(os.path.join(dirpath, f)).read(
+                    use_threads=False
+                )
+                for f in files
+            ]
+        )
         if tbl.num_rows == 0:
             return
-        rows, _ = self.merge_rows(tbl)
-        rows.sort(key=lambda r: (r["term"], r["range_bucket"]))
+        rows, _ = self.merge_rows_presorted(tbl)
         atomic_write_parquet(
             piece_path, pa.Table.from_pylist(rows, schema=segment_schema()),
-            compression="zstd",
+            compression=self.cfg.exchange_compression,
         )
+
+    def merge_rows_presorted(self, group: pa.Table) -> tuple[list[dict], int]:
+        """merge_rows for input whose rows, taken in order within each
+        (term, range_bucket), hold postings with ascending disjoint doc
+        ranges: a stable row-level sort by (term, range_bucket) + sequential
+        gathers replaces the per-posting argsort (the encode leg's dominant
+        cost). Output is identical to merge_rows on any row order."""
+        cfg = self.cfg
+        group = group.combine_chunks()
+        denc = pc.dictionary_encode(group["term"])
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        row_code = np.asarray(denc.indices, dtype=np.int64)
+        dictionary = denc.dictionary.to_numpy(zero_copy_only=False)
+
+        docs_col = group["doc_local"].combine_chunks()
+        tfs_col = group["tfs"].combine_chunks()
+        norms_col = group["norms"].combine_chunks()
+        pos_col = group["pos_flat"].combine_chunks()
+        doc_loc = np.asarray(docs_col.values)
+        tf_vals = np.asarray(tfs_col.values)
+        norm_vals = np.asarray(norms_col.values)
+        pos_vals = np.asarray(pos_col.values)
+        row_post_off = np.asarray(docs_col.offsets, dtype=np.int64)
+        row_pos_off = np.asarray(pos_col.offsets, dtype=np.int64)
+        npost = np.diff(row_post_off)
+        ntok = np.diff(row_pos_off)
+
+        rb_rows = np.asarray(group["range_bucket"], dtype=np.int64)
+        rb_u, rb_inv = np.unique(rb_rows, return_inverse=True)
+        n_rb = int(rb_u.size)
+        rkey = row_code * n_rb + rb_inv
+        rorder = np.argsort(rkey, kind="stable")  # rows per key keep part order
+        s_key = rkey[rorder]
+        s_npost = npost[rorder]
+        s_ntok = ntok[rorder]
+        # gather postings row-by-row in sorted order (one pass, sequential
+        # within each source row)
+        g_idx = _expand_slices(row_post_off[rorder], s_npost)
+        s_dl = doc_loc[g_idx]
+        s_tf = tf_vals[g_idx]
+        s_norm = norm_vals[g_idx]
+        p_idx = _expand_slices(row_pos_off[rorder], s_ntok)
+        s_pos = pos_vals[p_idx]
+
+        new_out = np.concatenate(([True], s_key[1:] != s_key[:-1]))
+        out_rows = np.flatnonzero(new_out)
+        post_ends = np.cumsum(s_npost)
+        post_starts = np.concatenate(([0], post_ends[:-1]))
+        tok_ends = np.cumsum(s_ntok)
+        tok_starts = np.concatenate(([0], tok_ends[:-1]))
+        range_bits = int(cfg.range_bits)
+
+        rows = []
+        n_postings_total = 0
+        for i, r0 in enumerate(out_rows):
+            r1 = out_rows[i + 1] if i + 1 < out_rows.size else s_key.size
+            lo, hi = int(post_starts[r0]), int(post_ends[r1 - 1])
+            g = int(s_key[r0])
+            rb = int(rb_u[g % n_rb])
+            docs = s_dl[lo:hi].astype(np.int64) + np.int64(rb << range_bits)
+            tfs = s_tf[lo:hi]
+            pflat = None
+            if cfg.store_positions:
+                pflat = s_pos[int(tok_starts[r0]) : int(tok_ends[r1 - 1])]
+            enc = encode_postings(
+                docs, tfs, s_norm[lo:hi], pos_flat=pflat,
+                block_size=cfg.block_size,
+            )
+            n_postings_total += int(enc["df"])
+            rows.append(
+                {
+                    "term": str(dictionary[g // n_rb]),
+                    "range_bucket": rb,
+                    "df": enc["df"],
+                    "cf": enc["cf"],
+                    "max_tf": enc["max_tf"],
+                    "min_norm": enc["min_norm"],
+                    "blob": enc["blob"],
+                    "pos_blob": enc["pos_blob"],
+                    "block_last": enc["block_last"].tolist(),
+                    "block_off": enc["block_off"].tolist(),
+                    "block_pos_off": enc["block_pos_off"].tolist(),
+                    "block_max_tf": enc["block_max_tf"].tolist(),
+                    "block_min_norm": enc["block_min_norm"].tolist(),
+                }
+            )
+        return rows, n_postings_total
 
     def assemble(
         self,
@@ -731,7 +926,7 @@ class SegmentWriter:
             for f in os.listdir(pieces_dir)
             if f.startswith(f"bucket={tb:05d}-") and f.endswith(".parquet")
         )
-        tables = [_pq.read_table(f) for f in piece_files]
+        tables = [_pq.ParquetFile(f).read(use_threads=False) for f in piece_files]
         if extra_rows is not None and extra_rows.num_rows:
             tables.append(extra_rows)
         tables = [t for t in tables if t.num_rows]
@@ -739,9 +934,13 @@ class SegmentWriter:
             return None
         seg = pa.concat_tables(tables).combine_chunks()
         seg = seg.sort_by([("term", "ascending"), ("range_bucket", "ascending")])
-        # normalize physical layout through pylist so the file is
-        # byte-identical to the sort-shuffle mode's from_pylist path
-        seg = pa.Table.from_pylist(seg.to_pylist(), schema=segment_schema())
+        # normalize physical layout to single-chunk columns so the file is
+        # byte-identical to the sort-shuffle mode's from_pylist path (verified:
+        # parquet encodes logical content + chunking only, and both paths are
+        # single-chunk; the old to_pylist/from_pylist round-trip burned a
+        # Python loop over every segment row's posting blobs — the stage-3
+        # assembly straggler at 1M docs)
+        seg = seg.combine_chunks()
         atomic_write_parquet(out_path, seg)
         rec = {
             "partition_id": tb,
@@ -766,11 +965,11 @@ class SegmentWriter:
         row_code = np.asarray(denc.indices, dtype=np.int64)
         dictionary = denc.dictionary.to_numpy(zero_copy_only=False)
 
-        docs_col = group["doc_ids"].combine_chunks()
+        docs_col = group["doc_local"].combine_chunks()
         tfs_col = group["tfs"].combine_chunks()
         norms_col = group["norms"].combine_chunks()
         pos_col = group["pos_flat"].combine_chunks()
-        doc_vals = np.asarray(docs_col.values)
+        doc_loc = np.asarray(docs_col.values)  # RANGE-LOCAL ids (int32/int64)
         tf_vals = np.asarray(tfs_col.values)
         norm_vals = np.asarray(norms_col.values)
         pos_vals = np.asarray(pos_col.values)
@@ -778,11 +977,15 @@ class SegmentWriter:
         row_pos_off = np.asarray(pos_col.offsets, dtype=np.int64)
         npost_per_row = np.diff(row_post_off)
 
-        # explode: per posting -> (code, rb, doc, tf, norm, pos_start)
+        # explode: per posting -> (code, rb ordinal, doc_local, tf, norm,
+        # pos_start). Range buckets are mapped to dense ordinals so the sort
+        # key packs into ONE int64 (code, rb, doc_local) — a single argsort
+        # over unique keys instead of a 3-pass int64 lexsort; this is the
+        # encode leg's dominant memory traffic at 1M+ docs.
+        rb_rows = np.asarray(group["range_bucket"], dtype=np.int64)
+        rb_u, rb_inv = np.unique(rb_rows, return_inverse=True)
         post_code = np.repeat(row_code, npost_per_row)
-        post_rb = np.repeat(
-            np.asarray(group["range_bucket"], dtype=np.int64), npost_per_row
-        )
+        post_rb = np.repeat(rb_inv.astype(np.int64), npost_per_row)
         # pos_start per posting within pos_vals: row pos offset + cumsum of tfs
         # within the row
         tf_shift = np.concatenate(([0], np.cumsum(tf_vals)[:-1]))
@@ -794,24 +997,34 @@ class SegmentWriter:
             - tf_shift[row_first_post][row_of_post]
         )
 
-        order = np.lexsort((doc_vals, post_rb, post_code))
-        s_code = post_code[order]
-        s_rb = post_rb[order]
-        s_doc = doc_vals[order]
+        range_bits = int(cfg.range_bits)
+        n_rb = int(rb_u.size)
+        if int(dictionary.size) * max(n_rb, 1) < (1 << (62 - range_bits)):
+            key = ((post_code * n_rb + post_rb) << np.int64(range_bits)) | (
+                doc_loc.astype(np.int64, copy=False)
+            )
+            order = np.argsort(key)  # (term, rb, doc) unique -> keys unique
+            s_key = key[order]
+            s_grp = s_key >> np.int64(range_bits)
+            s_dl = s_key & np.int64((1 << range_bits) - 1)
+        else:  # degenerate huge-vocab/range case: plain 3-key lexsort
+            order = np.lexsort((doc_loc, post_rb, post_code))
+            s_grp = post_code[order] * n_rb + post_rb[order]
+            s_dl = doc_loc[order].astype(np.int64)
         s_tf = tf_vals[order]
         s_norm = norm_vals[order]
         s_pstart = pos_start[order]
 
-        new_out = np.concatenate(
-            ([True], (s_code[1:] != s_code[:-1]) | (s_rb[1:] != s_rb[:-1]))
-        )
+        new_out = np.concatenate(([True], s_grp[1:] != s_grp[:-1]))
         out_starts = np.flatnonzero(new_out)
-        out_ends = np.concatenate((out_starts[1:], [s_code.size]))
+        out_ends = np.concatenate((out_starts[1:], [s_grp.size]))
 
         rows = []
         n_postings_total = 0
         for lo, hi in zip(out_starts, out_ends):
-            docs = s_doc[lo:hi]
+            g = int(s_grp[lo])
+            rb = int(rb_u[g % n_rb])
+            docs = s_dl[lo:hi] + np.int64(rb << range_bits)
             tfs = s_tf[lo:hi]
             norms = s_norm[lo:hi]
             pflat = None
@@ -821,12 +1034,12 @@ class SegmentWriter:
             enc = encode_postings(
                 docs, tfs, norms, pos_flat=pflat, block_size=cfg.block_size
             )
-            term = str(dictionary[s_code[lo]])
+            term = str(dictionary[g // n_rb])
             n_postings_total += int(enc["df"])
             rows.append(
                 {
                     "term": term,
-                    "range_bucket": int(s_rb[lo]),
+                    "range_bucket": rb,
                     "df": enc["df"],
                     "cf": enc["cf"],
                     "max_tf": enc["max_tf"],
@@ -941,18 +1154,23 @@ def build_index(
             def read_and_spill(spec: pa.Table) -> pa.Table:
                 import pyarrow.parquet as _pq
 
-                outs = []
-                for path, rg in zip(
-                    spec["path"].to_pylist(), spec["rg"].to_pylist()
-                ):
-                    tbl = _pq.ParquetFile(path).read_row_group(
+                tbls = [
+                    _pq.ParquetFile(path).read_row_group(
                         int(rg), columns=input_cols
                     )
-                    outs.append(spiller(tbl))
-                return pa.concat_tables(outs)
+                    for path, rg in zip(
+                        spec["path"].to_pylist(), spec["rg"].to_pylist()
+                    )
+                ]
+                return spiller(pa.concat_tables(tbls))
 
+            # one fragment per task: A/B-measured faster in-pipeline than
+            # grouping several row groups per task (grouping cut file count
+            # 3x but cost +4s of stage wall at 16 CPUs — bigger per-task
+            # working sets contend for bandwidth; the reduce side's per-file
+            # cost is instead addressed by the lean ParquetFile reads there)
             _fragment_dataset(_list_fragments(input_path)).map_batches(
-                read_and_spill, batch_format="pyarrow", batch_size=1,
+                read_and_spill, batch_format="pyarrow", batch_size=None,
                 num_cpus=1,
             ).count()
             os.replace(tmp_dir, docparts_dir)
@@ -966,7 +1184,17 @@ def build_index(
                 bdir = os.path.join(docparts_dir, f"bucket={int(b):05d}")
                 if not os.path.isdir(bdir):
                     continue
-                tbl = _pq.read_table(bdir)
+                fs = sorted(os.listdir(bdir))
+                if not fs:
+                    continue
+                tbl = pa.concat_tables(
+                    [
+                        _pq.ParquetFile(os.path.join(bdir, f)).read(
+                            use_threads=False
+                        )
+                        for f in fs
+                    ]
+                )
                 if tbl.num_rows:
                     outs.append(bucket_writer(tbl))
             if outs:
@@ -1152,6 +1380,7 @@ def build_index(
             ).repartition(len(group_names)).map_batches(
                 merge_group, batch_format="pyarrow", batch_size=1, num_cpus=1
             ).count()
+        t_s3_enc = time.perf_counter()
 
         # ---- assemble: concat + sort each bucket's pieces into its final
         # segment file (I/O only, no re-encode); ledger commit per bucket.
@@ -1234,6 +1463,8 @@ def build_index(
                     "stage1_reduce_sec": round(t_stage1 - t_s1_map, 3),
                     "stage3_map_sec": round(t_s3_map - t_stage1, 3),
                     "stage3_merge_sec": round(t_stage3 - t_s3_map, 3),
+                    "stage3_encode_sec": round(t_s3_enc - t_s3_map, 3),
+                    "stage3_assemble_sec": round(t_stage3 - t_s3_enc, 3),
                 }
                 if cfg.shuffle == "disk"
                 else {}
