@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match_count": P.phrase_match_count,
         # dedup family
         "exact_dedup_docs": P.exact_dedup_docs,
+        "dedup_collect_sources": P.dedup_collect_sources,
         "curated_docs": P.curated_docs,
         "jaccard_dup_pairs": P.jaccard_dup_pairs_docs,
         "shingle_jaccard_pairs": P.shingle_jaccard_pairs_docs,
@@ -252,6 +253,12 @@ GROUP BY qids.qid
         "exact_dedup_docs": """
 SELECT min(doc_id)::BIGINT AS doc_id, sha256(text) AS text_sha256,
        count(*)::BIGINT AS n_copies
+FROM documents GROUP BY text
+""",
+        "dedup_collect_sources": """
+SELECT min(doc_id)::BIGINT AS doc_id, sha256(text) AS text_sha256,
+       count(*)::BIGINT AS n_copies,
+       list_sort(list(DISTINCT source)) AS sources
 FROM documents GROUP BY text
 """,
         "curated_docs": _curated_sql(),

@@ -935,12 +935,14 @@ class SegmentWriter:
         seg = pa.concat_tables(tables).combine_chunks()
         seg = seg.sort_by([("term", "ascending"), ("range_bucket", "ascending")])
         # normalize physical layout to single-chunk columns so the file is
-        # byte-identical to the sort-shuffle mode's from_pylist path (verified:
-        # parquet encodes logical content + chunking only, and both paths are
+        # byte-identical to the sort-shuffle mode's from_pylist path (parquet
+        # encodes logical content + chunking only, and both paths are
         # single-chunk; the old to_pylist/from_pylist round-trip burned a
         # Python loop over every segment row's posting blobs — the stage-3
-        # assembly straggler at 1M docs)
-        seg = seg.combine_chunks()
+        # assembly straggler at 1M docs). The cast renames list children back
+        # to Arrow's "item" (the parquet round-trip renames them "element",
+        # which would leak into the footer's ARROW:schema blob).
+        seg = seg.combine_chunks().cast(segment_schema())
         atomic_write_parquet(out_path, seg)
         rec = {
             "partition_id": tb,
@@ -1597,8 +1599,16 @@ def extend_index(
                 index_dir, "docstore", f"bucket={b:05d}.parquet"
             )
             if os.path.exists(old_path):
-                parts.append(pqt.read_table(old_path).select(base_cols))
-            group = pa.concat_tables(parts).combine_chunks()
+                # old survivors also carry their accumulated multiValued
+                # lists; new raw rows get null there (promote) and
+                # contribute their scalar value instead (BucketWriter)
+                old_cols = base_cols + [
+                    f + "_all" for f in cfg.multivalue_fields
+                ]
+                parts.append(pqt.read_table(old_path).select(old_cols))
+            group = pa.concat_tables(
+                parts, promote_options="default"
+            ).combine_chunks()
             s = bucket_writer(group)
             s = s.append_column(
                 "n_new_rows", pa.array([new_tbl.num_rows], pa.int64())

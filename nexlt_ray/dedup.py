@@ -93,6 +93,73 @@ def exact_dedup(
     )
 
 
+def exact_dedup_collect(
+    ds,
+    collect_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+):
+    """exact_dedup that also ACCUMULATES the sorted distinct values of
+    `collect_col` across each duplicate group into a list column
+    `{collect_col}s` — the query-path form of the reference's multiValued
+    productname atomic-add (parseJSON.pl:154-181: the same segment arriving
+    from another product appends that product's name to the shared doc).
+    Same sha-range-partitioned vectorized shape as exact_dedup: one Python
+    call per bucket, list assembly via lexsort + run boundaries, never a
+    per-group UDF."""
+    ds = ds.map_batches(
+        lambda b: add_text_sha(b, text_col), batch_format="pyarrow"
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        sha = np.asarray(b["text_sha256"].to_pylist(), dtype="U64")
+        bk = (
+            np.array([int(s[:8], 16) for s in sha.tolist()], dtype=np.int64)
+            % num_buckets
+        )
+        return b.append_column("dedup_bucket", pa.array(bk, pa.int64()))
+
+    def bucket_collect(g: pa.Table) -> pa.Table:
+        sha = np.asarray(g["text_sha256"].to_pylist(), dtype="U64")
+        ids = np.asarray(g[id_col], dtype=np.int64)
+        vals = g[collect_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sha))
+        sha_s, ids_s = sha[order], ids[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], sha_s[1:] != sha_s[:-1]))
+        )
+        counts = np.diff(np.append(starts, sha_s.size))
+        gi = np.cumsum(np.concatenate(([True], sha_s[1:] != sha_s[:-1]))) - 1
+        # sorted distinct values per group
+        o2 = np.lexsort((vals[order], gi))
+        v2, g2 = vals[order][o2], gi[o2]
+        uniq = np.concatenate(
+            ([True], (g2[1:] != g2[:-1]) | (v2[1:] != v2[:-1]))
+        )
+        v2, g2 = v2[uniq], g2[uniq]
+        offs = np.concatenate(
+            ([0], np.cumsum(np.bincount(g2, minlength=starts.size)))
+        )
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(v2, pa.string())
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_s[starts], pa.int64()),
+                "text_sha256": pa.array(sha_s[starts], pa.string()),
+                "n_copies": pa.array(counts, pa.int64()),
+                collect_col + "s": lists,
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("dedup_bucket")
+        .map_groups(bucket_collect, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # token-set Jaccard similarity join (complete; SQL-checkable)
 # ---------------------------------------------------------------------------

@@ -349,6 +349,15 @@ def exact_dedup_docs(sf_dir: str):
     return dedup_ops.exact_dedup(_documents(sf_dir, ["doc_id", "text"]))
 
 
+def dedup_collect_sources(sf_dir: str):
+    """Exact dedup of `documents` that accumulates each duplicate group's
+    distinct `source` values into a sorted list — the reference's multiValued
+    productname atomic-add (parseJSON.pl:154-181) as a standalone query."""
+    return dedup_ops.exact_dedup_collect(
+        _documents(sf_dir, ["doc_id", "text", "source"]), collect_col="source"
+    )
+
+
 def jaccard_dup_pairs_docs(sf_dir: str):
     """Complete token-set Jaccard similarity join (tau=0.9), integer-exact."""
     return dedup_ops.jaccard_pairs(

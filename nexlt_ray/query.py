@@ -345,10 +345,35 @@ class FilterSet:
             mask: np.ndarray | None = None
             for fname, vals in self.key:
                 col = r._meta_shard(fname, b)
-                if col.size == 0:
+                if len(col) == 0:
                     mask = np.empty(0, bool)
                     break
-                m = np.isin(col, np.array(vals, dtype=object))
+                if isinstance(col, (pa.Array, pa.ChunkedArray)):
+                    # multiValued column: doc matches if ANY list element is
+                    # in vals (Solr fq semantics on a multiValued field)
+                    import pyarrow.compute as _pc
+
+                    arr = (
+                        col.combine_chunks()
+                        if isinstance(col, pa.ChunkedArray)
+                        else col
+                    )
+                    flat_hit = _pc.is_in(
+                        arr.flatten(), value_set=pa.array(list(vals))
+                    ).to_numpy(zero_copy_only=False)
+                    ln = np.asarray(
+                        _pc.fill_null(_pc.list_value_length(arr), 0),
+                        dtype=np.int64,
+                    )
+                    ends = np.cumsum(ln)
+                    m = np.zeros(len(col), dtype=bool)
+                    m[
+                        np.searchsorted(
+                            ends, np.flatnonzero(flat_hit), side="right"
+                        )
+                    ] = True
+                else:
+                    m = np.isin(col, np.array(vals, dtype=object))
                 mask = m if mask is None else (mask & m)
             ids = (
                 np.flatnonzero(mask).astype(np.int64) + r._doc_offsets[b]
@@ -599,15 +624,23 @@ class IndexReader:
             self._norm_shards.move_to_end(b)
         return shard
 
-    def _meta_shard(self, name: str, b: int) -> np.ndarray:
+    def _meta_shard(self, name: str, b: int):
+        """One doc bucket's column `name`: numpy for scalar columns, a
+        combined pyarrow ListArray for multiValued (`*_all`) columns —
+        list membership/flatten stay in Arrow kernels (FilterSet, facets).
+        multiValued fields are not sortable, exactly like Solr."""
         key = (name, b)
         shard = self._meta_shards.get(key)
         if shard is None:
             path = self._docstore_path(b)
             if os.path.exists(path):
-                shard = pq.read_table(path, columns=[name])[name].to_numpy(
-                    zero_copy_only=False
-                )
+                col = pq.read_table(path, columns=[name])[name]
+                if pa.types.is_list(col.type) or pa.types.is_large_list(
+                    col.type
+                ):
+                    shard = col.combine_chunks()
+                else:
+                    shard = col.to_numpy(zero_copy_only=False)
             else:
                 shard = np.empty(0, object)
             self._shard_loads.append((name, b))
@@ -841,7 +874,24 @@ class IndexReader:
             local = docs_b - self._doc_offsets[b]
             for f in fields:
                 col = self._meta_shard(f, b)
-                vals, counts = np.unique(col[local].astype("U"), return_counts=True)
+                if isinstance(col, (pa.Array, pa.ChunkedArray)):
+                    # multiValued facet (Solr: every list element counts
+                    # once per doc — the reference facets on the
+                    # multiValued product field, corpus.cgi:345-357)
+                    arr = (
+                        col.combine_chunks()
+                        if isinstance(col, pa.ChunkedArray)
+                        else col
+                    )
+                    sel = arr.take(pa.array(local))
+                    vals, counts = np.unique(
+                        sel.flatten().to_numpy(zero_copy_only=False).astype("U"),
+                        return_counts=True,
+                    )
+                else:
+                    vals, counts = np.unique(
+                        col[local].astype("U"), return_counts=True
+                    )
                 d = counters[f]
                 for v, c in zip(vals.tolist(), counts.tolist()):
                     d[v] = d.get(v, 0) + int(c)
