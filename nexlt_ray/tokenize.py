@@ -55,25 +55,29 @@ import pyarrow.compute as pc
 
 from .porter import porter_stem
 from .snowball import (
+    danish_stem,
     dutch_stem,
+    finnish_stem,
     french_stem,
     german_stem,
     italian_stem,
+    norwegian_stem,
     portuguese_stem,
     russian_stem,
     spanish_stem,
+    swedish_stem,
 )
 
 PROFILES = (
     "code", "text_en", "simple", "cjk_bigram",
     "text_de", "text_fr", "text_es", "text_it", "text_pt", "text_nl",
-    "text_ru",
+    "text_ru", "text_sv", "text_no", "text_da", "text_fi",
 )
 
 # Snowball chains (reference: one SnowballPorterFilter chain per language,
-# schema.xml:466-887 — German/French/Spanish/Italian/Portuguese/Dutch/
-# Russian here; the chain is StandardTokenizer-ish Unicode word split +
-# lowercase + stemmer, with French adding the ElisionFilter)
+# schema.xml:466-887 — de/fr/es/it/pt/nl/ru/sv/no/da/fi here; the chain is
+# StandardTokenizer-ish Unicode word split + lowercase + stemmer, with
+# French adding the ElisionFilter)
 _LANG_STEMMERS = {
     "text_de": german_stem,
     "text_fr": french_stem,
@@ -82,6 +86,10 @@ _LANG_STEMMERS = {
     "text_pt": portuguese_stem,
     "text_nl": dutch_stem,
     "text_ru": russian_stem,
+    "text_sv": swedish_stem,
+    "text_no": norwegian_stem,
+    "text_da": danish_stem,
+    "text_fi": finnish_stem,
 }
 
 # per-language analyzer routing (the reference declares one analyzed field
@@ -101,6 +109,10 @@ LANG_PROFILES: dict[str, str] = {
     "por": "text_pt", "ptb": "text_pt", "pt": "text_pt",
     "nld": "text_nl", "dut": "text_nl", "nl": "text_nl",
     "rus": "text_ru", "ru": "text_ru",
+    "swe": "text_sv", "sv": "text_sv",
+    "nor": "text_no", "nob": "text_no", "nno": "text_no", "no": "text_no",
+    "dan": "text_da", "da": "text_da",
+    "fin": "text_fi", "fi": "text_fi",
 }
 
 

@@ -204,3 +204,110 @@ def test_snowball_extended_languages():
     # chain: Cyrillic tokenization + stemming through the profile
     assert toks("Перевод книгами", "text_ru") == ["перевод", "книг"]
     assert toks("le traduzioni nazionali", "text_it") == ["le", "traduzion", "nazional"]
+
+
+def test_snowball_scandinavian_finnish_units():
+    """Swedish/Norwegian/Danish/Finnish chains (schema.xml:466-887):
+    hand-traced conflation classes of the published algorithms."""
+    from nexlt_ray.snowball import (
+        danish_stem, finnish_stem, norwegian_stem, swedish_stem,
+    )
+
+    assert swedish_stem("flickorna") == swedish_stem("flickor") == \
+        swedish_stem("flicka") == "flick"
+    assert swedish_stem("bilarna") == swedish_stem("bilar") == \
+        swedish_stem("bil") == "bil"
+    assert swedish_stem("möjligheterna") == swedish_stem("möjlighet")
+    assert swedish_stem("vänligt") == swedish_stem("vänlig")
+    assert swedish_stem("husens") == swedish_stem("hus") == "hus"
+
+    assert norwegian_stem("bøkene") == norwegian_stem("bøker") == "bøk"
+    assert norwegian_stem("huset") == norwegian_stem("husene") == \
+        norwegian_stem("hus") == "hus"
+    assert norwegian_stem("kastede") == norwegian_stem("kastet") == \
+        norwegian_stem("kaste") == "kast"
+
+    assert danish_stem("bøgerne") == danish_stem("bøger") == "bøg"
+    assert danish_stem("huset") == danish_stem("husene") == \
+        danish_stem("hus") == "hus"
+    assert danish_stem("venligst") == danish_stem("venlig") == "ven"
+    assert danish_stem("løsningerne") == danish_stem("løsninger") == \
+        danish_stem("løsning") == "løsning"
+
+    assert finnish_stem("talossa") == finnish_stem("talot") == \
+        finnish_stem("taloissa") == finnish_stem("talo") == "talo"
+    assert finnish_stem("kirjat") == finnish_stem("kirja") == \
+        finnish_stem("kirjassa") == "kirj"
+    assert finnish_stem("järjestelmä") == finnish_stem("järjestelmän")
+    assert finnish_stem("tyttö") == finnish_stem("tytöt") == "tytö"
+
+    import random
+    rng = random.Random(7)
+    pool = "abcdefghijklmnopqrstuvwxyzäåöæøéü"
+    from nexlt_ray.snowball import (
+        danish_stem as d, finnish_stem as f, norwegian_stem as n,
+        swedish_stem as s,
+    )
+    for fn in (s, n, d, f):
+        for _ in range(3000):
+            w = "".join(rng.choice(pool) for _ in range(rng.randint(0, 12)))
+            assert isinstance(fn(w), str)
+
+
+def test_scandinavian_finnish_rank_identity(ray_session, tmp_path):
+    """sv/no/da/fi chains end-to-end: auto-profile routing + WAND == oracle
+    (the same per-language discipline as the seven previously shipped)."""
+    import pyarrow.parquet as pq_
+
+    from nexlt_ray.build import BuildConfig, build_index
+    from nexlt_ray.oracle import OracleIndex
+    from nexlt_ray.query import IndexReader
+
+    rows = []
+    for i in range(120):
+        m = i % 4
+        if m == 0:
+            rows.append(("swe", f"flickorna läser böckerna {i % 5} gånger"))
+        elif m == 1:
+            rows.append(("nor", f"bøkene ble kastet {i % 4} ganger"))
+        elif m == 2:
+            rows.append(("dan", f"løsningerne er venlige {i % 6} gange"))
+        else:
+            rows.append(("fin", f"kirjat ovat talossa {i % 3} kertaa"))
+    t = pa.table(
+        {
+            "repo": pa.array([f"org{i%2}/r" for i in range(120)]),
+            "path": pa.array([f"f{i}.txt" for i in range(120)]),
+            "commit": pa.array(["c" * 40] * 120),
+            "lang": pa.array([l for l, _ in rows]),
+            "content": pa.array([c for _, c in rows]),
+        }
+    )
+    src = str(tmp_path / "scfi.parquet")
+    pq_.write_table(t, src)
+    idx = str(tmp_path / "idx_scfi")
+    m = build_index(src, idx, BuildConfig(profile="auto", num_doc_buckets=4,
+                                          num_term_buckets=2))
+    r = IndexReader(idx)
+    meta = pq_.read_table(f"{idx}/docstore")
+    did = (
+        np.asarray(m["doc_offsets"])[np.asarray(meta["doc_bucket"])]
+        + np.asarray(meta["local_rank"])
+    )
+    o = OracleIndex(
+        list(zip(did.tolist(), meta["content"].to_pylist())),
+        profile="auto",
+        langs=meta["lang"].to_pylist(),
+    )
+    cases = [("flickan", "swe"), ("bok läsning"[:3], "swe"),
+             ("boken", "nor"), ("kastede", "nor"),
+             ("venlig løsning", "dan"),
+             ("kirja", "fin"), ("taloissa", "fin")]
+    for q, lang in cases:
+        got = r.search(q, k=10, lang=lang)
+        exp = [(d_, float(np.float32(s_))) for d_, s_ in o.search(q, k=10, lang=lang)]
+        assert got == exp, (q, lang)
+    # stemming actually conflates: query inflection != corpus inflection
+    assert r.search("kirja", k=10, lang="fin")      # corpus has "kirjat"
+    assert r.search("venlig", k=10, lang="dan")     # corpus has "venlige"
+    assert r.search("kastede", k=10, lang="nor")    # corpus has "kastet"
