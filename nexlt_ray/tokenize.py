@@ -71,7 +71,7 @@ from .snowball import (
 PROFILES = (
     "code", "text_en", "simple", "cjk_bigram",
     "text_de", "text_fr", "text_es", "text_it", "text_pt", "text_nl",
-    "text_ru", "text_sv", "text_no", "text_da", "text_fi",
+    "text_ru", "text_sv", "text_no", "text_da", "text_fi", "text_ja",
 )
 
 # Snowball chains (reference: one SnowballPorterFilter chain per language,
@@ -93,14 +93,16 @@ _LANG_STEMMERS = {
 }
 
 # per-language analyzer routing (the reference declares one analyzed field
-# per target language, schema.xml:927-960: CJK languages use width-normalized
-# bigrams, schema.xml:501-510; Japanese morphological analysis approximated
-# by bigrams here; English text uses the stemming chain; German/French/
-# Spanish their Snowball chains; code-ish content the WordDelimiter chain)
+# per target language, schema.xml:927-960: Chinese/Korean use
+# width-normalized bigrams, schema.xml:501-510; Japanese routes to the
+# dictionary-light text_ja chain, schema.xml:725-768; English text uses the
+# stemming chain; the European languages their Snowball chains; code-ish
+# content the WordDelimiter chain)
 LANG_PROFILES: dict[str, str] = {
-    "jpn": "cjk_bigram", "chs": "cjk_bigram", "cht": "cjk_bigram",
-    "kor": "cjk_bigram", "zh": "cjk_bigram", "ja": "cjk_bigram",
+    "chs": "cjk_bigram", "cht": "cjk_bigram",
+    "kor": "cjk_bigram", "zh": "cjk_bigram",
     "ko": "cjk_bigram",
+    "jpn": "text_ja", "ja": "text_ja",
     "eng": "text_en", "enu": "text_en", "en": "text_en",
     "deu": "text_de", "ger": "text_de", "de": "text_de",
     "fra": "text_fr", "fre": "text_fr", "fr": "text_fr",
@@ -226,6 +228,8 @@ def tokenize_batch(
         return _tokenize_simple(arr, n_docs)
     if profile == "cjk_bigram":
         return _tokenize_cjk(arr, n_docs)
+    if profile == "text_ja":
+        return _tokenize_ja(arr, n_docs)
     if profile in _LANG_STEMMERS:
         return _tokenize_stemmed_lang(arr, n_docs, profile, protected)
     if profile not in PROFILES:
@@ -457,6 +461,140 @@ def _tokenize_cjk(arr: pa.Array, n_docs: int) -> TokenizedBatch:
     )
 
 
+# ---------------------------------------------------------------------------
+# Japanese (reference chain: JapaneseTokenizer + POS/stopword filters,
+# schema.xml:725-768). Kuromoji's lattice segmentation needs the IPADIC
+# dictionary, which is not shippable here; this is the documented
+# dictionary-LIGHT approximation: character-class runs (Kuromoji's
+# unknown-word heuristic), a built-in function-word lexicon applied
+# longest-match over hiragana runs (the JapanesePartOfSpeechStopFilter /
+# stopwords_ja analog: particles and auxiliaries drop but still advance the
+# position, Lucene StopFilter posInc semantics), katakana/latin runs kept
+# whole, and kanji runs split by a common single-kanji suffix list
+# (…都/県/市/駅/語/人: 東京都 -> 東京 + 都) with an overlapping-bigram
+# fallback for longer runs (the reference's own CJKBigram recall discipline,
+# schema.xml:501-510).
+# ---------------------------------------------------------------------------
+
+# function words dropped by the chain (public Lucene stopwords_ja.txt /
+# POS-stop semantics: particles, copulas, auxiliaries, light verbs)
+_JA_DROP = (
+    "これら", "それら", "あれら", "という", "ていた", "ている", "でした",
+    "ました", "られる", "など", "から", "まで", "より", "です", "ます",
+    "した", "して", "する", "いる", "ある", "ない", "こと", "これ",
+    "それ", "あれ", "この", "その", "あの", "れる", "たち", "の", "は",
+    "が", "を", "に", "で", "と", "も", "へ", "や", "か", "ね", "よ",
+    "な", "だ", "た", "て", "し", "れ", "さ", "い",
+)
+# content-ish hiragana words kept whole when matched (bounded sample of the
+# closed high-frequency class; unmatched spans stay whole anyway)
+_JA_KEEP = (
+    "ください", "わたし", "あなた", "ひと", "とき", "ところ", "もの",
+    "よう",
+)
+_JA_LEX = sorted(
+    [(w, False) for w in _JA_DROP] + [(w, True) for w in _JA_KEEP],
+    key=lambda x: len(x[0]),
+    reverse=True,
+)
+# single-kanji suffixes that close a compound (public Japanese morphology:
+# administrative/locative/agentive suffixes)
+_JA_KANJI_SUFFIX = set("都道府県市区町村駅語人的者化学省庁屋家业業社")
+
+_JA_RUN_RE = _re.compile(
+    "([a-z0-9]+)"          # latin/digit (post NFKC fold + lowercase)
+    "|([㐀-䶿一-鿿々]+)"     # kanji (+ iteration mark)
+    "|([぀-ゟ]+)"           # hiragana
+    "|([゠-ヿー]+)"          # katakana (+ prolonged sound mark)
+)
+
+
+def _ja_split_hiragana(run: str):
+    """Greedy longest-match over the function-word lexicon; yields
+    (token, keep) pairs — unmatched spans come out whole with keep=True."""
+    out = []
+    buf = []
+    i = 0
+    while i < len(run):
+        hit = None
+        for w, keep in _JA_LEX:
+            if run.startswith(w, i):
+                hit = (w, keep)
+                break
+        if hit is None:
+            buf.append(run[i])
+            i += 1
+            continue
+        if buf:
+            out.append(("".join(buf), True))
+            buf = []
+        out.append(hit)
+        i += len(hit[0])
+    if buf:
+        out.append(("".join(buf), True))
+    return out
+
+
+def _ja_split_kanji(run: str):
+    """Kanji-run segmentation without a lattice dictionary: short runs stay
+    whole (most Japanese nouns are 1-2 kanji); a 3-kanji run ending in a
+    closing suffix splits as stem + suffix; anything longer falls back to
+    overlapping bigrams (recall-preserving)."""
+    n = len(run)
+    if n <= 2:
+        return [run]
+    if n == 3 and run[2] in _JA_KANJI_SUFFIX:
+        return [run[:2], run[2]]
+    return [run[i : i + 2] for i in range(n - 1)]
+
+
+def _tokenize_ja(arr: pa.Array, n_docs: int) -> TokenizedBatch:
+    terms: list[str] = []
+    pos: list[int] = []
+    idx: list[int] = []
+    doc_len = np.zeros(n_docs, dtype=np.int32)
+    for d, text in enumerate(arr.to_pylist()):
+        if not text:
+            continue
+        folded = _ud.normalize("NFKC", text).lower()
+        p = 0
+        emitted = 0
+        for m in _JA_RUN_RE.finditer(folded):
+            latin, kanji, hira, kata = m.groups()
+            if latin or kata:
+                terms.append(latin or kata)
+                pos.append(p)
+                idx.append(d)
+                p += 1
+                emitted += 1
+            elif kanji:
+                for t in _ja_split_kanji(kanji):
+                    terms.append(t)
+                    pos.append(p)
+                    idx.append(d)
+                    p += 1
+                    emitted += 1
+            else:
+                for t, keep in _ja_split_hiragana(hira):
+                    if keep:
+                        terms.append(t)
+                        pos.append(p)
+                        idx.append(d)
+                        emitted += 1
+                    p += 1  # dropped function words still advance position
+        # norm length counts tokens that reach the index (Lucene
+        # FieldInvertState semantics: stopped tokens advance positions but
+        # not the field length)
+        doc_len[d] = emitted
+    return TokenizedBatch(
+        terms=np.asarray(terms, dtype=object),
+        positions=np.asarray(pos, dtype=np.int32),
+        doc_idx=np.asarray(idx, dtype=np.int32),
+        doc_len=doc_len,
+        n_docs=n_docs,
+    )
+
+
 def tokenize_by_lang(
     texts,
     langs,
@@ -650,7 +788,9 @@ def doc_token_lengths(texts, profile: str = "code") -> np.ndarray:
     Matches tokenize_batch(...).doc_len exactly (tested)."""
     arr = _as_array(texts)
     n_docs = len(arr)
-    if profile == "cjk_bigram":
+    if profile in ("cjk_bigram", "text_ja"):
+        # position gaps (ja stop-POS drops) make max(pos)+1 wrong; take the
+        # chain's own emitted-token counts
         return tokenize_batch(arr, profile=profile).doc_len
     if profile == "simple" or profile in _LANG_STEMMERS:
         if profile in _LANG_STEMMERS:

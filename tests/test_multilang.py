@@ -30,13 +30,14 @@ def test_cjk_positions_phraselike():
 
 
 def test_tokenize_by_lang_routing():
-    texts = ["getFooBar", "東京都", "Generalizations"]
-    langs = ["python", "jpn", "eng"]
+    texts = ["getFooBar", "東京都", "Generalizations", "東京都"]
+    langs = ["python", "jpn", "eng", "zh"]
     tb = tokenize_by_lang(texts, langs)
     per = tb.per_doc_terms()
     assert per[0] == ["get", "getfoobar", "foo", "bar"]  # code chain
-    assert per[1] == ["東京", "京都"]                      # cjk chain
-    assert per[2] == ["gener"]                            # text_en chain
+    assert per[1] == ["東京", "都"]    # ja chain: suffix-split compound
+    assert per[2] == ["gener"]        # text_en chain
+    assert per[3] == ["東京", "京都"]  # zh keeps the CJK bigram chain
 
 
 def test_auto_profile_build_and_query(ray_session, tmp_path):
@@ -311,3 +312,74 @@ def test_scandinavian_finnish_rank_identity(ray_session, tmp_path):
     assert r.search("kirja", k=10, lang="fin")      # corpus has "kirjat"
     assert r.search("venlig", k=10, lang="dan")     # corpus has "venlige"
     assert r.search("kastede", k=10, lang="nor")    # corpus has "kastet"
+
+
+def test_japanese_chain_units():
+    """text_ja (schema.xml:725-768 JapaneseTokenizer + POS-stop analog):
+    char-class runs, particle drop with position gaps, katakana whole,
+    kanji suffix split, bigram fallback for long kanji runs."""
+    tb = tokenize_batch(["東京都の検索エンジンはテストです"], profile="text_ja")
+    got = {str(t): int(p) for t, p in zip(tb.terms, tb.positions)}
+    # particles の/は and copula です drop but leave position gaps
+    assert got == {"東京": 0, "都": 1, "検索": 3, "エンジン": 4, "テスト": 6}
+    # norm length counts only emitted tokens (Lucene FieldInvertState)
+    assert tb.doc_len.tolist() == [5]
+    # katakana words stay whole (vs cjk_bigram's パリ -> パリ unigram ok,
+    # コンピュータ -> 5 bigrams)
+    assert toks("コンピュータ", "text_ja") == ["コンピュータ"]
+    # 2-kanji nouns stay whole; 4+ kanji fall back to bigrams
+    assert toks("日本", "text_ja") == ["日本"]
+    assert toks("国際関係", "text_ja") == ["国際", "際関", "関係"]
+    # fullwidth folds (NFKC), latin lowercases
+    assert toks("ＡＢＣ テスト", "text_ja") == ["abc", "テスト"]
+
+
+def test_japanese_rank_identity(ray_session, tmp_path):
+    """ja fixtures end-to-end: auto-profile build routes jpn -> text_ja and
+    WAND == exhaustive == oracle, including a Japanese phrase query."""
+    import pyarrow.parquet as pq_
+
+    from nexlt_ray.build import BuildConfig, build_index
+    from nexlt_ray.oracle import OracleIndex
+    from nexlt_ray.query import IndexReader
+
+    rows = []
+    for i in range(80):
+        if i % 2 == 0:
+            rows.append(("jpn", f"東京都の検索エンジンは {i % 5} 件のテストです"))
+        else:
+            rows.append(("jpn", f"大阪の翻訳システムが {i % 3} 回動作します"))
+    t = pa.table(
+        {
+            "repo": pa.array([f"org{i%2}/r" for i in range(80)]),
+            "path": pa.array([f"f{i}.txt" for i in range(80)]),
+            "commit": pa.array(["c" * 40] * 80),
+            "lang": pa.array([l for l, _ in rows]),
+            "content": pa.array([c for _, c in rows]),
+        }
+    )
+    src = str(tmp_path / "ja.parquet")
+    pq_.write_table(t, src)
+    idx = str(tmp_path / "idx_ja")
+    m = build_index(src, idx, BuildConfig(profile="auto", num_doc_buckets=4,
+                                          num_term_buckets=2))
+    r = IndexReader(idx)
+    meta = pq_.read_table(f"{idx}/docstore")
+    did = (
+        np.asarray(m["doc_offsets"])[np.asarray(meta["doc_bucket"])]
+        + np.asarray(meta["local_rank"])
+    )
+    o = OracleIndex(
+        list(zip(did.tolist(), meta["content"].to_pylist())),
+        profile="auto",
+        langs=meta["lang"].to_pylist(),
+    )
+    for q in ("東京", "検索", "翻訳", "テスト", "大阪 翻訳", '"東京都"'):
+        got = r.search(q, k=10, lang="jpn")
+        exp = [(d, float(np.float32(s))) for d, s in o.search(q, k=10, lang="jpn")]
+        assert got == exp, q
+        assert got, q
+    # the compound query 東京 matches docs containing 東京都 (suffix split) —
+    # the recall case plain whole-run tokenization would lose. 40 rows
+    # dedup to 5 distinct contents ({i % 5}).
+    assert r.match_count("東京", lang="jpn") == 5
