@@ -78,7 +78,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         }
 
     # query latency: serial top-10 WAND over the reference query set.
-    # Per-query MEDIAN-of-3 (post-warm): the shared host's co-tenant load
+    # Per-query MEDIAN-of-5 (post-warm): the shared host's co-tenant load
     # can stall any single run by hundreds of ms, and p95 of 20 single
     # measurements is one sample — medians make the tail reproducible
     # (round-2 recorded a 527 ms p95 that manual best-of-3 put at 45 ms).
@@ -93,11 +93,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         reader.search(q["query"], k=q["k"])
     for q in queries:
         times = []
-        for _ in range(3):
+        for _ in range(5):
             t1 = time.perf_counter()
             reader.search(q["query"], k=q["k"], use_cache=False)
             times.append(time.perf_counter() - t1)
-        lat.append(sorted(times)[1])
+        lat.append(sorted(times)[2])
         t1 = time.perf_counter()
         reader.search(q["query"], k=q["k"])
         lat_cached.append(time.perf_counter() - t1)

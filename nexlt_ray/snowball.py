@@ -1581,3 +1581,32 @@ def finnish_stem(word: str) -> str:  # noqa: C901 (faithful to the spec's shape)
     if i >= 1 and w[i] == w[i - 1] and w[i] not in _FI_VOWELS and in_r1(i):
         w = w[:i] + w[i + 1 :]
     return w
+
+
+# ---------------------------------------------------------------------------
+# Arabic light stemmer (reference chain: ArabicNormalizationFilter +
+# ArabicStemFilter, schema.xml Arabic field type). Public Lucene semantics
+# of Larkey's light-10 stemmer: orthographic normalization, one definite-
+# article/conjunction prefix strip, then iterative suffix strips.
+# ---------------------------------------------------------------------------
+
+_AR_DIACRITICS = dict.fromkeys(map(ord, "ًٌٍَُِّْـ"))
+_AR_NORM = str.maketrans({"آ": "ا", "أ": "ا", "إ": "ا", "ى": "ي", "ة": "ه"})
+_AR_PREFIXES = ("وال", "بال", "كال", "فال", "ال", "لل", "و")
+_AR_SUFFIXES = ("ها", "ان", "ات", "ون", "ين", "يه", "ية", "ه", "ة", "ي")
+
+
+def arabic_stem(word: str) -> str:
+    w = word.translate(_AR_DIACRITICS).translate(_AR_NORM)
+    # one prefix strip, longest first; keep at least 2 chars ("و" needs 3+)
+    for p in _AR_PREFIXES:
+        if w.startswith(p):
+            need = 4 if p == "و" else len(p) + 2
+            if len(w) >= need:
+                w = w[len(p):]
+            break
+    # suffixes strip iteratively in list order (Lucene stemSuffix loop)
+    for s in _AR_SUFFIXES:
+        if w.endswith(s) and len(w) - len(s) >= 2:
+            w = w[: -len(s)]
+    return w

@@ -55,6 +55,7 @@ import pyarrow.compute as pc
 
 from .porter import porter_stem
 from .snowball import (
+    arabic_stem,
     danish_stem,
     dutch_stem,
     finnish_stem,
@@ -72,6 +73,7 @@ PROFILES = (
     "code", "text_en", "simple", "cjk_bigram",
     "text_de", "text_fr", "text_es", "text_it", "text_pt", "text_nl",
     "text_ru", "text_sv", "text_no", "text_da", "text_fi", "text_ja",
+    "text_ar",
 )
 
 # Snowball chains (reference: one SnowballPorterFilter chain per language,
@@ -90,6 +92,7 @@ _LANG_STEMMERS = {
     "text_no": norwegian_stem,
     "text_da": danish_stem,
     "text_fi": finnish_stem,
+    "text_ar": arabic_stem,  # Lucene ArabicNormalization+Larkey light, not Snowball
 }
 
 # per-language analyzer routing (the reference declares one analyzed field
@@ -115,6 +118,7 @@ LANG_PROFILES: dict[str, str] = {
     "nor": "text_no", "nob": "text_no", "nno": "text_no", "no": "text_no",
     "dan": "text_da", "da": "text_da",
     "fin": "text_fi", "fi": "text_fi",
+    "ara": "text_ar", "arb": "text_ar", "ar": "text_ar",
 }
 
 

@@ -383,3 +383,57 @@ def test_japanese_rank_identity(ray_session, tmp_path):
     # the recall case plain whole-run tokenization would lose. 40 rows
     # dedup to 5 distinct contents ({i % 5}).
     assert r.match_count("東京", lang="jpn") == 5
+
+
+def test_arabic_chain(ray_session, tmp_path):
+    """text_ar: Lucene ArabicNormalizationFilter + Larkey light-10 stemmer
+    semantics (public Lucene source): diacritic/tatweel removal, alef/yeh/
+    teh-marbuta normalization, definite-article prefix strip, plural/
+    feminine suffix strips — plus end-to-end rank identity."""
+    from nexlt_ray.snowball import arabic_stem
+
+    assert arabic_stem("الكتاب") == arabic_stem("كتاب")
+    assert arabic_stem("المكتبات") == arabic_stem("مكتبه")
+    assert arabic_stem("والمستخدمون") == arabic_stem("مستخدم")
+    assert arabic_stem("كِتَاب") == arabic_stem("كتاب")  # diacritics
+    assert toks("المستخدمون في المكتبات", "text_ar") == [
+        "مستخدم", "في", "مكتب"
+    ]
+
+    import pyarrow.parquet as pq_
+
+    from nexlt_ray.build import BuildConfig, build_index
+    from nexlt_ray.oracle import OracleIndex
+    from nexlt_ray.query import IndexReader
+
+    rows = [("ara", f"المستخدمون في المكتبات {i % 4} كتاب") for i in range(40)]
+    t = pa.table(
+        {
+            "repo": pa.array([f"org{i%2}/r" for i in range(40)]),
+            "path": pa.array([f"f{i}.txt" for i in range(40)]),
+            "commit": pa.array(["c" * 40] * 40),
+            "lang": pa.array([l for l, _ in rows]),
+            "content": pa.array([c for _, c in rows]),
+        }
+    )
+    src = str(tmp_path / "ar.parquet")
+    pq_.write_table(t, src)
+    idx = str(tmp_path / "idx_ar")
+    m = build_index(src, idx, BuildConfig(profile="auto", num_doc_buckets=4,
+                                          num_term_buckets=2))
+    r = IndexReader(idx)
+    meta = pq_.read_table(f"{idx}/docstore")
+    did = (
+        np.asarray(m["doc_offsets"])[np.asarray(meta["doc_bucket"])]
+        + np.asarray(meta["local_rank"])
+    )
+    o = OracleIndex(
+        list(zip(did.tolist(), meta["content"].to_pylist())),
+        profile="auto",
+        langs=meta["lang"].to_pylist(),
+    )
+    for q in ("مكتبه", "الكتاب", "مستخدم"):
+        got = r.search(q, k=10, lang="ara")
+        exp = [(d, float(np.float32(s))) for d, s in o.search(q, k=10, lang="ara")]
+        assert got == exp, q
+        assert got, q  # normalization conflates query form with corpus form
