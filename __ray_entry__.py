@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 39 entries, 26 DuckDB-oracled.
+                 41 entries, 28 DuckDB-oracled.
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
                  (incl. ASOF JOIN, window-function sessionization, shingle
                  Jaccard via list_transform, fq-composed BM25); non-SQL ops
@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df_top100": P.term_df_top100,
         "bm25_topk_docs": P.bm25_topk_docs,
         "filtered_search_topk": P.filtered_search_topk,
+        "fq_phrase_search_topk": P.fq_phrase_search_topk,
         "match_count_or": P.match_count_or,
         "phrase_match_count": P.phrase_match_count,
         # dedup family
@@ -108,7 +109,9 @@ def _qterms_values() -> str:
     return f"q(qid, term) AS (VALUES {vals})"
 
 
-def _bm25_sql(filter_langs: tuple | None = None) -> str:
+def _bm25_sql(
+    filter_langs: tuple | None = None, filter_phrase: str | None = None
+) -> str:
     # fq semantics: the filter restricts SCORED rows only; n/avgdl/df stay
     # corpus-global (matches Solr fq and pipelines._bm25_topk_impl)
     fq = ""
@@ -117,6 +120,15 @@ def _bm25_sql(filter_langs: tuple | None = None) -> str:
         fq = (
             "  JOIN documents fd ON fd.doc_id = tf.doc_id "
             f"AND fd.lang IN ({vals})\n"
+        )
+    if filter_phrase:
+        from nexlt_ray.tokenize import tokenize_query
+
+        toks = tokenize_query(filter_phrase, profile="simple")
+        pat = "(^|[^a-z0-9])" + "[^a-z0-9]+".join(toks) + "([^a-z0-9]|$)"
+        fq += (
+            "  JOIN documents fp ON fp.doc_id = tf.doc_id "
+            f"AND regexp_matches(lower(fp.text), '{pat}')\n"
         )
     return f"""
 {_TOK},
@@ -190,6 +202,12 @@ def _filtered_sql() -> str:
     return _bm25_sql(filter_langs=FILTER_LANGS)
 
 
+def _fq_phrase_sql() -> str:
+    from nexlt_ray.pipelines import FQ_PHRASE
+
+    return _bm25_sql(filter_phrase=FQ_PHRASE)
+
+
 def _phrase_sql() -> str:
     from nexlt_ray.pipelines import DOC_PHRASES
     from nexlt_ray.tokenize import tokenize_query
@@ -239,6 +257,7 @@ ORDER BY df DESC, term LIMIT 100
 """,
         "bm25_topk_docs": _bm25_sql(),
         "filtered_search_topk": _filtered_sql(),
+        "fq_phrase_search_topk": _fq_phrase_sql(),
         "match_count_or": f"""
 {_TOK},
 {_qterms_values()},

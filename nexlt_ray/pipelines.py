@@ -160,7 +160,23 @@ def filtered_search_topk(sf_dir: str) -> pa.Table:
     return _bm25_topk_impl(sf_dir, filter_langs=FILTER_LANGS)
 
 
-def _bm25_topk_impl(sf_dir: str, filter_langs: tuple | None) -> pa.Table:
+FQ_PHRASE = "value table"  # query-valued fq for fq_phrase_search_topk
+
+
+def fq_phrase_search_topk(sf_dir: str) -> pa.Table:
+    """QUERY-valued fq (the reference UI's target-text box issues
+    fq=<lang>:"<phrase>", solrTestLib_v2.js:50-53; every Solr fq is a full
+    query): top-10 BM25 per DOC_QUERIES query restricted to docs containing
+    the FQ_PHRASE as consecutive tokens. BM25 statistics stay corpus-global.
+    SQL-parity twin of IndexReader.search(filters={"content": '"…"'})."""
+    return _bm25_topk_impl(sf_dir, filter_langs=None, filter_phrase=FQ_PHRASE)
+
+
+def _bm25_topk_impl(
+    sf_dir: str,
+    filter_langs: tuple | None,
+    filter_phrase: str | None = None,
+) -> pa.Table:
     qterms = doc_query_terms()
     terms = sorted({t for _, t in qterms})
     cols = ["doc_id", "text"] + (["lang"] if filter_langs else [])
@@ -197,12 +213,37 @@ def _bm25_topk_impl(sf_dir: str, filter_langs: tuple | None) -> pa.Table:
         for ti, t in enumerate(terms)
     }
 
+    phrase_toks = (
+        tokenize_query(filter_phrase, profile="simple") if filter_phrase else None
+    )
+
+    def _phrase_rows(tb, n: int) -> np.ndarray:
+        """Boolean per batch row: token stream contains the consecutive
+        phrase (simple profile: no overlaps, positions dense)."""
+        L = len(phrase_toks)
+        if tb.terms.size < L:
+            return np.zeros(n, dtype=bool)
+        order = np.lexsort((tb.positions, tb.doc_idx))
+        t = tb.terms[order].astype("U")
+        d = tb.doc_idx[order]
+        p = tb.positions[order]
+        m = t.size - L + 1
+        ok = np.ones(m, dtype=bool)
+        for i, pt in enumerate(phrase_toks):
+            ok &= t[i : m + i] == pt
+        ok &= d[:m] == d[L - 1 :]
+        ok &= (p[L - 1 :] - p[:m]) == (L - 1)
+        return np.bincount(d[:m][ok], minlength=n) > 0
+
     def score_topk(batch: pa.Table) -> pa.Table:
         # fq semantics: filter rows BEFORE scoring (stats already global)
         if filter_langs:
             batch = batch.filter(
                 pc.is_in(batch["lang"], value_set=pa.array(filter_langs))
             )
+        if phrase_toks:
+            tb0 = tokenize_batch(batch["text"], profile="simple")
+            batch = batch.filter(pa.array(_phrase_rows(tb0, len(batch))))
         tb = tokenize_batch(batch["text"], profile="simple")
         n = len(batch)
         dl = tb.doc_len.astype(np.float64)

@@ -463,6 +463,43 @@ class FilterSet:
         return np.concatenate(parts) if parts else np.empty(0, np.int64)
 
 
+class QueryFilterSet:
+    """FilterSet-shaped view over a MATERIALIZED sorted doc-id set — the
+    query-valued fq (Solr: any fq is a full query whose doc set lands in the
+    filterCache as a bitset; the reference UI's target-language search box
+    issues exactly this, `fq=<lang>:"<phrase>"`, solrTestLib_v2.js:50-53).
+    Unlike the lazily-evaluated meta FilterSet, the set is computed up front
+    (it is the cached artifact) and every range is therefore `complete`."""
+
+    def __init__(self, reader: "IndexReader", docs: np.ndarray):
+        self.reader = reader
+        self._docs = docs  # sorted unique int64
+
+    def bucket_docs(self, b: int) -> np.ndarray:
+        lo = int(self.reader._doc_offsets[b])
+        hi = lo + int(self.reader._doc_counts[b])
+        a = int(np.searchsorted(self._docs, lo))
+        z = int(np.searchsorted(self._docs, hi))
+        return self._docs[a:z]
+
+    def mask(self, docs: np.ndarray) -> np.ndarray:
+        return IndexReader._mask_member(docs, self._docs)
+
+    def cached_range_info(self, lo: int, hi: int) -> tuple[np.ndarray, bool]:
+        a = int(np.searchsorted(self._docs, lo))
+        z = int(np.searchsorted(self._docs, hi))
+        return self._docs[a:z], True
+
+    def first_k(self, k: int) -> np.ndarray:
+        return self._docs[: max(k, 0)]
+
+    def count(self) -> int:
+        return int(self._docs.size)
+
+    def all_docs(self) -> np.ndarray:
+        return self._docs
+
+
 class IndexReader:
     """Loads a built index; serves top-k BM25 queries.
 
@@ -679,26 +716,53 @@ class IndexReader:
 
     # -- fielded filters (Solr fq analog: corpus.cgi:328-339 product /
     #    resource / lang filter queries; solrTestLib_v2.js:38-102) --------
-    def _filter_docs(self, filters: dict | None) -> FilterSet | None:
-        """FilterSet for the normalized filter spec (values OR within a
-        field, AND across fields) — cached per filter (the Solr filterCache
-        LRU discipline, solrconfig.xml:534-541). The set's per-bucket doc
-        arrays are built lazily as queries touch buckets (FilterSet)."""
+    def _filter_docs(self, filters: dict | None, lang: str | None = None):
+        """Filter for the normalized spec (values OR within a field, AND
+        across fields) — cached per filter (the Solr filterCache LRU
+        discipline, solrconfig.xml:534-541). Meta fields evaluate lazily per
+        doc bucket (FilterSet). The reserved field ``content`` takes QUERY
+        strings over the analyzed field (term / "phrase" / OR list — the
+        reference UI's target-text fq, solrTestLib_v2.js:50-53); their doc
+        set is materialized once and cached (exactly Solr's fq bitset),
+        intersected with the meta filters when both are present. fq never
+        re-weights: BM25 statistics stay corpus-global."""
         if not filters:
             return None
-        key = tuple(
-            (f, tuple(sorted([v] if isinstance(v, str) else v)))
-            for f, v in sorted(filters.items())
+        meta = {f: v for f, v in filters.items() if f != "content"}
+        fq_q = filters.get("content")
+        mset = None
+        if meta:
+            key = tuple(
+                (f, tuple(sorted([v] if isinstance(v, str) else v)))
+                for f, v in sorted(meta.items())
+            )
+            mset = self._filter_cache.get(key)
+            if mset is not None:
+                self._filter_cache.move_to_end(key)
+            else:
+                mset = FilterSet(self, key)
+                self._filter_cache[key] = mset
+                if len(self._filter_cache) > self._filter_cache_cap:
+                    self._filter_cache.popitem(last=False)
+        if fq_q is None:
+            return mset
+        qs = [fq_q] if isinstance(fq_q, str) else sorted(fq_q)
+        qkey = ("content", tuple(qs), lang, None if mset is None else mset.key)
+        qset = self._filter_cache.get(qkey)
+        if qset is not None:
+            self._filter_cache.move_to_end(qkey)
+            return qset
+        sets = [self._matching_docs(q, mode="OR", lang=lang) for q in qs]
+        docs = (
+            np.unique(np.concatenate(sets)) if len(sets) > 1 else sets[0]
         )
-        cached = self._filter_cache.get(key)
-        if cached is not None:
-            self._filter_cache.move_to_end(key)
-            return cached
-        fset = FilterSet(self, key)
-        self._filter_cache[key] = fset
+        if mset is not None and docs.size:
+            docs = docs[mset.mask(docs)]
+        qset = QueryFilterSet(self, docs)
+        self._filter_cache[qkey] = qset
         if len(self._filter_cache) > self._filter_cache_cap:
             self._filter_cache.popitem(last=False)
-        return fset
+        return qset
 
     @staticmethod
     def _mask_member(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
@@ -805,7 +869,7 @@ class IndexReader:
         from .tokenize import tokenize_query
 
         kind, body = self.parse(query)
-        fset = self._filter_docs(filters)
+        fset = self._filter_docs(filters, lang)
         if kind == "all":
             # constant-score match-all (Solr q=*:* scores 1.0). Both arms
             # emit only the first k existing ids bucket-by-bucket — never an
@@ -852,7 +916,7 @@ class IndexReader:
             if not filters:
                 return int(self.n_docs)  # no doc-array materialization
             # filtered match-all: count bucket-by-bucket (O(bucket) peak)
-            return self._filter_docs(filters).count()
+            return self._filter_docs(filters, lang).count()
         return int(self._matching_docs(query, mode, lang=lang, filters=filters).size)
 
     # ------------------------------------------------------------------
@@ -912,7 +976,7 @@ class IndexReader:
         on its turn, so peak allocation is O(bucket)."""
         kind, _ = self.parse(query)
         if kind == "all":
-            fset = self._filter_docs(filters)
+            fset = self._filter_docs(filters, lang)
             for b in range(len(self._doc_offsets)):
                 c = int(self._doc_counts[b])
                 if c == 0:
@@ -947,7 +1011,7 @@ class IndexReader:
         from .tokenize import tokenize_query
 
         kind, body = self.parse(query)
-        fset = self._filter_docs(filters)
+        fset = self._filter_docs(filters, lang)
         if kind == "all":
             # offline/aux form — serving surfaces (facets/search_sorted/
             # match_count) go through _match_buckets and never hit this

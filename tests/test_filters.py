@@ -228,3 +228,69 @@ def test_selective_filter_bucket_locality(built_index):
     w = r.search(term, k=10, algorithm="wand", filters={"lang": "python"})
     e = r.search(term, k=10, algorithm="exhaustive", filters={"lang": "python"})
     assert w == e
+
+
+def test_query_valued_fq(built_index):
+    """fq can be a full QUERY over the analyzed field (Solr: every fq is a
+    query whose doc set lands in the filterCache; the reference UI's
+    target-text box issues fq=<lang>:"<phrase>", solrTestLib_v2.js:50-53).
+    The filtered ranking must equal the unfiltered ranking restricted to the
+    fq query's match set, with corpus-global BM25 (fq never re-weights)."""
+    from nexlt_ray.query import IndexReader
+
+    idx, manifest = built_index
+    r = IndexReader(idx)
+
+    fq_sets = [
+        "import",                 # term fq
+        '"the import"',           # phrase fq
+        ["buffer", "cache"],      # OR-of-queries fq
+    ]
+    for fq in fq_sets:
+        qs = [fq] if isinstance(fq, str) else fq
+        allowed = set()
+        for q in qs:
+            allowed |= set(r._matching_docs(q).tolist())
+        full = r.search("merge block data", k=r.n_docs, use_cache=False)
+        expect = [(d, s) for d, s in full if d in allowed][:10]
+        got = r.search(
+            "merge block data", k=10, filters={"content": fq}, use_cache=False
+        )
+        assert got == expect, fq
+        # WAND == exhaustive under the query-valued fq
+        e = r.search(
+            "merge block data", k=10, algorithm="exhaustive",
+            filters={"content": fq}, use_cache=False,
+        )
+        assert got == e, fq
+        # numFound composition
+        n = r.match_count("merge block data", filters={"content": fq})
+        base = set(r._matching_docs("merge block data").tolist())
+        assert n == len(base & allowed), fq
+
+    # match-all + content fq: the fq alone selects (the UI's default view
+    # composes q=*:* with fq filters)
+    n_all = r.match_count("*:*", filters={"content": '"the import"'})
+    assert n_all == r.match_count('"the import"')
+
+    # compose content fq with a meta filter (AND across fields)
+    did, meta = _doc_meta(idx, manifest, ["lang"])
+    langs = dict(zip(did.tolist(), meta["lang"].to_pylist()))
+    allowed = {
+        d for d in r._matching_docs("import").tolist()
+        if langs[d] == "python"
+    }
+    got = r.search(
+        "merge", k=r.n_docs,
+        filters={"content": "import", "lang": "python"}, use_cache=False,
+    )
+    assert {d for d, _ in got} <= allowed
+    n = r.match_count("*:*", filters={"content": "import", "lang": "python"})
+    assert n == len(allowed)
+
+    # facets under a content fq stream per bucket and match a manual count
+    fac = r.facets("*:*", ["lang"], filters={"content": "import"})["lang"]
+    manual: dict[str, int] = {}
+    for d in r._matching_docs("import").tolist():
+        manual[langs[d]] = manual.get(langs[d], 0) + 1
+    assert dict(fac) == manual
