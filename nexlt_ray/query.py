@@ -633,6 +633,69 @@ class IndexReader:
         order = np.argsort(np.asarray(tbl["doc_id"]))
         return tbl.take(pa.array(order))
 
+    def get(
+        self, ids: list[str], columns: list[str] | None = None
+    ) -> pa.Table:
+        """RealTimeGet analog (reference /get handler, solrconfig.xml:915;
+        uniqueKey = the content hash, schema.xml:1030-1033): fetch stored
+        fields by content_sha256. The docstore is sha-range partitioned AND
+        sha-sorted within each bucket (BucketWriter), so each id resolves
+        with one bucket probe + binary search — no scan, no index lookup."""
+        columns = columns or ["repo", "path", "commit", "lang", "content"]
+        cfg = self.manifest["config"]
+        nb = int(cfg["num_doc_buckets"])
+        by_bucket: dict[int, list[str]] = {}
+        for s in ids:
+            b = (int(s[:8], 16) * nb) >> 32
+            by_bucket.setdefault(b, []).append(s)
+        out = []
+        for b, shas in sorted(by_bucket.items()):
+            path = self._docstore_path(b)
+            if not os.path.exists(path):
+                continue
+            t = pq.read_table(
+                path,
+                columns=["doc_bucket", "local_rank", "content_sha256"]
+                + [c for c in columns if c != "content_sha256"],
+            )
+            col = np.asarray(t["content_sha256"].to_pylist(), dtype="U64")
+            want = np.asarray(sorted(set(shas)), dtype="U64")
+            idx = np.searchsorted(col, want)
+            safe = np.minimum(idx, col.size - 1)
+            hit = (idx < col.size) & (col[safe] == want)
+            if hit.any():
+                out.append(t.take(pa.array(safe[hit])))
+        if not out:
+            return pa.table({})
+        tbl = pa.concat_tables(out)
+        doc_id = (
+            self._doc_offsets[np.asarray(tbl["doc_bucket"])]
+            + np.asarray(tbl["local_rank"])
+        )
+        tbl = tbl.drop_columns(["doc_bucket", "local_rank"]).add_column(
+            0, "doc_id", pa.array(doc_id, pa.int64())
+        )
+        return tbl.take(pa.array(np.argsort(np.asarray(tbl["doc_id"]))))
+
+    def analyze(
+        self, text: str, lang: str | None = None, query_time: bool = False
+    ) -> list[tuple[str, int]]:
+        """Field-analysis introspection (reference /analysis/field handler,
+        solrconfig.xml:987): (token, position) pairs the index/query chain
+        emits for `text` under this index's profile routing."""
+        from .tokenize import tokenize_batch
+
+        tb = tokenize_batch(
+            [text],
+            profile=self._query_profile(lang),
+            with_overlaps=not query_time,
+            protected=self.protected,
+        )
+        order = np.lexsort((tb.terms.astype("U"), tb.positions))
+        return [
+            (str(tb.terms[i]), int(tb.positions[i])) for i in order
+        ]
+
     # ------------------------------------------------------------------
     # scoring helpers
     # ------------------------------------------------------------------

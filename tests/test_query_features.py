@@ -146,3 +146,37 @@ def test_protected_words_skip_stemming(ray_session, small_corpus_path, tmp_path)
     # protected term indexed unstemmed; query analyzer protects it too
     assert r.match_count("motoring") == 2
     assert r.match_count("motor") == 0
+
+
+def test_realtime_get_and_analysis(built_index):
+    """RealTimeGet analog (/get, solrconfig.xml:915): fetch stored fields by
+    uniqueKey (content sha) with one bucket probe; /analysis/field analog
+    returns the chain's (token, position) stream."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from nexlt_ray.query import IndexReader
+
+    idx, manifest = built_index
+    r = IndexReader(idx)
+    store = pq_.read_table(
+        os.path.join(idx, "docstore"),
+        columns=["content_sha256", "content", "repo"],
+    )
+    shas = store["content_sha256"].to_pylist()
+    want = [shas[0], shas[len(shas) // 2], shas[-1]]
+    got = r.get(want, columns=["content", "repo", "content_sha256"])
+    assert set(got["content_sha256"].to_pylist()) == set(want)
+    by_sha = dict(zip(shas, store["content"].to_pylist()))
+    for s, c in zip(got["content_sha256"].to_pylist(), got["content"].to_pylist()):
+        assert by_sha[s] == c
+    # unknown id -> simply absent
+    missing = "f" * 64
+    got2 = r.get([want[0], missing])
+    assert got2.num_rows == 1
+    # analysis handler: index chain has overlaps, query chain doesn't
+    toks = r.analyze("Wi-Fi driver")
+    assert ("wifi", 0) in toks and ("wi", 0) in toks and ("fi", 1) in toks
+    qtoks = r.analyze("Wi-Fi driver", query_time=True)
+    assert ("wifi", 0) not in qtoks and ("wi", 0) in qtoks
