@@ -643,15 +643,31 @@ class PartialIndexer:
         dl_np, dl_pa = (
             (np.int32, pa.int32()) if rbits <= 31 else (np.int64, pa.int64())
         )
+        # disk mode: tf/position columns narrow to uint16 when the batch's
+        # values fit (the reference caps segments at 5000 chars,
+        # parseJSON.pl:313, so positions are small; pathological batches
+        # fall back to int32 and the merge concat promotes). The position
+        # stream is the largest partials column — halving it halves the
+        # encode leg's dominant decompress+gather traffic. Sort mode keeps
+        # the fixed int32 schema (groupby requires stable block schemas).
+        dynamic = self.partials_dir is not None
+        if dynamic and (tf.size == 0 or int(tf.max()) < 65536):
+            tf_arr, tf_pa = tf.astype(np.uint16), pa.uint16()
+        else:
+            tf_arr, tf_pa = tf, pa.int32()
+        if dynamic and (pp.size == 0 or int(pp.max()) < 65536):
+            pp_arr, pp_pa = pp.astype(np.uint16), pa.uint16()
+        else:
+            pp_arr, pp_pa = pp.astype(np.int32), pa.int32()
         out = pa.table(
             {
                 "term_bucket": pa.array(tbuckets, pa.int32()),
                 "term": pa.array(terms_str.astype("U"), pa.string()),
                 "range_bucket": pa.array(row_rb, pa.int64()),
                 "doc_local": list_arr(post_offsets, p_dl.astype(dl_np), dl_pa),
-                "tfs": list_arr(post_offsets, tf, pa.int32()),
+                "tfs": list_arr(post_offsets, tf_arr, tf_pa),
                 "norms": list_arr(post_offsets, p_norm.astype(np.uint8), pa.uint8()),
-                "pos_flat": list_arr(tok_offsets, pp.astype(np.int32), pa.int32()),
+                "pos_flat": list_arr(tok_offsets, pp_arr, pp_pa),
             }
         )
         if self.partials_dir is None:
@@ -701,7 +717,9 @@ class PartialIndexer:
             )
             atomic_write_parquet(
                 path,
-                pa.concat_tables(parts).combine_chunks(),
+                pa.concat_tables(
+                    parts, promote_options="permissive"
+                ).combine_chunks(),
                 compression=self.cfg.exchange_compression,
             )
         self._pending.clear()
@@ -803,7 +821,8 @@ class SegmentWriter:
                     use_threads=False
                 )
                 for f in files
-            ]
+            ],
+            promote_options="permissive",  # mixed uint16/int32 tf/pos parts
         )
         if tbl.num_rows == 0:
             return
@@ -990,7 +1009,7 @@ class SegmentWriter:
         post_rb = np.repeat(rb_inv.astype(np.int64), npost_per_row)
         # pos_start per posting within pos_vals: row pos offset + cumsum of tfs
         # within the row
-        tf_shift = np.concatenate(([0], np.cumsum(tf_vals)[:-1]))
+        tf_shift = np.concatenate(([0], np.cumsum(tf_vals, dtype=np.int64)[:-1]))
         row_of_post = np.repeat(np.arange(len(group), dtype=np.int64), npost_per_row)
         row_first_post = np.concatenate(([0], np.cumsum(npost_per_row)[:-1]))
         pos_start = (
