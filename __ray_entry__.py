@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": P.customers_without_orders,
         # similarity search
         "embedding_topk": P.embedding_topk,
+        "cosine_dup_pairs": P.cosine_dup_pairs,
         "ann_lsh_topk": P.ann_lsh_topk,
         "ann_ivf_topk": P.ann_ivf_topk,
         # flagship engine (Lucene-exact scoring; oracle = pytest rank-identity)
@@ -449,5 +450,13 @@ sims AS (
 )
 SELECT qid, vec_id, sim_e6 FROM sims
 QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, vec_id) <= 10
+""",
+        "cosine_dup_pairs": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(round(list_cosine_similarity(
+           a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000) AS BIGINT)
+           AS sim_e6
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
 """,
     }

@@ -1342,6 +1342,27 @@ def embedding_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def cosine_dup_pairs(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-dup pairs, EXACT: every unordered pair with
+    cosine >= 0.45 via blocked all-pairs matmul
+    (similarity.exact_cosine_pairs — B*(B+1)/2 chunk-pair tasks over
+    object-store chunks, no LSH recall caveat). Oracle: DuckDB self-join
+    with list_cosine_similarity on DOUBLE[]. Driver holds only the pair
+    result (bounded by the match count)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    out = sim_ops.exact_cosine_pairs(ds, tau=0.45).to_pandas()
+    return pa.table(
+        {
+            "vec_a": pa.array(out["vec_a"], pa.int64()),
+            "vec_b": pa.array(out["vec_b"], pa.int64()),
+            "sim_e6": pa.array(np.round(out["sim"].to_numpy() * 1e6).astype(np.int64)),
+        }
+    )
+
+
 def ann_ivf_topk(sf_dir: str) -> pa.Table:
     """IVF-quantized ANN variant of embedding_topk (k-means coarse cells,
     n_probe nearest cells scored) — the classic 100 TB path; recall vs brute

@@ -207,6 +207,104 @@ def cosine_near_dup_pairs(ds, tau: float = 0.95, nbits: int = 8, concurrency: in
 
 
 # ---------------------------------------------------------------------------
+# exact cosine similarity join — blocked all-pairs matmul
+# ---------------------------------------------------------------------------
+
+
+def _normalize_block(batch: pa.Table) -> pa.Table:
+    """vec_id + unit-normalized embedding as list<double> (float64 so the
+    downstream dot products match DuckDB's double cosine exactly)."""
+    m = _normalize(_matrix_of(batch))
+    n, dim = m.shape
+    emb = pa.ListArray.from_arrays(
+        pa.array(np.arange(n + 1, dtype=np.int32) * dim),
+        pa.array(m.reshape(-1), pa.float64()),
+    )
+    return pa.table(
+        {"vec_id": pa.array(np.asarray(batch["vec_id"], dtype=np.int64)), "nemb": emb}
+    )
+
+
+def exact_cosine_pairs(ds, tau: float, target_chunk_rows: int = 8192):
+    """EXACT embedding similarity join: every pair with cosine >= tau.
+
+    The cross-product of row chunks (every chunk meets every other chunk
+    exactly once) is the one shape the Dataset API cannot express, so this
+    drops to raw Ray tasks over the normalized chunks: each chunk's blocks
+    sit in the object store once and each of the B*(B+1)/2 (i, j) tasks
+    reads exactly two chunks — no per-pair reshipping, no driver data path
+    (the driver holds only object refs; results come back as a Dataset via
+    from_arrow_refs). Work per task is a bounded
+    target_chunk_rows x target_chunk_rows float64 matmul; at cluster scale
+    the quadratic task set spreads across nodes and the object store
+    spills cold chunks. Unlike cosine_near_dup_pairs (LSH-bucketed, misses
+    cross-bucket pairs) this is exact — it backs the DuckDB-oracled
+    cosine_dup_pairs query."""
+    import ray
+    import ray.data as ray_data
+
+    mat = ds.map_batches(_normalize_block, batch_format="pyarrow").materialize()
+    chunks: list[list] = []
+    cur: list = []
+    cur_rows = 0
+    for bundle in mat.iter_internal_ref_bundles():
+        cur.extend(bundle.block_refs)
+        cur_rows += bundle.num_rows() or 0
+        if cur_rows >= target_chunk_rows:
+            chunks.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        chunks.append(cur)
+    if not chunks:
+        return ray_data.from_arrow(
+            pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    @ray.remote
+    def chunk_pairs(tau: float, refs_a: list, refs_b: list | None) -> pa.Table:
+        ta = pa.concat_tables(ray.get(list(refs_a)))
+        ma = _matrix_of(ta, "nemb")
+        ia = np.asarray(ta["vec_id"], dtype=np.int64)
+        if refs_b is None:  # within-chunk
+            sims = ma @ ma.T
+            ib = ia
+        else:
+            tb = pa.concat_tables(ray.get(list(refs_b)))
+            mb = _matrix_of(tb, "nemb")
+            ib = np.asarray(tb["vec_id"], dtype=np.int64)
+            sims = ma @ mb.T
+        # nonzero on the (sparse) hit mask — never materializes the dense
+        # pair-index arrays, only the matches
+        a, b = np.nonzero(sims >= tau)
+        if refs_b is None:
+            upper = a < b  # each unordered pair once, no self-pairs
+            a, b = a[upper], b[upper]
+        s = sims[a, b]
+        va, vb = ia[a], ib[b]
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        return pa.table(
+            {
+                "vec_a": pa.array(lo, pa.int64()),
+                "vec_b": pa.array(hi, pa.int64()),
+                "sim": pa.array(s, pa.float64()),
+            }
+        )
+
+    refs = []
+    for i in range(len(chunks)):
+        refs.append(chunk_pairs.remote(tau, chunks[i], None))
+        for j in range(i + 1, len(chunks)):
+            refs.append(chunk_pairs.remote(tau, chunks[i], chunks[j]))
+    return ray_data.from_arrow_refs(refs)
+
+
+# ---------------------------------------------------------------------------
 # IVF-bucketed ANN (k-means coarse quantizer) — the classic scale path
 # ---------------------------------------------------------------------------
 

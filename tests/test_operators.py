@@ -268,6 +268,29 @@ def test_cosine_near_dup(ray_session):
     assert [7, 100] in pairs[["vec_a", "vec_b"]].values.tolist()
 
 
+def test_exact_cosine_pairs_multichunk(ray_session):
+    """exact_cosine_pairs == brute-force numpy pair set, including pairs that
+    span chunks (tiny target_chunk_rows forces the cross-chunk task path)."""
+    import ray.data
+
+    t, m = _rand_embeddings(150, 16)
+    # the table stores float32; expected values go through the same roundtrip
+    n = m.astype(np.float32).astype(np.float64)
+    n = n / np.linalg.norm(n, axis=1, keepdims=True)
+    sims = n @ n.T
+    a, b = np.nonzero(sims >= 0.5)
+    expect = sorted((int(x), int(y)) for x, y in zip(a, b) if x < y)
+    assert expect, "fixture must contain at least one qualifying pair"
+    got = S.exact_cosine_pairs(
+        ray.data.from_arrow(t).repartition(8), tau=0.5, target_chunk_rows=20
+    ).to_pandas()
+    got_pairs = sorted(map(tuple, got[["vec_a", "vec_b"]].values.tolist()))
+    assert got_pairs == expect
+    # values match numpy float64 cosine bit-for-bit
+    for (va, vb), s in zip(got_pairs, got.sort_values(["vec_a", "vec_b"])["sim"]):
+        assert s == sims[va, vb]
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
