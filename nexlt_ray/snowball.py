@@ -1610,3 +1610,185 @@ def arabic_stem(word: str) -> str:
         if w.endswith(s) and len(w) - len(s) >= 2:
             w = w[: -len(s)]
     return w
+
+
+# ---------------------------------------------------------------------------
+# Romanian  (reference chain: SnowballPorterFilter language="Romanian",
+# schema.xml text_ro). Implemented from the published Snowball Romanian
+# description: steps 0 (plurals), 1 (combining suffixes, repeated),
+# 2 (standard suffixes) and 4 (final vowel) follow the spec's suffix
+# classes; step 3 (verb suffixes) covers the productive verb families
+# (infinitive/gerund/ez/esc groups with the consonant-or-u guard, person/
+# perfect endings unconditionally) rather than the spec's exhaustive verb
+# list.
+# ---------------------------------------------------------------------------
+
+_RO_VOWELS = "aăâeiîou"
+
+
+def _ro_rv(lw: str) -> int:
+    return _es_like_rv(lw, _RO_VOWELS)
+
+
+# step-0 plural suffixes: (suffix, replacement) longest-first
+_RO_STEP0 = (
+    ("iilor", "i"), ("ului", ""), ("elor", "e"), ("ilor", "i"),
+    ("iile", "i"), ("aua", "a"), ("ele", "e"), ("iua", "i"),
+    ("iei", "i"), ("atei", "at"), ("aţie", "aţi"), ("aţia", "aţi"),
+    ("ile", "i"), ("ii", "i"), ("ul", ""), ("ea", "e"),
+)
+
+# step-1 combining suffixes: (suffix, replacement)
+_RO_STEP1 = (
+    ("abilitate", "abil"), ("abilitati", "abil"), ("abilităi", "abil"),
+    ("abilităţi", "abil"), ("ibilitate", "ibil"),
+    ("ivitate", "iv"), ("ivitati", "iv"), ("ivităi", "iv"), ("ivităţi", "iv"),
+    ("icitate", "ic"), ("icitati", "ic"), ("icităi", "ic"), ("icităţi", "ic"),
+    ("icator", "ic"), ("icatori", "ic"),
+    ("iciv", "ic"), ("iciva", "ic"), ("icive", "ic"), ("icivi", "ic"),
+    ("icivă", "ic"),
+    ("ical", "ic"), ("icala", "ic"), ("icale", "ic"), ("icali", "ic"),
+    ("icală", "ic"),
+    ("ativ", "at"), ("ativa", "at"), ("ative", "at"), ("ativi", "at"),
+    ("ativă", "at"), ("aţiune", "at"),
+    ("atoare", "at"), ("ator", "at"), ("atori", "at"),
+    ("ătoare", "at"), ("ător", "at"), ("ători", "at"),
+    ("itiv", "it"), ("itiva", "it"), ("itive", "it"), ("itivi", "it"),
+    ("itivă", "it"), ("iţiune", "it"),
+    ("itoare", "it"), ("itor", "it"), ("itori", "it"),
+)
+
+_RO_STEP2_DELETE = (
+    "abilă", "abili", "abile", "abila", "abil",
+    "ibilă", "ibili", "ibile", "ibila", "ibil",
+    "atori", "ator", "itate", "itati", "ităţi", "ităi",
+    "oasă", "oasa", "oase", "anta", "ante", "anti", "antă", "ant",
+    "ată", "ata", "ati", "ate", "at",
+    "ută", "uta", "uti", "ute", "ut",
+    "ită", "ita", "iti", "ite", "it",
+    "ică", "ica", "ici", "ice", "ic",
+    "oşi", "osi", "os",
+    "ivă", "iva", "ivi", "ive", "iv",
+)
+
+_RO_STEP2_IST = ("işti", "istă", "iste", "isti", "ista", "isme", "ism", "ist")
+
+# step-3 verb families (approximation of the spec's verb-suffix list)
+_RO_VERB_COND = (  # delete if preceded in RV by consonant or u
+    "ească", "ându", "indu", "ează", "eşti", "eşte", "ăşti", "ăşte",
+    "are", "ere", "ire", "âre", "ind", "ând", "eze", "ezi", "esc", "ez",
+    "ască", "asc",
+)
+_RO_VERB_UNCOND = (  # person/tense endings: delete if in RV
+    "aserăţi", "iserăţi", "âserăţi", "userăţi",
+    "aserăm", "iserăm", "âserăm", "userăm",
+    "aseră", "iseră", "âseră", "useră",
+    "aseşi", "iseşi", "âseşi", "useşi",
+    "asem", "isem", "âsem", "usem",
+    "ase", "ise", "âse", "use",
+    "arăţi", "irăţi", "ârăţi", "urăţi",
+    "arăm", "irăm", "ârăm", "urăm",
+    "ară", "iră", "âră", "ură",
+    "aţi", "eţi", "iţi", "âţi", "ăm", "em", "im", "âm",
+    "eau", "eai", "iau", "iai", "au", "ai",
+)
+
+
+def romanian_stem(word: str) -> str:
+    w = word.lower()
+    # cedilla/comma-below folding: the spec works on ş/ţ
+    w = w.replace("ș", "ş").replace("ț", "ţ")
+    # u, i between vowels are consonants (upper-case marker)
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "ui" and chars[i - 1] in _RO_VOWELS and chars[i + 1] in _RO_VOWELS:
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+    lw = w.lower()
+    r1, r2 = _r1_r2(lw, _RO_VOWELS)
+    rv = _ro_rv(lw)
+
+    def in_r1(i):
+        return i >= r1
+
+    def in_r2(i):
+        return i >= r2
+
+    def in_rv(i):
+        return i >= rv
+
+    # step 0: plurals (longest match, in R1)
+    best = None
+    for suf, rep in _RO_STEP0:
+        if lw.endswith(suf) and in_r1(len(lw) - len(suf)):
+            if best is None or len(suf) > len(best[0]):
+                best = (suf, rep)
+    if best:
+        suf, rep = best
+        if suf == "ile" and lw.endswith("abile"):
+            pass  # "ile" not removed when preceded by "ab"
+        else:
+            w = w[: -len(suf)] + rep
+            lw = w.lower()
+
+    # step 1: combining suffixes, repeat until nothing applies (in R1)
+    step12_removed = False
+    while True:
+        best = None
+        for suf, rep in _RO_STEP1:
+            if lw.endswith(suf) and in_r1(len(lw) - len(suf)):
+                if best is None or len(suf) > len(best[0]):
+                    best = (suf, rep)
+        if not best:
+            break
+        suf, rep = best
+        w = w[: -len(suf)] + rep
+        lw = w.lower()
+        step12_removed = True
+
+    # step 2: standard suffixes (longest match, in R2)
+    best = None
+    for suf in _RO_STEP2_DELETE:
+        if lw.endswith(suf) and in_r2(len(lw) - len(suf)):
+            if best is None or len(suf) > len(best):
+                best = suf
+    for suf in _RO_STEP2_IST:
+        if lw.endswith(suf) and in_r2(len(lw) - len(suf)):
+            if best is None or len(suf) > len(best):
+                best = suf
+    if best:
+        if best in _RO_STEP2_IST:
+            w = w[: -len(best)] + "ist"
+        else:
+            w = w[: -len(best)]
+        lw = w.lower()
+        step12_removed = True
+    elif lw.endswith(("iune", "iuni")) and in_r2(len(lw) - 4) and \
+            len(lw) > 4 and lw[-5] == "ţ":
+        w = w[:-5] + "t"
+        lw = w.lower()
+        step12_removed = True
+
+    # step 3: verb suffixes — only when steps 1-2 removed nothing
+    if not step12_removed:
+        best = None
+        for suf in _RO_VERB_COND:
+            if lw.endswith(suf) and in_rv(len(lw) - len(suf)):
+                j = len(lw) - len(suf) - 1
+                if j >= rv and (lw[j] not in _RO_VOWELS or lw[j] == "u"):
+                    if best is None or len(suf) > len(best):
+                        best = suf
+        for suf in _RO_VERB_UNCOND:
+            if lw.endswith(suf) and in_rv(len(lw) - len(suf)):
+                if best is None or len(suf) > len(best):
+                    best = suf
+        if best:
+            w = w[: -len(best)]
+            lw = w.lower()
+
+    # step 4: final vowel (longest of ie/a/e/i/ă, in RV)
+    for suf in ("ie", "a", "e", "i", "ă"):
+        if lw.endswith(suf) and in_rv(len(lw) - len(suf)):
+            w = w[: -len(suf)]
+            break
+    return w.lower()

@@ -64,9 +64,21 @@ from .snowball import (
     italian_stem,
     norwegian_stem,
     portuguese_stem,
+    romanian_stem,
     russian_stem,
     spanish_stem,
     swedish_stem,
+)
+from .stemmers_light import (
+    bulgarian_stem,
+    czech_stem,
+    greek_stem,
+    hindi_stem,
+    hungarian_stem,
+    indonesian_stem,
+    latvian_stem,
+    persian_normalize,
+    turkish_stem,
 )
 
 PROFILES = (
@@ -74,6 +86,8 @@ PROFILES = (
     "text_de", "text_fr", "text_es", "text_it", "text_pt", "text_nl",
     "text_ru", "text_sv", "text_no", "text_da", "text_fi", "text_ja",
     "text_ar",
+    "text_ro", "text_hu", "text_tr", "text_cz", "text_el", "text_bg",
+    "text_hi", "text_fa", "text_id", "text_lv",
 )
 
 # Snowball chains (reference: one SnowballPorterFilter chain per language,
@@ -93,6 +107,19 @@ _LANG_STEMMERS = {
     "text_da": danish_stem,
     "text_fi": finnish_stem,
     "text_ar": arabic_stem,  # Lucene ArabicNormalization+Larkey light, not Snowball
+    "text_ro": romanian_stem,  # Snowball Romanian (verb step approximated)
+    # light chains (stemmers_light.py; same documented-analog precedent as
+    # text_ar — the reference declares the corresponding Lucene filters,
+    # schema.xml text_hu/tr/cz/el/bg/hi/fa/id/lv)
+    "text_hu": hungarian_stem,
+    "text_tr": turkish_stem,
+    "text_cz": czech_stem,
+    "text_el": greek_stem,
+    "text_bg": bulgarian_stem,
+    "text_hi": hindi_stem,
+    "text_fa": persian_normalize,  # normalization-only chain (no fa stemmer)
+    "text_id": indonesian_stem,
+    "text_lv": latvian_stem,
 }
 
 # per-language analyzer routing (the reference declares one analyzed field
@@ -119,6 +146,16 @@ LANG_PROFILES: dict[str, str] = {
     "dan": "text_da", "da": "text_da",
     "fin": "text_fi", "fi": "text_fi",
     "ara": "text_ar", "arb": "text_ar", "ar": "text_ar",
+    "ron": "text_ro", "rum": "text_ro", "ro": "text_ro",
+    "hun": "text_hu", "hu": "text_hu",
+    "tur": "text_tr", "tr": "text_tr",
+    "ces": "text_cz", "cze": "text_cz", "cs": "text_cz", "csy": "text_cz",
+    "ell": "text_el", "gre": "text_el", "el": "text_el",
+    "bul": "text_bg", "bg": "text_bg",
+    "hin": "text_hi", "hi": "text_hi",
+    "fas": "text_fa", "per": "text_fa", "fa": "text_fa",
+    "ind": "text_id", "id": "text_id",
+    "lav": "text_lv", "lv": "text_lv",
 }
 
 
@@ -372,6 +409,29 @@ _FR_ELISION = (
 )
 
 
+def _stemmed_lang_parts(filtered: pa.Array, profile: str):
+    """Shared split for the stemmed-language chains — ONE definition so the
+    full tokenizer and doc_token_lengths can never disagree on counts.
+    French adds elision; Turkish folds dotted/dotless i BEFORE the generic
+    lowercase (utf8_lower maps İ->i+combining-dot, I->i). \\p{M} keeps
+    combining marks inside tokens (Devanagari vowel signs / nukta, Arabic
+    diacritics) — the per-language normalizers fold or drop them after the
+    split."""
+    if profile == "text_fr":
+        # ElisionFilter analog (reference French chain): l'avion -> avion
+        filtered = pc.replace_substring_regex(
+            filtered, pattern=_FR_ELISION, replacement=" "
+        )
+    if profile == "text_tr":
+        filtered = pc.replace_substring(filtered, "İ", "i")
+        filtered = pc.replace_substring(filtered, "I", "ı")
+    lower = pc.utf8_lower(filtered)
+    parts = pc.split_pattern_regex(lower, pattern=r"[^\p{L}\p{N}\p{M}]+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    return parts
+
+
 def _tokenize_stemmed_lang(
     arr: pa.Array, n_docs: int, profile: str, protected: frozenset[str]
 ) -> TokenizedBatch:
@@ -380,15 +440,7 @@ def _tokenize_stemmed_lang(
     over deduped tokens. Same chain at query time (no catenation step)."""
     stem = _LANG_STEMMERS[profile]
     filtered = char_filter(arr)
-    if profile == "text_fr":
-        # ElisionFilter analog (reference French chain): l'avion -> avion
-        filtered = pc.replace_substring_regex(
-            filtered, pattern=_FR_ELISION, replacement=" "
-        )
-    lower = pc.utf8_lower(filtered)
-    parts = pc.split_pattern_regex(lower, pattern=r"[^\p{L}\p{N}]+")
-    if isinstance(parts, pa.ChunkedArray):
-        parts = parts.combine_chunks()
+    parts = _stemmed_lang_parts(filtered, profile)
     nonempty = pc.greater(pc.utf8_length(parts.values), 0)
     keep = nonempty.to_numpy(zero_copy_only=False).astype(bool)
     flat = parts.values.to_numpy(zero_copy_only=False)[keep]
@@ -798,14 +850,7 @@ def doc_token_lengths(texts, profile: str = "code") -> np.ndarray:
         return tokenize_batch(arr, profile=profile).doc_len
     if profile == "simple" or profile in _LANG_STEMMERS:
         if profile in _LANG_STEMMERS:
-            filtered = char_filter(arr)
-            if profile == "text_fr":
-                filtered = pc.replace_substring_regex(
-                    filtered, pattern=_FR_ELISION, replacement=" "
-                )
-            parts = pc.split_pattern_regex(
-                pc.utf8_lower(filtered), pattern=r"[^\p{L}\p{N}]+"
-            )
+            parts = _stemmed_lang_parts(char_filter(arr), profile)
         else:
             parts = pc.split_pattern_regex(
                 pc.utf8_lower(arr), pattern="[^a-z0-9]+"

@@ -437,3 +437,116 @@ def test_arabic_chain(ray_session, tmp_path):
         exp = [(d, float(np.float32(s))) for d, s in o.search(q, k=10, lang="ara")]
         assert got == exp, q
         assert got, q  # normalization conflates query form with corpus form
+
+
+def test_light_chain_units():
+    """Round-3 tranche (schema.xml text_ro/hu/tr/cz/el/bg/hi/fa/id/lv):
+    each chain conflates inflected forms to one stem."""
+    from nexlt_ray.snowball import romanian_stem
+    from nexlt_ray.stemmers_light import (
+        bulgarian_stem, czech_stem, greek_stem, hindi_stem, hungarian_stem,
+        indonesian_stem, latvian_stem, persian_normalize, turkish_stem,
+    )
+
+    # Romanian (Snowball): noun + article forms conflate
+    assert romanian_stem("românul") == romanian_stem("românii") == \
+        romanian_stem("români") == "român"
+    assert romanian_stem("lucrez") == romanian_stem("lucrează") == \
+        romanian_stem("lucrare") == "lucr"
+    assert romanian_stem("abilităţi") == romanian_stem("abilitate") == "abil"
+    # Hungarian: case / plural / possessive strip
+    assert hungarian_stem("házakban") == hungarian_stem("házak") == \
+        hungarian_stem("ház") == "ház"
+    assert hungarian_stem("könyveket") == hungarian_stem("könyvek") == "könyv"
+    # Turkish: lowercase folding + plural/possessive/case
+    assert turkish_stem("İstanbul") == "istanbul"
+    assert turkish_stem("evlerimizden") == turkish_stem("evler") == \
+        turkish_stem("ev") == "ev"
+    assert turkish_stem("kitaplar") == turkish_stem("kitap") == "kitap"
+    # Czech: case endings + palatalization unwind
+    assert czech_stem("ženami") == czech_stem("ženy") == czech_stem("žena")
+    assert czech_stem("městech") == czech_stem("město")
+    # Greek: accent fold, final sigma, ending strip
+    assert greek_stem("Ελληνικός") == greek_stem("ελληνικη") == "ελληνικ"
+    assert greek_stem("γλώσσας") == greek_stem("γλωσσα")
+    # Bulgarian: definite article + plural
+    assert bulgarian_stem("градовете") == bulgarian_stem("град") == "град"
+    assert bulgarian_stem("книгата") == bulgarian_stem("книга")
+    # Hindi: nukta fold + suffix strip
+    assert hindi_stem("लड़कियाँ") == hindi_stem("लड़की")
+    assert hindi_stem("किताबों") == hindi_stem("किताब")
+    # Persian: Arabic-script normalization (ي->ی, ك->ک)
+    assert persian_normalize("كتاب") == "کتاب"
+    assert persian_normalize("فارسي") == "فارسی"
+    # Indonesian: prefix + suffix + enclitic
+    assert indonesian_stem("membacakan") == indonesian_stem("membaca") == \
+        indonesian_stem("baca") == "baca"
+    assert indonesian_stem("bukunya") == indonesian_stem("buku") == "buku"
+    # Latvian: declension endings
+    assert latvian_stem("grāmatas") == latvian_stem("grāmata") == "grāmat"
+    assert latvian_stem("latviešiem") == latvian_stem("latvieši")
+
+
+def test_light_chain_rank_identity(ray_session, tmp_path):
+    """Round-3 language tranche end-to-end: auto-profile routing + WAND ==
+    oracle (same discipline as the earlier shipped chains)."""
+    import pyarrow.parquet as pq_
+
+    from nexlt_ray.build import BuildConfig, build_index
+    from nexlt_ray.oracle import OracleIndex
+    from nexlt_ray.query import IndexReader
+
+    fixtures = [
+        ("ron", "românii lucrează împreună {} ore"),
+        ("hun", "a házakban könyveket olvasnak {} órán"),
+        ("tur", "evlerimizden kitaplar aldık {} kere"),
+        ("ces", "ženami ve městech pracují {} hodin"),
+        ("ell", "η γλώσσας των ανθρώπων {} ώρες"),
+        ("bul", "градовете и книгата растат {} часа"),
+        ("hin", "लड़कियाँ किताबों पढ़ती हैं {}"),
+        ("fas", "كتاب فارسي خواندن {}"),
+        ("ind", "membacakan bukunya bersama {} jam"),
+        ("lav", "grāmatas latviešiem valodā {} stundas"),
+    ]
+    rows = [
+        (lang, tpl.format(i % 4))
+        for i in range(200)
+        for lang, tpl in [fixtures[i % len(fixtures)]]
+    ]
+    t = pa.table(
+        {
+            "repo": pa.array([f"org{i%2}/r" for i in range(len(rows))]),
+            "path": pa.array([f"f{i}.txt" for i in range(len(rows))]),
+            "commit": pa.array(["c" * 40] * len(rows)),
+            "lang": pa.array([l for l, _ in rows]),
+            "content": pa.array([c for _, c in rows]),
+        }
+    )
+    src = str(tmp_path / "light.parquet")
+    pq_.write_table(t, src)
+    idx = str(tmp_path / "idx_light")
+    m = build_index(src, idx, BuildConfig(profile="auto", num_doc_buckets=4,
+                                          num_term_buckets=2))
+    r = IndexReader(idx)
+    meta = pq_.read_table(f"{idx}/docstore")
+    did = (
+        np.asarray(m["doc_offsets"])[np.asarray(meta["doc_bucket"])]
+        + np.asarray(meta["local_rank"])
+    )
+    o = OracleIndex(
+        list(zip(did.tolist(), meta["content"].to_pylist())),
+        profile="auto",
+        langs=meta["lang"].to_pylist(),
+    )
+    cases = [
+        ("românul lucrare", "ron"), ("ház könyv", "hun"),
+        ("ev kitap", "tur"), ("žena město", "ces"),
+        ("γλώσσα άνθρωπος", "ell"), ("град книга", "bul"),
+        ("लड़की किताब", "hin"), ("کتاب فارسی", "fas"),
+        ("baca buku", "ind"), ("grāmata latvieši", "lav"),
+    ]
+    for q, lang in cases:
+        got = r.search(q, k=10, lang=lang)
+        exp = [(d_, float(np.float32(s_))) for d_, s_ in o.search(q, k=10, lang=lang)]
+        assert got == exp, (q, lang)
+        assert got, (q, lang)  # stemming conflates: inflection-mismatched hits
