@@ -383,3 +383,120 @@ def latvian_stem(word: str) -> str:
             if sum(1 for c in stem if c in vowels) >= 1 and len(stem) >= 3:
                 return stem
     return w
+
+
+# ---------------------------------------------------------------------------
+# Final tranche — light analogs for the remaining schema chains
+# (schema.xml text_ca/gl/eu/hy/sk/he/vi): same documented-analog precedent.
+# ---------------------------------------------------------------------------
+
+_CA_ENDINGS = (
+    "aments", "ament", "acions", "ació", "adors", "adora", "ador",
+    "ances", "ança", "ismes", "isme", "istes", "ista", "itats", "itat",
+    "eries", "eria", "ables", "able", "ibles", "ible",
+    "osos", "oses", "osa", "ós",
+    "es", "os", "is", "s", "a", "e", "í", "ó",
+)
+
+
+def catalan_stem(word: str) -> str:
+    """Light analog of Snowball Catalan: longest derivational/plural ending
+    with a 3-char minimum stem (elision is handled as a chain pre-filter,
+    like French)."""
+    w = word.lower()
+    for suf in _CA_ENDINGS:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)]
+    return w
+
+
+_GL_ENDINGS = (
+    "aciones", "acións", "ación", "amentos", "amento", "adoiras", "adoira",
+    "adores", "adora", "ador", "ables", "able", "ismos", "ismo",
+    "istas", "ista", "ezas", "eza", "osas", "osa", "osos", "oso",
+    "eiras", "eira", "eiros", "eiro",
+    "ns", "es", "as", "os", "s", "a", "e", "o",
+)
+
+
+def galician_stem(word: str) -> str:
+    """Light analog of the Lucene Galician (RSLP-derived) stemmer: plural
+    -ns/-s fold and longest derivational ending, 3-char minimum stem."""
+    w = word.lower()
+    if w.endswith("ns") and len(w) > 4:  # camións -> camión
+        w = w[:-2] + "n"
+    for suf in _GL_ENDINGS:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)]
+    return w
+
+
+_EU_ENDINGS = (
+    "etakoak", "etako", "etara", "arekin", "entzat", "engatik", "arentzat",
+    "etatik", "etan", "aren", "ekin", "ari", "ak", "ek", "en", "ei",
+    "tik", "ra", "an", "a", "ko", "k",
+)
+
+
+def basque_stem(word: str) -> str:
+    """Light analog of Snowball Basque: longest agglutinated case/article
+    ending, 3-char minimum stem."""
+    w = word.lower()
+    for suf in _EU_ENDINGS:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)]
+    return w
+
+
+_HY_ENDINGS = (
+    "ներում", "ները", "ների", "ներով", "ներ", "երում", "երը", "երի",
+    "երով", "եր", "ում", "ով", "ից", "ին", "ի", "ը", "ն",
+)
+
+
+def armenian_stem(word: str) -> str:
+    """Light analog of Snowball Armenian: plural (ներ/եր) and case endings,
+    3-char minimum stem."""
+    w = word.lower()
+    for suf in _HY_ENDINGS:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)]
+    return w
+
+
+_SK_ENDINGS = (
+    "iami", "ami", "ách", "och", "ích", "ého", "ému", "ími", "ovi", "ové",
+    "ých", "om", "ov", "mi", "ou", "ám", "ím", "ym", "ým",
+    "a", "e", "i", "o", "u", "y", "á", "é", "í", "ó", "ú", "ý", "ie",
+)
+
+
+def slovak_stem(word: str) -> str:
+    """Light analog for the schema's Slovak chain (no official Snowball
+    Slovak exists; Czech-like case-ending removal without palatalization)."""
+    w = word.lower()
+    for suf in sorted(_SK_ENDINGS, key=len, reverse=True):
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)]
+    return w
+
+
+_HE_FINALS = str.maketrans("ךםןףץ", "כמנפצ")
+
+
+def hebrew_normalize(word: str) -> str:
+    """Minimal Hebrew chain (the schema's 'Hebrew Snowball' has no public
+    algorithm): fold final-letter forms and strip the definite article /
+    single-letter conjunction prefixes when a 3+ char stem remains."""
+    w = word.translate(_HE_FINALS)
+    for pre in ("וה", "ה", "ו", "ב", "ל", "מ", "ש", "כ"):
+        if w.startswith(pre) and len(w) - len(pre) >= 3:
+            return w[len(pre):]
+    return w
+
+
+def vietnamese_norm(word: str) -> str:
+    """Vietnamese chain: standard tokenization + lowercase only (the
+    schema's 'Vietnamese Snowball' has no public algorithm; Vietnamese is
+    isolating — no affix stripping)."""
+    return word.lower()

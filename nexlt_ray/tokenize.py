@@ -70,15 +70,22 @@ from .snowball import (
     swedish_stem,
 )
 from .stemmers_light import (
+    armenian_stem,
+    basque_stem,
     bulgarian_stem,
+    catalan_stem,
     czech_stem,
+    galician_stem,
     greek_stem,
+    hebrew_normalize,
     hindi_stem,
     hungarian_stem,
     indonesian_stem,
     latvian_stem,
     persian_normalize,
+    slovak_stem,
     turkish_stem,
+    vietnamese_norm,
 )
 
 PROFILES = (
@@ -88,6 +95,9 @@ PROFILES = (
     "text_ar",
     "text_ro", "text_hu", "text_tr", "text_cz", "text_el", "text_bg",
     "text_hi", "text_fa", "text_id", "text_lv",
+    "text_ca", "text_gl", "text_eu", "text_hy", "text_sk", "text_he",
+    "text_vi", "text_th",
+    "text_ws", "text_path",
 )
 
 # Snowball chains (reference: one SnowballPorterFilter chain per language,
@@ -120,6 +130,13 @@ _LANG_STEMMERS = {
     "text_fa": persian_normalize,  # normalization-only chain (no fa stemmer)
     "text_id": indonesian_stem,
     "text_lv": latvian_stem,
+    "text_ca": catalan_stem,   # elision pre-filter + light analog
+    "text_gl": galician_stem,
+    "text_eu": basque_stem,
+    "text_hy": armenian_stem,
+    "text_sk": slovak_stem,
+    "text_he": hebrew_normalize,  # final-form fold + article strip only
+    "text_vi": vietnamese_norm,   # isolating language: no affix stripping
 }
 
 # per-language analyzer routing (the reference declares one analyzed field
@@ -156,6 +173,14 @@ LANG_PROFILES: dict[str, str] = {
     "fas": "text_fa", "per": "text_fa", "fa": "text_fa",
     "ind": "text_id", "id": "text_id",
     "lav": "text_lv", "lv": "text_lv",
+    "cat": "text_ca", "ca": "text_ca",
+    "glg": "text_gl", "gl": "text_gl",
+    "eus": "text_eu", "baq": "text_eu", "eu": "text_eu",
+    "hye": "text_hy", "arm": "text_hy", "hy": "text_hy",
+    "slk": "text_sk", "slo": "text_sk", "sk": "text_sk", "sky": "text_sk",
+    "heb": "text_he", "he": "text_he",
+    "vie": "text_vi", "vi": "text_vi",
+    "tha": "text_th", "th": "text_th",
 }
 
 
@@ -267,8 +292,14 @@ def tokenize_batch(
     n_docs = len(arr)
     if profile == "simple":
         return _tokenize_simple(arr, n_docs)
+    if profile == "text_ws":
+        return _tokenize_ws(arr, n_docs)
+    if profile == "text_path":
+        return _tokenize_path(arr, n_docs)
     if profile == "cjk_bigram":
         return _tokenize_cjk(arr, n_docs)
+    if profile == "text_th":
+        return _tokenize_cjk(arr, n_docs, token_re=_TH_TOKEN_RE)
     if profile == "text_ja":
         return _tokenize_ja(arr, n_docs)
     if profile in _LANG_STEMMERS:
@@ -403,6 +434,60 @@ def _tokenize_simple(arr: pa.Array, n_docs: int) -> TokenizedBatch:
     )
 
 
+def _tokenize_ws(arr: pa.Array, n_docs: int) -> TokenizedBatch:
+    """text_ws (schema.xml WhitespaceTokenizer, no filters): verbatim
+    whitespace-delimited tokens — case preserved, punctuation kept."""
+    parts = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(arr))
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    nonempty = pc.greater(pc.utf8_length(parts.values), 0)
+    keep = nonempty.to_numpy(zero_copy_only=False).astype(bool)
+    flat = parts.values.to_numpy(zero_copy_only=False)[keep]
+    offsets = _offsets_of(parts)
+    per_doc = np.diff(offsets)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)[keep]
+    doc_len = np.bincount(doc_of, minlength=n_docs).astype(np.int32)
+    starts = np.concatenate(([0], np.cumsum(doc_len.astype(np.int64))[:-1]))
+    pos = (np.arange(flat.size, dtype=np.int64) - starts[doc_of]).astype(np.int32)
+    return TokenizedBatch(
+        terms=np.asarray(flat, dtype=object),
+        positions=pos,
+        doc_idx=doc_of.astype(np.int32),
+        doc_len=doc_len,
+        n_docs=n_docs,
+    )
+
+
+def _tokenize_path(arr: pa.Array, n_docs: int) -> TokenizedBatch:
+    """text_path (schema.xml PathHierarchyTokenizer): '/a/b/c' emits
+    '/a', '/a/b', '/a/b/c'. All prefixes share position 0 (Lucene emits
+    them with position increment 0 after the first) so doc_len counts one
+    token per path — prefix fq/facet semantics, not phrase material."""
+    terms: list[str] = []
+    idx: list[int] = []
+    doc_len = np.zeros(n_docs, dtype=np.int32)
+    for d, text in enumerate(arr.to_pylist()):
+        if not text:
+            continue
+        t = text.rstrip("/")
+        segs = [s for s in t.split("/") if s]
+        lead = "/" if text.startswith("/") else ""
+        acc = ""
+        for s in segs:
+            acc = f"{acc}/{s}" if acc else f"{lead}{s}"
+            terms.append(acc)
+            idx.append(d)
+        if segs:
+            doc_len[d] = 1
+    return TokenizedBatch(
+        terms=np.asarray(terms, dtype=object),
+        positions=np.zeros(len(terms), dtype=np.int32),
+        doc_idx=np.asarray(idx, dtype=np.int32),
+        doc_len=doc_len,
+        n_docs=n_docs,
+    )
+
+
 _FR_ELISION = (
     r"\b([lmtnsjdcLMTNSJDC]|[qQ]u|[jJ]usqu|[qQ]uoiqu|[lL]orsqu|[pP]uisqu)"
     r"['’]"
@@ -421,6 +506,11 @@ def _stemmed_lang_parts(filtered: pa.Array, profile: str):
         # ElisionFilter analog (reference French chain): l'avion -> avion
         filtered = pc.replace_substring_regex(
             filtered, pattern=_FR_ELISION, replacement=" "
+        )
+    if profile == "text_ca":
+        # Catalan elision (schema text_ca ElisionFilter): d'aigua -> aigua
+        filtered = pc.replace_substring_regex(
+            filtered, pattern=r"\b[dDlLmMnNsStT]['’]", replacement=" "
         )
     if profile == "text_tr":
         filtered = pc.replace_substring(filtered, "İ", "i")
@@ -470,9 +560,14 @@ import unicodedata as _ud
 
 _CJK_RANGES = "㐀-䶿一-鿿぀-ヿ가-힯"
 _CJK_TOKEN_RE = _re.compile(f"([A-Za-z0-9]+)|([{_CJK_RANGES}]+)")
+# text_th: the reference uses dictionary word-break (ThaiWordFilter); with no
+# Thai dictionary in this environment, unsegmented Thai runs emit overlapping
+# bigrams — the same recall-preserving fallback the reference itself applies
+# to zh/ko (CJKBigram, schema.xml:501-510). Documented deviation.
+_TH_TOKEN_RE = _re.compile("([A-Za-z0-9]+)|([฀-๎]+)")
 
 
-def _tokenize_cjk(arr: pa.Array, n_docs: int) -> TokenizedBatch:
+def _tokenize_cjk(arr: pa.Array, n_docs: int, token_re=None) -> TokenizedBatch:
     """CJK analyzer: NFKC width fold (CJKWidthFilter analog) + lowercase +
     StandardTokenizer-ish runs, with CJK runs emitted as overlapping bigrams
     (CJKBigramFilter semantics, reference schema.xml:501-510; single-char
@@ -488,7 +583,7 @@ def _tokenize_cjk(arr: pa.Array, n_docs: int) -> TokenizedBatch:
             continue
         folded = _ud.normalize("NFKC", text).lower()
         p = 0
-        for m in _CJK_TOKEN_RE.finditer(folded):
+        for m in (token_re or _CJK_TOKEN_RE).finditer(folded):
             alnum, cjk = m.group(1), m.group(2)
             if alnum:
                 terms.append(alnum)
@@ -844,9 +939,9 @@ def doc_token_lengths(texts, profile: str = "code") -> np.ndarray:
     Matches tokenize_batch(...).doc_len exactly (tested)."""
     arr = _as_array(texts)
     n_docs = len(arr)
-    if profile in ("cjk_bigram", "text_ja"):
-        # position gaps (ja stop-POS drops) make max(pos)+1 wrong; take the
-        # chain's own emitted-token counts
+    if profile in ("cjk_bigram", "text_ja", "text_th", "text_ws", "text_path"):
+        # position gaps (ja stop-POS drops) / same-position prefixes (path)
+        # make max(pos)+1 wrong; take the chain's own emitted-token counts
         return tokenize_batch(arr, profile=profile).doc_len
     if profile == "simple" or profile in _LANG_STEMMERS:
         if profile in _LANG_STEMMERS:

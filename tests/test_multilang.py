@@ -550,3 +550,49 @@ def test_light_chain_rank_identity(ray_session, tmp_path):
         exp = [(d_, float(np.float32(s_))) for d_, s_ in o.search(q, k=10, lang=lang)]
         assert got == exp, (q, lang)
         assert got, (q, lang)  # stemming conflates: inflection-mismatched hits
+
+
+def test_ws_and_path_chains():
+    """text_ws (whitespace verbatim) and text_path (hierarchy prefixes,
+    schema.xml PathHierarchyTokenizer) chains."""
+    from nexlt_ray.tokenize import doc_token_lengths
+
+    tb = tokenize_batch(["Foo BAR  baz,qux "], profile="text_ws")
+    assert [str(t) for t in tb.terms] == ["Foo", "BAR", "baz,qux"]
+    assert tb.doc_len.tolist() == [3]
+
+    tb = tokenize_batch(["/usr/share/doc", "rel/a.txt", ""], profile="text_path")
+    per = [[] for _ in range(3)]
+    for t, d in zip(tb.terms, tb.doc_idx):
+        per[d].append(str(t))
+    assert per[0] == ["/usr", "/usr/share", "/usr/share/doc"]
+    assert per[1] == ["rel", "rel/a.txt"]
+    assert per[2] == []
+    # all prefixes share position 0; doc_len counts one per path
+    assert set(tb.positions.tolist()) <= {0}
+    assert tb.doc_len.tolist() == [1, 1, 0]
+    assert doc_token_lengths(["/usr/share/doc", ""], profile="text_path").tolist() == [1, 0]
+
+
+def test_final_tranche_chains():
+    """ca/gl/eu/hy/sk/he/vi/th chains (schema.xml final tranche)."""
+    from nexlt_ray.stemmers_light import (
+        armenian_stem, basque_stem, catalan_stem, galician_stem,
+        hebrew_normalize, slovak_stem, vietnamese_norm,
+    )
+
+    assert catalan_stem("catalanes") == catalan_stem("catalana") == "catalan"
+    assert galician_stem("galegas") == galician_stem("galega") == "galeg"
+    assert galician_stem("camións") == galician_stem("camión")
+    assert basque_stem("etxeetan") == basque_stem("etxea") == \
+        basque_stem("etxe") == "etxe"
+    assert armenian_stem("գրքերը") == armenian_stem("գրքերի")
+    assert slovak_stem("ženami") == slovak_stem("ženy") == "žen"
+    assert hebrew_normalize("הספרים") == "ספרימ"  # article strip + final fold
+    assert vietnamese_norm("Tiếng") == "tiếng"
+    # Catalan elision is a chain-level pre-filter
+    tb = tokenize_batch(["l'aigua d'institucions"], profile="text_ca")
+    assert "l" not in {str(t) for t in tb.terms}
+    # Thai: bigram fallback over unsegmented runs (documented deviation)
+    tb = tokenize_batch(["ภาษาไทย"], profile="text_th")
+    assert all(len(str(t)) == 2 for t in tb.terms) and len(tb.terms) >= 5
