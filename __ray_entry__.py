@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_normalize_counts": P.lang_normalize_counts,
         "facet_counts": P.facet_counts_docs,
         "facet_drilldown": P.facet_drilldown_docs,
+        "path_prefix_counts": P.path_prefix_counts,
         "srclc_sort_top100": P.srclc_sort_top100,
         # streaming-shaped + relational
         "tumbling_window_events": P.tumbling_window_events,
@@ -335,6 +336,14 @@ UNION ALL
 SELECT 'source' AS field, source AS value, count(*)::BIGINT AS n FROM documents GROUP BY source
 """,
         "facet_drilldown": _facet_drill_sql(),
+        "path_prefix_counts": """
+SELECT prefix, count(*) AS n FROM (
+  SELECT source AS prefix FROM documents
+  UNION ALL SELECT source || '/' || lang FROM documents
+  UNION ALL SELECT source || '/' || lang || '/' || CAST(doc_id AS VARCHAR)
+    FROM documents
+) GROUP BY prefix ORDER BY n DESC, prefix LIMIT 100
+""",
         "srclc_sort_top100": """
 SELECT doc_id, lower(text) AS srclc FROM documents
 ORDER BY lower(text), doc_id LIMIT 100

@@ -557,6 +557,47 @@ def facet_counts_docs(sf_dir: str) -> pa.Table:
     )
 
 
+def path_prefix_counts(sf_dir: str) -> pa.Table:
+    """Hierarchy-facet counts through the text_path chain
+    (PathHierarchyTokenizer analog, schema.xml text_path): each doc's
+    synthetic path source/lang/doc_id emits all its prefixes; docs are
+    counted per prefix. Per-batch partial aggregation (prefix -> count)
+    before the small groupby-sum; top-100 by (n desc, prefix asc).
+    Oracle: UNION ALL of the three prefix levels in SQL."""
+    from ray.data.aggregate import Sum
+
+    from .tokenize import tokenize_batch
+
+    ds = _documents(sf_dir, ["doc_id", "lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        paths = [
+            f"{s}/{l}/{d}"
+            for s, l, d in zip(
+                batch["source"].to_pylist(),
+                batch["lang"].to_pylist(),
+                batch["doc_id"].to_pylist(),
+            )
+        ]
+        tb = tokenize_batch(paths, profile="text_path")
+        t = pa.table({"prefix": pa.array(tb.terms.astype("U"), pa.string())})
+        g = pa.TableGroupBy(t, "prefix").aggregate([([], "count_all")])
+        return g.rename_columns(["prefix", "n_p"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("prefix")
+        .aggregate(Sum("n_p", alias_name="n"))
+    ).to_pandas()
+    agg = agg.sort_values(["n", "prefix"], ascending=[False, True]).head(100)
+    return pa.table(
+        {
+            "prefix": pa.array(agg["prefix"], pa.string()),
+            "n": pa.array(agg["n"].astype("int64"), pa.int64()),
+        }
+    )
+
+
 def facet_drilldown_docs(sf_dir: str) -> pa.Table:
     """Facet drill-down (clicking a facet value adds an fq,
     ResultWidget.js:11-38): source-facet counts restricted to
