@@ -741,14 +741,18 @@ def _empty_partial_table(cfg: BuildConfig) -> pa.Table:
 
 
 def _expand_slices(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
-    """Gather indices for concatenating slices [starts[i], starts[i]+counts[i])."""
+    """Gather indices for concatenating slices [starts[i], starts[i]+counts[i]).
+
+    idx[j] = starts[row(j)] + (j - offs[row(j)]) == repeat(starts-offs)[j] + j
+    — the algebraic form needs ONE repeat and ONE arange, no per-output
+    gathers (this runs over every posting in the merge leg)."""
     total = int(counts.sum())
     if total == 0:
         return np.empty(0, dtype=np.int64)
-    out_of = np.repeat(np.arange(starts.size, dtype=np.int64), counts)
-    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    within = np.arange(total, dtype=np.int64) - offs[out_of]
-    return starts[out_of] + within
+    offs = np.concatenate(([0], np.cumsum(counts[:-1])))
+    base = np.repeat(np.asarray(starts, dtype=np.int64) - offs, counts)
+    base += np.arange(total, dtype=np.int64)
+    return base
 
 
 class SegmentWriter:
