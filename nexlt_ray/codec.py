@@ -49,18 +49,22 @@ def varint_encode(values: np.ndarray, widths: np.ndarray | None = None) -> bytes
     maxw = int(nbytes.max())
     if maxw == 1:  # common case: every value fits one byte
         return v.astype(np.uint8).tobytes()
-    # (maxw, n) byte matrix, then select each value's first `nbytes` bytes in
-    # value-major order — two vector passes instead of per-byte-plane scatter
-    n = v.size
-    ks = np.arange(maxw, dtype=np.uint64)
-    mat = np.empty((maxw, n), dtype=np.uint8)
-    valid = np.empty((maxw, n), dtype=bool)
-    for k in range(maxw):
-        chunk = (v >> np.uint64(7 * k)) & np.uint64(0x7F)
-        cont = nbytes > (k + 1)  # not the value's last byte -> high bit
-        mat[k] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
-        valid[k] = nbytes > k
-    return mat.T[valid.T].tobytes()
+    # scatter per byte plane directly into the output buffer: plane k only
+    # touches the values wide enough to have a k-th byte, so the work per
+    # plane shrinks with k (vs the old full (maxw, n) matrix + transposed
+    # boolean select, which copied every byte twice)
+    byte_start = np.cumsum(nbytes) - nbytes
+    out = np.empty(int(byte_start[-1] + nbytes[-1]), dtype=np.uint8)
+    chunk0 = (v & np.uint64(0x7F)).astype(np.uint8)
+    chunk0 |= (nbytes > 1).astype(np.uint8) << 7
+    out[byte_start] = chunk0
+    for k in range(1, maxw):
+        mask = nbytes > k
+        vk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        chunk = vk.astype(np.uint8)
+        chunk |= (nbytes[mask] > k + 1).astype(np.uint8) << 7
+        out[byte_start[mask] + k] = chunk
+    return out.tobytes()
 
 
 def varint_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
