@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_docs": P.curated_docs,
         "jaccard_dup_pairs": P.jaccard_dup_pairs_docs,
         "shingle_jaccard_pairs": P.shingle_jaccard_pairs_docs,
+        "substring_dup_pairs": P.substring_dup_pairs_docs,
         "minhash_pairs_corpus": P.minhash_pairs_corpus,
         "simhash_docs": P.simhash_docs,
         "simhash_pairs": P.simhash_pairs_docs,
@@ -305,6 +306,18 @@ FROM pairs p
 JOIN sizes sa ON p.da = sa.doc_id
 JOIN sizes sb ON p.db = sb.doc_id
 WHERE 5 * p.inter >= 4 * (sa.n + sb.n - p.inter)
+""",
+        "substring_dup_pairs": """
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) - 40 + 2),
+                               i -> substr(text, i, 40))) AS gram
+  FROM documents WHERE length(text) >= 40
+),
+d AS (SELECT DISTINCT doc_id, gram FROM g)
+SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b
+FROM d a JOIN d b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY 1, 2
 """,
         "jaccard_dup_pairs": f"""
 {_TOK},

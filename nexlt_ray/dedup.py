@@ -881,3 +881,110 @@ def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.bitwise_count(x).astype(np.int64) if hasattr(np, "bitwise_count") else np.array(
         [bin(int(v)).count("1") for v in x], dtype=np.int64
     )
+
+
+def substring_dup_pairs(
+    docs,
+    min_len: int = 40,
+    k: int = 16,
+    text_col: str = "text",
+    num_buckets: int = 32,
+):
+    """Pairs of documents sharing an EXACT common substring of >= `min_len`
+    bytes (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL'22 — substring-level dedup; their suffix-array pass is
+    replaced by a shuffle-native winnowing pass).
+
+    Shape (all stages stream):
+      1. `winnow_doc_fps` per batch with window = min_len - k + 1, so any
+         shared run of >= min_len bytes shares a selected fingerprint VALUE
+         (the winnowing guarantee) — candidates are complete, no false
+         negatives.
+      2. groupby(fp) -> within-group pairs; a fingerprint shared by g docs
+         emits g*(g-1)/2 candidates, which is also the lower bound on the
+         true output for that shared run, so the fan-out is inherent to the
+         operator's semantics, not a sketch artifact.
+      3. distinct pairs via groupby((doc_a, doc_b)).
+      4. exact verification: two partitioned `hash_join`s fetch both texts,
+         then a vectorized-per-pair check intersects the pair's min_len-gram
+         sets (Python str hashing, O(len * min_len) per pair, short-circuit
+         on first hit). Only true pairs survive — output is exact, not
+         approximate.
+
+    On ASCII corpora byte semantics == character semantics (the DuckDB
+    oracle enumerates character substrings). Returns (doc_a, doc_b) int64.
+    """
+    from ray.data.aggregate import Count
+
+    from .joins import hash_join
+    from .textstats import winnow_doc_fps
+
+    if k >= min_len:
+        raise ValueError("k-gram must be shorter than min_len")
+    window = min_len - k + 1
+
+    def fps(batch: pa.Table) -> pa.Table:
+        return winnow_doc_fps(batch, text_col=text_col, k=k, window=window)
+
+    def pairs_of_group(g: pa.Table) -> pa.Table:
+        doc = np.unique(np.asarray(g["doc_id"]))
+        if doc.size < 2:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64())}
+            )
+        a, b = np.triu_indices(doc.size, k=1)
+        return pa.table(
+            {"doc_a": pa.array(doc[a], pa.int64()),
+             "doc_b": pa.array(doc[b], pa.int64())}
+        )
+
+    cand = (
+        docs.map_batches(fps, batch_format="pyarrow")
+        .groupby("fp")
+        .map_groups(pairs_of_group, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count())
+        .select_columns(["doc_a", "doc_b"])
+    )
+
+    texts = docs.select_columns(["doc_id", text_col])
+
+    def rename(id_name: str, txt_name: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({id_name: b["doc_id"], txt_name: b[text_col]})
+        return f
+
+    j = hash_join(
+        cand,
+        texts.map_batches(rename("doc_a", "text_a"), batch_format="pyarrow"),
+        "doc_a", "doc_a", num_buckets=num_buckets,
+    )
+    j = hash_join(
+        j,
+        texts.map_batches(rename("doc_b", "text_b"), batch_format="pyarrow"),
+        "doc_b", "doc_b", num_buckets=num_buckets,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        keep = np.zeros(len(ta), dtype=bool)
+        for i, (A, B) in enumerate(zip(ta, tb)):
+            if len(A) > len(B):
+                A, B = B, A
+            if len(A) < min_len:
+                continue
+            grams = {A[p : p + min_len] for p in range(len(A) - min_len + 1)}
+            keep[i] = any(
+                B[p : p + min_len] in grams
+                for p in range(len(B) - min_len + 1)
+            )
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"].filter(pa.array(keep)),
+                "doc_b": batch["doc_b"].filter(pa.array(keep)),
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pyarrow")

@@ -74,14 +74,23 @@ def hash_join(
 
     out_cols = [c for c in all_cols if c != right_key or right_key == left_key]
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    # emit Arrow with the unified schema (not raw pandas blocks): pandas
+    # object-dtype columns would make the output Dataset's schema report
+    # Python classes, breaking downstream consumers (e.g. a second
+    # hash_join's null-fill needs real Arrow DataTypes)
+    out_schema = pa.schema([(c, all_types[c]) for c in out_cols])
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
         l = g[~g["__side"]][lnames]
         r = g[g["__side"]][rnames]
         if how == "inner" and (l.empty or r.empty):
-            return pd.DataFrame({c: [] for c in out_cols})
+            return out_schema.empty_table()
         out = l.merge(r, left_on=left_key, right_on=right_key, how=how,
-                      suffixes=("", "__r"))
-        return out.reindex(columns=out_cols)
+                      suffixes=("", "__r")).reindex(columns=out_cols)
+        return pa.table(
+            {c: pa.array(out[c], type=all_types[c], from_pandas=True)
+             for c in out_cols}
+        )
 
     return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 

@@ -406,6 +406,16 @@ def jaccard_dup_pairs_docs(sf_dir: str):
     )
 
 
+def substring_dup_pairs_docs(sf_dir: str):
+    """Exact substring-level dedup pairs over `documents`: all pairs sharing
+    an exact common run of >= 40 chars (byte==char on this ASCII corpus) —
+    Lee et al. ACL'22 substring dedup, winnowing candidates + exact verify
+    (`dedup.substring_dup_pairs`)."""
+    return dedup_ops.substring_dup_pairs(
+        _documents(sf_dir, ["doc_id", "text"]), min_len=40, k=16
+    )
+
+
 def _sha_doc_id(batch: pa.Table) -> pa.Table:
     """Identity-derived int63 doc id (sha256 of the unique (repo, path,
     commit) identity) — stable across shards, batch sizes and scheduling; no

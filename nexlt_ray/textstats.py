@@ -194,3 +194,55 @@ def _expand_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     of = np.repeat(np.arange(starts.size, dtype=np.int64), counts)
     base = np.concatenate(([0], np.cumsum(counts)[:-1]))
     return starts[of] + (np.arange(total, dtype=np.int64) - base[of])
+
+
+def winnow_doc_fps(
+    batch: pa.Table, text_col: str = "text", k: int = 16, window: int = 25
+) -> pa.Table:
+    """Distinct winnowed fingerprint VALUES per doc as (doc_id, fp) rows.
+
+    Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS scheme): take
+    Rabin-Karp hashes of all k-byte grams, then keep the minimum hash of each
+    sliding window of `window` consecutive gram hashes. Guarantee: any two
+    documents sharing an exact byte run of length >= window + k - 1 share at
+    least one selected fingerprint VALUE (the min-hash gram of a window fully
+    inside the shared run is the same gram in both docs). Only fp values are
+    used downstream, so min-position tie-breaks are irrelevant.
+
+    Docs with fewer than `window` grams (byte length < window + k - 1) emit
+    nothing — they cannot contain a run of the guaranteed length. Density is
+    ~2/(window+1) of all grams, the winnowing lower bound. Vectorized exactly
+    like `fingerprint_batch`: one flat hash pass, per-doc contiguous slices,
+    one global lexsort for the per-doc distinct.
+    """
+    texts = batch[text_col].to_pylist()
+    ids = np.asarray(batch["doc_id"], dtype=np.int64)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "fp": pa.array([], pa.int64())}
+    )
+    if not texts:
+        return empty
+    byte_parts = [np.frombuffer(t.encode("utf-8"), dtype=np.uint8) for t in texts]
+    lens = np.array([p.size for p in byte_parts], dtype=np.int64)
+    n_grams = np.maximum(lens - k + 1, 0)
+    many = np.flatnonzero(n_grams >= window)
+    if many.size == 0:
+        return empty
+    flat = np.concatenate(byte_parts)
+    h_all = _rolling_hashes(flat, k)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    wmins = np.lib.stride_tricks.sliding_window_view(h_all, window).min(axis=1)
+    n_win = n_grams[many] - window + 1
+    fp_doc = np.repeat(many, n_win)
+    fp_val = wmins[_expand_ranges(offs[many], n_win)]
+    order = np.lexsort((fp_val, fp_doc))
+    d_s, v_s = fp_doc[order], fp_val[order]
+    uniq = np.concatenate(
+        ([True], (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1]))
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[d_s[uniq]], pa.int64()),
+            "fp": pa.array(v_s[uniq].view(np.int64)),
+        }
+    )

@@ -597,3 +597,52 @@ def test_semi_anti_join_string_keys_and_nulls(ray_session):
         ray.data.from_arrow(t), "k", {"a", "c"}, anti=True
     ).to_pandas()
     assert sorted(anti["v"].tolist()) == [2, 3]
+
+
+def test_winnow_guarantee_and_substring_pairs(ray_session):
+    """Winnowing completeness: any two docs sharing an exact run of
+    >= window + k - 1 bytes share a selected fingerprint value; docs
+    shorter than the run length emit nothing; substring_dup_pairs is
+    exact end to end (verified pairs only)."""
+    import pyarrow as pa
+    import ray
+
+    from nexlt_ray.dedup import substring_dup_pairs
+    from nexlt_ray.textstats import winnow_doc_fps
+
+    run = "SHARED-RUN-0123456789-abcdefghij-SHARED!"  # 40 chars
+    assert len(run) == 40
+    rng = __import__("random").Random(7)
+
+    def filler(n):
+        return "".join(rng.choice("xyzuvw .,") for _ in range(n))
+
+    docs = [
+        (0, filler(30) + run + filler(50)),       # shares run with 1, 3
+        (1, filler(80) + run),                    # run at the very end
+        (2, filler(120)),                         # no shared run
+        (3, run + filler(10)),                    # run at the start
+        (4, "short"),                             # < min_len: emits nothing
+        # 5/6 share only a 39-char run (distinct sentinel chars on both
+        # sides so no accidental 40th) -> NOT a pair at min_len=40
+        (5, filler(40) + "A" + run[:39] + "B" + filler(40)),
+        (6, filler(25) + "C" + run[:39] + "D" + filler(60)),
+    ]
+    t = pa.table(
+        {"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+         "text": pa.array([x for _, x in docs])}
+    )
+    k, min_len = 16, 40
+    fp = winnow_doc_fps(t, k=k, window=min_len - k + 1)
+    by_doc = {}
+    for d, v in zip(fp["doc_id"].to_pylist(), fp["fp"].to_pylist()):
+        by_doc.setdefault(d, set()).add(v)
+    assert 4 not in by_doc  # too short to ever contain a 40-byte run
+    # the guarantee: every doc pair sharing the 40-char run shares a value
+    for a, b in [(0, 1), (0, 3), (1, 3)]:
+        assert by_doc[a] & by_doc[b], (a, b)
+
+    ds = ray.data.from_arrow(t)
+    got = substring_dup_pairs(ds, min_len=min_len, k=k).to_pandas()
+    pairs = set(map(tuple, got[["doc_a", "doc_b"]].values.tolist()))
+    assert pairs == {(0, 1), (0, 3), (1, 3)}
