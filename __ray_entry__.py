@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_dup_pairs": P.jaccard_dup_pairs_docs,
         "shingle_jaccard_pairs": P.shingle_jaccard_pairs_docs,
         "substring_dup_pairs": P.substring_dup_pairs_docs,
+        "stratified_sample": P.stratified_sample_docs,
+        "stratified_take_n": P.stratified_take_docs,
         "minhash_pairs_corpus": P.minhash_pairs_corpus,
         "simhash_docs": P.simhash_docs,
         "simhash_pairs": P.simhash_pairs_docs,
@@ -318,6 +320,18 @@ d AS (SELECT DISTINCT doc_id, gram FROM g)
 SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b
 FROM d a JOIN d b ON a.gram = b.gram AND a.doc_id < b.doc_id
 GROUP BY 1, 2
+""",
+        "stratified_sample": """
+SELECT doc_id, lang, source FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 1000
+      < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 900 WHEN 'es' THEN 900
+                  WHEN 'fr' THEN 900 WHEN 'zh' THEN 900 ELSE 0 END
+""",
+        "stratified_take_n": """
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY lang
+    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) <= 40
 """,
         "jaccard_dup_pairs": f"""
 {_TOK},

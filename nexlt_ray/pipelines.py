@@ -23,6 +23,7 @@ import pyarrow.compute as pc
 
 from . import dedup as dedup_ops
 from . import normalize as norm_ops
+from . import sampling as sampling_ops
 from . import similarity as sim_ops
 from . import textstats as ts_ops
 from .corpus import corpus_path, n_docs_for_sf, reference_queries
@@ -413,6 +414,29 @@ def substring_dup_pairs_docs(sf_dir: str):
     (`dedup.substring_dup_pairs`)."""
     return dedup_ops.substring_dup_pairs(
         _documents(sf_dir, ["doc_id", "text"]), min_len=40, k=16
+    )
+
+
+#: per-language sampling rates (permille) for the rebalancing demo: halve the
+#: dominant language, keep the rest — the standard multilingual-mix reweight
+_SAMPLE_RATES = {"en": 500, "de": 900, "es": 900, "fr": 900, "zh": 900}
+
+
+def stratified_sample_docs(sf_dir: str):
+    """Deterministic per-language Bernoulli sample of `documents` (training-
+    mix rebalancing): membership is a pure function of doc_id, reproducible
+    and SQL-auditable (`sampling.stratified_sample`)."""
+    return sampling_ops.stratified_sample(
+        _documents(sf_dir, ["doc_id", "lang", "source"]), _SAMPLE_RATES
+    )
+
+
+def stratified_take_docs(sf_dir: str):
+    """Exactly min(40, stratum size) docs per language by deterministic
+    hash order — fixed-budget eval-set allocation
+    (`sampling.stratified_take_n`)."""
+    return sampling_ops.stratified_take_n(
+        _documents(sf_dir, ["doc_id", "lang"]), n_per_stratum=40
     )
 
 

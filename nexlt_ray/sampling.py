@@ -1,0 +1,120 @@
+"""Deterministic sampling operators for training-data curation.
+
+Large-scale pipelines need samples that are (a) reproducible across runs,
+shards and cluster sizes, (b) auditable by an independent system, and (c)
+computable as a pure map with no RNG state, no shuffle and no driver-side
+coordination. Both operators here key the decision on a multiplicative hash
+of an integer id column — the same arithmetic is one SQL expression, so a
+DuckDB oracle (and any downstream auditor) can re-derive the exact sample.
+
+The hash is Knuth's multiplicative method: h(id) = (id * 2654435761) mod 2^32
+(the golden-ratio constant from TAOCP vol. 3 §6.4). It is NOT salted — that
+is the point: determinism is the feature. For a differently-salted sample,
+add a fixed offset to the id column first.
+
+The reference has no sampling (it indexes everything); these extend the
+engine per the graft brief's training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_KNUTH = np.uint64(2654435761)
+_MOD32 = np.uint64(1 << 32)
+
+
+def _hash_ids(ids: np.ndarray) -> np.ndarray:
+    return (ids.astype(np.uint64) * _KNUTH) % _MOD32
+
+
+def stratified_sample(
+    ds,
+    rates: dict[str, int],
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    denom: int = 1000,
+):
+    """Keep a row iff hash(id) % denom < rates[stratum] — an independent
+    per-stratum Bernoulli sample with deterministic membership.
+
+    Pure map_batches filter: no shuffle, no materialization, identical
+    output for any batch size / shard layout / cluster size. Strata missing
+    from `rates` are dropped (rate 0). SQL equivalent:
+
+        WHERE ((id * 2654435761) % 4294967296) % denom
+              < CASE key WHEN 'a' THEN ra WHEN 'b' THEN rb ELSE 0 END
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        if ids.size == 0:
+            return batch
+        h = _hash_ids(ids) % np.uint64(denom)
+        keys = np.asarray(batch[key_col].to_pylist(), dtype=object)
+        uniq, inv = np.unique(keys.astype("U"), return_inverse=True)
+        rate_of = np.array([rates.get(u, 0) for u in uniq], dtype=np.uint64)
+        return batch.filter(pa.array(h < rate_of[inv]))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def stratified_take_n(
+    ds,
+    n_per_stratum: int,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+):
+    """Exactly min(n, stratum size) rows per stratum: the n rows with the
+    smallest (hash(id), id) per stratum — a deterministic fixed-budget
+    allocation (e.g. "200k docs per language for the eval set").
+
+    Distributed as a partial top-n: each batch keeps its n best per stratum
+    (vectorized lexsort + per-run rank), then one tiny groupby over
+    candidates (<= n * strata * blocks rows) finishes globally. Nothing
+    scales with corpus size except the streaming first pass. SQL equivalent:
+    QUALIFY row_number() OVER (PARTITION BY key ORDER BY hash, id) <= n.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        if ids.size == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 key_col: pa.array([], pa.string()),
+                 "__h": pa.array([], pa.int64())}
+            )
+        h = _hash_ids(ids).astype(np.int64)
+        keys = np.asarray(batch[key_col].to_pylist(), dtype="U")
+        uniq, inv = np.unique(keys, return_inverse=True)
+        order = np.lexsort((ids, h, inv))
+        g = inv[order]
+        starts = np.concatenate(([0], np.cumsum(np.bincount(g))[:-1]))
+        rank = np.arange(g.size) - starts[g]
+        keep = order[rank < n_per_stratum]
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                key_col: pa.array(keys[keep], pa.string()),
+                "__h": pa.array(h[keep], pa.int64()),
+            }
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g[id_col])
+        h = np.asarray(g["__h"])
+        keep = np.lexsort((ids, h))[:n_per_stratum]
+        keep.sort()
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                key_col: g[key_col].take(pa.array(keep)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(final, batch_format="pyarrow")
+    )

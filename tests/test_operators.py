@@ -646,3 +646,52 @@ def test_winnow_guarantee_and_substring_pairs(ray_session):
     got = substring_dup_pairs(ds, min_len=min_len, k=k).to_pandas()
     pairs = set(map(tuple, got[["doc_a", "doc_b"]].values.tolist()))
     assert pairs == {(0, 1), (0, 3), (1, 3)}
+
+
+def test_sampling_deterministic_across_partitioning(ray_session):
+    """Sample membership is a pure function of the id — identical output
+    for any block layout; take_n returns exactly min(n, stratum size)."""
+    import pyarrow as pa
+    import ray
+
+    from nexlt_ray.sampling import stratified_sample, stratified_take_n
+
+    n = 1000
+    langs = ["en", "de", "fr"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "lang": pa.array([langs[i % 3] for i in range(n)]),
+        }
+    )
+    rates = {"en": 250, "de": 900}  # fr absent -> dropped entirely
+
+    def run_sample(blocks):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = stratified_sample(ds, rates, id_col="doc_id").to_pandas()
+        return sorted(map(tuple, out[["doc_id", "lang"]].values.tolist()))
+
+    a, b = run_sample(1), run_sample(7)
+    assert a == b and len(a) > 0
+    assert not any(l == "fr" for _, l in a)
+    # en downsampled harder than de
+    n_en = sum(l == "en" for _, l in a)
+    n_de = sum(l == "de" for _, l in a)
+    assert n_en < n_de
+
+    def run_take(blocks):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = stratified_take_n(ds, 25, id_col="doc_id").to_pandas()
+        return sorted(map(tuple, out[["doc_id", "lang"]].values.tolist()))
+
+    x, y = run_take(1), run_take(5)
+    assert x == y
+    assert sum(1 for _, l in x if l == "en") == 25
+    assert len(x) == 75
+    # tiny stratum: returns all of it, not an error
+    small = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "lang": pa.array(["xx", "xx"])}
+    )
+    out = stratified_take_n(ray.data.from_arrow(small), 25).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [1, 2]
