@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 41 entries, 28 DuckDB-oracled.
+                 47 entries, 34 DuckDB-oracled.
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
                  (incl. ASOF JOIN, window-function sessionization, shingle
                  Jaccard via list_transform, fq-composed BM25); non-SQL ops
@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": P.normalize_text_docs,
         "quality_stats": P.quality_stats_docs,
         "langid_docs": P.langid_docs,
+        "top_terms_per_doc": P.top_terms_docs,
         "fingerprint_docs": P.fingerprint_docs,
         "lang_normalize_counts": P.lang_normalize_counts,
         "facet_counts": P.facet_counts_docs,
@@ -320,6 +321,16 @@ d AS (SELECT DISTINCT doc_id, gram FROM g)
 SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b
 FROM d a JOIN d b ON a.gram = b.gram AND a.doc_id < b.doc_id
 GROUP BY 1, 2
+""",
+        "top_terms_per_doc": f"""
+{_TOK},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id, tf.term, tf.tf, df.df
+FROM tf JOIN df USING (term)
+QUALIFY row_number() OVER (
+    PARTITION BY tf.doc_id
+    ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) <= 3
 """,
         "stratified_sample": """
 SELECT doc_id, lang, source FROM documents

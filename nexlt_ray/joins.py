@@ -27,6 +27,33 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+_B = np.uint64(1000003)
+
+
+def _string_hashes(arr) -> np.ndarray:
+    """Deterministic 64-bit hash per string, vectorized by character
+    POSITION (O(max_len) passes over the Arrow buffers, each full-width
+    numpy) — Python's built-in str hash is per-process salted and must
+    never decide a cross-task bucket. Nulls hash like empty strings
+    (callers decide their join semantics)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.cast(pa.large_string()) if arr.type == pa.string() else arr
+    n = len(arr)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] else np.empty(0, np.uint8)
+    lens = offs[1:] - offs[:-1]
+    h = np.zeros(n, dtype=np.uint64)
+    max_len = int(lens.max()) if n else 0
+    starts = offs[:-1]
+    for j in range(max_len):
+        active = lens > j
+        h[active] = h[active] * _B + data[starts[active] + j].astype(np.uint64)
+    return _mix64(h ^ lens.astype(np.uint64))
+
+
 def hash_join(
     left,
     right,
@@ -35,11 +62,15 @@ def hash_join(
     num_buckets: int = 32,
     how: str = "inner",
 ):
-    """Partitioned hash join of two Datasets on int64 keys.
+    """Partitioned hash join of two Datasets on an int64 OR string key.
 
     Returns a Dataset of joined rows (left columns + right columns minus the
     right key). One shuffle total: both sides are tagged and bucketed, then a
-    single groupby co-locates matching buckets.
+    single groupby co-locates matching buckets. Bucketing hashes are only a
+    placement decision — matching happens on the actual key values — so
+    correctness never depends on hash quality, only balance does. On the
+    string path, null keys are dropped at the tag (SQL inner-join semantics;
+    pandas would otherwise match None with None).
     """
 
     # unified superset schema so the tagged union has one block schema
@@ -50,11 +81,25 @@ def hash_join(
     rtypes = dict(zip(rschema.names, rschema.types))
     all_cols = lnames + [n for n in rnames if n not in lnames]
     all_types = {**rtypes, **ltypes}
+    string_key = pa.types.is_string(all_types[left_key]) or pa.types.is_large_string(
+        all_types[left_key]
+    )
 
     def tag(side: str, key: str, own: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
-            keys = np.asarray(batch[key], dtype=np.int64)
-            bucket = (_mix64(keys) % np.uint64(num_buckets)).astype(np.int32)
+            if string_key:
+                import pyarrow.compute as pc
+
+                col = batch[key]
+                if col.null_count:
+                    batch = batch.filter(pc.is_valid(col))
+                    col = batch[key]
+                bucket = (_string_hashes(col) % np.uint64(num_buckets)).astype(
+                    np.int32
+                )
+            else:
+                keys = np.asarray(batch[key], dtype=np.int64)
+                bucket = (_mix64(keys) % np.uint64(num_buckets)).astype(np.int32)
             cols = {}
             for name in all_cols:
                 if name in own:

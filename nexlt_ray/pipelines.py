@@ -417,6 +417,15 @@ def substring_dup_pairs_docs(sf_dir: str):
     )
 
 
+def top_terms_docs(sf_dir: str):
+    """Per-doc keyword extraction: top-3 terms by the integer-exact tf-idf
+    ordering (tf DESC, df ASC, term ASC); df flows onto tf rows via the
+    string-keyed partitioned hash join (`textstats.top_terms_per_doc`)."""
+    return ts_ops.top_terms_per_doc(
+        _documents(sf_dir, ["doc_id", "text"]), k_top=3
+    )
+
+
 #: per-language sampling rates (permille) for the rebalancing demo: halve the
 #: dominant language, keep the rest — the standard multilingual-mix reweight
 _SAMPLE_RATES = {"en": 500, "de": 900, "es": 900, "fr": 900, "zh": 900}

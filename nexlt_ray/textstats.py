@@ -246,3 +246,108 @@ def winnow_doc_fps(
             "fp": pa.array(v_s[uniq].view(np.int64)),
         }
     )
+
+
+def doc_term_tf(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-(doc, term) term frequencies (simple SQL-parity profile), fully
+    vectorized: one tokenize pass, one np.unique over (doc, term-code)."""
+    tb = tokenize_batch(batch[text_col], profile="simple")
+    if tb.terms.size == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "term": pa.array([], pa.string()),
+             "tf": pa.array([], pa.int64())}
+        )
+    uniq, inv = np.unique(tb.terms.astype("U"), return_inverse=True)
+    key = tb.doc_idx.astype(np.int64) * np.int64(uniq.size) + inv
+    pairs, counts = np.unique(key, return_counts=True)
+    d = pairs // uniq.size
+    t = pairs % uniq.size
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(batch["doc_id"])[d], pa.int64()),
+            "term": pa.array(uniq[t], pa.string()),
+            "tf": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def top_terms_per_doc(docs, k_top: int = 3, text_col: str = "text"):
+    """Per-doc keyword extraction: the k_top terms ranked by
+    (tf DESC, df ASC, term ASC) — highest-frequency rarest-first terms, the
+    integer-exact tf-idf ordering (for fixed tf, ascending df IS descending
+    idf, with the term itself as the total tiebreak). Output
+    (doc_id, term, tf, df).
+
+    Distributed shape: tf rows stream out of one tokenize pass; global df
+    per term is a partial-count + Sum groupby over those rows (docs never
+    re-tokenized); df flows back onto the tf rows via the string-keyed
+    partitioned `hash_join` (vocabulary may be corpus-sized — never a
+    broadcast); the per-doc top-k runs as a per-batch partial top-k and a
+    final per-doc groupby, so nothing beyond k * docs rows reaches the last
+    stage."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    tf = docs.map_batches(
+        lambda b: doc_term_tf(b, text_col=text_col), batch_format="pyarrow"
+    )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        terms, counts = np.unique(
+            np.asarray(batch["term"].to_pylist(), dtype="U"), return_counts=True
+        )
+        return pa.table(
+            {"term": pa.array(terms, pa.string()),
+             "df_part": pa.array(counts.astype(np.int64))}
+        )
+
+    df = (
+        tf.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_part", alias_name="df"))
+    )
+
+    joined = hash_join(tf, df, "term", "term", num_buckets=32)
+
+    def partial_top(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"])
+        t = np.asarray(batch["term"].to_pylist(), dtype="U")
+        tfv = np.asarray(batch["tf"])
+        dfv = np.asarray(batch["df"])
+        order = np.lexsort((t, dfv, -tfv, d))
+        g = d[order]
+        starts = np.flatnonzero(np.concatenate(([True], g[1:] != g[:-1])))
+        rank = np.arange(g.size) - np.repeat(starts, np.diff(np.concatenate((starts, [g.size]))))
+        keep = order[rank < k_top]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[keep], pa.int64()),
+                "term": pa.array(t[keep], pa.string()),
+                "tf": pa.array(tfv[keep], pa.int64()),
+                "df": pa.array(dfv[keep], pa.int64()),
+            }
+        )
+
+    def final_top(g: pa.Table) -> pa.Table:
+        t = np.asarray(g["term"].to_pylist(), dtype="U")
+        tfv = np.asarray(g["tf"])
+        dfv = np.asarray(g["df"])
+        keep = np.lexsort((t, dfv, -tfv))[:k_top]
+        keep.sort()
+        idx = pa.array(keep)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"].take(idx),
+                "term": g["term"].take(idx),
+                "tf": g["tf"].take(idx),
+                "df": g["df"].take(idx),
+            }
+        )
+
+    return (
+        joined.map_batches(partial_top, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(final_top, batch_format="pyarrow")
+    )

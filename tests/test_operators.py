@@ -695,3 +695,38 @@ def test_sampling_deterministic_across_partitioning(ray_session):
     )
     out = stratified_take_n(ray.data.from_arrow(small), 25).to_pandas()
     assert sorted(out["doc_id"].tolist()) == [1, 2]
+
+
+def test_hash_join_string_keys(ray_session):
+    """String-keyed partitioned hash_join: equality on the actual values
+    (bucket hash is placement only), inner-join null-key semantics, result
+    identical to a pandas merge reference."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from nexlt_ray.joins import hash_join
+
+    rng = __import__("random").Random(11)
+    keys = [f"term_{rng.randrange(50)}" for _ in range(300)]
+    left = pa.table(
+        {"term": pa.array(keys + [None, None]),
+         "v": pa.array(list(range(300)) + [900, 901], pa.int64())}
+    )
+    rkeys = [f"term_{i}" for i in range(0, 50, 2)]
+    right = pa.table(
+        {"term": pa.array(rkeys + [None]),
+         "w": pa.array([i * 10 for i in range(len(rkeys))] + [999], pa.int64())}
+    )
+    got = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        "term", "term", num_buckets=8,
+    ).to_pandas().sort_values(["term", "v"]).reset_index(drop=True)
+    exp = (
+        left.to_pandas().dropna(subset=["term"])
+        .merge(right.to_pandas().dropna(subset=["term"]), on="term")
+        .sort_values(["term", "v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["term", "v", "w"]], exp[["term", "v", "w"]], check_dtype=False
+    )
