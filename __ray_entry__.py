@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 47 entries, 34 DuckDB-oracled.
+                 48 entries, 35 DuckDB-oracled.
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
                  (incl. ASOF JOIN, window-function sessionization, shingle
                  Jaccard via list_transform, fq-composed BM25); non-SQL ops
@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": P.customers_without_orders,
         # similarity search
         "embedding_topk": P.embedding_topk,
+        "hybrid_rrf_topk": P.hybrid_rrf_topk,
         "cosine_dup_pairs": P.cosine_dup_pairs,
         "ann_lsh_topk": P.ann_lsh_topk,
         "ann_ivf_topk": P.ann_ivf_topk,
@@ -200,6 +201,66 @@ def _facet_drill_sql() -> str:
         f"SELECT source, count(*)::BIGINT AS n FROM documents "
         f"WHERE lang IN ({vals}) GROUP BY source"
     )
+
+
+def _hybrid_sql(k_src: int = 20, k_out: int = 10, rrf_k: int = 60) -> str:
+    # reciprocal-rank fusion of the two oracled retrieval legs; the fused
+    # score is two IEEE double divisions + one add, expression-identical to
+    # pipelines.hybrid_rrf_topk, then integer-scaled
+    return f"""
+{_TOK},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+{_qterms_values()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY term),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+bm AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 4) DESC, doc_id) AS r
+  FROM scores QUALIFY r <= {k_src}
+),
+qv AS (SELECT vec_id AS qid, embedding AS v FROM embeddings
+       ORDER BY vec_id LIMIT 5),
+sims AS (
+  SELECT qv.qid, e.vec_id AS doc_id,
+         CAST(round(list_cosine_similarity(
+             e.embedding::DOUBLE[], qv.v::DOUBLE[]) * 1000000) AS BIGINT)
+             AS sim_e6
+  FROM qv CROSS JOIN embeddings e
+),
+cos AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sim_e6 DESC, doc_id) AS r
+  FROM sims QUALIFY r <= {k_src}
+),
+fused AS (
+  SELECT coalesce(bm.qid, cos.qid) AS qid,
+         coalesce(bm.doc_id, cos.doc_id) AS doc_id,
+         CAST(round((coalesce(1.0 / ({rrf_k} + bm.r), 0)
+                     + coalesce(1.0 / ({rrf_k} + cos.r), 0)) * 1e9) AS BIGINT)
+             AS rrf_e9
+  FROM bm FULL JOIN cos ON bm.qid = cos.qid AND bm.doc_id = cos.doc_id
+)
+SELECT qid::BIGINT AS qid, doc_id::BIGINT AS doc_id, rrf_e9 FROM fused
+QUALIFY row_number() OVER (PARTITION BY qid
+                           ORDER BY rrf_e9 DESC, doc_id) <= {k_out}
+"""
 
 
 def _filtered_sql() -> str:
@@ -498,6 +559,7 @@ sims AS (
 SELECT qid, vec_id, sim_e6 FROM sims
 QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, vec_id) <= 10
 """,
+        "hybrid_rrf_topk": _hybrid_sql(),
         "cosine_dup_pairs": """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        CAST(round(list_cosine_similarity(

@@ -177,6 +177,7 @@ def _bm25_topk_impl(
     sf_dir: str,
     filter_langs: tuple | None,
     filter_phrase: str | None = None,
+    k: int = 10,
 ) -> pa.Table:
     qterms = doc_query_terms()
     terms = sorted({t for _, t in qterms})
@@ -270,7 +271,7 @@ def _bm25_topk_impl(
                 matched |= m
             sr = np.round(s[matched], 4)
             d = doc_id[matched]
-            order = np.lexsort((d, -sr))[:10]  # block-local partial top-10
+            order = np.lexsort((d, -sr))[:k]  # block-local partial top-k
             out_q.append(np.full(order.size, qid, dtype=np.int64))
             out_d.append(d[order])
             out_s.append(sr[order])
@@ -289,7 +290,7 @@ def _bm25_topk_impl(
     keep = []
     for qid in range(len(DOC_QUERIES)):
         sel = np.flatnonzero(q == qid)
-        order = np.lexsort((d[sel], -s[sel]))[:10]
+        order = np.lexsort((d[sel], -s[sel]))[:k]
         keep.append(sel[order])
     keep = np.concatenate(keep) if keep else np.empty(0, np.int64)
     return pa.table(
@@ -1403,16 +1404,17 @@ def _query_vectors(sf_dir: str, n: int = 5) -> tuple[np.ndarray, np.ndarray]:
     return vid[sel], mat[sel]
 
 
-def embedding_topk(sf_dir: str) -> pa.Table:
-    """Exact cosine top-10 of every vector against the first 5 vectors
-    (brute force, float64, ranking key = (round(sim*1e6) desc, vec_id))."""
+def embedding_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Exact cosine top-k (default 10) of every vector against the first 5
+    vectors (brute force, float64, ranking key = (round(sim*1e6) desc,
+    vec_id))."""
     import ray.data
 
     qids, qvecs = _query_vectors(sf_dir)
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
     out = sim_ops.brute_force_topk(
-        ds, qvecs, k=10, concurrency=2, rank_scale=1e6
+        ds, qvecs, k=k, concurrency=2, rank_scale=1e6
     ).to_pandas()
     qmap = {i: int(q) for i, q in enumerate(qids)}
     return pa.table(
@@ -1422,6 +1424,62 @@ def embedding_topk(sf_dir: str) -> pa.Table:
             "sim_e6": pa.array(
                 np.round(out["sim"].to_numpy() * 1e6).astype(np.int64)
             ),
+        }
+    )
+
+
+def hybrid_rrf_topk(sf_dir: str, k_src: int = 20, k_out: int = 10,
+                    rrf_k: int = 60) -> pa.Table:
+    """Hybrid retrieval: BM25 lexical top-k_src fused with exact
+    embedding-cosine top-k_src by reciprocal-rank fusion (Cormack/Clarke/
+    Buettcher, SIGIR'09): rrf(d) = sum over sources of 1/(rrf_k + rank_s(d)),
+    absent source contributes 0. Query pairing: DOC_QUERIES index i with
+    query vector vec_id i (doc_id == vec_id is the synthetic-corpus
+    contract). Output: top-k_out per qid by (rrf_e9 DESC, doc_id) with the
+    fused score as round(rrf * 1e9) — both retrieval legs are themselves
+    DuckDB-oracled, and the fusion arithmetic (two IEEE double divisions +
+    one add) is expression-identical in the SQL oracle, so the hybrid is
+    hash-checkable end to end.
+
+    Scale shape: both legs are the existing streaming pipelines; fusion
+    touches only the two top-k_src result sets (bounded by queries x k_src),
+    never corpus-sized data."""
+    import pandas as pd
+
+    bm = _bm25_topk_impl(sf_dir, None, k=k_src)
+    em = embedding_topk(sf_dir, k=k_src).to_pandas()
+    em = em.rename(columns={"vec_id": "doc_id"})
+
+    def with_rank(df: pd.DataFrame, score_col: str, neg: bool) -> pd.DataFrame:
+        s = df[score_col].to_numpy()
+        order = np.lexsort((df["doc_id"].to_numpy(), -s if neg else s,
+                            df["qid"].to_numpy()))
+        df = df.iloc[order].reset_index(drop=True)
+        df["r"] = df.groupby("qid").cumcount() + 1
+        return df[["qid", "doc_id", "r"]]
+
+    bm_r = with_rank(bm, "score_r", neg=True)
+    em_r = with_rank(em, "sim_e6", neg=True)
+    f = bm_r.merge(em_r, on=["qid", "doc_id"], how="outer",
+                   suffixes=("_bm", "_cos"))
+    ra = f["r_bm"].to_numpy(dtype=np.float64)
+    rb = f["r_cos"].to_numpy(dtype=np.float64)
+    ta = np.where(np.isnan(ra), 0.0, 1.0 / (rrf_k + ra))
+    tb = np.where(np.isnan(rb), 0.0, 1.0 / (rrf_k + rb))
+    rrf_e9 = np.round((ta + tb) * 1e9).astype(np.int64)
+    q = f["qid"].to_numpy(dtype=np.int64)
+    d = f["doc_id"].to_numpy(dtype=np.int64)
+    keep = []
+    for qid in np.unique(q):
+        sel = np.flatnonzero(q == qid)
+        order = np.lexsort((d[sel], -rrf_e9[sel]))[:k_out]
+        keep.append(sel[order])
+    keep = np.concatenate(keep)
+    return pa.table(
+        {
+            "qid": pa.array(q[keep], pa.int64()),
+            "doc_id": pa.array(d[keep], pa.int64()),
+            "rrf_e9": pa.array(rrf_e9[keep], pa.int64()),
         }
     )
 
