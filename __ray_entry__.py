@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 48 entries, 35 DuckDB-oracled.
+                 50 entries, 37 DuckDB-oracled.
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
                  (incl. ASOF JOIN, window-function sessionization, shingle
                  Jaccard via list_transform, fq-composed BM25); non-SQL ops
@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_search_topk": P.filtered_search_topk,
         "fq_phrase_search_topk": P.fq_phrase_search_topk,
         "match_count_or": P.match_count_or,
+        "prefix_match_count": P.prefix_match_count,
+        "term_prefix_suggest": P.term_prefix_suggest,
         "phrase_match_count": P.phrase_match_count,
         # dedup family
         "exact_dedup_docs": P.exact_dedup_docs,
@@ -203,6 +205,13 @@ def _facet_drill_sql() -> str:
     )
 
 
+def _prefix_values() -> str:
+    from nexlt_ray.pipelines import DOC_PREFIXES
+
+    vals = ", ".join(f"('{p}')" for p in DOC_PREFIXES)
+    return f"p(prefix) AS (VALUES {vals})"
+
+
 def _hybrid_sql(k_src: int = 20, k_out: int = 10, rrf_k: int = 60) -> str:
     # reciprocal-rank fusion of the two oracled retrieval legs; the fused
     # score is two IEEE double divisions + one add, expression-identical to
@@ -336,6 +345,24 @@ LEFT JOIN tok ON tok.term = q.term
 GROUP BY qids.qid
 """,
         "phrase_match_count": _phrase_sql(),
+        "prefix_match_count": f"""
+{_TOK},
+{_prefix_values()},
+d AS (SELECT DISTINCT doc_id, term FROM tok)
+SELECT p.prefix, count(DISTINCT d.doc_id)::BIGINT AS num_found
+FROM p LEFT JOIN d ON starts_with(d.term, p.prefix)
+GROUP BY p.prefix
+""",
+        "term_prefix_suggest": f"""
+{_TOK},
+{_prefix_values()},
+t AS (SELECT DISTINCT doc_id, term FROM tok),
+df AS (SELECT term, count(*)::BIGINT AS df FROM t GROUP BY term)
+SELECT p.prefix, df.term, df.df
+FROM p JOIN df ON starts_with(df.term, p.prefix)
+QUALIFY row_number() OVER (
+    PARTITION BY p.prefix ORDER BY df.df DESC, df.term ASC) <= 10
+""",
         "exact_dedup_docs": """
 SELECT min(doc_id)::BIGINT AS doc_id, sha256(text) AS text_sha256,
        count(*)::BIGINT AS n_copies

@@ -418,6 +418,129 @@ def substring_dup_pairs_docs(sf_dir: str):
     )
 
 
+#: reference prefixes for the PrefixQuery / terms-component twins ("zz"
+#: exercises the zero-match row)
+DOC_PREFIXES = ["ta", "qu", "val", "s", "zz"]
+
+
+def prefix_match_count(sf_dir: str) -> pa.Table:
+    """numFound per prefix query (Lucene PrefixQuery, q=val*): docs with any
+    token starting with the prefix. SQL-parity twin of
+    `IndexReader.match_count("<p>*")` (constant-score doc-set semantics).
+    One streaming pass: per-batch doc counts per prefix -> one tiny Sum."""
+    from ray.data.aggregate import Sum
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        n = len(batch)
+        terms_u = tb.terms.astype("U") if tb.terms.size else None
+        cols = {}
+        for i, p in enumerate(DOC_PREFIXES):
+            c = 0
+            if terms_u is not None:
+                m = np.char.startswith(terms_u, p)
+                c = int((np.bincount(tb.doc_idx[m], minlength=n) > 0).sum())
+            cols[f"c_{i}"] = pa.array([np.int64(c)])
+        return pa.table(cols)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(f"c_{i}", alias_name=f"c_{i}") for i in range(len(DOC_PREFIXES))]
+    )
+    return pa.table(
+        {
+            "prefix": pa.array(DOC_PREFIXES, pa.string()),
+            "num_found": pa.array(
+                [int(agg[f"c_{i}"]) for i in range(len(DOC_PREFIXES))],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def term_prefix_suggest(sf_dir: str) -> pa.Table:
+    """Solr terms-component / autocomplete twin (`IndexReader.suggest`):
+    top-10 (term, df) per prefix, df-desc then term-asc. Per-batch distinct
+    (prefix, term, partial-df) -> one groupby Sum for global df -> per-batch
+    partial top-10 -> tiny driver merge (only prefixes x 10 x blocks rows
+    leave the aggregate)."""
+    from ray.data.aggregate import Sum
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = dedup_ops.distinct_doc_terms(batch)
+        terms = np.asarray(t["term"].to_pylist(), dtype="U")
+        out_p, out_t, out_c = [], [], []
+        for i, p in enumerate(DOC_PREFIXES):
+            m = np.char.startswith(terms, p)
+            if not m.any():
+                continue
+            tu, cnt = np.unique(terms[m], return_counts=True)
+            out_p.append(np.full(tu.size, i, dtype=np.int64))
+            out_t.append(tu)
+            out_c.append(cnt.astype(np.int64))
+        if not out_p:
+            return pa.table(
+                {"pid": pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string()),
+                 "df_p": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "pid": pa.array(np.concatenate(out_p)),
+                "term": pa.array(np.concatenate(out_t), pa.string()),
+                "df_p": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["pid", "term"])
+        .aggregate(Sum("df_p", alias_name="df"))
+    )
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        pid = np.asarray(batch["pid"])
+        term = np.asarray(batch["term"].to_pylist(), dtype="U")
+        dfv = np.asarray(batch["df"])
+        order = np.lexsort((term, -dfv, pid))
+        g = pid[order]
+        starts = np.flatnonzero(np.concatenate(([True], g[1:] != g[:-1])))
+        rank = np.arange(g.size) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [g.size])))
+        )
+        keep = order[rank < 10]
+        return pa.table(
+            {
+                "pid": pa.array(pid[keep], pa.int64()),
+                "term": pa.array(term[keep], pa.string()),
+                "df": pa.array(dfv[keep], pa.int64()),
+            }
+        )
+
+    parts = df.map_batches(block_top, batch_format="pyarrow").to_pandas()
+    pid = parts["pid"].to_numpy()
+    term = parts["term"].to_numpy(dtype="U")
+    dfv = parts["df"].to_numpy()
+    keep = []
+    for i in range(len(DOC_PREFIXES)):
+        sel = np.flatnonzero(pid == i)
+        order = np.lexsort((term[sel], -dfv[sel]))[:10]
+        keep.append(sel[order])
+    keep = np.concatenate(keep) if keep else np.empty(0, np.int64)
+    return pa.table(
+        {
+            "prefix": pa.array(
+                [DOC_PREFIXES[i] for i in pid[keep]], pa.string()
+            ),
+            "term": pa.array(term[keep], pa.string()),
+            "df": pa.array(dfv[keep], pa.int64()),
+        }
+    )
+
+
 def top_terms_docs(sf_dir: str):
     """Per-doc keyword extraction: top-3 terms by the integer-exact tf-idf
     ordering (tf DESC, df ASC, term ASC); df flows onto tf rows via the

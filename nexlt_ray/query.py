@@ -557,6 +557,12 @@ class IndexReader:
         # reference UI produces — return without touching postings.
         self._result_cache: OrderedDict[tuple, list] = OrderedDict()
         self._result_cache_cap = 512
+        # prefix-expansion cache (PrefixQuery / terms component): term-hash
+        # partitioning scatters a prefix across every term bucket, so an
+        # expansion is a term-column scan of all segment files (pruned by
+        # row-group stats via the range filter); cache the result
+        self._prefix_cache: OrderedDict[str, list] = OrderedDict()
+        self._prefix_cache_cap = 64
 
     # ------------------------------------------------------------------
     # postings access
@@ -595,6 +601,73 @@ class IndexReader:
         if len(self._term_cache) > self._cache_cap:
             self._term_cache.popitem(last=False)
         return tp
+
+    # ------------------------------------------------------------------
+    # prefix expansion (Lucene PrefixQuery / Solr terms component)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _prefix_upper(prefix: str) -> str | None:
+        """Smallest string > every string with this prefix (codepoint order
+        == byte order for valid UTF-8), for row-group pruning; None if the
+        prefix is all U+10FFFF."""
+        for i in range(len(prefix) - 1, -1, -1):
+            c = ord(prefix[i])
+            for nc in range(c + 1, 0x110000):
+                if not (0xD800 <= nc <= 0xDFFF):
+                    return prefix[:i] + chr(nc)
+        return None
+
+    def _prefix_term_rows(self, prefix: str) -> list[tuple[str, int]]:
+        """All (term, summed df) with the given prefix, scanning the term/df
+        columns of every term-bucket segment (hash partitioning has no
+        sorted global dictionary — the analog of Lucene's per-segment terms
+        enum; reads are column-pruned and range-filtered so row-group stats
+        prune non-overlapping chunks). Cached per prefix."""
+        hit = self._prefix_cache.get(prefix)
+        if hit is not None:
+            self._prefix_cache.move_to_end(prefix)
+            return hit
+        flt = [("term", ">=", prefix)]
+        hi = self._prefix_upper(prefix)
+        if hi is not None:
+            flt.append(("term", "<", hi))
+        counts: dict[str, int] = {}
+        for path in self._seg_files.values():
+            tbl = pq.read_table(path, columns=["term", "df"], filters=flt)
+            for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
+                if t.startswith(prefix):  # exactness beyond the range prune
+                    counts[t] = counts.get(t, 0) + int(d)
+        rows = sorted(counts.items())
+        self._prefix_cache[prefix] = rows
+        if len(self._prefix_cache) > self._prefix_cache_cap:
+            self._prefix_cache.popitem(last=False)
+        return rows
+
+    def expand_prefix(self, prefix: str) -> list[str]:
+        """Terms matching `prefix*`, ascending."""
+        return [t for t, _ in self._prefix_term_rows(prefix)]
+
+    def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
+        """Solr terms-component analog (terms.prefix / autocomplete): top-n
+        (term, df) for the prefix, df-desc then term-asc."""
+        rows = self._prefix_term_rows(prefix)
+        return sorted(rows, key=lambda r: (-r[1], r[0]))[:n]
+
+    def _prefix_docs(self, prefix: str, fset) -> np.ndarray:
+        """Sorted doc ids matching `prefix*` — the union bitset of the
+        expanded terms' postings (Lucene CONSTANT_SCORE_REWRITE: wildcard
+        expansion builds a doc set and is exempt from maxBooleanClauses)."""
+        sets = [
+            tp.decode_all()[0]
+            for tp in (self.postings(t) for t in self.expand_prefix(prefix))
+            if tp is not None
+        ]
+        if not sets:
+            return np.empty(0, np.int64)
+        cur = np.unique(np.concatenate(sets))
+        if fset is not None and cur.size:
+            cur = cur[fset.mask(cur)]
+        return cur
 
     # ------------------------------------------------------------------
     # doc-meta / stored fields (reference J3: top-k ids -> stored fields,
@@ -858,6 +931,17 @@ class IndexReader:
             return "all", ""
         if len(q) >= 2 and q.startswith('"') and q.endswith('"'):
             return "phrase", q[1:-1]
+        if (
+            len(q) >= 2
+            and q.endswith("*")
+            and " " not in q
+            and '"' not in q
+            and "*" not in q[:-1]
+        ):
+            # Lucene PrefixQuery (q=val*): constant-score, the wildcard
+            # term is NOT analyzed beyond lowercasing (Solr multiterm
+            # analysis)
+            return "prefix", q[:-1].lower()
         return "terms", q
 
     def _all_docs(self) -> np.ndarray:
@@ -947,6 +1031,12 @@ class IndexReader:
                         break
                 return out
             return [(int(d), 1.0) for d in fset.first_k(max(k, 0))]
+        if kind == "prefix":
+            # constant-score doc-set semantics (Lucene
+            # MultiTermQuery.CONSTANT_SCORE_REWRITE, the Solr default):
+            # score 1.0, ascending doc id
+            docs = self._prefix_docs(body, fset)
+            return [(int(d), 1.0) for d in docs[: max(k, 0)]]
         terms = tokenize_query(
             body, profile=self._query_profile(lang), protected=self.protected
         )
@@ -1079,6 +1169,8 @@ class IndexReader:
             # offline/aux form — serving surfaces (facets/search_sorted/
             # match_count) go through _match_buckets and never hit this
             return fset.all_docs() if fset is not None else self._all_docs()
+        if kind == "prefix":
+            return self._prefix_docs(body, fset)
         terms = tokenize_query(
             body, profile=self._query_profile(lang), protected=self.protected
         )

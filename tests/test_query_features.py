@@ -180,3 +180,40 @@ def test_realtime_get_and_analysis(built_index):
     assert ("wifi", 0) in toks and ("wi", 0) in toks and ("fi", 1) in toks
     qtoks = r.analyze("Wi-Fi driver", query_time=True)
     assert ("wifi", 0) not in qtoks and ("wi", 0) in qtoks
+
+
+def test_prefix_query_and_suggest(built_index):
+    """Lucene PrefixQuery (q=p*) + Solr terms-component suggest: doc set,
+    numFound, constant-score search page and per-term dfs all match a
+    brute-force tokenization of the docstore."""
+    from nexlt_ray.query import IndexReader
+    from nexlt_ray.tokenize import tokenize_batch
+
+    idx, manifest = built_index
+    r = IndexReader(idx)
+    meta = pq.read_table(f"{idx}/docstore", columns=["doc_bucket", "local_rank", "content"])
+    did = (
+        np.asarray(manifest["doc_offsets"])[np.asarray(meta["doc_bucket"])]
+        + np.asarray(meta["local_rank"])
+    )
+    tb = tokenize_batch(meta["content"], profile="code")
+    terms = tb.terms.astype("U")
+    for prefix in ["val", "ret", "x", "nosuchprefix"]:
+        m = np.char.startswith(terms, prefix)
+        exp_docs = np.unique(did[tb.doc_idx[m]])
+        assert np.array_equal(r._prefix_docs(prefix, None), exp_docs)
+        assert r.match_count(prefix + "*") == exp_docs.size
+        assert r.search(prefix + "*", k=5) == [
+            (int(d), 1.0) for d in exp_docs[:5]
+        ]
+        by_term: dict = {}
+        for t, dx in zip(terms[m], tb.doc_idx[m]):
+            by_term.setdefault(t, set()).add(dx)
+        exp_sugg = sorted(
+            ((t, len(s)) for t, s in by_term.items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:5]
+        assert r.suggest(prefix, 5) == exp_sugg
+    # facets compose with prefix queries through the shared match path
+    f = r.facets("val*", ["lang"])
+    assert sum(c for _, c in f["lang"]) == r.match_count("val*")
