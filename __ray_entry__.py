@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 50 entries, 37 DuckDB-oracled.
+                 51 entries, 38 DuckDB-oracled.
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
                  (incl. ASOF JOIN, window-function sessionization, shingle
                  Jaccard via list_transform, fq-composed BM25); non-SQL ops
@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fq_phrase_search_topk": P.fq_phrase_search_topk,
         "match_count_or": P.match_count_or,
         "prefix_match_count": P.prefix_match_count,
+        "wildcard_match_count": P.wildcard_match_count,
         "term_prefix_suggest": P.term_prefix_suggest,
         "phrase_match_count": P.phrase_match_count,
         # dedup family
@@ -212,6 +213,13 @@ def _prefix_values() -> str:
     return f"p(prefix) AS (VALUES {vals})"
 
 
+def _wildcard_values() -> str:
+    from nexlt_ray.pipelines import DOC_WILDCARDS
+
+    vals = ", ".join(f"('{p}')" for p in DOC_WILDCARDS)
+    return f"w(pattern) AS (VALUES {vals})"
+
+
 def _hybrid_sql(k_src: int = 20, k_out: int = 10, rrf_k: int = 60) -> str:
     # reciprocal-rank fusion of the two oracled retrieval legs; the fused
     # score is two IEEE double divisions + one add, expression-identical to
@@ -352,6 +360,15 @@ d AS (SELECT DISTINCT doc_id, term FROM tok)
 SELECT p.prefix, count(DISTINCT d.doc_id)::BIGINT AS num_found
 FROM p LEFT JOIN d ON starts_with(d.term, p.prefix)
 GROUP BY p.prefix
+""",
+        "wildcard_match_count": f"""
+{_TOK},
+{_wildcard_values()},
+d AS (SELECT DISTINCT doc_id, term FROM tok)
+SELECT w.pattern, count(DISTINCT d.doc_id)::BIGINT AS num_found
+FROM w LEFT JOIN d
+  ON d.term LIKE replace(replace(w.pattern, '*', '%'), '?', '_')
+GROUP BY w.pattern
 """,
         "term_prefix_suggest": f"""
 {_TOK},

@@ -459,6 +459,65 @@ def prefix_match_count(sf_dir: str) -> pa.Table:
     )
 
 
+#: Lucene wildcard patterns (* = any run, ? = one char) incl. a
+#: leading-wildcard and a zero-match case
+DOC_WILDCARDS = ["v?lue", "qu*y", "*ble", "s?a*", "zz?*"]
+
+
+def wildcard_match_count(sf_dir: str) -> pa.Table:
+    """numFound per Lucene WildcardQuery — SQL-parity twin of
+    `IndexReader.match_count("v?l*")` (constant-score doc-set semantics;
+    the oracle rewrites * -> %% and ? -> _ for LIKE). Regexes match against
+    the batch's UNIQUE terms only, then membership is vectorized."""
+    import re as _re
+
+    from ray.data.aggregate import Sum
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    rxs = [
+        _re.compile(
+            "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in p
+            )
+            + r"\Z"
+        )
+        for p in DOC_WILDCARDS
+    ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        n = len(batch)
+        cols = {}
+        if tb.terms.size:
+            terms_u = tb.terms.astype("U")
+            uniq, inv = np.unique(terms_u, return_inverse=True)
+        for i, rx in enumerate(rxs):
+            c = 0
+            if tb.terms.size:
+                hit = np.fromiter(
+                    (rx.match(t) is not None for t in uniq),
+                    dtype=bool, count=uniq.size,
+                )
+                m = hit[inv]
+                c = int((np.bincount(tb.doc_idx[m], minlength=n) > 0).sum())
+            cols[f"c_{i}"] = pa.array([np.int64(c)])
+        return pa.table(cols)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(f"c_{i}", alias_name=f"c_{i}") for i in range(len(DOC_WILDCARDS))]
+    )
+    return pa.table(
+        {
+            "pattern": pa.array(DOC_WILDCARDS, pa.string()),
+            "num_found": pa.array(
+                [int(agg[f"c_{i}"]) for i in range(len(DOC_WILDCARDS))],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def term_prefix_suggest(sf_dir: str) -> pa.Table:
     """Solr terms-component / autocomplete twin (`IndexReader.suggest`):
     top-10 (term, df) per prefix, df-desc then term-asc. Per-batch distinct

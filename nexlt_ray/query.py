@@ -647,19 +647,48 @@ class IndexReader:
         """Terms matching `prefix*`, ascending."""
         return [t for t, _ in self._prefix_term_rows(prefix)]
 
+    def expand_wildcard(self, pattern: str) -> list[str]:
+        """Terms matching a Lucene wildcard pattern (* = any run, ? = one
+        char), ascending. The literal prefix before the first wildcard
+        drives the same range-pruned segment scan as PrefixQuery; the rest
+        is an anchored regex over the pruned candidates. A
+        leading-wildcard pattern scans the full dictionary (the same cost
+        Lucene documents for it)."""
+        import re as _re
+
+        lit = min(
+            (pattern.index(c) for c in "*?" if c in pattern),
+            default=len(pattern),
+        )
+        rx = _re.compile(
+            "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in pattern
+            )
+            + r"\Z"
+        )
+        return [
+            t for t, _ in self._prefix_term_rows(pattern[:lit])
+            if rx.match(t)
+        ]
+
     def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
         """Solr terms-component analog (terms.prefix / autocomplete): top-n
         (term, df) for the prefix, df-desc then term-asc."""
         rows = self._prefix_term_rows(prefix)
         return sorted(rows, key=lambda r: (-r[1], r[0]))[:n]
 
-    def _prefix_docs(self, prefix: str, fset) -> np.ndarray:
-        """Sorted doc ids matching `prefix*` — the union bitset of the
-        expanded terms' postings (Lucene CONSTANT_SCORE_REWRITE: wildcard
-        expansion builds a doc set and is exempt from maxBooleanClauses)."""
+    def _prefix_docs(self, prefix: str, fset, wildcard: bool = False) -> np.ndarray:
+        """Sorted doc ids matching `prefix*` (or a full wildcard pattern) —
+        the union bitset of the expanded terms' postings (Lucene
+        CONSTANT_SCORE_REWRITE: wildcard expansion builds a doc set and is
+        exempt from maxBooleanClauses)."""
+        terms = (
+            self.expand_wildcard(prefix) if wildcard else self.expand_prefix(prefix)
+        )
         sets = [
             tp.decode_all()[0]
-            for tp in (self.postings(t) for t in self.expand_prefix(prefix))
+            for tp in (self.postings(t) for t in terms)
             if tp is not None
         ]
         if not sets:
@@ -937,11 +966,22 @@ class IndexReader:
             and " " not in q
             and '"' not in q
             and "*" not in q[:-1]
+            and "?" not in q
         ):
             # Lucene PrefixQuery (q=val*): constant-score, the wildcard
             # term is NOT analyzed beyond lowercasing (Solr multiterm
             # analysis)
             return "prefix", q[:-1].lower()
+        if (
+            len(q) >= 2
+            and (("*" in q) or ("?" in q))
+            and " " not in q
+            and '"' not in q
+            and q not in ("*", "**")
+        ):
+            # Lucene WildcardQuery (q=v?l*e): * = any run, ? = one char;
+            # same constant-score rewrite as prefix
+            return "wildcard", q.lower()
         return "terms", q
 
     def _all_docs(self) -> np.ndarray:
@@ -1031,11 +1071,11 @@ class IndexReader:
                         break
                 return out
             return [(int(d), 1.0) for d in fset.first_k(max(k, 0))]
-        if kind == "prefix":
+        if kind in ("prefix", "wildcard"):
             # constant-score doc-set semantics (Lucene
             # MultiTermQuery.CONSTANT_SCORE_REWRITE, the Solr default):
             # score 1.0, ascending doc id
-            docs = self._prefix_docs(body, fset)
+            docs = self._prefix_docs(body, fset, wildcard=kind == "wildcard")
             return [(int(d), 1.0) for d in docs[: max(k, 0)]]
         terms = tokenize_query(
             body, profile=self._query_profile(lang), protected=self.protected
@@ -1169,8 +1209,8 @@ class IndexReader:
             # offline/aux form — serving surfaces (facets/search_sorted/
             # match_count) go through _match_buckets and never hit this
             return fset.all_docs() if fset is not None else self._all_docs()
-        if kind == "prefix":
-            return self._prefix_docs(body, fset)
+        if kind in ("prefix", "wildcard"):
+            return self._prefix_docs(body, fset, wildcard=kind == "wildcard")
         terms = tokenize_query(
             body, profile=self._query_profile(lang), protected=self.protected
         )

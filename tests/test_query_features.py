@@ -217,3 +217,16 @@ def test_prefix_query_and_suggest(built_index):
     # facets compose with prefix queries through the shared match path
     f = r.facets("val*", ["lang"])
     assert sum(c for _, c in f["lang"]) == r.match_count("val*")
+    # full wildcard patterns (? = one char, inner/leading *)
+    import fnmatch
+    import re as _re
+
+    for pat in ["v?l*", "*urn", "re*rn", "?et", "zz?*"]:
+        rx = _re.compile(fnmatch.translate(pat))
+        m = np.fromiter(
+            (rx.match(t) is not None for t in terms), dtype=bool,
+            count=terms.size,
+        )
+        exp_docs = np.unique(did[tb.doc_idx[m]])
+        assert r.match_count(pat) == exp_docs.size, pat
+        assert r.search(pat, k=4) == [(int(d), 1.0) for d in exp_docs[:4]]
