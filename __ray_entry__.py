@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 51 entries, 38 DuckDB-oracled.
+                 52 entries, 39 DuckDB-oracled.
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
                  (incl. ASOF JOIN, window-function sessionization, shingle
                  Jaccard via list_transform, fq-composed BM25); non-SQL ops
@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_docs": P.bm25_topk_docs,
         "filtered_search_topk": P.filtered_search_topk,
         "fq_phrase_search_topk": P.fq_phrase_search_topk,
+        "range_filtered_topk": P.range_filtered_topk,
         "match_count_or": P.match_count_or,
         "prefix_match_count": P.prefix_match_count,
         "wildcard_match_count": P.wildcard_match_count,
@@ -120,11 +121,18 @@ def _qterms_values() -> str:
 
 
 def _bm25_sql(
-    filter_langs: tuple | None = None, filter_phrase: str | None = None
+    filter_langs: tuple | None = None, filter_phrase: str | None = None,
+    filter_range: tuple | None = None,
 ) -> str:
     # fq semantics: the filter restricts SCORED rows only; n/avgdl/df stay
     # corpus-global (matches Solr fq and pipelines._bm25_topk_impl)
     fq = ""
+    if filter_range:
+        fcol, lo, hi = filter_range
+        fq += (
+            "  JOIN documents fr ON fr.doc_id = tf.doc_id "
+            f"AND fr.{fcol} BETWEEN {lo} AND {hi}\n"
+        )
     if filter_langs:
         vals = ", ".join(f"'{v}'" for v in filter_langs)
         fq = (
@@ -204,6 +212,12 @@ def _facet_drill_sql() -> str:
         f"SELECT source, count(*)::BIGINT AS n FROM documents "
         f"WHERE lang IN ({vals}) GROUP BY source"
     )
+
+
+def _range_fq_sql() -> str:
+    from nexlt_ray.pipelines import FQ_RANGE
+
+    return _bm25_sql(filter_range=FQ_RANGE)
 
 
 def _prefix_values() -> str:
@@ -342,6 +356,7 @@ ORDER BY df DESC, term LIMIT 100
         "bm25_topk_docs": _bm25_sql(),
         "filtered_search_topk": _filtered_sql(),
         "fq_phrase_search_topk": _fq_phrase_sql(),
+        "range_filtered_topk": _range_fq_sql(),
         "match_count_or": f"""
 {_TOK},
 {_qterms_values()},

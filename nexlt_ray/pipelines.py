@@ -161,6 +161,17 @@ def filtered_search_topk(sf_dir: str) -> pa.Table:
     return _bm25_topk_impl(sf_dir, filter_langs=FILTER_LANGS)
 
 
+FQ_RANGE = ("n_chars", 150, 320)  # numeric range fq for range_filtered_topk
+
+
+def range_filtered_topk(sf_dir: str) -> pa.Table:
+    """Numeric range fq (Solr `fq=n_chars:[150 TO 320]`, inclusive) composed
+    with BM25: top-10 per DOC_QUERIES query restricted to docs in the range,
+    statistics corpus-global (fq selects, never re-weights). SQL-parity twin
+    of `IndexReader.search(filters={field: "[lo TO hi]"})`."""
+    return _bm25_topk_impl(sf_dir, filter_langs=None, filter_range=FQ_RANGE)
+
+
 FQ_PHRASE = "value table"  # query-valued fq for fq_phrase_search_topk
 
 
@@ -178,10 +189,13 @@ def _bm25_topk_impl(
     filter_langs: tuple | None,
     filter_phrase: str | None = None,
     k: int = 10,
+    filter_range: tuple | None = None,
 ) -> pa.Table:
     qterms = doc_query_terms()
     terms = sorted({t for _, t in qterms})
     cols = ["doc_id", "text"] + (["lang"] if filter_langs else [])
+    if filter_range:
+        cols.append(filter_range[0])
     ds = _documents(sf_dir, cols)
 
     def stats_partial(batch: pa.Table) -> pa.Table:
@@ -239,6 +253,10 @@ def _bm25_topk_impl(
 
     def score_topk(batch: pa.Table) -> pa.Table:
         # fq semantics: filter rows BEFORE scoring (stats already global)
+        if filter_range:
+            fcol, lo, hi = filter_range
+            v = np.asarray(batch[fcol])
+            batch = batch.filter(pa.array((v >= lo) & (v <= hi)))
         if filter_langs:
             batch = batch.filter(
                 pc.is_in(batch["lang"], value_set=pa.array(filter_langs))

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from collections import OrderedDict
 from dataclasses import dataclass, field
 
@@ -320,6 +321,18 @@ class TermPostings:
         )
 
 
+_RANGE_RX = re.compile(r"^\[(.+) TO (.+)\]$")
+
+
+def _parse_range(v) -> tuple[str, str] | None:
+    """Solr range-literal fq value `[lo TO hi]` -> (lo, hi); None if the
+    value is a plain term. `*` is an open end."""
+    if not isinstance(v, str):
+        return None
+    m = _RANGE_RX.match(v)
+    return (m.group(1), m.group(2)) if m else None
+
+
 class FilterSet:
     """Lazily evaluated fielded filter (Solr fq analog, corpus.cgi:328-339)
     restructured for doc-range sharding: the filter's doc set is represented
@@ -373,7 +386,28 @@ class FilterSet:
                         )
                     ] = True
                 else:
-                    m = np.isin(col, np.array(vals, dtype=object))
+                    plain = [v for v in vals if _parse_range(v) is None]
+                    m = (
+                        np.isin(col, np.array(plain, dtype=object))
+                        if plain
+                        else np.zeros(len(col), dtype=bool)
+                    )
+                    for v in vals:
+                        rng = _parse_range(v)
+                        if rng is None:
+                            continue
+                        # Solr range fq field:[lo TO hi], inclusive, * =
+                        # open end; numeric compare on numeric columns,
+                        # lexicographic on strings — OR'd with the field's
+                        # plain values like any other fq value
+                        lo, hi = rng
+                        num = np.issubdtype(np.asarray(col).dtype, np.number)
+                        rm = np.ones(len(col), dtype=bool)
+                        if lo != "*":
+                            rm &= col >= (float(lo) if num else lo)
+                        if hi != "*":
+                            rm &= col <= (float(hi) if num else hi)
+                        m |= rm
                 mask = m if mask is None else (mask & m)
             ids = (
                 np.flatnonzero(mask).astype(np.int64) + r._doc_offsets[b]

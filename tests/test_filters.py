@@ -294,3 +294,40 @@ def test_query_valued_fq(built_index):
     for d in r._matching_docs("import").tolist():
         manual[langs[d]] = manual.get(langs[d], 0) + 1
     assert dict(fac) == manual
+
+
+def test_range_fq(built_index):
+    """Solr range-literal fq (field:[lo TO hi], inclusive, * = open end):
+    doc set matches brute force over the meta column; composes with BM25
+    (WAND == exhaustive == brute-force-filtered ranking) and ORs with plain
+    values of the same field."""
+    from nexlt_ray.query import IndexReader
+
+    idx, manifest = built_index
+    r = IndexReader(idx)
+    did, meta = _doc_meta(idx, manifest, ["path", "lang"])
+    paths = np.asarray(meta["path"].to_pylist(), dtype=object)
+    langs = np.asarray(meta["lang"].to_pylist(), dtype=object)
+    lo, hi = "src/e", "src/p"
+    in_range = (paths >= lo) & (paths <= hi)
+
+    flt = {"path": f"[{lo} TO {hi}]"}
+    assert r.match_count("*:*", filters=flt) == int(in_range.sum())
+    got = r.search("parse", k=8, filters=flt)
+    exh = r.search("parse", k=8, filters=flt, algorithm="exhaustive")
+    assert got == exh
+    allowed = set(did[in_range].tolist())
+    full = r.search("parse", k=10_000)
+    exp = [(d, s) for d, s in full if d in allowed][:8]
+    assert got == exp
+
+    # open end + OR with a plain value on ANOTHER field (AND across fields)
+    flt2 = {"path": f"[{hi} TO *]", "lang": "python"}
+    m2 = (paths >= hi) & (langs == "python")
+    assert r.match_count("*:*", filters=flt2) == int(m2.sum())
+
+    # range ORs with a plain value of the SAME field
+    some_path = paths[~in_range][0]
+    flt3 = {"path": [f"[{lo} TO {hi}]", some_path]}
+    m3 = in_range | (paths == some_path)
+    assert r.match_count("*:*", filters=flt3) == int(m3.sum())
