@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 52 entries, 39 DuckDB-oracled.
+                 53 entries, 39 DuckDB-oracled.
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
                  (incl. ASOF JOIN, window-function sessionization, shingle
                  Jaccard via list_transform, fq-composed BM25); non-SQL ops
@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_doc_meta": P.corpus_doc_meta,
         "corpus_bm25_topk": P.corpus_bm25_topk,
         "corpus_filtered_topk": P.corpus_filtered_topk,
+        "corpus_mlt_topk": P.corpus_mlt_topk,
         # multimodal plumbing (decode stubbed, see nexlt_ray/multimodal.py)
         "media_features": P.media_features,
         "frame_samples": P.frame_samples,

@@ -1840,6 +1840,34 @@ def corpus_filtered_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def corpus_mlt_topk(sf_dir: str) -> pa.Table:
+    """More-like-this over the built index: for the first 5 docs, the top-5
+    similar docs (Lucene MLT term selection + BM25/WAND; exactness vs a
+    hand-recomputed selection pinned in
+    tests/test_query_features.py::test_more_like_this). Rows-only for the
+    driver (WAND float32 scoring is not SQL-expressible)."""
+    from .query import IndexReader
+
+    idx = _corpus_index(sf_dir)
+    r = IndexReader(idx)
+    src_docs = [int(d) for d in r._all_docs()[:5]]
+    srcs, ranks, docs, scores = [], [], [], []
+    for s_id in src_docs:
+        for rank, (d, s) in enumerate(r.more_like_this(s_id, k=5)):
+            srcs.append(s_id)
+            ranks.append(rank)
+            docs.append(d)
+            scores.append(int(round(s * 1e6)))
+    return pa.table(
+        {
+            "src_doc": pa.array(srcs, pa.int64()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_e6": pa.array(scores, pa.int64()),
+        }
+    )
+
+
 class SearchActor:
     """Actor-pool batch fn for distributed query serving: IndexReader loaded
     once per actor (reference T4 Solr-cache analog), batches of queries in,

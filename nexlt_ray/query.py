@@ -833,6 +833,59 @@ class IndexReader:
         ]
 
     # ------------------------------------------------------------------
+    # more-like-this (reference MoreLikeThisHandler shape,
+    # solrconfig.xml /mlt; Lucene MLT term selection)
+    # ------------------------------------------------------------------
+    def more_like_this(
+        self,
+        doc_id: int,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_tf: int = 2,
+        min_df: int = 2,
+        lang: str | None = None,
+        filters: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        """Docs similar to `doc_id`: select the source doc's most
+        interesting terms by tf * idf (Lucene MoreLikeThis term selection —
+        mintf/mindf gates, top maxqt terms; idf is the engine's BM25 idf so
+        selection and scoring agree), then run them as an OR query with the
+        usual BM25/WAND machinery, excluding the source doc. Deterministic:
+        term ties break ascending. Composes with fq like any search."""
+        t = self.doc_fields([int(doc_id)], columns=["content", "lang"])
+        if t.num_rows == 0:
+            return []
+        text = t["content"][0].as_py()
+        doc_lang = t["lang"][0].as_py() if "lang" in t.column_names else None
+        from .tokenize import tokenize_batch
+
+        tb = tokenize_batch(
+            [text],
+            profile=self._query_profile(lang or doc_lang),
+            protected=self.protected,
+        )
+        if tb.terms.size == 0:
+            return []
+        terms_u, tfs = np.unique(tb.terms.astype("U"), return_counts=True)
+        cands: list[tuple[float, str]] = []
+        for term, tf in zip(terms_u, tfs):
+            if tf < min_tf:
+                continue
+            tp = self.postings(str(term))
+            if tp is None or tp.df < min_df:
+                continue
+            cands.append(
+                (float(tf) * bm25.idf(tp.df, self.n_docs), str(term))
+            )
+        cands.sort(key=lambda x: (-x[0], x[1]))
+        qterms = [term for _, term in cands[:max_query_terms]]
+        if not qterms or k <= 0:
+            return []
+        fset = self._filter_docs(filters, lang)
+        res = self._search_wand(qterms, k + 1, fset)
+        return [(d, s) for d, s in res if d != int(doc_id)][:k]
+
+    # ------------------------------------------------------------------
     # scoring helpers
     # ------------------------------------------------------------------
     def _clause_postings(self, terms: list[str]) -> list[TermPostings | None]:

@@ -230,3 +230,41 @@ def test_prefix_query_and_suggest(built_index):
         exp_docs = np.unique(did[tb.doc_idx[m]])
         assert r.match_count(pat) == exp_docs.size, pat
         assert r.search(pat, k=4) == [(int(d), 1.0) for d in exp_docs[:4]]
+
+
+def test_more_like_this(built_index):
+    """MLT = deterministic tf*idf term selection + ordinary OR search:
+    results equal an explicit search over the same selected terms with the
+    source doc removed, and an exact near-duplicate of a doc's content
+    ranks it first."""
+    from nexlt_ray import bm25
+    from nexlt_ray.query import IndexReader
+    from nexlt_ray.tokenize import tokenize_batch
+
+    idx, manifest = built_index
+    r = IndexReader(idx)
+    src = int(r._all_docs()[3])
+    got = r.more_like_this(src, k=8)
+    assert got and all(d != src for d, _ in got)
+
+    # recompute the selection by hand -> same OR ranking
+    text = r.doc_fields([src], columns=["content"])["content"][0].as_py()
+    tb = tokenize_batch([text], profile=r._query_profile(None),
+                        protected=r.protected)
+    terms, tfs = np.unique(tb.terms.astype("U"), return_counts=True)
+    cands = []
+    for t, tf in zip(terms, tfs):
+        if tf < 2:
+            continue
+        tp = r.postings(str(t))
+        if tp is None or tp.df < 2:
+            continue
+        cands.append((float(tf) * bm25.idf(tp.df, r.n_docs), str(t)))
+    cands.sort(key=lambda x: (-x[0], x[1]))
+    qterms = [t for _, t in cands[:25]]
+    exp = [(d, s) for d, s in r._search_wand(qterms, 9, None) if d != src][:8]
+    assert got == exp
+
+    # the source doc itself scores at/near the top BEFORE exclusion
+    full = r._search_wand(qterms, 3, None)
+    assert src in [d for d, _ in full]
