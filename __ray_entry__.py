@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 53 entries, 39 DuckDB-oracled.
+                 55 entries, 41 DuckDB-oracled.
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
                  (incl. ASOF JOIN, window-function sessionization, shingle
                  Jaccard via list_transform, fq-composed BM25); non-SQL ops
@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_search_topk": P.filtered_search_topk,
         "fq_phrase_search_topk": P.fq_phrase_search_topk,
         "range_filtered_topk": P.range_filtered_topk,
+        "grouped_search_topk": P.grouped_search_topk,
+        "field_stats": P.field_stats,
         "match_count_or": P.match_count_or,
         "prefix_match_count": P.prefix_match_count,
         "wildcard_match_count": P.wildcard_match_count,
@@ -215,6 +217,19 @@ def _facet_drill_sql() -> str:
     )
 
 
+def _grouped_sql(k: int = 3) -> str:
+    # field-collapse: same scores CTE as _bm25_sql, QUALIFY per (qid, lang)
+    base = _bm25_sql()
+    cut = base.rindex("SELECT qid, doc_id")
+    return base[:cut] + f"""SELECT qid, fd.lang, scores.doc_id AS doc_id,
+       round(score, 4) AS score_r
+FROM scores JOIN documents fd ON fd.doc_id = scores.doc_id
+QUALIFY row_number() OVER (
+    PARTITION BY qid, fd.lang
+    ORDER BY round(score, 4) DESC, scores.doc_id) <= {k}
+"""
+
+
 def _range_fq_sql() -> str:
     from nexlt_ray.pipelines import FQ_RANGE
 
@@ -358,6 +373,20 @@ ORDER BY df DESC, term LIMIT 100
         "filtered_search_topk": _filtered_sql(),
         "fq_phrase_search_topk": _fq_phrase_sql(),
         "range_filtered_topk": _range_fq_sql(),
+        "grouped_search_topk": _grouped_sql(),
+        "field_stats": f"""
+{_TOK},
+{_qterms_values()},
+d AS (SELECT DISTINCT tok.doc_id, q.qid FROM tok JOIN q ON q.term = tok.term)
+SELECT d.qid, doc.lang,
+       count(*)::BIGINT AS doc_count,
+       min(doc.n_chars)::BIGINT AS min_chars,
+       max(doc.n_chars)::BIGINT AS max_chars,
+       sum(doc.n_chars)::BIGINT AS sum_chars,
+       sum(doc.n_chars)::DOUBLE / count(*)::DOUBLE AS mean_chars
+FROM d JOIN documents doc ON doc.doc_id = d.doc_id
+GROUP BY d.qid, doc.lang
+""",
         "match_count_or": f"""
 {_TOK},
 {_qterms_values()},

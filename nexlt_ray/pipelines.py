@@ -161,6 +161,103 @@ def filtered_search_topk(sf_dir: str) -> pa.Table:
     return _bm25_topk_impl(sf_dir, filter_langs=FILTER_LANGS)
 
 
+def grouped_search_topk(sf_dir: str) -> pa.Table:
+    """Field-collapse / result grouping (Solr group=true&group.field=lang):
+    top-3 BM25 docs PER (query, lang) group, statistics corpus-global. The
+    partial top-k runs per group inside each block, so only
+    groups x 3 x blocks rows reach the merge."""
+    return _bm25_topk_impl(sf_dir, filter_langs=None, k=3, group_field="lang")
+
+
+def field_stats(sf_dir: str) -> pa.Table:
+    """Solr StatsComponent analog (stats=true&stats.field=n_chars&
+    stats.facet=lang): count/min/max/sum/mean of a numeric field over the
+    docs matching each query, grouped by lang. One streaming pass of
+    per-(qid, lang) integer partials; mean is the single exact division
+    sum/count (hash-identical to the SQL oracle)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    qterms = doc_query_terms()
+    terms = sorted({t for _, t in qterms})
+    ds = _documents(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        n = len(batch)
+        langs = np.asarray(batch["lang"].to_pylist(), dtype="U")
+        nc = np.asarray(batch["n_chars"], dtype=np.int64)
+        terms_u = tb.terms.astype("U") if tb.terms.size else None
+        out_q, out_l, out_c, out_mn, out_mx, out_sm = [], [], [], [], [], []
+        for qid in range(len(DOC_QUERIES)):
+            qts = {t for q, t in qterms if q == qid}
+            matched = np.zeros(n, dtype=bool)
+            if terms_u is not None:
+                m = np.isin(terms_u, sorted(qts))
+                matched = np.bincount(tb.doc_idx[m], minlength=n) > 0
+            if not matched.any():
+                continue
+            lu, lcode = np.unique(langs[matched], return_inverse=True)
+            v = nc[matched]
+            cnt = np.bincount(lcode)
+            sm = np.bincount(lcode, weights=v).astype(np.int64)
+            mn = np.full(lu.size, np.iinfo(np.int64).max)
+            mx = np.full(lu.size, np.iinfo(np.int64).min)
+            np.minimum.at(mn, lcode, v)
+            np.maximum.at(mx, lcode, v)
+            out_q.append(np.full(lu.size, qid, dtype=np.int64))
+            out_l.append(lu)
+            out_c.append(cnt.astype(np.int64))
+            out_mn.append(mn)
+            out_mx.append(mx)
+            out_sm.append(sm)
+        if not out_q:
+            return pa.table(
+                {"qid": pa.array([], pa.int64()),
+                 "lang": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64()),
+                 "mn": pa.array([], pa.int64()),
+                 "mx": pa.array([], pa.int64()),
+                 "sm": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q)),
+                "lang": pa.array(np.concatenate(out_l), pa.string()),
+                "cnt": pa.array(np.concatenate(out_c)),
+                "mn": pa.array(np.concatenate(out_mn)),
+                "mx": pa.array(np.concatenate(out_mx)),
+                "sm": pa.array(np.concatenate(out_sm)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["qid", "lang"])
+        .aggregate(
+            Sum("cnt", alias_name="doc_count"),
+            Min("mn", alias_name="min_chars"),
+            Max("mx", alias_name="max_chars"),
+            Sum("sm", alias_name="sum_chars"),
+        )
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "qid": pa.array(agg["qid"].to_numpy(np.int64)),
+            "lang": pa.array(agg["lang"], pa.string()),
+            "doc_count": pa.array(agg["doc_count"].to_numpy(np.int64)),
+            "min_chars": pa.array(agg["min_chars"].to_numpy(np.int64)),
+            "max_chars": pa.array(agg["max_chars"].to_numpy(np.int64)),
+            "sum_chars": pa.array(agg["sum_chars"].to_numpy(np.int64)),
+            "mean_chars": pa.array(
+                agg["sum_chars"].to_numpy(np.float64)
+                / agg["doc_count"].to_numpy(np.float64),
+                pa.float64(),
+            ),
+        }
+    )
+
+
 FQ_RANGE = ("n_chars", 150, 320)  # numeric range fq for range_filtered_topk
 
 
@@ -190,12 +287,15 @@ def _bm25_topk_impl(
     filter_phrase: str | None = None,
     k: int = 10,
     filter_range: tuple | None = None,
+    group_field: str | None = None,
 ) -> pa.Table:
     qterms = doc_query_terms()
     terms = sorted({t for _, t in qterms})
     cols = ["doc_id", "text"] + (["lang"] if filter_langs else [])
     if filter_range:
         cols.append(filter_range[0])
+    if group_field and group_field not in cols:
+        cols.append(group_field)
     ds = _documents(sf_dir, cols)
 
     def stats_partial(batch: pa.Table) -> pa.Table:
@@ -277,7 +377,12 @@ def _bm25_topk_impl(
                 tf = np.bincount(tb.doc_idx[m], minlength=n).astype(np.float64)
             tfs[t] = tf
         denom_k = K1 * (1.0 - B + B * dl / avgdl)
-        out_q, out_d, out_s = [], [], []
+        gvals = (
+            np.asarray(batch[group_field].to_pylist(), dtype="U")
+            if group_field
+            else None
+        )
+        out_q, out_d, out_s, out_g = [], [], [], []
         for qid in range(len(DOC_QUERIES)):
             qts = [t for q, t in qterms if q == qid]
             s = np.zeros(n, dtype=np.float64)
@@ -289,22 +394,64 @@ def _bm25_topk_impl(
                 matched |= m
             sr = np.round(s[matched], 4)
             d = doc_id[matched]
-            order = np.lexsort((d, -sr))[:k]  # block-local partial top-k
+            if group_field:
+                # field-collapse (Solr group=true): partial top-k PER GROUP
+                g = gvals[matched]
+                _, gcodes = np.unique(g, return_inverse=True)
+                order = np.lexsort((d, -sr, gcodes))
+                runs = gcodes[order]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], runs[1:] != runs[:-1]))
+                )
+                rank = np.arange(runs.size) - np.repeat(
+                    starts, np.diff(np.concatenate((starts, [runs.size])))
+                )
+                order = order[rank < k]
+            else:
+                order = np.lexsort((d, -sr))[:k]  # block-local partial top-k
             out_q.append(np.full(order.size, qid, dtype=np.int64))
             out_d.append(d[order])
             out_s.append(sr[order])
-        return pa.table(
-            {
-                "qid": pa.array(np.concatenate(out_q)),
-                "doc_id": pa.array(np.concatenate(out_d)),
-                "score_r": pa.array(np.concatenate(out_s), pa.float64()),
-            }
-        )
+            if group_field:
+                out_g.append(gvals[matched][order])
+        cols = {
+            "qid": pa.array(np.concatenate(out_q)),
+            "doc_id": pa.array(np.concatenate(out_d)),
+            "score_r": pa.array(np.concatenate(out_s), pa.float64()),
+        }
+        if group_field:
+            cols[group_field] = pa.array(
+                np.concatenate(out_g) if out_g else np.empty(0, "U1"),
+                pa.string(),
+            )
+        return pa.table(cols)
 
     parts = ds.map_batches(score_topk, batch_format="pyarrow").take_all()
     q = np.array([r["qid"] for r in parts], dtype=np.int64)
     d = np.array([r["doc_id"] for r in parts], dtype=np.int64)
     s = np.array([r["score_r"] for r in parts], dtype=np.float64)
+    if group_field:
+        gv = np.array([r[group_field] for r in parts], dtype="U")
+        guniq, gcode = (
+            np.unique(gv, return_inverse=True)
+            if gv.size
+            else (np.empty(0, "U1"), np.empty(0, np.int64))
+        )
+        key = q * np.int64(max(guniq.size, 1)) + gcode
+        keep = []
+        for kk in np.unique(key):
+            sel = np.flatnonzero(key == kk)
+            order = np.lexsort((d[sel], -s[sel]))[:k]
+            keep.append(sel[order])
+        keep = np.concatenate(keep) if keep else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "qid": pa.array(q[keep]),
+                group_field: pa.array(gv[keep], pa.string()),
+                "doc_id": pa.array(d[keep]),
+                "score_r": pa.array(s[keep], pa.float64()),
+            }
+        ).to_pandas()
     keep = []
     for qid in range(len(DOC_QUERIES)):
         sel = np.flatnonzero(q == qid)
