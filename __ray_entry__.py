@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 55 entries, 41 DuckDB-oracled.
+                 56 entries, 42 DuckDB-oracled.
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
                  (incl. ASOF JOIN, window-function sessionization, shingle
                  Jaccard via list_transform, fq-composed BM25); non-SQL ops
@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_count_or": P.match_count_or,
         "prefix_match_count": P.prefix_match_count,
         "wildcard_match_count": P.wildcard_match_count,
+        "not_match_count": P.not_match_count,
         "term_prefix_suggest": P.term_prefix_suggest,
         "phrase_match_count": P.phrase_match_count,
         # dedup family
@@ -243,6 +244,15 @@ def _prefix_values() -> str:
     return f"p(prefix) AS (VALUES {vals})"
 
 
+def _not_values() -> str:
+    from nexlt_ray.pipelines import DOC_NOT_QUERIES
+
+    vals = ", ".join(
+        f"({i}, '{p}', '{n}')" for i, (p, n) in enumerate(DOC_NOT_QUERIES)
+    )
+    return f"nq(qid, pos, neg) AS (VALUES {vals})"
+
+
 def _wildcard_values() -> str:
     from nexlt_ray.pipelines import DOC_WILDCARDS
 
@@ -405,6 +415,21 @@ d AS (SELECT DISTINCT doc_id, term FROM tok)
 SELECT p.prefix, count(DISTINCT d.doc_id)::BIGINT AS num_found
 FROM p LEFT JOIN d ON starts_with(d.term, p.prefix)
 GROUP BY p.prefix
+""",
+        "not_match_count": f"""
+{_TOK},
+{_not_values()},
+d AS (SELECT DISTINCT doc_id, term FROM tok),
+hits AS (
+  SELECT nq.qid, dp.doc_id
+  FROM nq JOIN d dp ON dp.term = nq.pos
+  WHERE NOT EXISTS (
+    SELECT 1 FROM d dn WHERE dn.doc_id = dp.doc_id AND dn.term = nq.neg)
+),
+counts AS (SELECT qid, count(DISTINCT doc_id)::BIGINT AS c
+           FROM hits GROUP BY qid)
+SELECT nq.qid, coalesce(counts.c, 0)::BIGINT AS num_found
+FROM nq LEFT JOIN counts ON counts.qid = nq.qid
 """,
         "wildcard_match_count": f"""
 {_TOK},

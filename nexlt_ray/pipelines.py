@@ -161,6 +161,51 @@ def filtered_search_topk(sf_dir: str) -> pa.Table:
     return _bm25_topk_impl(sf_dir, filter_langs=FILTER_LANGS)
 
 
+#: (pos, neg) clause pairs for the MUST_NOT twin; last pair's neg never occurs
+DOC_NOT_QUERIES = [("table", "scan"), ("query", "window"),
+                   ("value", "the"), ("spark", "zzqq")]
+
+
+def not_match_count(sf_dir: str) -> pa.Table:
+    """numFound for `pos -neg` boolean queries (Lucene MUST_NOT): docs
+    containing the positive term and not the prohibited one. SQL-parity twin
+    of `IndexReader.match_count("pos -neg")`. One streaming pass: both
+    clauses evaluate doc-locally per batch, partial counts -> one Sum."""
+    from ray.data.aggregate import Sum
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        n = len(batch)
+        terms_u = tb.terms.astype("U") if tb.terms.size else None
+        cols = {}
+        for i, (pos, neg) in enumerate(DOC_NOT_QUERIES):
+            c = 0
+            if terms_u is not None:
+                has_pos = np.bincount(
+                    tb.doc_idx[terms_u == pos], minlength=n) > 0
+                has_neg = np.bincount(
+                    tb.doc_idx[terms_u == neg], minlength=n) > 0
+                c = int((has_pos & ~has_neg).sum())
+            cols[f"c_{i}"] = pa.array([np.int64(c)])
+        return pa.table(cols)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(f"c_{i}", alias_name=f"c_{i}")
+          for i in range(len(DOC_NOT_QUERIES))]
+    )
+    return pa.table(
+        {
+            "qid": pa.array(range(len(DOC_NOT_QUERIES)), pa.int64()),
+            "num_found": pa.array(
+                [int(agg[f"c_{i}"]) for i in range(len(DOC_NOT_QUERIES))],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def grouped_search_topk(sf_dir: str) -> pa.Table:
     """Field-collapse / result grouping (Solr group=true&group.field=lang):
     top-3 BM25 docs PER (query, lang) group, statistics corpus-global. The

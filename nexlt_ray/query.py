@@ -497,6 +497,78 @@ class FilterSet:
         return np.concatenate(parts) if parts else np.empty(0, np.int64)
 
 
+class NotFilterSet:
+    """AND-NOT composition for MUST_NOT clauses (Lucene `-term`): wraps an
+    optional base filter and a sorted excluded-doc array. Exclusion never
+    re-weights scores (Lucene: prohibited clauses don't score); it only
+    shrinks the allowed doc set. cached_range_info reports incomplete when
+    the base does (or always, with no base), so WAND falls back to masking
+    decoded candidates — correctness never depends on range pre-checks."""
+
+    def __init__(self, reader: "IndexReader", base, excluded: np.ndarray):
+        self.reader = reader
+        self.base = base
+        self._excl = excluded  # sorted unique int64
+
+    def _drop(self, ids: np.ndarray) -> np.ndarray:
+        if ids.size == 0 or self._excl.size == 0:
+            return ids
+        return ids[~IndexReader._mask_member(ids, self._excl)]
+
+    def bucket_docs(self, b: int) -> np.ndarray:
+        if self.base is not None:
+            return self._drop(self.base.bucket_docs(b))
+        c = int(self.reader._doc_counts[b])
+        ids = np.arange(c, dtype=np.int64) + self.reader._doc_offsets[b]
+        return self._drop(ids)
+
+    def mask(self, docs: np.ndarray) -> np.ndarray:
+        m = (
+            self.base.mask(docs)
+            if self.base is not None
+            else np.ones(docs.size, dtype=bool)
+        )
+        if self._excl.size:
+            m &= ~IndexReader._mask_member(docs, self._excl)
+        return m
+
+    def cached_range_info(self, lo: int, hi: int) -> tuple[np.ndarray, bool]:
+        if self.base is None:
+            return np.empty(0, np.int64), False
+        docs, complete = self.base.cached_range_info(lo, hi)
+        return self._drop(docs), complete
+
+    def first_k(self, k: int) -> np.ndarray:
+        out: list[np.ndarray] = []
+        have = 0
+        for b in range(len(self.reader._doc_offsets)):
+            if self.reader._doc_counts[b] == 0:
+                continue
+            ids = self.bucket_docs(b)
+            if ids.size:
+                out.append(ids[: k - have])
+                have += out[-1].size
+                if have >= k:
+                    break
+        return np.concatenate(out) if out else np.empty(0, np.int64)
+
+    def count(self) -> int:
+        return sum(
+            self.bucket_docs(b).size
+            for b in range(len(self.reader._doc_offsets))
+            if self.reader._doc_counts[b]
+        )
+
+    def all_docs(self) -> np.ndarray:
+        parts = [
+            self.bucket_docs(b)
+            for b in range(len(self.reader._doc_offsets))
+            if self.reader._doc_counts[b]
+        ]
+        parts = [p for p in parts if p.size]
+        return np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+
 class QueryFilterSet:
     """FilterSet-shaped view over a MATERIALIZED sorted doc-id set — the
     query-valued fq (Solr: any fq is a full query whose doc set lands in the
@@ -1071,6 +1143,39 @@ class IndexReader:
             return "wildcard", q.lower()
         return "terms", q
 
+    @staticmethod
+    def _split_prohibited(body: str) -> tuple[str, list[str]]:
+        """Lucene MUST_NOT syntax: a leading '-' on a whitespace clause
+        prohibits it ('http -parse'). '-' inside a clause is content
+        (wi-fi). Returns (positive body, prohibited raw clauses)."""
+        pos, neg = [], []
+        for clause in body.split():
+            if clause.startswith("-") and len(clause) > 1:
+                neg.append(clause[1:])
+            else:
+                pos.append(clause)
+        return " ".join(pos), neg
+
+    def _apply_prohibited(self, neg_clauses: list[str], fset, lang):
+        """Union the prohibited clauses' doc sets and compose AND-NOT with
+        the existing filter. Prohibited docs never score (Lucene semantics);
+        a pure-negative query becomes match-all minus the set (the Solr
+        top-level rewrite)."""
+        from .tokenize import tokenize_query
+
+        sets = []
+        for c in neg_clauses:
+            for t in tokenize_query(
+                c, profile=self._query_profile(lang), protected=self.protected
+            ):
+                tp = self.postings(t)
+                if tp is not None:
+                    sets.append(tp.decode_all()[0])
+        excl = (
+            np.unique(np.concatenate(sets)) if sets else np.empty(0, np.int64)
+        )
+        return NotFilterSet(self, fset, excl)
+
     def _all_docs(self) -> np.ndarray:
         """Every existing doc id (bucket offsets + ranks — valid for dense
         and strided id layouts)."""
@@ -1143,7 +1248,16 @@ class IndexReader:
         from .tokenize import tokenize_query
 
         kind, body = self.parse(query)
+        neg: list[str] = []
+        if kind == "terms":
+            pos_body, neg = self._split_prohibited(body)
+            if neg:
+                body = pos_body
+                if not body.strip():
+                    kind = "all"  # pure-negative: Solr top-level rewrite
         fset = self._filter_docs(filters, lang)
+        if neg:
+            fset = self._apply_prohibited(neg, fset, lang)
         if kind == "all":
             # constant-score match-all (Solr q=*:* scores 1.0). Both arms
             # emit only the first k existing ids bucket-by-bucket — never an
@@ -1291,7 +1405,16 @@ class IndexReader:
         from .tokenize import tokenize_query
 
         kind, body = self.parse(query)
+        neg: list[str] = []
+        if kind == "terms":
+            pos_body, neg = self._split_prohibited(body)
+            if neg:
+                body = pos_body
+                if not body.strip():
+                    kind = "all"  # pure-negative: Solr top-level rewrite
         fset = self._filter_docs(filters, lang)
+        if neg:
+            fset = self._apply_prohibited(neg, fset, lang)
         if kind == "all":
             # offline/aux form — serving surfaces (facets/search_sorted/
             # match_count) go through _match_buckets and never hit this

@@ -268,3 +268,30 @@ def test_more_like_this(built_index):
     # the source doc itself scores at/near the top BEFORE exclusion
     full = r._search_wand(qterms, 3, None)
     assert src in [d for d, _ in full]
+
+
+def test_prohibited_clauses(built_index):
+    """Lucene MUST_NOT (-term): scores come from positive clauses only,
+    prohibited docs are excluded, pure-negative rewrites to match-all minus
+    the set, and fq composes; '-' inside a clause is content, not syntax."""
+    from nexlt_ray.query import IndexReader
+
+    idx, _ = built_index
+    r = IndexReader(idx)
+    pos = r.search("http", k=1000)
+    excl = set(r._matching_docs("parse").tolist())
+    exp = [(d, s) for d, s in pos if d not in excl][:10]
+    got = r.search("http -parse", k=10)
+    assert got == exp
+    assert got == r.search("http -parse", k=10, algorithm="exhaustive")
+    # numFound consistency
+    pos_docs = set(r._matching_docs("http").tolist())
+    assert r.match_count("http -parse") == len(pos_docs - excl)
+    # pure negative = all docs minus the prohibited set, constant score
+    assert r.match_count("-parse") == r.n_docs - len(excl)
+    first = r.search("-parse", k=3)
+    assert all(s == 1.0 for _, s in first)
+    assert all(d not in excl for d, _ in first)
+    # facets flow through the same match path
+    f = r.facets("http -parse", ["lang"])
+    assert sum(c for _, c in f["lang"]) == r.match_count("http -parse")
