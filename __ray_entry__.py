@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 56 entries, 42 DuckDB-oracled.
+                 58 entries, 44 DuckDB-oracled.
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
                  (incl. ASOF JOIN, window-function sessionization, shingle
                  Jaccard via list_transform, fq-composed BM25); non-SQL ops
@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_match_count": P.prefix_match_count,
         "wildcard_match_count": P.wildcard_match_count,
         "not_match_count": P.not_match_count,
+        "fuzzy_match_count": P.fuzzy_match_count,
         "term_prefix_suggest": P.term_prefix_suggest,
         "phrase_match_count": P.phrase_match_count,
         # dedup family
@@ -69,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_normalize_counts": P.lang_normalize_counts,
         "facet_counts": P.facet_counts_docs,
         "facet_drilldown": P.facet_drilldown_docs,
+        "facet_pivot_counts": P.facet_pivot_counts,
         "path_prefix_counts": P.path_prefix_counts,
         "srclc_sort_top100": P.srclc_sort_top100,
         # streaming-shaped + relational
@@ -253,6 +255,13 @@ def _not_values() -> str:
     return f"nq(qid, pos, neg) AS (VALUES {vals})"
 
 
+def _fuzzy_values() -> str:
+    from nexlt_ray.pipelines import DOC_FUZZY
+
+    vals = ", ".join(f"('{b}')" for b in DOC_FUZZY)
+    return f"fz(base) AS (VALUES {vals})"
+
+
 def _wildcard_values() -> str:
     from nexlt_ray.pipelines import DOC_WILDCARDS
 
@@ -431,6 +440,19 @@ counts AS (SELECT qid, count(DISTINCT doc_id)::BIGINT AS c
 SELECT nq.qid, coalesce(counts.c, 0)::BIGINT AS num_found
 FROM nq LEFT JOIN counts ON counts.qid = nq.qid
 """,
+        "fuzzy_match_count": f"""
+{_TOK},
+{_fuzzy_values()},
+d AS (SELECT DISTINCT doc_id, term FROM tok),
+hits AS (
+  SELECT fz.base, d.doc_id
+  FROM fz JOIN d ON levenshtein(d.term, fz.base) <= 1
+),
+counts AS (SELECT base, count(DISTINCT doc_id)::BIGINT AS c
+           FROM hits GROUP BY base)
+SELECT fz.base, coalesce(counts.c, 0)::BIGINT AS num_found
+FROM fz LEFT JOIN counts ON counts.base = fz.base
+""",
         "wildcard_match_count": f"""
 {_TOK},
 {_wildcard_values()},
@@ -549,6 +571,13 @@ UNION ALL
 SELECT 'source' AS field, source AS value, count(*)::BIGINT AS n FROM documents GROUP BY source
 """,
         "facet_drilldown": _facet_drill_sql(),
+        "facet_pivot_counts": f"""
+{_TOK},
+d AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+SELECT doc.lang, doc.source, count(*)::BIGINT AS n
+FROM d JOIN documents doc ON doc.doc_id = d.doc_id
+GROUP BY doc.lang, doc.source
+""",
         "path_prefix_counts": """
 SELECT prefix, count(*) AS n FROM (
   SELECT source AS prefix FROM documents

@@ -161,6 +161,109 @@ def filtered_search_topk(sf_dir: str) -> pa.Table:
     return _bm25_topk_impl(sf_dir, filter_langs=FILTER_LANGS)
 
 
+#: fuzzy bases for the FuzzyQuery twin (typos of real corpus tokens)
+DOC_FUZZY = ["tabel", "quer", "scann", "sparkk", "zzzzz"]
+
+
+def fuzzy_match_count(sf_dir: str) -> pa.Table:
+    """numFound per FuzzyQuery base at max_edits=1 — SQL-parity twin of
+    `IndexReader.match_count("base~1")` (constant-score doc-set semantics;
+    the oracle uses DuckDB's levenshtein()). Edit distance evaluates only
+    on each batch's UNIQUE terms after a length-band prefilter."""
+    from ray.data.aggregate import Sum
+
+    from .query import _levenshtein_leq
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        n = len(batch)
+        cols = {}
+        if tb.terms.size:
+            terms_u = tb.terms.astype("U")
+            uniq, inv = np.unique(terms_u, return_inverse=True)
+            lens = np.char.str_len(uniq)
+        for i, base in enumerate(DOC_FUZZY):
+            c = 0
+            if tb.terms.size:
+                band = np.abs(lens - len(base)) <= 1
+                hit = np.zeros(uniq.size, dtype=bool)
+                for j in np.flatnonzero(band):
+                    hit[j] = _levenshtein_leq(base, str(uniq[j]), 1)
+                m = hit[inv]
+                c = int((np.bincount(tb.doc_idx[m], minlength=n) > 0).sum())
+            cols[f"c_{i}"] = pa.array([np.int64(c)])
+        return pa.table(cols)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(f"c_{i}", alias_name=f"c_{i}") for i in range(len(DOC_FUZZY))]
+    )
+    return pa.table(
+        {
+            "base": pa.array(DOC_FUZZY, pa.string()),
+            "num_found": pa.array(
+                [int(agg[f"c_{i}"]) for i in range(len(DOC_FUZZY))],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+FACET_PIVOT_TERM = "table"  # query for the pivot-facet twin
+
+
+def facet_pivot_counts(sf_dir: str) -> pa.Table:
+    """Two-level pivot facet (Solr facet.pivot=lang,source) over the docs
+    matching FACET_PIVOT_TERM — SQL-parity twin of
+    `IndexReader.facet_pivot`. One streaming pass of per-(lang, source)
+    partial counts -> groupby Sum."""
+    from ray.data.aggregate import Sum
+
+    ds = _documents(sf_dir, ["doc_id", "text", "lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        n = len(batch)
+        matched = np.zeros(n, dtype=bool)
+        if tb.terms.size:
+            m = tb.terms.astype("U") == FACET_PIVOT_TERM
+            matched = np.bincount(tb.doc_idx[m], minlength=n) > 0
+        if not matched.any():
+            return pa.table(
+                {"lang": pa.array([], pa.string()),
+                 "source": pa.array([], pa.string()),
+                 "n_p": pa.array([], pa.int64())}
+            )
+        langs = np.asarray(batch["lang"].to_pylist(), dtype="U")[matched]
+        srcs = np.asarray(batch["source"].to_pylist(), dtype="U")[matched]
+        u1, i1 = np.unique(langs, return_inverse=True)
+        u2, i2 = np.unique(srcs, return_inverse=True)
+        key = i1.astype(np.int64) * np.int64(u2.size) + i2
+        ku, kc = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array(u1[ku // u2.size], pa.string()),
+                "source": pa.array(u2[ku % u2.size], pa.string()),
+                "n_p": pa.array(kc.astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "source": pa.array(out["source"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+        }
+    )
+
+
 #: (pos, neg) clause pairs for the MUST_NOT twin; last pair's neg never occurs
 DOC_NOT_QUERIES = [("table", "scan"), ("query", "window"),
                    ("value", "the"), ("spark", "zzqq")]

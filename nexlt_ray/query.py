@@ -322,6 +322,31 @@ class TermPostings:
 
 
 _RANGE_RX = re.compile(r"^\[(.+) TO (.+)\]$")
+_FUZZY_RX = re.compile(r'^([^\s"*?~]+)~([12])?$')
+
+
+def _levenshtein_leq(a: str, b: str, k: int) -> bool:
+    """Unit-cost edit distance <= k (banded DP, early exit)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        best = cur[0]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+            best = min(best, cur[j])
+        if best > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
 
 
 def _parse_range(v) -> tuple[str, str] | None:
@@ -784,14 +809,31 @@ class IndexReader:
         rows = self._prefix_term_rows(prefix)
         return sorted(rows, key=lambda r: (-r[1], r[0]))[:n]
 
-    def _prefix_docs(self, prefix: str, fset, wildcard: bool = False) -> np.ndarray:
-        """Sorted doc ids matching `prefix*` (or a full wildcard pattern) —
-        the union bitset of the expanded terms' postings (Lucene
-        CONSTANT_SCORE_REWRITE: wildcard expansion builds a doc set and is
+    def expand_fuzzy(self, base: str, max_edits: int = 1) -> list[str]:
+        """Terms within `max_edits` Levenshtein edits of `base` (Lucene
+        FuzzyQuery with prefix_length=0): full dictionary scan with a
+        length-band prefilter (|len(t)| within max_edits of |len(base)|) —
+        the automaton-free equivalent; the scanned dictionary is the same
+        cached artifact prefix expansion uses."""
+        rows = self._prefix_term_rows("")
+        lb, ub = len(base) - max_edits, len(base) + max_edits
+        return [
+            t for t, _ in rows
+            if lb <= len(t) <= ub and _levenshtein_leq(base, t, max_edits)
+        ]
+
+    def _prefix_docs(self, prefix: str, fset, kind: str = "prefix") -> np.ndarray:
+        """Sorted doc ids matching a prefix / wildcard / fuzzy term — the
+        union bitset of the expanded terms' postings (Lucene
+        CONSTANT_SCORE_REWRITE: multi-term expansion builds a doc set and is
         exempt from maxBooleanClauses)."""
-        terms = (
-            self.expand_wildcard(prefix) if wildcard else self.expand_prefix(prefix)
-        )
+        if kind == "wildcard":
+            terms = self.expand_wildcard(prefix)
+        elif kind == "fuzzy":
+            m = _FUZZY_RX.match(prefix)
+            terms = self.expand_fuzzy(m.group(1), int(m.group(2) or 1))
+        else:
+            terms = self.expand_prefix(prefix)
         sets = [
             tp.decode_all()[0]
             for tp in (self.postings(t) for t in terms)
@@ -1141,6 +1183,10 @@ class IndexReader:
             # Lucene WildcardQuery (q=v?l*e): * = any run, ? = one char;
             # same constant-score rewrite as prefix
             return "wildcard", q.lower()
+        if _FUZZY_RX.match(q):
+            # Lucene FuzzyQuery (q=term~ / term~2): Levenshtein expansion,
+            # same constant-score rewrite
+            return "fuzzy", q.lower()
         return "terms", q
 
     @staticmethod
@@ -1272,11 +1318,11 @@ class IndexReader:
                         break
                 return out
             return [(int(d), 1.0) for d in fset.first_k(max(k, 0))]
-        if kind in ("prefix", "wildcard"):
+        if kind in ("prefix", "wildcard", "fuzzy"):
             # constant-score doc-set semantics (Lucene
             # MultiTermQuery.CONSTANT_SCORE_REWRITE, the Solr default):
             # score 1.0, ascending doc id
-            docs = self._prefix_docs(body, fset, wildcard=kind == "wildcard")
+            docs = self._prefix_docs(body, fset, kind=kind)
             return [(int(d), 1.0) for d in docs[: max(k, 0)]]
         terms = tokenize_query(
             body, profile=self._query_profile(lang), protected=self.protected
@@ -1358,6 +1404,35 @@ class IndexReader:
             for f, d in counters.items()
         }
 
+    def facet_pivot(
+        self, query: str, fields: tuple[str, str], mode: str = "OR",
+        lang: str | None = None, filters: dict | None = None,
+    ) -> list[tuple[str, str, int]]:
+        """Two-level pivot facet (Solr facet.pivot=f1,f2): (v1, v2, count)
+        over all matching docs, count-desc then value-asc. Streams one doc
+        bucket at a time like `facets` — scalar meta fields only (Solr
+        pivots don't take multiValued fields either without special
+        handling)."""
+        f1, f2 = fields
+        counter: dict[tuple[str, str], int] = {}
+        for b, docs_b in self._match_buckets(query, mode, lang, filters):
+            local = docs_b - self._doc_offsets[b]
+            c1 = self._meta_shard(f1, b)[local].astype("U")
+            c2 = self._meta_shard(f2, b)[local].astype("U")
+            u1, i1 = np.unique(c1, return_inverse=True)
+            u2, i2 = np.unique(c2, return_inverse=True)
+            key = i1.astype(np.int64) * np.int64(u2.size) + i2
+            ku, kc = np.unique(key, return_counts=True)
+            for kk, cc in zip(ku.tolist(), kc.tolist()):
+                pair = (str(u1[kk // u2.size]), str(u2[kk % u2.size]))
+                counter[pair] = counter.get(pair, 0) + int(cc)
+        return [
+            (v1, v2, c)
+            for (v1, v2), c in sorted(
+                counter.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+        ]
+
     def _match_buckets(
         self, query: str, mode: str = "OR", lang: str | None = None,
         filters: dict | None = None,
@@ -1419,8 +1494,8 @@ class IndexReader:
             # offline/aux form — serving surfaces (facets/search_sorted/
             # match_count) go through _match_buckets and never hit this
             return fset.all_docs() if fset is not None else self._all_docs()
-        if kind in ("prefix", "wildcard"):
-            return self._prefix_docs(body, fset, wildcard=kind == "wildcard")
+        if kind in ("prefix", "wildcard", "fuzzy"):
+            return self._prefix_docs(body, fset, kind=kind)
         terms = tokenize_query(
             body, profile=self._query_profile(lang), protected=self.protected
         )

@@ -295,3 +295,69 @@ def test_prohibited_clauses(built_index):
     # facets flow through the same match path
     f = r.facets("http -parse", ["lang"])
     assert sum(c for _, c in f["lang"]) == r.match_count("http -parse")
+
+
+def test_facet_pivot(built_index):
+    """Pivot facet (lang, repo) equals a brute-force two-column count over
+    the matching docs; counts sort desc then values asc; totals match the
+    flat facet."""
+    from nexlt_ray.query import IndexReader
+
+    idx, manifest = built_index
+    r = IndexReader(idx)
+    piv = r.facet_pivot("parse", ("lang", "repo"))
+    docs = r._matching_docs("parse")
+    meta = pq.read_table(
+        f"{idx}/docstore",
+        columns=["doc_bucket", "local_rank", "lang", "repo"],
+    )
+    did = (
+        np.asarray(manifest["doc_offsets"])[np.asarray(meta["doc_bucket"])]
+        + np.asarray(meta["local_rank"])
+    )
+    sel = np.isin(did, docs)
+    pairs = list(
+        zip(
+            np.asarray(meta["lang"].to_pylist(), dtype="U")[sel].tolist(),
+            np.asarray(meta["repo"].to_pylist(), dtype="U")[sel].tolist(),
+        )
+    )
+    exp: dict = {}
+    for p in pairs:
+        exp[p] = exp.get(p, 0) + 1
+    exp_sorted = [
+        (v1, v2, c)
+        for (v1, v2), c in sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    ]
+    assert piv == exp_sorted
+    assert sum(c for _, _, c in piv) == docs.size
+
+
+def test_fuzzy_query(built_index):
+    """FuzzyQuery (term~ / term~2): doc set equals a brute-force Levenshtein
+    scan of the tokenized docstore; constant score; ~2 expands at least as
+    far as ~1."""
+    from nexlt_ray.query import IndexReader, _levenshtein_leq
+    from nexlt_ray.tokenize import tokenize_batch
+
+    idx, manifest = built_index
+    r = IndexReader(idx)
+    meta = pq.read_table(
+        f"{idx}/docstore", columns=["doc_bucket", "local_rank", "content"]
+    )
+    did = (
+        np.asarray(manifest["doc_offsets"])[np.asarray(meta["doc_bucket"])]
+        + np.asarray(meta["local_rank"])
+    )
+    tb = tokenize_batch(meta["content"], profile="code")
+    terms = tb.terms.astype("U")
+    uniq = np.unique(terms)
+    for base, k in [("parse", 1), ("http", 1), ("retur", 2), ("zzzzz", 1)]:
+        hits = {t for t in uniq if _levenshtein_leq(base, str(t), k)}
+        m = np.isin(terms, sorted(hits))
+        exp_docs = np.unique(did[tb.doc_idx[m]])
+        suffix = "~" if k == 1 else f"~{k}"
+        assert r.match_count(base + suffix) == exp_docs.size, base
+        got = r.search(base + suffix, k=5)
+        assert got == [(int(d), 1.0) for d in exp_docs[:5]]
+    assert r.match_count("parse~2") >= r.match_count("parse~")
