@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 58 entries, 44 DuckDB-oracled.
+                 59 entries, 45 DuckDB-oracled.
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
                  (incl. ASOF JOIN, window-function sessionization, shingle
                  Jaccard via list_transform, fq-composed BM25); non-SQL ops
@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_search_topk": P.filtered_search_topk,
         "fq_phrase_search_topk": P.fq_phrase_search_topk,
         "range_filtered_topk": P.range_filtered_topk,
+        "boosted_search_topk": P.boosted_search_topk,
         "grouped_search_topk": P.grouped_search_topk,
         "field_stats": P.field_stats,
         "match_count_or": P.match_count_or,
@@ -220,6 +221,45 @@ def _facet_drill_sql() -> str:
     )
 
 
+def _boosted_sql() -> str:
+    from nexlt_ray.pipelines import _boost_query_spec
+
+    vals = ", ".join(
+        f"({qid}, '{t}', {w}::DOUBLE, {str(req).lower()})"
+        for qid, t, w, req in _boost_query_spec()
+    )
+    return f"""
+{_TOK},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+bq(qid, term, w, req) AS (VALUES {vals}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN (SELECT term FROM bq) GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+       WHERE term IN (SELECT term FROM bq) GROUP BY term),
+need AS (SELECT qid, count(DISTINCT term) AS n_req FROM bq
+         WHERE req GROUP BY qid),
+scores AS (
+  SELECT bq.qid, tf.doc_id,
+         sum(bq.w * (ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))) AS score,
+         count(DISTINCT CASE WHEN bq.req THEN bq.term END) AS req_hit
+  FROM bq
+  JOIN tf ON bq.term = tf.term
+  JOIN df ON df.term = bq.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY bq.qid, tf.doc_id
+)
+SELECT sc.qid, sc.doc_id, round(sc.score, 4) AS score_r
+FROM scores sc LEFT JOIN need ON need.qid = sc.qid
+WHERE sc.req_hit = coalesce(need.n_req, 0)
+QUALIFY row_number() OVER (
+    PARTITION BY sc.qid ORDER BY round(sc.score, 4) DESC, sc.doc_id) <= 10
+"""
+
+
 def _grouped_sql(k: int = 3) -> str:
     # field-collapse: same scores CTE as _bm25_sql, QUALIFY per (qid, lang)
     base = _bm25_sql()
@@ -393,6 +433,7 @@ ORDER BY df DESC, term LIMIT 100
         "fq_phrase_search_topk": _fq_phrase_sql(),
         "range_filtered_topk": _range_fq_sql(),
         "grouped_search_topk": _grouped_sql(),
+        "boosted_search_topk": _boosted_sql(),
         "field_stats": f"""
 {_TOK},
 {_qterms_values()},

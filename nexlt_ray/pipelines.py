@@ -161,6 +161,130 @@ def filtered_search_topk(sf_dir: str) -> pa.Table:
     return _bm25_topk_impl(sf_dir, filter_langs=FILTER_LANGS)
 
 
+#: boosted / required boolean queries (Lucene `term^2`, `+term` syntax)
+BOOST_QUERIES = ["table^2 scan", "+query window", "hash join^3",
+                 "+value +the spark"]
+
+
+def _boost_query_spec() -> list[tuple[int, str, float, bool]]:
+    """(qid, term, weight, required) rows — the single source of truth
+    shared with the generated oracle SQL."""
+    from .query import IndexReader
+
+    out = []
+    for qid, q in enumerate(BOOST_QUERIES):
+        clauses = IndexReader._parse_boolean_clauses(q) or [
+            (c, 1.0, False) for c in q.split()
+        ]
+        for raw, w, req in clauses:
+            for t in tokenize_query(raw, profile="simple"):
+                out.append((qid, t, w, req))
+    return out
+
+
+def boosted_search_topk(sf_dir: str) -> pa.Table:
+    """Top-10 BM25 per boosted/required boolean query (Lucene `term^2
+    +term` syntax): score = sum of weight * contribution, docs missing any
+    required term dropped. SQL-parity twin of the reader's
+    `_search_boolean`; same two-streaming-pass shape as bm25_topk_docs."""
+    from ray.data.aggregate import Sum
+
+    spec = _boost_query_spec()
+    terms = sorted({t for _, t, _, _ in spec})
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        n = len(batch)
+        cols = {
+            "n_p": pa.array([np.int64(n)]),
+            "len_p": pa.array([np.int64(tb.doc_len.sum())]),
+        }
+        terms_u = tb.terms.astype("U") if tb.terms.size else None
+        for ti, term in enumerate(terms):
+            df = 0
+            if terms_u is not None:
+                m = terms_u == term
+                df = int((np.bincount(tb.doc_idx[m], minlength=n) > 0).sum())
+            cols[f"df_{ti}"] = pa.array([np.int64(df)])
+        return pa.table(cols)
+
+    stats = ds.map_batches(stats_partial, batch_format="pyarrow").aggregate(
+        Sum("n_p", alias_name="n_docs"),
+        Sum("len_p", alias_name="total_len"),
+        *[Sum(f"df_{ti}", alias_name=f"df_{ti}") for ti in range(len(terms))],
+    )
+    n_docs = stats["n_docs"]
+    avgdl = stats["total_len"] / n_docs
+    idf = {
+        t: float(np.log(1.0 + (n_docs - stats[f"df_{ti}"] + 0.5)
+                        / (stats[f"df_{ti}"] + 0.5)))
+        for ti, t in enumerate(terms)
+    }
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        n = len(batch)
+        dl = tb.doc_len.astype(np.float64)
+        doc_id = np.asarray(batch["doc_id"])
+        terms_u = tb.terms.astype("U") if tb.terms.size else None
+        tfs = {}
+        for t in terms:
+            tf = np.zeros(n, dtype=np.float64)
+            if terms_u is not None:
+                m = terms_u == t
+                tf = np.bincount(tb.doc_idx[m], minlength=n).astype(np.float64)
+            tfs[t] = tf
+        denom_k = K1 * (1.0 - B + B * dl / avgdl)
+        out_q, out_d, out_s = [], [], []
+        for qid in range(len(BOOST_QUERIES)):
+            rows = [(t, w, req) for q, t, w, req in spec if q == qid]
+            s = np.zeros(n, dtype=np.float64)
+            matched = np.zeros(n, dtype=bool)
+            ok = np.ones(n, dtype=bool)
+            for t, w, req in rows:
+                tf = tfs[t]
+                m = tf > 0
+                s = s + np.where(
+                    m, w * (idf[t] * tf * (K1 + 1.0) / (tf + denom_k)), 0.0
+                )
+                matched |= m
+                if req:
+                    ok &= m
+            matched &= ok
+            sr = np.round(s[matched], 4)
+            d = doc_id[matched]
+            order = np.lexsort((d, -sr))[:10]
+            out_q.append(np.full(order.size, qid, dtype=np.int64))
+            out_d.append(d[order])
+            out_s.append(sr[order])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q)),
+                "doc_id": pa.array(np.concatenate(out_d)),
+                "score_r": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(score_topk, batch_format="pyarrow").take_all()
+    q = np.array([r["qid"] for r in parts], dtype=np.int64)
+    d = np.array([r["doc_id"] for r in parts], dtype=np.int64)
+    s = np.array([r["score_r"] for r in parts], dtype=np.float64)
+    keep = []
+    for qid in range(len(BOOST_QUERIES)):
+        sel = np.flatnonzero(q == qid)
+        order = np.lexsort((d[sel], -s[sel]))[:10]
+        keep.append(sel[order])
+    keep = np.concatenate(keep) if keep else np.empty(0, np.int64)
+    return pa.table(
+        {
+            "qid": pa.array(q[keep]),
+            "doc_id": pa.array(d[keep]),
+            "score_r": pa.array(s[keep], pa.float64()),
+        }
+    )
+
+
 #: fuzzy bases for the FuzzyQuery twin (typos of real corpus tokens)
 DOC_FUZZY = ["tabel", "quer", "scann", "sparkk", "zzzzz"]
 

@@ -1222,6 +1222,107 @@ class IndexReader:
         )
         return NotFilterSet(self, fset, excl)
 
+    _BOOST_RX = re.compile(r"^(.*)\^(\d+(?:\.\d+)?)$")
+
+    @classmethod
+    def _parse_boolean_clauses(cls, body: str):
+        """Lucene boost/MUST syntax: `term^2` multiplies the clause's score
+        contribution, `+term` makes it required (docs must contain it; other
+        clauses stay SHOULD). Returns [(raw, boost, required)] or None when
+        the body uses neither operator (fast path unchanged)."""
+        out, has = [], False
+        for c in body.split():
+            req = c.startswith("+") and len(c) > 1
+            if req:
+                c = c[1:]
+                has = True
+            boost = 1.0
+            m = cls._BOOST_RX.match(c)
+            if m and m.group(1):
+                c = m.group(1)
+                boost = float(m.group(2))
+                has = True
+            out.append((c, boost, req))
+        return out if has else None
+
+    def _boolean_tokens(
+        self, clauses, lang: str | None
+    ) -> list[tuple[str, float, bool]]:
+        from .tokenize import tokenize_query
+
+        toks: list[tuple[str, float, bool]] = []
+        for raw, boost, req in clauses:
+            for t in tokenize_query(
+                raw, profile=self._query_profile(lang), protected=self.protected
+            ):
+                toks.append((t, boost, req))
+        return toks
+
+    def _search_boolean(
+        self, clauses, k: int, fset, lang: str | None
+    ) -> list[tuple[int, float]]:
+        """Exhaustive scorer for boosted/required queries: score = sum of
+        boost * BM25 contribution over present clauses; docs missing any
+        required clause are dropped (a required term absent from the index
+        means zero matches — Lucene MUST)."""
+        toks = self._boolean_tokens(clauses, lang)
+        if not toks or k <= 0:
+            return []
+        plist = self._clause_postings([t for t, _, _ in toks])
+        if any(tp is None for tp, (_, _, req) in zip(plist, toks) if req):
+            return []
+        decoded = [
+            tp.decode_all() if tp else (np.empty(0, np.int64), np.empty(0, np.int64))
+            for tp in plist
+        ]
+        decoded = self._clip_to_filter(decoded, fset)
+        all_docs = [d for d, _ in decoded if d.size]
+        if not all_docs:
+            return []
+        union = np.unique(np.concatenate(all_docs))
+        acc = np.zeros(union.size, dtype=np.float32)
+        mask = np.ones(union.size, dtype=bool)
+        for tp, (d, t), (_, boost, req) in zip(plist, decoded, toks):
+            if tp is not None and d.size:
+                s = self._term_contrib(tp, d, t) * np.float32(boost)
+                acc[np.searchsorted(union, d)] += s
+            if req:
+                mask &= (
+                    np.isin(union, d, assume_unique=True)
+                    if d.size
+                    else np.zeros(union.size, dtype=bool)
+                )
+        union, acc = union[mask], acc[mask]
+        if union.size == 0:
+            return []
+        order = np.lexsort((union, -acc))[:k]
+        return [(int(union[i]), float(acc[i])) for i in order]
+
+    def _boolean_docs(self, clauses, fset, lang: str | None) -> np.ndarray:
+        """Match set for boosted/required queries (boosts don't change
+        membership; required clauses intersect)."""
+        toks = self._boolean_tokens(clauses, lang)
+        if not toks:
+            return np.empty(0, np.int64)
+        plist = self._clause_postings([t for t, _, _ in toks])
+        if any(tp is None for tp, (_, _, req) in zip(plist, toks) if req):
+            return np.empty(0, np.int64)
+        sets = [
+            tp.decode_all()[0] if tp else np.empty(0, np.int64)
+            for tp in plist
+        ]
+        union = (
+            np.unique(np.concatenate([s for s in sets if s.size]))
+            if any(s.size for s in sets)
+            else np.empty(0, np.int64)
+        )
+        for s, (_, _, req) in zip(sets, toks):
+            if req and union.size:
+                union = union[np.isin(union, s, assume_unique=True)]
+        if fset is not None and union.size:
+            union = union[fset.mask(union)]
+        return union
+
     def _all_docs(self) -> np.ndarray:
         """Every existing doc id (bucket offsets + ranks — valid for dense
         and strided id layouts)."""
@@ -1324,6 +1425,10 @@ class IndexReader:
             # score 1.0, ascending doc id
             docs = self._prefix_docs(body, fset, kind=kind)
             return [(int(d), 1.0) for d in docs[: max(k, 0)]]
+        if kind == "terms":
+            clauses = self._parse_boolean_clauses(body)
+            if clauses is not None:
+                return self._search_boolean(clauses, k, fset, lang)
         terms = tokenize_query(
             body, profile=self._query_profile(lang), protected=self.protected
         )
@@ -1496,6 +1601,10 @@ class IndexReader:
             return fset.all_docs() if fset is not None else self._all_docs()
         if kind in ("prefix", "wildcard", "fuzzy"):
             return self._prefix_docs(body, fset, kind=kind)
+        if kind == "terms":
+            clauses = self._parse_boolean_clauses(body)
+            if clauses is not None:
+                return self._boolean_docs(clauses, fset, lang)
         terms = tokenize_query(
             body, profile=self._query_profile(lang), protected=self.protected
         )

