@@ -1775,3 +1775,253 @@ def extend_index(
     }
     atomic_write_json(manifest_path, manifest)
     return manifest
+
+
+def delete_docs(index_dir: str, shas: list[str]) -> dict:
+    """Remove documents by uniqueKey (content sha256) from an EXISTING
+    strided index — the takedown / contaminated-data-removal maintenance a
+    training-data pipeline needs (the reference only ever upserts,
+    parseJSON.pl:143-181; Solr's equivalent is deleteByQuery + commit).
+
+    Same touched-bucket discipline as `extend_index`: only the sha-range doc
+    buckets holding deleted ids re-rank/re-encode; untouched docstore files
+    and segment ranges are carried over verbatim. Byte-identical to a full
+    strided rebuild over (corpus minus deleted docs) with the same resolved
+    range_bits (tested). The manifest is the atomic commit; a bucket whose
+    docs all vanish drops its docstore file and its segment ranges.
+    """
+    import shutil
+    import time
+
+    import ray
+    import ray.data
+    import pyarrow.parquet as pqt
+
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    with open(manifest_path) as f:
+        old = json.load(f)
+    cfgd = {k: v for k, v in old["config"].items() if k != "record_hook"}
+    cfg = BuildConfig(**cfgd)
+    if cfg.id_mode != "strided":
+        raise ValueError(
+            "delete_docs requires id_mode='strided' (dense ids shift on "
+            "delete; build with BuildConfig(id_mode='strided'))"
+        )
+    t_start = time.perf_counter()
+    shas = sorted(set(shas))
+    nb = cfg.num_doc_buckets
+    by_bucket: dict[int, list[str]] = {}
+    for s in shas:
+        by_bucket.setdefault((int(s[:8], 16) * nb) >> 32, []).append(s)
+    touched = sorted(
+        b for b in by_bucket
+        if os.path.exists(
+            os.path.join(index_dir, "docstore", f"bucket={b:05d}.parquet")
+        )
+    )
+    touched_set = set(touched)
+    token = hashlib.sha256(
+        json.dumps(
+            {"delete": shas, "index_dir": os.path.abspath(index_dir)},
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:16]
+    exroot = os.path.join(cfg.exchange_root or index_dir, f"exchange-{token}")
+
+    base_cols = [
+        "repo", "path", "commit", "lang", "content", "content_sha256",
+        "doc_bucket", "doc_len", "norm_byte",
+    ]
+    if cfg.store_token_vectors:
+        base_cols += ["tokens", "tok_pos"]
+    bucket_writer = BucketWriter(index_dir, cfg, force=True)
+    ledger = Ledger(index_dir, "docstore")
+
+    def delete_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        outs = []
+        for b in batch["doc_bucket"].to_pylist():
+            b = int(b)
+            path = os.path.join(
+                index_dir, "docstore", f"bucket={b:05d}.parquet"
+            )
+            cols = base_cols + [f + "_all" for f in cfg.multivalue_fields]
+            tbl = pqt.read_table(path).select(cols)
+            drop = pa.array(sorted(by_bucket[b]))
+            keep = pc.invert(
+                pc.is_in(tbl["content_sha256"], value_set=drop)
+            )
+            n_del = tbl.num_rows - int(
+                pc.sum(pc.cast(keep, pa.int64())).as_py() or 0
+            )
+            survivors = tbl.filter(keep)
+            if survivors.num_rows == 0:
+                os.remove(path)
+                ledger.remove(b)
+                s = BucketWriter(index_dir, cfg)._summary_table(
+                    {"partition_id": b, "n_docs": 0, "total_len": 0,
+                     "n_input_rows": 0, "n_dups_removed": 0}
+                )
+            else:
+                s = bucket_writer(survivors.combine_chunks())
+            s = s.append_column(
+                "n_deleted", pa.array([n_del], pa.int64())
+            )
+            outs.append(s)
+        return pa.concat_tables(outs)
+
+    del_summaries = (
+        ray.data.from_arrow(
+            pa.table({"doc_bucket": pa.array(touched, pa.int32())})
+        )
+        .repartition(max(len(touched), 1))
+        .map_batches(delete_bucket, batch_format="pyarrow", batch_size=1,
+                     num_cpus=1)
+        .take_all()
+    ) if touched else []
+    t_stage1 = time.perf_counter()
+
+    counts = np.asarray(old["doc_counts"], dtype=np.int64).copy()
+    lens = {
+        r["partition_id"]: int(r["total_len"]) for r in ledger.records()
+    }
+    n_deleted = 0
+    for row in del_summaries:
+        counts[row["doc_bucket"]] = row["n_docs"]
+        lens[int(row["doc_bucket"])] = int(row["total_len"])
+        n_deleted += int(row["n_deleted"])
+    for b in touched:
+        if counts[b] == 0:
+            lens.pop(b, None)
+    total_len = sum(lens.values())
+    n_docs = int(counts.sum())
+    offsets = [b << cfg.bucket_capacity_bits for b in range(cfg.num_doc_buckets)]
+
+    touched_paths = [
+        os.path.join(index_dir, "docstore", f"bucket={b:05d}.parquet")
+        for b in touched
+        if os.path.exists(
+            os.path.join(index_dir, "docstore", f"bucket={b:05d}.parquet")
+        )
+    ]
+    partials_dir = os.path.join(exroot, "partials")
+    if not os.path.isdir(partials_dir) and touched_paths:
+        tmp_dir = partials_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+        if cfg.store_token_vectors:
+            cols = ["doc_bucket", "local_rank", "norm_byte", "tokens", "tok_pos"]
+        else:
+            cols = ["doc_bucket", "local_rank", "norm_byte", "content"]
+            if cfg.profile == "auto":
+                cols.append("lang")
+        _run_partial_indexing(touched_paths, cols, cfg, offsets, tmp_dir)
+        os.replace(tmp_dir, partials_dir)
+
+    segment_writer = SegmentWriter(index_dir, cfg)
+    pieces_dir = os.path.join(exroot, "segpieces")
+    os.makedirs(pieces_dir, exist_ok=True)
+    group_names = sorted(
+        n for n in (os.listdir(partials_dir) if os.path.isdir(partials_dir) else [])
+        if n.startswith("bucket=")
+    )
+
+    def merge_group(batch: pa.Table) -> pa.Table:
+        for name in batch["name"].to_pylist():
+            segment_writer.merge_dir_to_piece(partials_dir, name, pieces_dir)
+        return pa.table({"n": pa.array([len(batch)], pa.int64())})
+
+    if group_names:
+        ray.data.from_arrow(
+            pa.table({"name": pa.array(group_names)})
+        ).repartition(len(group_names)).map_batches(
+            merge_group, batch_format="pyarrow", batch_size=1, num_cpus=1
+        ).count()
+
+    shift = np.int64(cfg.bucket_capacity_bits - cfg.range_bits)
+
+    def assemble_del(batch: pa.Table) -> pa.Table:
+        outs = []
+        for tb in batch["term_bucket"].to_pylist():
+            tb = int(tb)
+            seg_path = os.path.join(
+                index_dir, "segments", f"bucket={tb:05d}.parquet"
+            )
+            extra = None
+            if os.path.exists(seg_path):
+                old_seg = pqt.read_table(seg_path)
+                rb = np.asarray(old_seg["range_bucket"], dtype=np.int64)
+                keep = ~np.isin(rb >> shift, np.fromiter(
+                    touched_set, dtype=np.int64, count=len(touched_set)
+                ))
+                extra = old_seg.filter(pa.array(keep))
+            s = segment_writer.assemble(tb, pieces_dir, extra_rows=extra,
+                                        force=True)
+            if s is not None:
+                outs.append(s)
+        return (
+            pa.concat_tables(outs)
+            if outs
+            else segment_writer._summary_table(
+                {"partition_id": -1, "n_terms": 0, "n_rows": 0, "n_postings": 0}
+            ).slice(0, 0)
+        )
+
+    seg_summaries = (
+        ray.data.from_arrow(
+            pa.table(
+                {"term_bucket": pa.array(range(cfg.num_term_buckets), pa.int32())}
+            )
+        )
+        .repartition(cfg.num_term_buckets)
+        .map_batches(assemble_del, batch_format="pyarrow", batch_size=1,
+                     num_cpus=1)
+        .take_all()
+    )
+    t_stage3 = time.perf_counter()
+    n_terms = sum(r["n_terms"] for r in seg_summaries)
+    n_postings = sum(r["n_postings"] for r in seg_summaries)
+
+    shutil.rmtree(exroot, ignore_errors=True)
+    n_input = int(old["n_input_rows"])
+    manifest = {
+        "version": MANIFEST_VERSION,
+        "config": {**cfgd, "record_hook": None},
+        "input_shards": list(old["input_shards"]),
+        "n_docs": n_docs,
+        "n_input_rows": n_input,
+        "n_dups_removed": n_input - n_docs,
+        "n_deleted": int(old.get("n_deleted", 0)) + n_deleted,
+        "total_len": int(total_len),
+        "avgdl": (total_len / n_docs) if n_docs else 0.0,
+        "doc_offsets": offsets,
+        "doc_counts": counts.tolist(),
+        "n_terms": n_terms,
+        "n_postings": n_postings,
+        "timings": {
+            "stage1_dedup_docstore_sec": round(t_stage1 - t_start, 3),
+            "stage3_index_merge_sec": round(t_stage3 - t_stage1, 3),
+        },
+    }
+    atomic_write_json(manifest_path, manifest)
+    return manifest
+
+
+def delete_by_query(index_dir: str, query: str, lang: str | None = None,
+                    filters: dict | None = None) -> dict:
+    """Solr deleteByQuery analog: resolve the query's matching docs through
+    the standard match path (terms / phrase / prefix / wildcard / fuzzy /
+    boolean, fq-composable), collect their uniqueKeys, and delete them via
+    `delete_docs` (touched-bucket rewrite, atomic manifest commit)."""
+    from .query import IndexReader
+
+    r = IndexReader(index_dir)
+    docs = r._matching_docs(query, lang=lang, filters=filters)
+    if docs.size == 0:
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            return json.load(f)
+    shas = r.doc_fields(
+        docs.tolist(), columns=["content_sha256"]
+    )["content_sha256"].to_pylist()
+    return delete_docs(index_dir, shas)

@@ -70,6 +70,13 @@ class Ledger:
         record = {"partition_id": partition_id, **record}
         atomic_write_json(self._path(partition_id), record)
 
+    def remove(self, partition_id: int) -> None:
+        """Forget a partition (its output was deleted — e.g. a doc bucket
+        emptied by delete_docs)."""
+        p = self._path(partition_id)
+        if os.path.exists(p):
+            os.remove(p)
+
     def records(self) -> list[dict]:
         if not os.path.isdir(self.dir):
             return []

@@ -199,3 +199,96 @@ def test_extend_auto_profile(ray_session, tmp_path):
     # German stemming conflates across old+new docs
     n = r.match_count("Bücher", lang="deu")
     assert n == 40  # 30 base + 10 new German docs all contain bücher
+
+
+def test_delete_docs_equals_rebuild_without(ray_session, tmp_path):
+    """delete_docs(shas) on a strided index == a full rebuild over the
+    corpus minus those docs, byte for byte; an emptied doc bucket drops its
+    docstore file; queries stop matching the removed docs."""
+    from nexlt_ray.build import BuildConfig, build_index, delete_docs
+    from nexlt_ray.query import IndexReader
+
+    full_tbl = generate_corpus(400, seed=23)
+    src = tmp_path / "src"
+    os.makedirs(src)
+    _write(full_tbl, src / "all.parquet")
+    cfg = BuildConfig(id_mode="strided", num_doc_buckets=8, num_term_buckets=4)
+    idx = str(tmp_path / "idx")
+    m0 = build_index(str(src), idx, cfg)
+
+    # pick victims: every doc of one bucket (to empty it) + a few others
+    store = pq.read_table(
+        os.path.join(idx, "docstore"),
+        columns=["content_sha256", "doc_bucket"],
+    )
+    shas = np.asarray(store["content_sha256"].to_pylist(), dtype="U64")
+    buckets = np.asarray(store["doc_bucket"])
+    sizes = np.bincount(buckets, minlength=8)
+    victim_b = int(np.argmin(np.where(sizes > 0, sizes, np.iinfo(np.int64).max)))
+    victims = set(shas[buckets == victim_b].tolist())
+    victims |= set(shas[buckets != victim_b][:5].tolist())
+    m1 = delete_docs(idx, sorted(victims))
+    assert m1["n_deleted"] == len(victims)
+    assert m1["n_docs"] == m0["n_docs"] - len(victims)
+    assert not os.path.exists(
+        os.path.join(idx, "docstore", f"bucket={victim_b:05d}.parquet")
+    )
+
+    # survivors-only rebuild with the SAME resolved range_bits
+    keep_mask = ~np.isin(shas, sorted(victims))
+    # map docstore rows back to the raw corpus rows via content sha
+    import hashlib as _h
+
+    raw_sha = np.array(
+        [_h.sha256(c.encode()).hexdigest()
+         for c in full_tbl["content"].to_pylist()],
+        dtype="U64",
+    )
+    raw_keep = ~np.isin(raw_sha, sorted(victims))
+    src2 = tmp_path / "src2"
+    os.makedirs(src2)
+    _write(full_tbl.filter(pa.array(raw_keep)), src2 / "all.parquet")
+    cfg2 = BuildConfig(
+        id_mode="strided", num_doc_buckets=8, num_term_buckets=4,
+        range_bits=json.loads(json.dumps(m1["config"]))["range_bits"],
+    )
+    full2 = str(tmp_path / "full2")
+    m2 = build_index(str(src2), full2, cfg2)
+
+    for sub in ("docstore", "segments"):
+        ta, tb = _tree_bytes(idx, sub), _tree_bytes(full2, sub)
+        assert ta.keys() == tb.keys(), sub
+        for name in ta:
+            assert ta[name] == tb[name], f"{sub}/{name}"
+    assert m1["n_docs"] == m2["n_docs"]
+    assert m1["doc_counts"] == m2["doc_counts"]
+
+    # query surface: a deleted doc's tokens no longer match it
+    r = IndexReader(idx)
+    got = set(d for d, _ in r.search("*:*", k=10_000))
+    all_ids = set(int(x) for x in r._all_docs().tolist())
+    assert got == all_ids and len(all_ids) == m1["n_docs"]
+
+
+def test_delete_by_query(ray_session, tmp_path):
+    """delete_by_query removes exactly the query's match set."""
+    from nexlt_ray.build import BuildConfig, build_index, delete_by_query
+    from nexlt_ray.query import IndexReader
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    _write(generate_corpus(300, seed=29), src / "all.parquet")
+    cfg = BuildConfig(id_mode="strided", num_doc_buckets=8, num_term_buckets=4)
+    idx = str(tmp_path / "idx")
+    m0 = build_index(str(src), idx, cfg)
+    r = IndexReader(idx)
+    n_match = r.match_count("parse")
+    assert n_match > 0
+    m1 = delete_by_query(idx, "parse")
+    assert m1["n_deleted"] == n_match
+    assert m1["n_docs"] == m0["n_docs"] - n_match
+    r2 = IndexReader(idx)
+    assert r2.match_count("parse") == 0
+    # no-op on a query with no matches
+    m2 = delete_by_query(idx, "zzzznotaterm")
+    assert m2["n_docs"] == m1["n_docs"]
