@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 59 entries, 45 DuckDB-oracled.
+                 60 entries, 46 DuckDB-oracled.
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
                  (incl. ASOF JOIN, window-function sessionization, shingle
                  Jaccard via list_transform, fq-composed BM25); non-SQL ops
@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_dup_pairs": P.jaccard_dup_pairs_docs,
         "shingle_jaccard_pairs": P.shingle_jaccard_pairs_docs,
         "substring_dup_pairs": P.substring_dup_pairs_docs,
+        "decontaminated_docs": P.decontaminated_docs,
         "stratified_sample": P.stratified_sample_docs,
         "stratified_take_n": P.stratified_take_docs,
         "minhash_pairs_corpus": P.minhash_pairs_corpus,
@@ -569,6 +570,22 @@ FROM tf JOIN df USING (term)
 QUALIFY row_number() OVER (
     PARTITION BY tf.doc_id
     ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) <= 3
+""",
+        "decontaminated_docs": """
+WITH ev AS (
+  SELECT text FROM documents ORDER BY doc_id LIMIT 3
+),
+g AS (
+  SELECT DISTINCT unnest(list_transform(range(1, length(text) - 32 + 2),
+                                        i -> substr(text, i, 32))) AS gram
+  FROM ev WHERE length(text) >= 32
+),
+dirty AS (
+  SELECT DISTINCT d.doc_id
+  FROM documents d JOIN g ON contains(d.text, g.gram)
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
 """,
         "stratified_sample": """
 SELECT doc_id, lang, source FROM documents

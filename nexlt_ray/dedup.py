@@ -883,6 +883,75 @@ def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     )
 
 
+def decontaminate(
+    docs,
+    eval_texts: list[str],
+    min_len: int = 32,
+    text_col: str = "text",
+):
+    """Benchmark decontamination (GPT-3 appendix-C style, Brown et al.
+    2020; Lee et al. ACL'22 §6): drop every document sharing an exact run
+    of >= min_len bytes with ANY eval-set text.
+
+    The eval set is small by definition, so its full min_len-gram
+    fingerprint set broadcasts via ray.put (one object-store copy, zero-copy
+    reads in every task) and the check is a pure map — no shuffle, no
+    candidate pass: per batch, rolling-hash every doc's min_len-grams once
+    (one flat vectorized pass) and probe the broadcast set; hash hits are
+    confirmed against the actual eval substrings before a doc is dropped,
+    so the filter is exact, not probabilistic. Returns the clean dataset.
+    """
+    import ray
+
+    from .textstats import _rolling_hashes
+
+    grams: set[str] = set()
+    for t in eval_texts:
+        for p in range(len(t) - min_len + 1):
+            grams.add(t[p : p + min_len])
+    hs = (
+        np.unique(
+            np.concatenate(
+                [
+                    _rolling_hashes(
+                        np.frombuffer(g.encode("utf-8"), dtype=np.uint8),
+                        min_len,
+                    )
+                    for g in sorted(grams)
+                ]
+            )
+        )
+        if grams
+        else np.empty(0, np.uint64)
+    )
+    ref = ray.put((hs, frozenset(grams)))
+
+    def clean(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        hset, gset = _ray.get(ref)
+        texts = batch[text_col].to_pylist()
+        keep = np.ones(len(texts), dtype=bool)
+        if hset.size:
+            for i, t in enumerate(texts):
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                h = _rolling_hashes(b, min_len)
+                if h.size == 0:
+                    continue
+                idx = np.searchsorted(hset, h)
+                idx_safe = np.minimum(idx, hset.size - 1)
+                cand = np.flatnonzero(
+                    (idx < hset.size) & (hset[idx_safe] == h)
+                )
+                for p in cand:  # exact confirm kills hash collisions
+                    if t[p : p + min_len] in gset:
+                        keep[i] = False
+                        break
+        return batch.filter(pa.array(keep))
+
+    return docs.map_batches(clean, batch_format="pyarrow")
+
+
 def substring_dup_pairs(
     docs,
     min_len: int = 40,

@@ -1069,6 +1069,24 @@ def stratified_take_docs(sf_dir: str):
     )
 
 
+def decontaminated_docs(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination over `documents`: drop every doc sharing
+    an exact >= 32-char run with the "eval set" (the 3 lowest-doc_id docs —
+    which therefore also drop themselves). Broadcast eval fingerprints,
+    pure-map filter, exact confirm (`dedup.decontaminate`)."""
+    import pyarrow.parquet as pqt
+
+    eval_tbl = pqt.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    order = np.argsort(np.asarray(eval_tbl["doc_id"]))[:3]
+    eval_texts = [eval_tbl["text"][int(i)].as_py() for i in order]
+    ds = dedup_ops.decontaminate(
+        _documents(sf_dir, ["doc_id", "text"]), eval_texts, min_len=32
+    )
+    return ds.select_columns(["doc_id"])
+
+
 def _sha_doc_id(batch: pa.Table) -> pa.Table:
     """Identity-derived int63 doc id (sha256 of the unique (repo, path,
     commit) identity) — stable across shards, batch sizes and scheduling; no
