@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 60 entries, 46 DuckDB-oracled.
+                 61 entries, 47 DuckDB-oracled.
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
                  (incl. ASOF JOIN, window-function sessionization, shingle
                  Jaccard via list_transform, fq-composed BM25); non-SQL ops
@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_jaccard_pairs": P.shingle_jaccard_pairs_docs,
         "substring_dup_pairs": P.substring_dup_pairs_docs,
         "decontaminated_docs": P.decontaminated_docs,
+        "packed_sequences": P.packed_sequences,
         "stratified_sample": P.stratified_sample_docs,
         "stratified_take_n": P.stratified_take_docs,
         "minhash_pairs_corpus": P.minhash_pairs_corpus,
@@ -570,6 +571,26 @@ FROM tf JOIN df USING (term)
 QUALIFY row_number() OVER (
     PARTITION BY tf.doc_id
     ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) <= 3
+""",
+        "packed_sequences": """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             AS start_token
+  FROM t
+)
+SELECT doc_id, n_tokens, start_token,
+       (start_token // 128)::BIGINT AS block_id,
+       (start_token % 128)::BIGINT AS block_offset
+FROM s
 """,
         "decontaminated_docs": """
 WITH ev AS (

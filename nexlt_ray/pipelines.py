@@ -1069,6 +1069,19 @@ def stratified_take_docs(sf_dir: str):
     )
 
 
+def packed_sequences(sf_dir: str):
+    """GPT-style sequence packing over `documents` (B=128 tokens):
+    per-doc (start_token, block_id, block_offset) in the concatenated
+    doc_id-ordered stream, via the distributed exact prefix sum in
+    `packing.pack_sequences`."""
+    from .packing import pack_sequences
+
+    return pack_sequences(
+        _documents(sf_dir, ["doc_id", "text"]), block_tokens=128,
+        bucket_shift=6,
+    )
+
+
 def decontaminated_docs(sf_dir: str) -> pa.Table:
     """Benchmark decontamination over `documents`: drop every doc sharing
     an exact >= 32-char run with the "eval set" (the 3 lowest-doc_id docs —

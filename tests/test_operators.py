@@ -730,3 +730,36 @@ def test_hash_join_string_keys(ray_session):
     pd.testing.assert_frame_equal(
         got[["term", "v", "w"]], exp[["term", "v", "w"]], check_dtype=False
     )
+
+
+def test_pack_sequences_partitioning_invariant(ray_session):
+    """The packed layout is a pure function of (id, n_tokens): identical
+    across block layouts and bucket_shift choices; offsets are a gapless
+    exact prefix sum."""
+    import pyarrow as pa
+    import ray
+
+    from nexlt_ray.packing import pack_sequences
+
+    n = 500
+    texts = [" ".join(f"w{j}" for j in range((i * 7) % 23)) for i in range(n)]
+    t = pa.table({"doc_id": pa.array(list(range(n)), pa.int64()),
+                  "text": pa.array(texts)})
+
+    def run(blocks, shift):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = pack_sequences(ds, block_tokens=64, bucket_shift=shift)
+        return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    a = run(1, 4)
+    b = run(9, 7)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    # exact gapless scan in doc_id order
+    nt = a["n_tokens"].to_numpy()
+    st = a["start_token"].to_numpy()
+    assert st[0] == 0
+    assert (st[1:] == st[:-1] + nt[:-1]).all()
+    assert (a["block_id"].to_numpy() == st // 64).all()
+    assert (a["block_offset"].to_numpy() == st % 64).all()
