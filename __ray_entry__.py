@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 61 entries, 47 DuckDB-oracled.
+                 62 entries, 48 DuckDB-oracled.
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
                  (incl. ASOF JOIN, window-function sessionization, shingle
                  Jaccard via list_transform, fq-composed BM25); non-SQL ops
@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # normalization / text analysis
         "normalize_text": P.normalize_text_docs,
         "quality_stats": P.quality_stats_docs,
+        "repetition_stats": P.repetition_stats_docs,
         "langid_docs": P.langid_docs,
         "top_terms_per_doc": P.top_terms_docs,
         "fingerprint_docs": P.fingerprint_docs,
@@ -643,6 +644,19 @@ SELECT doc_id,
 FROM documents
 """,
         "quality_stats": _quality_sql(),
+        "repetition_stats": f"""
+{_TOK},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS n_distinct, max(tf)::BIGINT AS max_tf
+  FROM tf GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(agg.n_distinct, 0)::BIGINT AS n_distinct,
+       coalesce(agg.max_tf, 0)::BIGINT AS max_tf
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+""",
         "lang_normalize_counts": _lang_norm_sql(),
         "facet_counts": """
 SELECT 'lang' AS field, lang AS value, count(*)::BIGINT AS n FROM documents GROUP BY lang

@@ -1069,6 +1069,16 @@ def stratified_take_docs(sf_dir: str):
     )
 
 
+def repetition_stats_docs(sf_dir: str):
+    """Gopher-style repetition signals per doc (`textstats.
+    repetition_stats_batch`): n_tokens / n_distinct / max_tf — the
+    integer-exact inputs to the MassiveText "most common word fraction"
+    filter."""
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        ts_ops.repetition_stats_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_tokens", "n_distinct", "max_tf"])
+
+
 def packed_sequences(sf_dir: str):
     """GPT-style sequence packing over `documents` (B=128 tokens):
     per-doc (start_token, block_id, block_offset) in the concatenated

@@ -351,3 +351,32 @@ def top_terms_per_doc(docs, k_top: int = 3, text_col: str = "text"):
         .groupby("doc_id")
         .map_groups(final_top, batch_format="pyarrow")
     )
+
+
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1, the
+    MassiveText repetition filters), integer-exact per doc: n_tokens,
+    n_distinct tokens, max_tf (the most frequent token's count — its ratio
+    to n_tokens is the "fraction of tokens in the most common word" rule).
+    One tokenize pass + one np.unique over (doc, term-code) pairs — no
+    per-doc loop."""
+    tb = tokenize_batch(batch[text_col], profile="simple")
+    n = len(batch)
+    n_tokens = tb.doc_len.astype(np.int64)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    max_tf = np.zeros(n, dtype=np.int64)
+    if tb.terms.size:
+        uniq, inv = np.unique(tb.terms.astype("U"), return_inverse=True)
+        key = tb.doc_idx.astype(np.int64) * np.int64(uniq.size) + inv
+        pairs, counts = np.unique(key, return_counts=True)
+        d = (pairs // uniq.size).astype(np.int64)
+        n_distinct = np.bincount(d, minlength=n).astype(np.int64)
+        np.maximum.at(max_tf, d, counts.astype(np.int64))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens),
+            "n_distinct": pa.array(n_distinct),
+            "max_tf": pa.array(max_tf),
+        }
+    )
