@@ -160,6 +160,22 @@ def test_strided_index_query_rank_identity(ray_session, corpus_parts, tmp_path):
     for pq_ in ('"index query"', '"the import"', '"batch merge"'):
         assert r.match_count(pq_) == o.match_count(pq_), pq_
     assert r.match_count("*:*") == m["n_docs"]
+    # multi-term and boolean kinds on strided ids (decode_all doc ids are
+    # bucket<<40 here — any dense-id assumption would alias)
+    from nexlt_ray.tokenize import tokenize_batch
+
+    tb = tokenize_batch(meta["content"], profile="code")
+    terms = tb.terms.astype("U")
+    m_pre = np.char.startswith(terms, "pars")
+    exp_pre = np.unique(did[tb.doc_idx[m_pre]])
+    assert r.match_count("pars*") == exp_pre.size
+    assert r.search("pars*", k=3) == [(int(d), 1.0) for d in exp_pre[:3]]
+    http_docs = set(did[tb.doc_idx[terms == "http"]].tolist())
+    parse_docs = set(did[tb.doc_idx[terms == "parse"]].tolist())
+    assert r.match_count("http -parse") == len(http_docs - parse_docs)
+    assert r.match_count("+parse http") == len(parse_docs)
+    got_boost = r.search("http^2 parse", k=5)
+    assert all(int(d) in (http_docs | parse_docs) for d, _ in got_boost)
 
 
 def test_extend_auto_profile(ray_session, tmp_path):
