@@ -482,6 +482,121 @@ def verify_pairs_exact(
     return inter_counts.map_batches(finish, batch_format="pyarrow")
 
 
+def verify_pairs_exact_ds(
+    ds,
+    cand,
+    tau_num: int,
+    tau_den: int,
+    text_col: str = "text",
+    shingle: int = 1,
+    broadcast_pairs_cap: int = 2_000_000,
+):
+    """Dataset-native exact-Jaccard verification: `cand` is a Dataset of
+    (doc_a, doc_b) candidate pairs — it never round-trips through pandas on
+    the driver.
+
+    Two regimes, chosen by the (metadata-cheap) candidate count after one
+    object-store materialization:
+
+    - `n <= broadcast_pairs_cap` (the common case — candidates track the
+      true near-dup count): zero-copy Arrow concat of the materialized
+      blocks + the broadcast verification of `verify_pairs_exact`. Driver
+      state is one int64 pair table, bounded by the cap (~32 MB at the
+      default).
+    - above the cap (dup-heavy crawls where the candidate set itself is
+      corpus-scale): a fully-distributed plan with NO driver data path —
+      semi-join doc terms to candidate docs, count pair intersections via a
+      composite-key partitioned join, join sizes back, threshold. Five
+      bucketed exchanges, each streaming and bounded by the candidate term
+      volume; the pair set never exists in one process.
+    """
+    import ray
+
+    cand = cand.materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return verify_pairs_exact(
+            ds,
+            pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())}),
+            tau_num, tau_den, text_col=text_col, shingle=shingle,
+        )
+    if n_cand <= broadcast_pairs_cap:
+        blocks = [b for b in ray.get(cand.to_arrow_refs()) if b.num_rows]
+        tbl = pa.concat_tables(b.select(["doc_a", "doc_b"]) for b in blocks)
+        return verify_pairs_exact(ds, tbl, tau_num, tau_den,
+                                  text_col=text_col, shingle=shingle)
+
+    from .joins import hash_join
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(["doc_a", "doc_b"])
+
+    cand = cand.map_batches(project, batch_format="pyarrow")
+
+    def both_ids(b: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [b["doc_a"].combine_chunks(), b["doc_b"].combine_chunks()]
+        )
+        return pa.table({"doc_id": ids})
+
+    cand_docs = (
+        cand.map_batches(both_ids, batch_format="pyarrow")
+        .groupby("doc_id").count().drop_columns(["count()"])
+    )
+
+    def doc_terms(b: pa.Table) -> pa.Table:
+        return distinct_doc_terms(b, text_col, shingle)
+
+    dt_all = ds.map_batches(doc_terms, batch_format="pyarrow")
+    # semi-join to candidate docs (right side carries only the key), then
+    # materialize: reused by the size aggregate and both pair joins, and
+    # bounded by the candidate docs' term volume
+    dt = hash_join(dt_all, cand_docs, "doc_id", "doc_id").materialize()
+
+    from ray.data.aggregate import Count
+
+    sizes = dt.groupby("doc_id").aggregate(Count(alias_name="n"))
+
+    def rename(cols: dict):
+        def f(b: pa.Table) -> pa.Table:
+            return b.select(list(cols)).rename_columns(list(cols.values()))
+        return f
+
+    dt_a = dt.map_batches(rename({"doc_id": "doc_a", "term": "term"}),
+                          batch_format="pyarrow")
+    dt_b = dt.map_batches(rename({"doc_id": "doc_b", "term": "term"}),
+                          batch_format="pyarrow")
+    j1 = hash_join(cand, dt_a, "doc_a", "doc_a")            # (doc_a, doc_b, term)
+    j2 = hash_join(j1, dt_b, ["doc_b", "term"], ["doc_b", "term"])
+    inter = (
+        j2.groupby(["doc_a", "doc_b"]).count()
+    )
+    sz_a = sizes.map_batches(rename({"doc_id": "doc_a", "n": "n_a"}),
+                             batch_format="pyarrow")
+    sz_b = sizes.map_batches(rename({"doc_id": "doc_b", "n": "n_b"}),
+                             batch_format="pyarrow")
+    with_a = hash_join(inter, sz_a, "doc_a", "doc_a")
+    with_b = hash_join(with_a, sz_b, "doc_b", "doc_b")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        inter_c = np.asarray(batch["count()"]).astype(np.int64)
+        na = np.asarray(batch["n_a"]).astype(np.int64)
+        nb = np.asarray(batch["n_b"]).astype(np.int64)
+        union = na + nb - inter_c
+        keep = tau_den * inter_c >= tau_num * union
+        return pa.table(
+            {
+                "doc_a": pa.array(np.asarray(batch["doc_a"])[keep], pa.int64()),
+                "doc_b": pa.array(np.asarray(batch["doc_b"])[keep], pa.int64()),
+                "inter": pa.array(inter_c[keep]),
+                "union_": pa.array(union[keep]),
+            }
+        )
+
+    return with_b.map_batches(finish, batch_format="pyarrow")
+
+
 def jaccard_pairs(
     ds,
     tau_num: int = 9,
@@ -494,29 +609,15 @@ def jaccard_pairs(
     (prefix-filter candidates, complete by construction; distributed
     exact-count verification). Emits (doc_a, doc_b, inter, union_) and
     filters on tau_den*inter >= tau_num*union_ — no float comparisons, no
-    O(df^2) term group, no corpus-sized driver state.
+    O(df^2) term group, no corpus-sized driver state: candidates flow to
+    verification as a Dataset (verify_pairs_exact_ds), never via pandas.
     """
     cand = prefix_candidate_pairs(
         ds, tau_num, tau_den, text_col=text_col, hot_df_min=hot_df_min,
         shingle=shingle,
     )
-    # candidate pairs to the driver: bounded by the (prefix-pruned)
-    # candidate count, which tracks the true near-dup pair count
-    df = cand.to_pandas()
-    if len(df) == 0 or "doc_a" not in df.columns:
-        # an EMPTY Ray dataset loses its schema through to_pandas()
-        cand_tbl = pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-        )
-    else:
-        cand_tbl = pa.table(
-            {
-                "doc_a": pa.array(df["doc_a"].to_numpy(dtype=np.int64)),
-                "doc_b": pa.array(df["doc_b"].to_numpy(dtype=np.int64)),
-            }
-        )
-    return verify_pairs_exact(ds, cand_tbl, tau_num, tau_den,
-                              text_col=text_col, shingle=shingle)
+    return verify_pairs_exact_ds(ds, cand, tau_num, tau_den,
+                                 text_col=text_col, shingle=shingle)
 
 
 # ---------------------------------------------------------------------------
@@ -568,10 +669,13 @@ _SHINGLE_SEED = np.uint64(0x243F6A8885A308D3)
 
 
 def _token_hashes(terms: np.ndarray) -> np.ndarray:
-    """Stable 64-bit hash per token (blake2b-8byte; cross-process safe)."""
+    """Stable 64-bit hash per token: little-endian lower 8 bytes of md5
+    (cross-process safe, and bit-identical to DuckDB's md5_number_lower so
+    the SimHash sketch itself is SQL-oracle-able — the driver recomputes the
+    full sketch in DuckDB, not just a rows-count)."""
     return np.fromiter(
         (
-            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
             for t in terms
         ),
         dtype=np.uint64,

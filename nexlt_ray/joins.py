@@ -5,7 +5,7 @@ SURVEY.md §2.5); a large-scale engine also needs a both-sides-large join.
 This module implements the portable explicit pattern (ray_guide.md): add a
 `__bucket = hash(key) % B` column to both sides, co-locate with ONE
 `groupby(__bucket)` over the tagged union, and hash-join each bucket pairwise
-inside `map_groups` with pandas merge.
+inside `map_groups` with an Arrow-native Acero hash join (pa.Table.join).
 
 Scale notes: B is the shuffle fan-out knob (size so each bucket's two sides
 fit a worker); skewed keys salt into sub-buckets by raising B — key hashing
@@ -15,7 +15,6 @@ is uniform for int keys via splitmix-style mixing.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
@@ -57,21 +56,25 @@ def _string_hashes(arr) -> np.ndarray:
 def hash_join(
     left,
     right,
-    left_key: str,
-    right_key: str,
+    left_key,
+    right_key,
     num_buckets: int = 32,
     how: str = "inner",
 ):
-    """Partitioned hash join of two Datasets on an int64 OR string key.
+    """Partitioned hash join of two Datasets on int64 OR string key(s).
 
-    Returns a Dataset of joined rows (left columns + right columns minus the
-    right key). One shuffle total: both sides are tagged and bucketed, then a
-    single groupby co-locates matching buckets. Bucketing hashes are only a
-    placement decision — matching happens on the actual key values — so
-    correctness never depends on hash quality, only balance does. On the
-    string path, null keys are dropped at the tag (SQL inner-join semantics;
-    pandas would otherwise match None with None).
+    `left_key`/`right_key` may each be a column name or a list of names
+    (composite key; same length both sides). Returns a Dataset of joined
+    rows (left columns + right columns minus the right keys). One shuffle
+    total: both sides are tagged and bucketed, then a single groupby
+    co-locates matching buckets. Bucketing hashes are only a placement
+    decision — matching happens on the actual key values — so correctness
+    never depends on hash quality, only balance does. Null keys are dropped
+    at the tag (SQL inner-join semantics).
     """
+    lkeys = [left_key] if isinstance(left_key, str) else list(left_key)
+    rkeys = [right_key] if isinstance(right_key, str) else list(right_key)
+    assert len(lkeys) == len(rkeys)
 
     # unified superset schema so the tagged union has one block schema
     lschema, rschema = left.schema(), right.schema()
@@ -81,25 +84,25 @@ def hash_join(
     rtypes = dict(zip(rschema.names, rschema.types))
     all_cols = lnames + [n for n in rnames if n not in lnames]
     all_types = {**rtypes, **ltypes}
-    string_key = pa.types.is_string(all_types[left_key]) or pa.types.is_large_string(
-        all_types[left_key]
-    )
 
-    def tag(side: str, key: str, own: list[str]):
+    def _is_str(t) -> bool:
+        return pa.types.is_string(t) or pa.types.is_large_string(t)
+
+    def tag(side: str, keys: list[str], own: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
-            if string_key:
-                import pyarrow.compute as pc
+            import pyarrow.compute as pc
 
-                col = batch[key]
-                if col.null_count:
-                    batch = batch.filter(pc.is_valid(col))
-                    col = batch[key]
-                bucket = (_string_hashes(col) % np.uint64(num_buckets)).astype(
-                    np.int32
-                )
-            else:
-                keys = np.asarray(batch[key], dtype=np.int64)
-                bucket = (_mix64(keys) % np.uint64(num_buckets)).astype(np.int32)
+            for key in keys:
+                if batch[key].null_count:
+                    batch = batch.filter(pc.is_valid(batch[key]))
+            h = np.zeros(len(batch), dtype=np.uint64)
+            for key in keys:
+                if _is_str(all_types[key]):
+                    kh = _string_hashes(batch[key])
+                else:
+                    kh = _mix64(np.asarray(batch[key], dtype=np.int64))
+                h = _mix64(h ^ kh)
+            bucket = (h % np.uint64(num_buckets)).astype(np.int32)
             cols = {}
             for name in all_cols:
                 if name in own:
@@ -112,32 +115,35 @@ def hash_join(
         return fn
 
     tagged = left.map_batches(
-        tag("l", left_key, lnames), batch_format="pyarrow"
+        tag("l", lkeys, lnames), batch_format="pyarrow"
     ).union(
-        right.map_batches(tag("r", right_key, rnames), batch_format="pyarrow")
+        right.map_batches(tag("r", rkeys, rnames), batch_format="pyarrow")
     )
 
-    out_cols = [c for c in all_cols if c != right_key or right_key == left_key]
+    shared = {rk for lk, rk in zip(lkeys, rkeys) if lk == rk}
+    out_cols = [c for c in all_cols if c not in rkeys or c in shared]
 
-    # emit Arrow with the unified schema (not raw pandas blocks): pandas
-    # object-dtype columns would make the output Dataset's schema report
-    # Python classes, breaking downstream consumers (e.g. a second
-    # hash_join's null-fill needs real Arrow DataTypes)
     out_schema = pa.schema([(c, all_types[c]) for c in out_cols])
+    # right side carries only its keys + columns the left doesn't have, so
+    # the Acero join output has no name collisions (same drop-duplicate
+    # policy the previous pandas reindex applied)
+    r_cols = rkeys + [c for c in rnames if c not in lnames and c not in rkeys]
 
-    def join_bucket(g: pd.DataFrame) -> pa.Table:
-        l = g[~g["__side"]][lnames]
-        r = g[g["__side"]][rnames]
-        if how == "inner" and (l.empty or r.empty):
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # Arrow-native group kernel: pa.Table.join (Acero hash join) — no
+        # pandas conversion, no object-boxed string keys, zero-copy slices
+        side = g["__side"].to_numpy(zero_copy_only=False).astype(bool)
+        l = g.filter(pa.array(~side)).select(lnames)
+        r = g.filter(pa.array(side)).select(r_cols)
+        if how == "inner" and (l.num_rows == 0 or r.num_rows == 0):
             return out_schema.empty_table()
-        out = l.merge(r, left_on=left_key, right_on=right_key, how=how,
-                      suffixes=("", "__r")).reindex(columns=out_cols)
-        return pa.table(
-            {c: pa.array(out[c], type=all_types[c], from_pandas=True)
-             for c in out_cols}
+        joined = l.join(
+            r, keys=lkeys, right_keys=rkeys,
+            join_type="inner" if how == "inner" else "left outer",
         )
+        return joined.select(out_cols).cast(out_schema)
 
-    return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def broadcast_semi_anti_join(

@@ -1146,29 +1146,22 @@ def minhash_pairs_corpus(sf_dir: str):
     """MinHash-LSH candidate pairs over the synthetic code corpus, verified
     with exact token-set Jaccard >= 0.9 (integer-exact columns). Fully
     distributed: content-derived doc ids assigned in the pipeline, candidate
-    generation via the banded LSH groupby, verification via one streaming
-    pass restricted to candidate docs (dedup.verify_pairs_exact) — driver
-    state is bounded by the candidate pair set only."""
+    generation via the banded LSH groupby, verification via
+    dedup.verify_pairs_exact_ds — candidates stay a Dataset (no pandas hop).
+
+    The LSH signature space matches the verify space (token sets,
+    shingle=1), so the miss probability per true pair at J=0.9 is
+    (1 - 0.9^4)^16 < 4e-8 with the default 64-perm/16-band scheme — which
+    is why the driver can hold this output to an exact SQL oracle (the
+    AllPairs prefix-filter brute force in __ray_entry__._minhash_sql)."""
     import ray.data
 
     path = corpus_path(n_docs_for_sf(sf_dir))
     ds = ray.data.read_parquet(
         path, columns=["repo", "path", "commit", "content"]
     ).map_batches(_sha_doc_id, batch_format="pyarrow")
-    cand = dedup_ops.minhash_lsh_pairs(ds, concurrency=4).to_pandas()
-    if len(cand) == 0 or "doc_a" not in cand.columns:
-        # an EMPTY Ray dataset loses its schema through to_pandas()
-        cand_tbl = pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-        )
-    else:
-        cand_tbl = pa.table(
-            {
-                "doc_a": pa.array(cand["doc_a"].to_numpy(dtype=np.int64)),
-                "doc_b": pa.array(cand["doc_b"].to_numpy(dtype=np.int64)),
-            }
-        )
-    return dedup_ops.verify_pairs_exact(ds, cand_tbl, 9, 10)
+    cand = dedup_ops.minhash_lsh_pairs(ds, shingle=1, concurrency=4)
+    return dedup_ops.verify_pairs_exact_ds(ds, cand, 9, 10)
 
 
 def simhash_docs(sf_dir: str):

@@ -183,6 +183,38 @@ def test_distinct_doc_terms_digit_leading_tokens():
     assert rows == [(1, "2foo"), (1, "x"), (12, "foo"), (12, "x")]
 
 
+def test_verify_pairs_exact_ds_distributed_regime(ray_session):
+    """verify_pairs_exact_ds above the broadcast cap takes the
+    fully-distributed join plan (no driver pair table); its output must be
+    identical to the broadcast regime's on the same candidates."""
+    import ray.data
+
+    n = 60
+    texts = [f"tok{i} tok{i+1} tok{i+2} common alpha beta" for i in range(n)]
+    texts[50] = texts[7]  # exact dup
+    texts[51] = texts[7] + " extra"  # near dup
+    t = pa.table({"doc_id": pa.array(list(range(n)), pa.int64()), "text": texts})
+    ds = ray.data.from_arrow(t)
+    a, b = np.triu_indices(n, k=1)
+    cand = ray.data.from_arrow(
+        pa.table({"doc_a": pa.array(a.astype(np.int64)),
+                  "doc_b": pa.array(b.astype(np.int64))})
+    )
+
+    def run(cap):
+        return (
+            D.verify_pairs_exact_ds(ds, cand, 1, 2, broadcast_pairs_cap=cap)
+            .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+
+    import pandas as pd
+
+    big = run(10**9)   # broadcast regime
+    small = run(0)     # distributed join regime
+    assert len(big) > 0
+    pd.testing.assert_frame_equal(big, small, check_dtype=False)
+
+
 def test_minhash_lsh_finds_exact_dups(ray_session):
     import ray.data
 
