@@ -1028,29 +1028,49 @@ def decontaminate(
         if grams
         else np.empty(0, np.uint64)
     )
-    ref = ray.put((hs, frozenset(grams)))
+    ref = ray.put((hs, frozenset(g.encode("utf-8") for g in grams)))
 
     def clean(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
         hset, gset = _ray.get(ref)
-        texts = batch[text_col].to_pylist()
-        keep = np.ones(len(texts), dtype=bool)
-        if hset.size:
-            for i, t in enumerate(texts):
-                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-                h = _rolling_hashes(b, min_len)
-                if h.size == 0:
+        n = batch.num_rows
+        if hset.size == 0 or n == 0:
+            return batch
+        # one flat rolling-hash pass over the batch's utf-8 buffer, straight
+        # from the Arrow layout (no to_pylist, no per-doc Python loop);
+        # windows crossing doc boundaries hash too but are rejected by the
+        # within-doc position check below
+        col = batch[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if arr.type == pa.string():
+            arr = arr.cast(pa.large_string())
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset : arr.offset + n + 1
+        ]
+        data = (
+            np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            if arr.buffers()[2] is not None
+            else np.empty(0, np.uint8)
+        )
+        base = int(offs[0])
+        flat = data[base : int(offs[-1])]
+        keep = np.ones(n, dtype=bool)
+        h_all = _rolling_hashes(flat, min_len)
+        if h_all.size:
+            idx = np.searchsorted(hset, h_all)
+            idx_safe = np.minimum(idx, hset.size - 1)
+            hit_pos = np.flatnonzero((idx < hset.size) & (hset[idx_safe] == h_all))
+            # probe hits are rare (contamination + collisions); each is
+            # mapped to its doc and exact-confirmed against the gram bytes
+            for p in hit_pos:
+                g_start = base + int(p)
+                doc = int(np.searchsorted(offs, g_start, side="right")) - 1
+                if not keep[doc]:
                     continue
-                idx = np.searchsorted(hset, h)
-                idx_safe = np.minimum(idx, hset.size - 1)
-                cand = np.flatnonzero(
-                    (idx < hset.size) & (hset[idx_safe] == h)
-                )
-                for p in cand:  # exact confirm kills hash collisions
-                    if t[p : p + min_len] in gset:
-                        keep[i] = False
-                        break
+                if g_start + min_len <= int(offs[doc + 1]):
+                    if data[g_start : g_start + min_len].tobytes() in gset:
+                        keep[doc] = False
         return batch.filter(pa.array(keep))
 
     return docs.map_batches(clean, batch_format="pyarrow")

@@ -27,7 +27,7 @@ from . import sampling as sampling_ops
 from . import similarity as sim_ops
 from . import textstats as ts_ops
 from .corpus import corpus_path, n_docs_for_sf, reference_queries
-from .tokenize import tokenize_batch, tokenize_query
+from .tokenize import _offsets_of, tokenize_batch, tokenize_query
 
 K1, B = 1.2, 0.75
 
@@ -73,24 +73,45 @@ def term_df_top100(sf_dir: str) -> pa.Table:
     ds = _documents(sf_dir, ["doc_id", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        tb = tokenize_batch(batch["text"], profile="simple")
-        if tb.terms.size == 0:
-            return pa.table(
-                {"term": pa.array([], pa.string()),
-                 "df_p": pa.array([], pa.int64()),
-                 "cf_p": pa.array([], pa.int64())}
-            )
-        terms = tb.terms.astype("U")
-        # distinct (doc, term) for df; all occurrences for cf
-        uniq, inv = np.unique(terms, return_inverse=True)
-        cf = np.bincount(inv, minlength=uniq.size)
-        key = inv.astype(np.int64) * len(batch) + tb.doc_idx
-        df = np.bincount(
-            (np.unique(key) // len(batch)).astype(np.int64), minlength=uniq.size
+        # Arrow-side tokenize + dictionary_encode: term codes come straight
+        # from the Arrow dictionary (no per-occurrence numpy U-dtype copy,
+        # no string sort — the r2->r3 term_df regression was np.unique over
+        # a fixed-width unicode materialization of every occurrence)
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        parts = pc.split_pattern_regex(pc.utf8_lower(text), pattern="[^a-z0-9]+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = parts.values
+        empty_out = pa.table(
+            {"term": pa.array([], pa.string()),
+             "df_p": pa.array([], pa.int64()),
+             "cf_p": pa.array([], pa.int64())}
         )
+        if len(flat) == 0:
+            return empty_out
+        offs = _offsets_of(parts)
+        doc_of = np.repeat(
+            np.arange(len(batch), dtype=np.int64), np.diff(offs)
+        )
+        nonempty = pc.greater(pc.utf8_length(flat), 0)
+        ne = nonempty.to_numpy(zero_copy_only=False).astype(bool)
+        denc = pc.dictionary_encode(flat.filter(nonempty))
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        if len(denc) == 0:
+            return empty_out
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        doc_of = doc_of[ne]
+        n_uniq = len(denc.dictionary)
+        cf = np.bincount(codes, minlength=n_uniq)
+        # distinct (doc, code) for df via one integer sort
+        key = codes * len(batch) + doc_of
+        df = np.bincount(np.unique(key) // len(batch), minlength=n_uniq)
         return pa.table(
             {
-                "term": pa.array(uniq, pa.string()),
+                "term": denc.dictionary,
                 "df_p": pa.array(df.astype(np.int64)),
                 "cf_p": pa.array(cf.astype(np.int64)),
             }
@@ -777,6 +798,99 @@ def match_count_or(sf_dir: str) -> pa.Table:
     )
 
 
+def highlight_topk(sf_dir: str) -> pa.Table:
+    """Positions-based highlighting over the BM25 top-10 (the reference
+    declares a full HighlightComponent, solrconfig.xml:1144-1243; snippets
+    here are token windows around the first match, the integer-exact analog
+    of its fragment extraction). For each top (qid, doc) pair and each query
+    term present in the doc: first token position (0-based) and a +-2-token
+    snippet.
+
+    Scale shape: the snippet pass streams over documents restricted to the
+    top doc ids (broadcast, bounded by queries x k); per-batch work is one
+    tokenize + one is_in mask; only first-occurrence rows (<= top_docs x
+    query_terms) hit the small Python window-join at the end."""
+    import ray
+
+    top = bm25_topk_docs(sf_dir)  # pandas DataFrame (qid, doc_id, score_r)
+    qterms = sorted(set(doc_query_terms()))
+    term_set = sorted({t for _, t in qterms})
+    top_docs = np.unique(top["doc_id"].to_numpy(dtype=np.int64))
+    docs_ref = ray.put(pa.array(top_docs, pa.int64()))
+    terms_ref = ray.put(pa.array(term_set, pa.string()))
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "first_pos": pa.array([], pa.int64()),
+            "snippet": pa.array([], pa.string()),
+        }
+    )
+
+    def snip(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["doc_id"], value_set=ray.get(docs_ref))
+        b = batch.filter(mask)
+        if b.num_rows == 0:
+            return empty
+        tb = tokenize_batch(b["text"], profile="simple")
+        if tb.terms.size == 0:
+            return empty
+        hit = (
+            pc.is_in(pa.array(tb.terms.astype("U")), value_set=ray.get(terms_ref))
+            .to_numpy(zero_copy_only=False).astype(bool)
+        )
+        if not hit.any():
+            return empty
+        d = tb.doc_idx[hit].astype(np.int64)
+        p = tb.positions[hit].astype(np.int64)
+        t = tb.terms[hit].astype("U")
+        codes = np.searchsorted(np.array(term_set, dtype="U"), t)
+        order = np.lexsort((p, codes, d))
+        d, p, codes = d[order], p[order], codes[order]
+        first = np.concatenate(
+            ([True], (d[1:] != d[:-1]) | (codes[1:] != codes[:-1]))
+        )
+        d, p, codes = d[first], p[first], codes[first]
+        starts = np.concatenate(([0], np.cumsum(tb.doc_len.astype(np.int64))[:-1]))
+        doc_ids = np.asarray(b["doc_id"])
+        lens = tb.doc_len.astype(np.int64)
+        snippets = []
+        for di, pos in zip(d, p):
+            a = max(0, int(pos) - 2)
+            z = min(int(lens[di]) - 1, int(pos) + 2)
+            snippets.append(
+                " ".join(map(str, tb.terms[starts[di] + a : starts[di] + z + 1]))
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[d], pa.int64()),
+                "term": pa.array(np.array(term_set, dtype=object)[codes], pa.string()),
+                "first_pos": pa.array(p, pa.int64()),
+                "snippet": pa.array(snippets, pa.string()),
+            }
+        )
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    rows = ds.map_batches(snip, batch_format="pyarrow").to_pandas()
+
+    import pandas as pd
+
+    top_df = top[["qid", "doc_id"]]
+    qt_df = pd.DataFrame(qterms, columns=["qid", "term"])
+    out = top_df.merge(qt_df, on="qid").merge(rows, on=["doc_id", "term"])
+    out = out.sort_values(["qid", "doc_id", "term"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"].to_numpy(dtype=np.int64)),
+            "doc_id": pa.array(out["doc_id"].to_numpy(dtype=np.int64)),
+            "term": pa.array(out["term"].astype(str), pa.string()),
+            "first_pos": pa.array(out["first_pos"].to_numpy(dtype=np.int64)),
+            "snippet": pa.array(out["snippet"].astype(str), pa.string()),
+        }
+    )
+
+
 def phrase_match_count(sf_dir: str) -> pa.Table:
     """Docs matching each DOC_PHRASES phrase (consecutive simple-profile
     tokens — equivalently the boundary regex the oracle SQL uses)."""
@@ -1144,24 +1258,27 @@ def shingle_jaccard_pairs_docs(sf_dir: str):
 
 def minhash_pairs_corpus(sf_dir: str):
     """MinHash-LSH candidate pairs over the synthetic code corpus, verified
-    with exact token-set Jaccard >= 0.9 (integer-exact columns). Fully
+    with exact 3-shingle Jaccard >= 0.9 (integer-exact columns). Fully
     distributed: content-derived doc ids assigned in the pipeline, candidate
     generation via the banded LSH groupby, verification via
     dedup.verify_pairs_exact_ds — candidates stay a Dataset (no pandas hop).
 
-    The LSH signature space matches the verify space (token sets,
-    shingle=1), so the miss probability per true pair at J=0.9 is
-    (1 - 0.9^4)^16 < 4e-8 with the default 64-perm/16-band scheme — which
-    is why the driver can hold this output to an exact SQL oracle (the
-    AllPairs prefix-filter brute force in __ray_entry__._minhash_sql)."""
+    The LSH signature space MATCHES the verify space (3-token shingles,
+    order-sensitive): the miss probability per true pair at J=0.9 is
+    (1 - 0.9^4)^16 < 4e-8 with the default 64-perm/16-band scheme, which is
+    why the driver can hold this output to an exact SQL oracle (the AllPairs
+    prefix-filter plan in __ray_entry__._minhash_sql). Token-SET space is
+    deliberately avoided here: unordered-set J=1 collisions among short
+    docs make the true pair count quadratic on realistic corpora, while the
+    shingle space keeps it proportional to genuine edit-duplication."""
     import ray.data
 
     path = corpus_path(n_docs_for_sf(sf_dir))
     ds = ray.data.read_parquet(
         path, columns=["repo", "path", "commit", "content"]
     ).map_batches(_sha_doc_id, batch_format="pyarrow")
-    cand = dedup_ops.minhash_lsh_pairs(ds, shingle=1, concurrency=4)
-    return dedup_ops.verify_pairs_exact_ds(ds, cand, 9, 10)
+    cand = dedup_ops.minhash_lsh_pairs(ds, shingle=3, concurrency=4)
+    return dedup_ops.verify_pairs_exact_ds(ds, cand, 9, 10, shingle=3)
 
 
 def simhash_docs(sf_dir: str):

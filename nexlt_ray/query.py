@@ -947,6 +947,88 @@ class IndexReader:
         ]
 
     # ------------------------------------------------------------------
+    # highlighting (reference HighlightComponent, solrconfig.xml:1144-1243;
+    # declared-unused by the NeXLT UI — no CGI sends hl= — but part of the
+    # reference query surface)
+    # ------------------------------------------------------------------
+    def highlight(
+        self,
+        query: str,
+        k: int = 10,
+        context: int = 2,
+        lang: str | None = None,
+        filters: dict | None = None,
+    ) -> pa.Table:
+        """Snippets for the BM25 top-k: per query term present in a hit,
+        the first token position read from the POSITIONAL POSTINGS (the
+        index decides positions — no document rescan) and a +-context-token
+        window rendered by re-analyzing the stored content (Solr's standard
+        highlighter re-analyzes stored fields the same way). Overlap tokens
+        (WordDelimiter catenations at posInc=0) render as the
+        lexicographically-first token at their position (analyze() order).
+        Returns (doc_id, term, first_pos, snippet), doc-ascending then
+        term-ascending."""
+        top = self.search(query, k=k, lang=lang, filters=filters)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "first_pos": pa.array([], pa.int64()),
+                "snippet": pa.array([], pa.string()),
+            }
+        )
+        if not top:
+            return empty
+        top_docs = np.array(sorted(d for d, _ in top), dtype=np.int64)
+        qterms = sorted({t for t, _ in self.analyze(query, lang=lang,
+                                                    query_time=True)})
+        firsts: dict[tuple[int, str], int] = {}
+        for term in qterms:
+            tp = self.postings(term)
+            if tp is None:
+                continue
+            dp, pp = tp.positions_for_docs(top_docs)
+            if dp.size == 0:
+                continue
+            m = np.isin(dp, top_docs)
+            if not m.any():
+                continue
+            d_, p_ = dp[m], pp[m]
+            order = np.lexsort((p_, d_))
+            d_, p_ = d_[order], p_[order]
+            first = np.concatenate(([True], d_[1:] != d_[:-1]))
+            for dd, p0 in zip(d_[first], p_[first]):
+                firsts[(int(dd), term)] = int(p0)
+        if not firsts:
+            return empty
+        content = self.doc_fields(top_docs.tolist(), ["content", "lang"])
+        pos_tokens: dict[int, dict[int, str]] = {}
+        for did, ctext, dlang in zip(
+            content["doc_id"].to_pylist(),
+            content["content"].to_pylist(),
+            content["lang"].to_pylist(),
+        ):
+            by_pos: dict[int, str] = {}
+            for tok, pos in self.analyze(ctext, lang=lang or dlang):
+                by_pos.setdefault(int(pos), tok)
+            pos_tokens[int(did)] = by_pos
+        rows = sorted(firsts.items())
+        snippets = []
+        for (did, _term), p0 in rows:
+            by_pos = pos_tokens.get(did, {})
+            n = (max(by_pos) + 1) if by_pos else 0
+            window = range(max(0, p0 - context), min(n - 1, p0 + context) + 1)
+            snippets.append(" ".join(by_pos[i] for i in window if i in by_pos))
+        return pa.table(
+            {
+                "doc_id": pa.array([d for (d, _), _ in rows], pa.int64()),
+                "term": pa.array([t for (_, t), _ in rows], pa.string()),
+                "first_pos": pa.array([p for _, p in rows], pa.int64()),
+                "snippet": pa.array(snippets, pa.string()),
+            }
+        )
+
+    # ------------------------------------------------------------------
     # more-like-this (reference MoreLikeThisHandler shape,
     # solrconfig.xml /mlt; Lucene MLT term selection)
     # ------------------------------------------------------------------

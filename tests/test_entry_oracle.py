@@ -58,8 +58,13 @@ def all_queries():
 
 ORACLE = entrymod.oracle_sql()
 
+# minhash_pairs_corpus's shipped SQL reads the write-once 20k-doc corpus
+# (the driver's sf0.01 scale); this module tests at sf0.001, so it gets a
+# dedicated sf-matched test below instead of the parametrized one
+_SF_PINNED = {"minhash_pairs_corpus"}
 
-@pytest.mark.parametrize("name", sorted(ORACLE))
+
+@pytest.mark.parametrize("name", sorted(set(ORACLE) - _SF_PINNED))
 def test_query_matches_oracle(ray_session, con, all_queries, name):
     got = _canon(_to_pandas(all_queries[name](SF_DIR)))
     exp = _canon(con.sql(ORACLE[name]).df())
@@ -70,6 +75,16 @@ def test_query_matches_oracle(ray_session, con, all_queries, name):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
 
 
+
+
+def test_minhash_pairs_matches_oracle_at_sf(ray_session, con, all_queries):
+    """Same contract as the parametrized oracle test, with the minhash SQL
+    rebuilt for THIS sf's corpus size (1000 docs at sf0.001)."""
+    got = _canon(_to_pandas(all_queries["minhash_pairs_corpus"](SF_DIR)))
+    exp = _canon(con.sql(entrymod._minhash_sql(1000)).df())
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
 
 
 def test_rows_only_queries_run(ray_session, all_queries):

@@ -154,6 +154,32 @@ def test_exact_dedup_pipeline(ray_session):
     assert out["n_copies"].tolist() == [3, 1]
 
 
+def test_decontaminate_flat_pass_boundaries(ray_session):
+    """The flat rolling-hash pass must drop exactly the docs containing an
+    eval min_len-gram: a gram SPLIT across two adjacent docs in the batch
+    buffer must NOT drop either doc, and prefixes/suffixes shorter than
+    min_len must not match."""
+    import ray.data
+
+    ev = "0123456789abcdef"  # min_len = 16 -> exactly one gram
+    docs = [
+        "xx" + ev + "yy",          # contains the gram -> dropped
+        "clean document one",       # clean
+        "zz" + ev[:8],              # first half only -> kept...
+        ev[8:] + " tail words",     # ...second half only -> kept (the full
+                                    # gram spans the doc boundary in the
+                                    # flat buffer and must be rejected)
+        ev,                         # the gram exactly -> dropped
+    ]
+    t = pa.table({"doc_id": pa.array(list(range(len(docs))), pa.int64()),
+                  "text": docs})
+    out = (
+        D.decontaminate(ray.data.from_arrow(t), [ev], min_len=16)
+        .to_pandas()["doc_id"].tolist()
+    )
+    assert sorted(out) == [1, 2, 3]
+
+
 def test_jaccard_pairs_pipeline(ray_session):
     import ray.data
 

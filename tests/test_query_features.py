@@ -406,3 +406,34 @@ def test_boost_and_required_clauses(built_index):
     # required term absent from the index -> no matches
     assert r.search("+zzzznotaterm http", k=5) == []
     assert r.match_count("+zzzznotaterm http") == 0
+
+
+def test_highlight_positions_and_snippets(built_index):
+    """HighlightComponent analog: first_pos must equal the first occurrence
+    of the term in the doc's re-analyzed token stream (postings positions ==
+    analysis positions), and the snippet must be the +-2-token window."""
+    from nexlt_ray.query import IndexReader
+
+    idx, _ = built_index
+    r = IndexReader(idx)
+    for q in ["parse", "buffer cache", "http server client"]:
+        hl = r.highlight(q, k=10)
+        top = {d for d, _ in r.search(q, k=10)}
+        assert hl.num_rows > 0
+        qterms = {t for t, _ in r.analyze(q, query_time=True)}
+        for did, term, p0, snip in zip(
+            hl["doc_id"].to_pylist(), hl["term"].to_pylist(),
+            hl["first_pos"].to_pylist(), hl["snippet"].to_pylist(),
+        ):
+            assert did in top and term in qterms
+            content = r.doc_fields([did], ["content"])["content"][0].as_py()
+            toks = r.analyze(content)
+            by_pos = {}
+            for tok, pos in toks:
+                by_pos.setdefault(pos, tok)
+            occ = [pos for tok, pos in toks if tok == term]
+            assert p0 == min(occ)
+            n = max(by_pos) + 1
+            lo, hi = max(0, p0 - 2), min(n - 1, p0 + 2)
+            exp = " ".join(by_pos[i] for i in range(lo, hi + 1) if i in by_pos)
+            assert snip == exp
