@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf_topk": P.hybrid_rrf_topk,
         "cosine_dup_pairs": P.cosine_dup_pairs,
         # --- slots 51+: oracled variants of in-window operators ---
+        "dup_clusters": P.dup_clusters_docs,
         "stratified_take_n": P.stratified_take_docs,
         "dedup_collect_sources": P.dedup_collect_sources,
         "hopping_window_events": P.hopping_window_events,
@@ -594,6 +595,37 @@ FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
 """
 
 
+def _dup_clusters_sql() -> str:
+    """Connected components over the Jaccard>=0.9 pair graph via a
+    recursive transitive closure (cluster sizes are tiny at test scale, so
+    the closure's |cluster|^2 rows are cheap); cluster_id = min reachable
+    doc_id, matching dedup.dup_clusters' min-label fixpoint."""
+    return f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+t AS (SELECT DISTINCT doc_id, term FROM tok),
+sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+          FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+hits AS (
+  SELECT p.da, p.db FROM pairs p
+  JOIN sizes sa ON p.da = sa.doc_id
+  JOIN sizes sb ON p.db = sb.doc_id
+  WHERE 10 * p.inter >= 9 * (sa.n + sb.n - p.inter)
+),
+e AS (SELECT da AS a, db AS b FROM hits UNION SELECT db, da FROM hits),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b
+)
+SELECT a::BIGINT AS doc_id, min(b)::BIGINT AS cluster_id
+FROM reach GROUP BY a
+"""
+
+
 def _minhash_sql(n_docs: int) -> str:
     """Exact 3-shingle Jaccard >= 9/10 over the synthetic code corpus via
     the AllPairs prefix filter (Bayardo et al., WWW'07): two sets with
@@ -874,6 +906,7 @@ WHERE 10 * p.inter >= 9 * (sa.n + sb.n - p.inter)
         # (the driver compares at sf0.01: the minhash oracle reads the
         # write-once 20k-doc corpus parquet; see _minhash_sql)
         "minhash_pairs_corpus": _minhash_sql(20_000),
+        "dup_clusters": _dup_clusters_sql(),
         "simhash_docs": _simhash_docs_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "langid_docs": _langid_sql(),

@@ -1181,3 +1181,80 @@ def substring_dup_pairs(
         )
 
     return j.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components over dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(pairs, max_iters: int = 50):
+    """Connected components over a (doc_a, doc_b) dup-pair Dataset: per doc,
+    `cluster_id` = the minimum doc_id reachable through dup edges — the
+    canonical-doc resolution step after ANY near-dup pass (keep the doc with
+    cluster_id == doc_id, drop the rest; without it a transitive chain
+    a~b~c keeps b AND c if only pairwise drops are applied).
+
+    Min-label propagation, Dataset-native: each round is one partitioned
+    hash_join (labels onto edge sources) + one Min groupby; rounds needed =
+    graph diameter, and verified dup clusters are near-cliques, so 2-3
+    rounds in practice. Each round's label table is materialized (bounded
+    by the node count of the PAIR graph, not the corpus) so lineage doesn't
+    re-run prior rounds; the driver sees only a per-round convergence
+    scalar (sum of labels, strictly decreasing until fixpoint).
+
+    Returns a Dataset of (doc_id, cluster_id) for every doc in some pair.
+    """
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    from .joins import hash_join
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        src = pa.concat_arrays(
+            [b["doc_a"].combine_chunks(), b["doc_b"].combine_chunks()]
+        )
+        dst = pa.concat_arrays(
+            [b["doc_b"].combine_chunks(), b["doc_a"].combine_chunks()]
+        )
+        return pa.table({"src": src, "dst": dst})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64())})
+        )
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["src"], "label": b["src"]})
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node").aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        lab_src = labels.map_batches(
+            lambda b: pa.table({"src": b["node"], "label": b["label"]}),
+            batch_format="pyarrow",
+        )
+        msgs = hash_join(edges, lab_src, "src", "src").map_batches(
+            lambda b: pa.table({"node": b["dst"], "label": b["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby("node").aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}),
+        batch_format="pyarrow",
+    )

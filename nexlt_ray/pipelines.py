@@ -63,6 +63,26 @@ def doc_query_terms() -> list[tuple[int, str]]:
     return out
 
 
+def _qterm_tf(tb, terms: list[str], n: int) -> np.ndarray:
+    """(len(terms), n_docs) int64 term-frequency matrix for a SMALL query
+    vocabulary: ONE pc.index_in pass over the batch's token stream (an
+    Arrow hash probe) instead of a per-term full scan — O(tokens + hits)
+    rather than O(len(terms) * tokens), and no per-occurrence unicode
+    copy. The pattern stays flat as query batches grow."""
+    out = np.zeros((len(terms), n), dtype=np.int64)
+    if n == 0 or tb.terms.size == 0 or not terms:
+        return out
+    idx = pc.index_in(
+        pa.array(tb.terms, pa.string()), value_set=pa.array(terms, pa.string())
+    )
+    codes = idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+    hit = codes >= 0
+    if not hit.any():
+        return out
+    key = codes[hit] * np.int64(n) + tb.doc_idx[hit].astype(np.int64)
+    return np.bincount(key, minlength=len(terms) * n).reshape(len(terms), n)
+
+
 # ---------------------------------------------------------------------------
 # inverted-index statistics over `documents` (G1/G2 analog, SQL-checkable)
 # ---------------------------------------------------------------------------
@@ -221,13 +241,9 @@ def boosted_search_topk(sf_dir: str) -> pa.Table:
             "n_p": pa.array([np.int64(n)]),
             "len_p": pa.array([np.int64(tb.doc_len.sum())]),
         }
-        terms_u = tb.terms.astype("U") if tb.terms.size else None
-        for ti, term in enumerate(terms):
-            df = 0
-            if terms_u is not None:
-                m = terms_u == term
-                df = int((np.bincount(tb.doc_idx[m], minlength=n) > 0).sum())
-            cols[f"df_{ti}"] = pa.array([np.int64(df)])
+        dfm = (_qterm_tf(tb, terms, n) > 0).sum(axis=1)
+        for ti in range(len(terms)):
+            cols[f"df_{ti}"] = pa.array([np.int64(dfm[ti])])
         return pa.table(cols)
 
     stats = ds.map_batches(stats_partial, batch_format="pyarrow").aggregate(
@@ -248,14 +264,8 @@ def boosted_search_topk(sf_dir: str) -> pa.Table:
         n = len(batch)
         dl = tb.doc_len.astype(np.float64)
         doc_id = np.asarray(batch["doc_id"])
-        terms_u = tb.terms.astype("U") if tb.terms.size else None
-        tfs = {}
-        for t in terms:
-            tf = np.zeros(n, dtype=np.float64)
-            if terms_u is not None:
-                m = terms_u == t
-                tf = np.bincount(tb.doc_idx[m], minlength=n).astype(np.float64)
-            tfs[t] = tf
+        tfm = _qterm_tf(tb, terms, n).astype(np.float64)
+        tfs = {t: tfm[ti] for ti, t in enumerate(terms)}
         denom_k = K1 * (1.0 - B + B * dl / avgdl)
         out_q, out_d, out_s = [], [], []
         for qid in range(len(BOOST_QUERIES)):
@@ -426,16 +436,12 @@ def not_match_count(sf_dir: str) -> pa.Table:
     def partial(batch: pa.Table) -> pa.Table:
         tb = tokenize_batch(batch["text"], profile="simple")
         n = len(batch)
-        terms_u = tb.terms.astype("U") if tb.terms.size else None
+        vocab = sorted({t for pq_ in DOC_NOT_QUERIES for t in pq_})
+        hm = _qterm_tf(tb, vocab, n) > 0
+        hit = {t: hm[ti] for ti, t in enumerate(vocab)}
         cols = {}
         for i, (pos, neg) in enumerate(DOC_NOT_QUERIES):
-            c = 0
-            if terms_u is not None:
-                has_pos = np.bincount(
-                    tb.doc_idx[terms_u == pos], minlength=n) > 0
-                has_neg = np.bincount(
-                    tb.doc_idx[terms_u == neg], minlength=n) > 0
-                c = int((has_pos & ~has_neg).sum())
+            c = int((hit[pos] & ~hit[neg]).sum())
             cols[f"c_{i}"] = pa.array([np.int64(c)])
         return pa.table(cols)
 
@@ -479,14 +485,14 @@ def field_stats(sf_dir: str) -> pa.Table:
         n = len(batch)
         langs = np.asarray(batch["lang"].to_pylist(), dtype="U")
         nc = np.asarray(batch["n_chars"], dtype=np.int64)
-        terms_u = tb.terms.astype("U") if tb.terms.size else None
+        hm = _qterm_tf(tb, terms, n) > 0
         out_q, out_l, out_c, out_mn, out_mx, out_sm = [], [], [], [], [], []
         for qid in range(len(DOC_QUERIES)):
             qts = {t for q, t in qterms if q == qid}
             matched = np.zeros(n, dtype=bool)
-            if terms_u is not None:
-                m = np.isin(terms_u, sorted(qts))
-                matched = np.bincount(tb.doc_idx[m], minlength=n) > 0
+            for ti, t in enumerate(terms):
+                if t in qts:
+                    matched |= hm[ti]
             if not matched.any():
                 continue
             lu, lcode = np.unique(langs[matched], return_inverse=True)
@@ -598,13 +604,9 @@ def _bm25_topk_impl(
             "n_p": pa.array([np.int64(n)]),
             "len_p": pa.array([np.int64(tb.doc_len.sum())]),
         }
-        terms_u = tb.terms.astype("U") if tb.terms.size else None
-        for ti, term in enumerate(terms):
-            df = 0
-            if terms_u is not None:
-                m = terms_u == term
-                df = int((np.bincount(tb.doc_idx[m], minlength=n) > 0).sum())
-            cols[f"df_{ti}"] = pa.array([np.int64(df)])
+        dfm = (_qterm_tf(tb, terms, n) > 0).sum(axis=1)
+        for ti in range(len(terms)):
+            cols[f"df_{ti}"] = pa.array([np.int64(dfm[ti])])
         return pa.table(cols)
 
     from ray.data.aggregate import Sum
@@ -661,14 +663,8 @@ def _bm25_topk_impl(
         n = len(batch)
         dl = tb.doc_len.astype(np.float64)
         doc_id = np.asarray(batch["doc_id"])
-        terms_u = tb.terms.astype("U") if tb.terms.size else None
-        tfs = {}
-        for t in terms:
-            tf = np.zeros(n, dtype=np.float64)
-            if terms_u is not None:
-                m = terms_u == t
-                tf = np.bincount(tb.doc_idx[m], minlength=n).astype(np.float64)
-            tfs[t] = tf
+        tfm = _qterm_tf(tb, terms, n).astype(np.float64)
+        tfs = {t: tfm[ti] for ti, t in enumerate(terms)}
         denom_k = K1 * (1.0 - B + B * dl / avgdl)
         gvals = (
             np.asarray(batch[group_field].to_pylist(), dtype="U")
@@ -770,10 +766,8 @@ def match_count_or(sf_dir: str) -> pa.Table:
     def partial(batch: pa.Table) -> pa.Table:
         tb = tokenize_batch(batch["text"], profile="simple")
         n = len(batch)
-        hits = {}
-        for ti, term in enumerate(terms):
-            m = tb.terms.astype("U") == term if tb.terms.size else np.zeros(0, bool)
-            hits[term] = np.bincount(tb.doc_idx[m], minlength=n) > 0
+        hm = _qterm_tf(tb, terms, n) > 0
+        hits = {t: hm[ti] for ti, t in enumerate(terms)}
         cols = {}
         for qid in range(len(DOC_QUERIES)):
             qts = [t for q, t in qterms if q == qid]
@@ -1286,6 +1280,18 @@ def simhash_docs(sf_dir: str):
     return _documents(sf_dir, ["doc_id", "text"]).map_batches(
         dedup_ops.simhash_batch, batch_format="pyarrow"
     )
+
+
+def dup_clusters_docs(sf_dir: str):
+    """Duplicate-cluster resolution over the documents table: token-set
+    Jaccard >= 0.9 pairs -> connected components -> per-doc canonical
+    cluster_id (min reachable doc_id). The step that turns pairwise
+    near-dup output into an actual KEEP/DROP decision for transitive
+    chains; fully Dataset-native (dedup.dup_clusters label propagation)."""
+    pairs = dedup_ops.jaccard_pairs(
+        _documents(sf_dir, ["doc_id", "text"]), tau_num=9, tau_den=10
+    )
+    return dedup_ops.dup_clusters(pairs)
 
 
 def simhash_pairs_docs(sf_dir: str):

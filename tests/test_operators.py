@@ -821,3 +821,20 @@ def test_pack_sequences_partitioning_invariant(ray_session):
     assert (st[1:] == st[:-1] + nt[:-1]).all()
     assert (a["block_id"].to_numpy() == st // 64).all()
     assert (a["block_offset"].to_numpy() == st % 64).all()
+
+
+def test_dup_clusters_transitive_chain(ray_session):
+    """Connected components must close transitive chains: a~b and b~c put
+    all three in cluster min(a,b,c) even though (a,c) is not a pair."""
+    import ray.data
+
+    pairs = pa.table(
+        {"doc_a": pa.array([10, 20, 50], pa.int64()),
+         "doc_b": pa.array([20, 30, 60], pa.int64())}
+    )
+    out = (
+        D.dup_clusters(ray.data.from_arrow(pairs))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {10: 10, 20: 10, 30: 10, 50: 50, 60: 50}
