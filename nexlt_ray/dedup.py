@@ -1188,7 +1188,7 @@ def substring_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def dup_clusters(pairs, max_iters: int = 50):
+def dup_clusters(pairs, max_iters: int = 50, fast_path_max_edges: int = 2_000_000):
     """Connected components over a (doc_a, doc_b) dup-pair Dataset: per doc,
     `cluster_id` = the minimum doc_id reachable through dup edges — the
     canonical-doc resolution step after ANY near-dup pass (keep the doc with
@@ -1202,6 +1202,22 @@ def dup_clusters(pairs, max_iters: int = 50):
     by the node count of the PAIR graph, not the corpus) so lineage doesn't
     re-run prior rounds; the driver sees only a per-round convergence
     scalar (sum of labels, strictly decreasing until fixpoint).
+
+    Partitioning invariant: the label table is repartitioned to a FIXED
+    block count before each materialize. Without this, blocks(labels)
+    doubles per round — the sort-shuffle groupby emits one block per input
+    block, and the round's input is labels ∪ msgs where msgs itself carries
+    labels' block count through the join — so per-round cost grows ~4×
+    (observed: 1.6 → 3.9 → 14.4 → 66 s at sf0.01 before the pin).
+
+    Fast path: the pair graph is bounded by the VERIFIED dup-pair count —
+    orders of magnitude smaller than the corpus — so when it has at most
+    `fast_path_max_edges` directed edges (~30 MB at the default) the whole
+    resolution runs as ONE remote task: repartition(1) + an in-memory
+    vectorized min-label loop over compacted node ids (np.minimum.at per
+    round, diameter rounds, microseconds each). No driver data path either
+    way; the distributed rounds remain the path for boilerplate-heavy crawls
+    whose pair graph exceeds a worker.
 
     Returns a Dataset of (doc_id, cluster_id) for every doc in some pair.
     """
@@ -1220,18 +1236,48 @@ def dup_clusters(pairs, max_iters: int = 50):
         return pa.table({"src": src, "dst": dst})
 
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    if edges.num_blocks() > 32:
+        # upstream pair pipelines can emit hundreds of tiny blocks; each
+        # round's join cost is linear in edge blocks, so bound it once
+        edges = edges.repartition(32).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_arrow(
             pa.table({"doc_id": pa.array([], pa.int64()),
                       "cluster_id": pa.array([], pa.int64())})
         )
 
+    if n_edges <= fast_path_max_edges:
+        def resolve_in_task(b: pa.Table) -> pa.Table:
+            src = np.asarray(b["src"], dtype=np.int64)
+            dst = np.asarray(b["dst"], dtype=np.int64)
+            nodes, inv = np.unique(np.concatenate((src, dst)),
+                                   return_inverse=True)
+            s, d = inv[: src.size], inv[src.size:]
+            lab = np.arange(nodes.size, dtype=np.int64)
+            while True:
+                prev = lab.copy()
+                np.minimum.at(lab, d, lab[s])
+                # path-compress: chase labels to their current roots so
+                # rounds ~ log(diameter), not diameter
+                lab = np.minimum(lab, lab[lab])
+                if np.array_equal(lab, prev):
+                    break
+            return pa.table({"doc_id": pa.array(nodes),
+                             "cluster_id": pa.array(nodes[lab])})
+
+        return edges.repartition(1).map_batches(
+            resolve_in_task, batch_format="pyarrow", batch_size=None
+        )
+
     def init_labels(b: pa.Table) -> pa.Table:
         return pa.table({"node": b["src"], "label": b["src"]})
 
+    n_parts = max(2, min(32, edges.num_blocks()))
     labels = (
         edges.map_batches(init_labels, batch_format="pyarrow")
         .groupby("node").aggregate(Min("label", alias_name="label"))
+        .repartition(n_parts)
         .materialize()
     )
     prev_sum = None
@@ -1247,6 +1293,7 @@ def dup_clusters(pairs, max_iters: int = 50):
         labels = (
             labels.union(msgs)
             .groupby("node").aggregate(Min("label", alias_name="label"))
+            .repartition(n_parts)
             .materialize()
         )
         cur = labels.aggregate(Sum("label", alias_name="s"))["s"]

@@ -838,3 +838,34 @@ def test_dup_clusters_transitive_chain(ray_session):
     )
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == {10: 10, 20: 10, 30: 10, 50: 50, 60: 50}
+
+
+def test_dup_clusters_fast_and_distributed_paths_agree(ray_session):
+    """The single-task fast path and the distributed label-propagation path
+    must resolve identical components — checked on a graph with a long
+    chain (exercises >1 propagation round in both) plus random clusters."""
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    # 8-node chain (diameter 7: >1 propagation round) + 30 random edges
+    chain_a = np.arange(7, dtype=np.int64) * 10
+    chain_b = chain_a + 10
+    base = rng.integers(1000, 1100, size=30).astype(np.int64)
+    off = rng.integers(1, 5, size=30).astype(np.int64)
+    pairs = pa.table(
+        {"doc_a": pa.array(np.concatenate((chain_a, base * 100))),
+         "doc_b": pa.array(np.concatenate((chain_b, base * 100 + off)))}
+    )
+
+    def run(fast_max):
+        return (
+            D.dup_clusters(ray.data.from_arrow(pairs),
+                           fast_path_max_edges=fast_max)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+
+    fast, dist = run(10**6), run(0)
+    pd.testing.assert_frame_equal(fast, dist)
+    # the chain must fully resolve to its min label
+    chain_rows = fast[fast["doc_id"] <= 70]
+    assert (chain_rows["cluster_id"] == 0).all()
