@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_collect_sources": P.dedup_collect_sources,
         "hopping_window_events": P.hopping_window_events,
         "facet_pivot_counts": P.facet_pivot_counts,
+        "lm_quality_scores": P.lm_quality_docs,
         # --- rows-only (each pytest-oracled; see module docstring) ---
         "ann_lsh_topk": P.ann_lsh_topk,
         "ann_ivf_topk": P.ann_ivf_topk,
@@ -946,6 +947,28 @@ d AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
 SELECT doc.lang, doc.source, count(*)::BIGINT AS n
 FROM d JOIN documents doc ON doc.doc_id = d.doc_id
 GROUP BY doc.lang, doc.source
+""",
+        # unigram-LM quality: p(term)=cnt/total fit on the corpus, vocab =
+        # top-20 terms (cnt DESC, term ASC), per-doc mean ln p over in-vocab
+        # tokens (round 4 = the repo float-oracle convention) + exact OOV count
+        "lm_quality_scores": f"""
+{_TOK},
+counts AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term),
+total AS (SELECT sum(cnt)::DOUBLE AS t FROM counts),
+vocab AS (SELECT term, cnt FROM counts ORDER BY cnt DESC, term ASC LIMIT 20),
+per_tok AS (
+  SELECT tok.doc_id, v.cnt FROM tok LEFT JOIN vocab v USING (term)
+),
+agg AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_tokens,
+         (count(*) FILTER (WHERE cnt IS NULL))::BIGINT AS n_oov,
+         round(avg(ln(cnt / (SELECT t FROM total))), 4) AS lm_logprob
+  FROM per_tok GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(agg.n_oov, 0)::BIGINT AS n_oov, agg.lm_logprob
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
 """,
         "path_prefix_counts": """
 SELECT prefix, count(*) AS n FROM (

@@ -1323,6 +1323,15 @@ def langid_docs(sf_dir: str):
     )
 
 
+def lm_quality_docs(sf_dir: str, vocab_size: int = 20):
+    """Unigram-LM statistical quality scores over `documents` (vocab capped
+    small at test scale so the OOV path is exercised; production default is
+    textstats.unigram_lm_scores' 10k)."""
+    return ts_ops.unigram_lm_scores(
+        _documents(sf_dir, ["doc_id", "text"]), vocab_size=vocab_size
+    )
+
+
 def fingerprint_docs(sf_dir: str):
     return _documents(sf_dir, ["doc_id", "text"]).map_batches(
         ts_ops.fingerprint_batch, batch_format="pyarrow"

@@ -380,3 +380,152 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "max_tf": pa.array(max_tf),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical quality scoring: corpus-fit unigram language model
+# ---------------------------------------------------------------------------
+
+def _simple_tokens_encoded(text_col):
+    """SQL-parity 'simple' tokenization of an Arrow string column, returned
+    dictionary-encoded: (dictionary: StringArray of unique terms, codes:
+    int64 per occurrence, doc_of: int64 per occurrence). Per-occurrence work
+    stays integer-coded — no fixed-width unicode materialization (the cost
+    that grows with token width at corpus scale)."""
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    parts = pc.split_pattern_regex(pc.utf8_lower(text_col), pattern="[^a-z0-9]+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = parts.values
+    n_docs = len(text_col)
+    if len(flat) == 0:
+        return pa.array([], pa.string()), np.empty(0, np.int64), np.empty(0, np.int64)
+    offs = np.asarray(parts.offsets, dtype=np.int64)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offs))
+    nonempty = pc.greater(pc.utf8_length(flat), 0)
+    ne = nonempty.to_numpy(zero_copy_only=False).astype(bool)
+    denc = pc.dictionary_encode(flat.filter(nonempty))
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    if len(denc) == 0:
+        return pa.array([], pa.string()), np.empty(0, np.int64), np.empty(0, np.int64)
+    return (
+        denc.dictionary,
+        np.asarray(denc.indices, dtype=np.int64),
+        doc_of[ne],
+    )
+
+
+def unigram_lm_scores(
+    docs,
+    vocab_size: int = 10_000,
+    text_col: str = "text",
+    concurrency: int = 4,
+    round_digits: int = 4,
+):
+    """Corpus-fit unigram-LM quality scoring (the statistical complement to
+    the heuristic Gopher counters): fit p(term) = cnt(term)/total on the
+    corpus itself, cap the model at the `vocab_size` most frequent terms
+    (cnt DESC, term ASC — deterministic boundary), then score every doc with
+    the mean ln p over its IN-VOCAB tokens plus an exact OOV count. Low mean
+    logprob = unusual token mix; high oov_rate = vocabulary the corpus LM
+    has never seen — both standard pretraining-data quality signals.
+
+    Distributed shape (100-TB discipline): pass 1 is a dictionary-encoded
+    per-batch partial count + one Sum groupby (the only shuffle); the FULL
+    vocabulary table is never collected — the top-V cut runs as per-block
+    partial top-V (exact: post-groupby blocks hold a term once) and only
+    V rows reach the driver, which broadcasts (terms, logp) once via
+    ray.put. Pass 2 is a stateful actor pool: each actor reads the broadcast
+    once in __init__, and per batch matches the batch DICTIONARY (unique
+    terms, not occurrences) against the sorted vocab with searchsorted.
+
+    Returns a Dataset of (doc_id, n_tokens, n_oov, lm_logprob) — lm_logprob
+    rounded to `round_digits` (np.round matches DuckDB round at 4 digits,
+    the repo's float-oracle convention), null when a doc has no in-vocab
+    token.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        dictionary, codes, _ = _simple_tokens_encoded(batch[text_col])
+        if len(dictionary) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "cnt_p": pa.array([], pa.int64())}
+            )
+        cnt = np.bincount(codes, minlength=len(dictionary))
+        return pa.table(
+            {"term": dictionary, "cnt_p": pa.array(cnt.astype(np.int64))}
+        )
+
+    counts = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt_p", alias_name="cnt"))
+        .materialize()  # two consumers below; count pass runs once
+    )
+    total = counts.aggregate(Sum("cnt", alias_name="t"))["t"] or 0
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        cnt = np.asarray(batch["cnt"])
+        term = batch["term"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((term, -cnt))[:vocab_size]
+        return batch.take(pa.array(order))
+
+    parts = counts.map_batches(block_top, batch_format="pyarrow").take_all()
+    cnt = np.array([r["cnt"] for r in parts], dtype=np.int64)
+    term = np.array([r["term"] for r in parts], dtype=object)
+    order = np.lexsort((term, -cnt))[:vocab_size]
+    vterms = term[order].astype("U")
+    vlogp = np.log(cnt[order].astype(np.float64) / float(total)) if total else np.empty(0)
+    vorder = np.argsort(vterms, kind="stable")  # searchsorted needs term order
+    ref = ray.put((vterms[vorder], vlogp[vorder]))
+
+    class Score:
+        def __init__(self):
+            self.vterms, self.vlogp = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            dictionary, codes, doc_of = _simple_tokens_encoded(batch[text_col])
+            n_tokens = np.bincount(doc_of, minlength=n) if doc_of.size else np.zeros(n, np.int64)
+            dterms = dictionary.to_numpy(zero_copy_only=False).astype("U")
+            pos = np.searchsorted(self.vterms, dterms)
+            pos_c = np.minimum(pos, max(len(self.vterms) - 1, 0))
+            in_vocab_d = (
+                (self.vterms[pos_c] == dterms)
+                if len(self.vterms)
+                else np.zeros(dterms.size, dtype=bool)
+            )
+            dlogp = np.where(in_vocab_d, self.vlogp[pos_c] if len(self.vterms) else 0.0, 0.0)
+            occ_in = in_vocab_d[codes] if codes.size else np.zeros(0, bool)
+            n_in = np.bincount(doc_of[occ_in], minlength=n) if codes.size else np.zeros(n, np.int64)
+            sum_lp = (
+                np.bincount(doc_of[occ_in], weights=dlogp[codes[occ_in]], minlength=n)
+                if codes.size
+                else np.zeros(n, np.float64)
+            )
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean_lp = np.round(sum_lp / n_in, round_digits)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_tokens": pa.array(n_tokens.astype(np.int64)),
+                    "n_oov": pa.array((n_tokens - n_in).astype(np.int64)),
+                    "lm_logprob": pa.array(
+                        np.where(n_in > 0, mean_lp, 0.0),
+                        pa.float64(),
+                        mask=(n_in == 0),  # no in-vocab token -> null
+                    ),
+                }
+            )
+
+    # autoscaling pool (1, N): a fixed pool of N can reserve every CPU of a
+    # small cluster and starve the upstream read tasks (observed as a hang
+    # in the 4-CPU test session)
+    return docs.map_batches(
+        Score, batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=1
+    )

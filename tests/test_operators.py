@@ -869,3 +869,28 @@ def test_dup_clusters_fast_and_distributed_paths_agree(ray_session):
     # the chain must fully resolve to its min label
     chain_rows = fast[fast["doc_id"] <= 70]
     assert (chain_rows["cluster_id"] == 0).all()
+
+
+def test_unigram_lm_scores_oov_and_empty(ray_session):
+    """Vocab cap: with vocab_size=2 only the two most frequent terms (count
+    desc, term asc tie-break) are in-vocab; OOV counts are exact; a doc with
+    no in-vocab token gets a null lm_logprob; scores are mean ln(cnt/total)
+    over in-vocab tokens, rounded to 4."""
+    import ray.data
+
+    docs = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()),
+         # corpus counts: aa=3, bb=3, cc=1, dd=1 (total 8)
+         # vocab_size=2 -> {aa, bb} (tie at 3 broken by term asc over cc/dd irrelevant)
+         "text": pa.array(["aa bb aa", "bb aa bb cc", "dd"], pa.string())}
+    )
+    out = (
+        T.unigram_lm_scores(ray.data.from_arrow(docs), vocab_size=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["n_tokens"].tolist() == [3, 4, 1]
+    assert out["n_oov"].tolist() == [0, 1, 1]
+    lp = np.log(3 / 8)  # p(aa) == p(bb) == 3/8
+    assert out["lm_logprob"][0] == round(lp, 4)
+    assert out["lm_logprob"][1] == round(lp, 4)
+    assert pd.isna(out["lm_logprob"][2])
