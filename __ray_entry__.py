@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_events": P.hopping_window_events,
         "facet_pivot_counts": P.facet_pivot_counts,
         "lm_quality_scores": P.lm_quality_docs,
+        "weighted_sample": P.weighted_sample_docs,
         # --- rows-only (each pytest-oracled; see module docstring) ---
         "ann_lsh_topk": P.ann_lsh_topk,
         "ann_ivf_topk": P.ann_ivf_topk,
@@ -969,6 +970,16 @@ agg AS (
 SELECT d.doc_id, coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
        coalesce(agg.n_oov, 0)::BIGINT AS n_oov, agg.lm_logprob
 FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+""",
+        # quality-weighted Bernoulli: keep iff hash(id)%1000 < min(10*n_tokens, 1000)
+        "weighted_sample": """
+WITH t AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens FROM t
+WHERE ((doc_id * 2654435761) % 4294967296) % 1000 < least(n_tokens * 10, 1000)
 """,
         "path_prefix_counts": """
 SELECT prefix, count(*) AS n FROM (

@@ -1177,6 +1177,19 @@ def stratified_take_docs(sf_dir: str):
     )
 
 
+def weighted_sample_docs(sf_dir: str):
+    """Quality-weighted Bernoulli sample: inclusion probability
+    min(n_tokens * 10 / 1000, 1) — longer docs proportionally more likely,
+    the data-mixing primitive (`sampling.weighted_sample`). n_tokens is
+    computed in the same streaming pass (SQL-parity simple profile)."""
+    ds = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        ts_ops.token_counts_batch, batch_format="pyarrow"
+    ).map_batches(
+        lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+    )
+    return sampling_ops.weighted_sample(ds, weight_col="n_tokens", num=10)
+
+
 def repetition_stats_docs(sf_dir: str):
     """Gopher-style repetition signals per doc (`textstats.
     repetition_stats_batch`): n_tokens / n_distinct / max_tf — the

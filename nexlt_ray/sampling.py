@@ -118,3 +118,39 @@ def stratified_take_n(
         .groupby(key_col)
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def weighted_sample(
+    ds,
+    weight_col: str,
+    num: int = 1,
+    denom: int = 1000,
+    id_col: str = "doc_id",
+):
+    """Keep a row iff hash(id) % denom < min(weight * num, denom): an
+    independent Bernoulli sample with inclusion probability
+    min(weight * num / denom, 1) — sampling proportional to an integer
+    weight column (token count, quality score), the standard
+    quality-weighted data-mixing step of pretraining curation.
+
+    Same discipline as stratified_sample: pure map, no RNG state, no
+    shuffle, identical output under any partitioning, and the whole
+    decision is one integer SQL expression:
+
+        WHERE ((id * 2654435761) % 4294967296) % denom
+              < least(weight * num, denom)
+
+    (id * KNUTH must fit int64 on the SQL side — true for ids < ~3.4e9;
+    the numpy side wraps mod 2^64 identically up to that bound.)
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        if ids.size == 0:
+            return batch
+        h = (_hash_ids(ids) % np.uint64(denom)).astype(np.int64)
+        w = np.asarray(batch[weight_col], dtype=np.int64)
+        thr = np.minimum(w * np.int64(num), np.int64(denom))
+        return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(f, batch_format="pyarrow")
