@@ -207,6 +207,7 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16, trials: int = 3) -> dict
       * best-of-`trials` per level (min wall) to suppress co-tenant noise.
     """
     n_scale = int(os.environ.get("GRAFT_SCALE_DOCS", "500000"))
+    trials = int(os.environ.get("GRAFT_SCALE_TRIALS", trials))
 
     def run(ncpu: int) -> dict:
         best = None

@@ -324,10 +324,11 @@ def fuzzy_match_count(sf_dir: str) -> pa.Table:
     """numFound per FuzzyQuery base at max_edits=1 — SQL-parity twin of
     `IndexReader.match_count("base~1")` (constant-score doc-set semantics;
     the oracle uses DuckDB's levenshtein()). Edit distance evaluates only
-    on each batch's UNIQUE terms after a length-band prefilter."""
+    on each batch's UNIQUE terms via the vectorized prefix+suffix
+    max_edits=1 kernel (`query._lev1_hits`) — no per-term Python call."""
     from ray.data.aggregate import Sum
 
-    from .query import _levenshtein_leq
+    from .query import _lev1_hits
 
     ds = _documents(sf_dir, ["doc_id", "text"])
 
@@ -342,11 +343,7 @@ def fuzzy_match_count(sf_dir: str) -> pa.Table:
         for i, base in enumerate(DOC_FUZZY):
             c = 0
             if tb.terms.size:
-                band = np.abs(lens - len(base)) <= 1
-                hit = np.zeros(uniq.size, dtype=bool)
-                for j in np.flatnonzero(band):
-                    hit[j] = _levenshtein_leq(base, str(uniq[j]), 1)
-                m = hit[inv]
+                m = _lev1_hits(base, uniq, lens)[inv]
                 c = int((np.bincount(tb.doc_idx[m], minlength=n) > 0).sum())
             cols[f"c_{i}"] = pa.array([np.int64(c)])
         return pa.table(cols)

@@ -349,6 +349,50 @@ def _levenshtein_leq(a: str, b: str, k: int) -> bool:
     return prev[lb] <= k
 
 
+def _lev1_hits(base: str, uniq: np.ndarray, lens: np.ndarray | None = None) -> np.ndarray:
+    """Boolean mask over `uniq` (1-D numpy unicode array, typically a
+    batch's or dictionary's UNIQUE terms) of terms within ONE unit-cost
+    edit of `base` — the vectorized FuzzyQuery(max_edits=1) scan.
+
+    Uses the exact prefix+suffix characterization of edit distance 1:
+    with p = |common prefix|, s = |common suffix| (each capped at the
+    shorter length), dist(a, b) <= 1 iff |la-lb| <= 1 and
+    p + s >= min(la, lb) - (1 if la == lb else 0). Everything is numpy
+    over a fixed-width codepoint matrix: O(band_size * len(base)) with
+    no per-term Python call, so it stays flat as term dictionaries and
+    fuzzy query batches grow."""
+    out = np.zeros(uniq.size, dtype=bool)
+    lb = len(base)
+    if uniq.size == 0 or lb == 0:
+        return out
+    if lens is None:
+        lens = np.char.str_len(uniq)
+    band_idx = np.flatnonzero(np.abs(lens - lb) <= 1)
+    if band_idx.size == 0:
+        return out
+    cand = uniq[band_idx]
+    clens = lens[band_idx]
+    w = max(int(clens.max()), lb)
+    m = np.ascontiguousarray(cand.astype(f"U{w}")).view(np.uint32)
+    m = m.reshape(cand.size, w)
+    basev = np.array([base], dtype=f"U{w}").view(np.uint32)
+    for lt in (lb - 1, lb, lb + 1):
+        if lt <= 0:
+            continue
+        rows = np.flatnonzero(clens == lt)
+        if rows.size == 0:
+            continue
+        mlen = min(lt, lb)
+        sub = m[rows]
+        pref = np.cumprod(sub[:, :mlen] == basev[:mlen], axis=1).sum(axis=1)
+        suf = np.cumprod(
+            sub[:, lt - mlen:lt][:, ::-1] == basev[lb - mlen:lb][::-1], axis=1
+        ).sum(axis=1)
+        need = mlen - 1 if lt == lb else mlen
+        out[band_idx[rows]] = pref + suf >= need
+    return out
+
+
 def _parse_range(v) -> tuple[str, str] | None:
     """Solr range-literal fq value `[lo TO hi]` -> (lo, hi); None if the
     value is a plain term. `*` is an open end."""
@@ -814,8 +858,13 @@ class IndexReader:
         FuzzyQuery with prefix_length=0): full dictionary scan with a
         length-band prefilter (|len(t)| within max_edits of |len(base)|) —
         the automaton-free equivalent; the scanned dictionary is the same
-        cached artifact prefix expansion uses."""
+        cached artifact prefix expansion uses. max_edits=1 (the Lucene
+        default and the only NeXLT usage) runs the vectorized prefix+suffix
+        kernel (`_lev1_hits`); k=2 falls back to the banded DP."""
         rows = self._prefix_term_rows("")
+        if max_edits == 1:
+            uniq = np.array([t for t, _ in rows], dtype="U")
+            return [str(t) for t in uniq[_lev1_hits(base, uniq)]]
         lb, ub = len(base) - max_edits, len(base) + max_edits
         return [
             t for t, _ in rows

@@ -437,3 +437,33 @@ def test_highlight_positions_and_snippets(built_index):
             lo, hi = max(0, p0 - 2), min(n - 1, p0 + 2)
             exp = " ".join(by_pos[i] for i in range(lo, hi + 1) if i in by_pos)
             assert snip == exp
+
+
+def test_lev1_hits_matches_dp():
+    """The vectorized max_edits=1 prefix+suffix kernel agrees with the
+    banded DP exhaustively (len<=4, 3-letter alphabet) and on random
+    longer words — the FuzzyQuery dictionary-scan fast path."""
+    import itertools
+    import random
+
+    from nexlt_ray.query import _lev1_hits, _levenshtein_leq
+
+    alpha = "abc"
+    words = [
+        "".join(t) for n in range(1, 5) for t in itertools.product(alpha, repeat=n)
+    ]
+    uniq = np.array(words, dtype="U")
+    for base in words:
+        got = _lev1_hits(base, uniq)
+        exp = np.array([_levenshtein_leq(base, w, 1) for w in uniq])
+        assert np.array_equal(got, exp), base
+    rng = random.Random(7)
+    pool = [
+        "".join(rng.choice("abcdefg") for _ in range(rng.randint(1, 12)))
+        for _ in range(800)
+    ]
+    uniq2 = np.unique(np.array(pool, dtype="U"))
+    for base in pool[:60]:
+        got = _lev1_hits(base, uniq2)
+        exp = np.array([_levenshtein_leq(base, w, 1) for w in uniq2])
+        assert np.array_equal(got, exp), base
