@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 63 entries, 54 DuckDB-oracled, ordered so the driver's
+                 68 entries, 59 DuckDB-oracled, ordered so the driver's
                  50-row correctness window is entirely oracled (see the
                  queries() docstring for the ordering contract).
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_pivot_counts": P.facet_pivot_counts,
         "lm_quality_scores": P.lm_quality_docs,
         "weighted_sample": P.weighted_sample_docs,
+        "balanced_sample": P.balanced_sample_docs,
+        "bigram_top50": P.bigram_top50,
         # --- rows-only (each pytest-oracled; see module docstring) ---
         "ann_lsh_topk": P.ann_lsh_topk,
         "ann_ivf_topk": P.ann_ivf_topk,
@@ -980,6 +982,27 @@ WITH t AS (
   FROM documents)
 SELECT doc_id, n_tokens FROM t
 WHERE ((doc_id * 2654435761) % 4294967296) % 1000 < least(n_tokens * 10, 1000)
+""",
+        # uniform-mix rebalance: keep iff hash(id) % n_lang < min lang count
+        "balanced_sample": """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS mn FROM c)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN c USING (lang) CROSS JOIN m
+WHERE ((d.doc_id * 2654435761) % 4294967296) % c.n < m.mn
+""",
+        "bigram_top50": """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS toks
+  FROM documents),
+p AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t)
+SELECT bigram, count(*) AS n FROM p
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
 """,
         "path_prefix_counts": """
 SELECT prefix, count(*) AS n FROM (

@@ -208,6 +208,8 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16, trials: int = 3) -> dict
     """
     n_scale = int(os.environ.get("GRAFT_SCALE_DOCS", "500000"))
     trials = int(os.environ.get("GRAFT_SCALE_TRIALS", trials))
+    lo = int(os.environ.get("GRAFT_SCALE_LO", lo))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", hi))
 
     def run(ncpu: int) -> dict:
         best = None

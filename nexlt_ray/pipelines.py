@@ -169,6 +169,81 @@ def term_df_top100(sf_dir: str) -> pa.Table:
     )
 
 
+def bigram_top50(sf_dir: str) -> pa.Table:
+    """Top 50 corpus bigrams by occurrence count (n desc, bigram asc) —
+    adjacent-token shingle statistics under the simple profile, the n-gram
+    profiling step of corpus analysis. Same discipline as term_df_top100:
+    per-batch partial counts (Arrow split + dictionary_encode + bincount,
+    no per-row Python) -> bigram groupby Sum -> per-block exact top-k
+    merge, so the driver never sees the full bigram vocabulary."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    empty = pa.table(
+        {"bigram": pa.array([], pa.string()), "n_p": pa.array([], pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        parts = pc.split_pattern_regex(pc.utf8_lower(text), pattern="[^a-z0-9]+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = parts.values
+        if len(flat) == 0:
+            return empty
+        offs = _offsets_of(parts)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), np.diff(offs))
+        ne = (
+            pc.greater(pc.utf8_length(flat), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        toks = flat.filter(pa.array(ne))
+        d = doc_of[ne]
+        if len(toks) < 2:
+            return empty
+        adj = np.flatnonzero(d[1:] == d[:-1])
+        if adj.size == 0:
+            return empty
+        big = pc.binary_join_element_wise(
+            toks.take(pa.array(adj)), toks.take(pa.array(adj + 1)), " "
+        )
+        denc = pc.dictionary_encode(big)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        cnt = np.bincount(
+            np.asarray(denc.indices, dtype=np.int64),
+            minlength=len(denc.dictionary),
+        )
+        return pa.table(
+            {"bigram": denc.dictionary, "n_p": pa.array(cnt.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n_p", alias_name="n"))
+    )
+
+    def block_top50(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"])
+        t = batch["bigram"].to_numpy(zero_copy_only=False)
+        return batch.take(pa.array(np.lexsort((t, -n))[:50]))
+
+    rows = agg.map_batches(block_top50, batch_format="pyarrow").take_all()
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    t = np.array([r["bigram"] for r in rows], dtype=object)
+    order = np.lexsort((t, -n))[:50]
+    return pa.table(
+        {
+            "bigram": pa.array(t[order].astype("U"), pa.string()),
+            "n": pa.array(n[order], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # one-shot distributed BM25 over `documents` (SQL-parity scoring)
 # ---------------------------------------------------------------------------
@@ -1185,6 +1260,20 @@ def weighted_sample_docs(sf_dir: str):
         lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
     )
     return sampling_ops.weighted_sample(ds, weight_col="n_tokens", num=10)
+
+
+def balanced_sample_docs(sf_dir: str):
+    """Language-balanced corpus: every lang deterministically downsampled
+    to the smallest lang's doc count (`sampling.balanced_sample`) — the
+    uniform-mix rebalancing primitive of pretraining data mixing. Pass 1
+    is a key-column-pruned tiny groupby count (cardinality = #langs,
+    broadcast into the filter closure); pass 2 a pure map filter."""
+    counts = {
+        r["lang"]: r["count()"]
+        for r in _documents(sf_dir, ["lang"]).groupby("lang").count().take_all()
+    }
+    ds = _documents(sf_dir, ["doc_id", "lang", "source"])
+    return sampling_ops.balanced_sample(ds, counts, key_col="lang")
 
 
 def repetition_stats_docs(sf_dir: str):

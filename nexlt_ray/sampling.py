@@ -154,3 +154,42 @@ def weighted_sample(
         return batch.filter(pa.array(h < thr))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def balanced_sample(
+    ds,
+    counts: dict[str, int],
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+):
+    """Downsample every stratum to the smallest stratum's size: keep a row
+    iff hash(id) % counts[stratum] < min(counts.values()) — the
+    language/domain REBALANCING step of pretraining data mixing (uniform
+    target mix). Expected kept per stratum = min_count; membership is
+    deterministic and partitioning-invariant.
+
+    `counts` comes from a tiny key-column-pruned groupby().count() pass
+    (cardinality = #strata, broadcast into the closure); the sample itself
+    is a pure map filter — no shuffle, no RNG state. The whole decision is
+    one integer SQL expression per row:
+
+        WHERE ((id * 2654435761) % 4294967296) % n_stratum < min_count
+
+    Strata absent from `counts` are dropped.
+    """
+    mn = np.uint64(min(counts.values()))
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        if ids.size == 0:
+            return batch
+        h = _hash_ids(ids)
+        keys = np.asarray(batch[key_col].to_pylist(), dtype="U")
+        uniq, inv = np.unique(keys, return_inverse=True)
+        n_of = np.array([counts.get(u, 1) for u in uniq], dtype=np.uint64)
+        thr_of = np.array(
+            [mn if u in counts else 0 for u in uniq], dtype=np.uint64
+        )
+        return batch.filter(pa.array((h % n_of[inv]) < thr_of[inv]))
+
+    return ds.map_batches(f, batch_format="pyarrow")
