@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 68 entries, 59 DuckDB-oracled, ordered so the driver's
+                 70 entries, 61 DuckDB-oracled, ordered so the driver's
                  50-row correctness window is entirely oracled (see the
                  queries() docstring for the ordering contract).
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": P.weighted_sample_docs,
         "balanced_sample": P.balanced_sample_docs,
         "bigram_top50": P.bigram_top50,
+        "cooccur_top50": P.cooccur_top50,
+        "length_band_docs": P.length_band_docs,
         # --- rows-only (each pytest-oracled; see module docstring) ---
         "ann_lsh_topk": P.ann_lsh_topk,
         "ann_ivf_topk": P.ann_ivf_topk,
@@ -1003,6 +1005,37 @@ p AS (
   FROM t)
 SELECT bigram, count(*) AS n FROM p
 GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
+""",
+        # unordered pair co-occurrence within a forward window of 3 tokens
+        "cooccur_top50": """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS toks
+  FROM documents),
+p AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+  FROM t),
+pairs AS (
+  SELECT least(a.tok, b.tok) AS t1, greatest(a.tok, b.tok) AS t2
+  FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 3)
+SELECT t1, t2, count(*) AS n FROM pairs
+GROUP BY t1, t2 ORDER BY n DESC, t1, t2 LIMIT 50
+""",
+        # [p5, p95] token-count band at exact integer ranks
+        # lo_rank = floor(5 (N-1) / 100), hi_rank = ceil(95 (N-1) / 100)
+        "length_band_docs": """
+WITH t AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents),
+s AS (SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) - 1 AS rk FROM t),
+n AS (SELECT count(*) AS c FROM t),
+b AS (SELECT
+  (SELECT n_tokens FROM s, n WHERE rk = (5 * (c - 1)) // 100) AS lo,
+  (SELECT n_tokens FROM s, n WHERE rk = (95 * (c - 1) + 99) // 100) AS hi)
+SELECT doc_id, n_tokens FROM t, b WHERE n_tokens BETWEEN lo AND hi
 """,
         "path_prefix_counts": """
 SELECT prefix, count(*) AS n FROM (

@@ -244,6 +244,156 @@ def bigram_top50(sf_dir: str) -> pa.Table:
     )
 
 
+#: co-occurrence window (forward tokens) for cooccur_top50
+COOCCUR_WINDOW = 3
+
+
+def cooccur_top50(sf_dir: str) -> pa.Table:
+    """Top 50 unordered term pairs co-occurring within a forward window of
+    COOCCUR_WINDOW tokens (n desc, t1 asc, t2 asc) — collocation /
+    word-association statistics, the PMI-numerator pass of corpus
+    profiling. Counts stay integers (SQL-exact); the log-ratio PMI is a
+    trivial client-side map. Same partial-count discipline as
+    bigram_top50: per-batch shifted-pair bincount -> pair groupby Sum ->
+    per-block exact top-k merge."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    empty = pa.table(
+        {
+            "t1": pa.array([], pa.string()),
+            "t2": pa.array([], pa.string()),
+            "n_p": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        parts = pc.split_pattern_regex(pc.utf8_lower(text), pattern="[^a-z0-9]+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = parts.values
+        if len(flat) == 0:
+            return empty
+        offs = _offsets_of(parts)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), np.diff(offs))
+        ne = (
+            pc.greater(pc.utf8_length(flat), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        toks = flat.filter(pa.array(ne))
+        d = doc_of[ne]
+        lidx, ridx = [], []
+        for k in range(1, COOCCUR_WINDOW + 1):
+            if len(toks) <= k:
+                break
+            same = np.flatnonzero(d[k:] == d[:-k])
+            lidx.append(same)
+            ridx.append(same + k)
+        if not lidx:
+            return empty
+        left = toks.take(pa.array(np.concatenate(lidx)))
+        right = toks.take(pa.array(np.concatenate(ridx)))
+        # fold to unordered pairs: (min, max) by string order
+        swap = pc.greater(left, right)
+        t1 = pc.if_else(swap, right, left)
+        t2 = pc.if_else(swap, left, right)
+        denc = pc.dictionary_encode(pc.binary_join_element_wise(t1, t2, "\x00"))
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        cnt = np.bincount(
+            np.asarray(denc.indices, dtype=np.int64),
+            minlength=len(denc.dictionary),
+        )
+        both = pc.split_pattern(denc.dictionary, "\x00")
+        return pa.table(
+            {
+                "t1": pc.list_element(both, 0),
+                "t2": pc.list_element(both, 1),
+                "n_p": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["t1", "t2"])
+        .aggregate(Sum("n_p", alias_name="n"))
+    )
+
+    def block_top50(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"])
+        t1 = batch["t1"].to_numpy(zero_copy_only=False)
+        t2 = batch["t2"].to_numpy(zero_copy_only=False)
+        return batch.take(pa.array(np.lexsort((t2, t1, -n))[:50]))
+
+    rows = agg.map_batches(block_top50, batch_format="pyarrow").take_all()
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    t1 = np.array([r["t1"] for r in rows], dtype=object)
+    t2 = np.array([r["t2"] for r in rows], dtype=object)
+    order = np.lexsort((t2, t1, -n))[:50]
+    return pa.table(
+        {
+            "t1": pa.array(t1[order].astype("U"), pa.string()),
+            "t2": pa.array(t2[order].astype("U"), pa.string()),
+            "n": pa.array(n[order], pa.int64()),
+        }
+    )
+
+
+def length_band_docs(sf_dir: str) -> pa.Table:
+    """Docs inside the corpus's [p5, p95] token-count band — the
+    length-outlier trim of pretraining curation, with EXACT distributed
+    quantiles: token counts are small integers, so pass 1 is a per-batch
+    partial bincount -> value groupby Sum (domain = #distinct lengths,
+    tiny) and the thresholds come from the cumulative counts at integer
+    ranks lo_rank = floor(5*(N-1)/100), hi_rank = ceil(95*(N-1)/100) of
+    the sorted multiset — rank arithmetic an auditor can re-derive in SQL
+    (no implementation-defined quantile interpolation). Pass 2 is a pure
+    map filter."""
+    from ray.data.aggregate import Sum
+
+    ds = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        ts_ops.token_counts_batch, batch_format="pyarrow"
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["n_tokens"], dtype=np.int64)
+        if v.size == 0:
+            return pa.table(
+                {"v": pa.array([], pa.int64()), "c_p": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uniq), "c_p": pa.array(cnt.astype(np.int64))})
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("c_p", alias_name="c"))
+        .take_all()
+    )
+    vs = np.array([r["v"] for r in hist], dtype=np.int64)
+    cs = np.array([r["c"] for r in hist], dtype=np.int64)
+    order = np.argsort(vs)
+    vs, cs = vs[order], cs[order]
+    cum = np.cumsum(cs)
+    n_total = int(cum[-1])
+    lo_rank = (5 * (n_total - 1)) // 100
+    hi_rank = -(-(95 * (n_total - 1)) // 100)
+    lo = int(vs[np.searchsorted(cum, lo_rank + 1)])
+    hi = int(vs[np.searchsorted(cum, hi_rank + 1)])
+
+    def band(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["n_tokens"], dtype=np.int64)
+        return batch.filter(pa.array((v >= lo) & (v <= hi))).select(
+            ["doc_id", "n_tokens"]
+        )
+
+    return ds.map_batches(band, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # one-shot distributed BM25 over `documents` (SQL-parity scoring)
 # ---------------------------------------------------------------------------
