@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 70 entries, 61 DuckDB-oracled, ordered so the driver's
+                 72 entries, 63 DuckDB-oracled, ordered so the driver's
                  50-row correctness window is entirely oracled (see the
                  queries() docstring for the ordering contract).
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_top50": P.bigram_top50,
         "cooccur_top50": P.cooccur_top50,
         "length_band_docs": P.length_band_docs,
+        "spellcheck_suggest": P.spellcheck_suggest,
+        "prefix_dup_groups": P.prefix_dup_groups,
         # --- rows-only (each pytest-oracled; see module docstring) ---
         "ann_lsh_topk": P.ann_lsh_topk,
         "ann_ivf_topk": P.ann_ivf_topk,
@@ -1036,6 +1038,34 @@ b AS (SELECT
   (SELECT n_tokens FROM s, n WHERE rk = (5 * (c - 1)) // 100) AS lo,
   (SELECT n_tokens FROM s, n WHERE rk = (95 * (c - 1) + 99) // 100) AS hi)
 SELECT doc_id, n_tokens FROM t, b WHERE n_tokens BETWEEN lo AND hi
+""",
+        # did-you-mean: df-max dictionary term within ONE edit of each base
+        "spellcheck_suggest": """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS toks
+  FROM documents),
+p AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+df AS (SELECT tok, count(*) AS df FROM p GROUP BY tok),
+b(base) AS (VALUES ('tabel'), ('quer'), ('scann'), ('sparkk'), ('zzzzz')),
+cand AS (
+  SELECT b.base, df.tok, df.df FROM b
+  JOIN df ON levenshtein(b.base, df.tok) <= 1 AND df.tok <> b.base)
+SELECT base, tok AS suggestion, df FROM cand
+QUALIFY row_number() OVER (PARTITION BY base ORDER BY df DESC, tok) = 1
+""",
+        # truncation dups: docs sharing their first 10 tokens
+        "prefix_dup_groups": """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS toks
+  FROM documents),
+k AS (SELECT doc_id, array_to_string(toks[1:10], ' ') AS k10
+      FROM t WHERE len(toks) >= 10),
+g AS (SELECT k10, min(doc_id) AS keep_id, count(*) AS c FROM k GROUP BY k10)
+SELECT k.doc_id, g.keep_id FROM k JOIN g USING (k10) WHERE g.c > 1
 """,
         "path_prefix_counts": """
 SELECT prefix, count(*) AS n FROM (

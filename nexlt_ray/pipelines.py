@@ -343,6 +343,128 @@ def cooccur_top50(sf_dir: str) -> pa.Table:
     )
 
 
+def spellcheck_suggest(sf_dir: str) -> pa.Table:
+    """Did-you-mean per misspelled base term: the df-max dictionary term
+    within ONE edit (base itself excluded), Solr SpellCheckComponent /
+    Lucene DirectSpellChecker semantics — the reference UI renders exactly
+    this (solr/NeXLT/solr/collection1/conf/velocity/did_you_mean.vm reads
+    spellcheck.suggestions.collation). One streaming pass: per-batch
+    `_lev1_hits` candidate mask + distinct-doc partial df -> (base, term)
+    groupby Sum -> tiny argmax on the driver (candidates only, never the
+    vocabulary). Bases with no distance-1 candidate emit no row."""
+    from ray.data.aggregate import Sum
+
+    from .query import _lev1_hits
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    empty = pa.table(
+        {
+            "base": pa.array([], pa.string()),
+            "term": pa.array([], pa.string()),
+            "df_p": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        if tb.terms.size == 0:
+            return empty
+        n = len(batch)
+        uniq, inv = np.unique(tb.terms.astype("U"), return_inverse=True)
+        lens = np.char.str_len(uniq)
+        out_b, out_t, out_d = [], [], []
+        for base in DOC_FUZZY:
+            hit = _lev1_hits(base, uniq, lens)
+            hit &= uniq != base
+            if not hit.any():
+                continue
+            tok_m = hit[inv]
+            # distinct (term, doc) pairs -> per-term df within the batch
+            key = inv[tok_m] * np.int64(n) + tb.doc_idx[tok_m].astype(np.int64)
+            ukey = np.unique(key)
+            codes = ukey // np.int64(n)
+            cand, df_p = np.unique(codes, return_counts=True)
+            out_b.append(np.full(cand.size, base, dtype=object))
+            out_t.append(uniq[cand].astype(object))
+            out_d.append(df_p.astype(np.int64))
+        if not out_b:
+            return empty
+        return pa.table(
+            {
+                "base": pa.array(np.concatenate(out_b).astype("U"), pa.string()),
+                "term": pa.array(np.concatenate(out_t).astype("U"), pa.string()),
+                "df_p": pa.array(np.concatenate(out_d), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["base", "term"])
+        .aggregate(Sum("df_p", alias_name="df"))
+        .take_all()
+    )
+    best: dict[str, tuple[int, str]] = {}
+    for r in rows:
+        cur = best.get(r["base"])
+        cand = (-int(r["df"]), str(r["term"]))
+        if cur is None or cand < cur:
+            best[r["base"]] = cand
+    bases = sorted(best)
+    return pa.table(
+        {
+            "base": pa.array(bases, pa.string()),
+            "suggestion": pa.array([best[b][1] for b in bases], pa.string()),
+            "df": pa.array([-best[b][0] for b in bases], pa.int64()),
+        }
+    )
+
+
+def prefix_dup_groups(sf_dir: str):
+    """Truncation-duplicate clusters: docs sharing their first 10 tokens
+    (the leading-shingle key), emitted as (doc_id, keep_id = min doc_id of
+    the group) for every member of a group of size > 1 — catches
+    prefix-identical near-dups (truncated rewrites, pagination copies)
+    that exact-hash dedup misses. One shuffle on the prefix key; group
+    kernel is a vectorized min + count."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "k10": pa.array([], pa.string())}
+    )
+
+    def keys(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        n = len(batch)
+        if tb.terms.size == 0:
+            return empty
+        cnt = np.bincount(tb.doc_idx, minlength=n)
+        sel = np.flatnonzero(cnt >= 10)
+        if sel.size == 0:
+            return empty
+        starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        mat = [pa.array(tb.terms[starts[sel] + j].astype("U")) for j in range(10)]
+        k10 = pc.binary_join_element_wise(*mat, " ")
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)[sel]
+        return pa.table({"doc_id": pa.array(ids), "k10": k10})
+
+    def emit(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["doc_id"], dtype=np.int64)
+        if ids.size < 2:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "keep_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"doc_id": pa.array(ids),
+             "keep_id": pa.array(np.full(ids.size, ids.min()))}
+        )
+
+    return (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("k10")
+        .map_groups(emit, batch_format="pyarrow")
+    )
+
+
 def length_band_docs(sf_dir: str) -> pa.Table:
     """Docs inside the corpus's [p5, p95] token-count band — the
     length-outlier trim of pretraining curation, with EXACT distributed

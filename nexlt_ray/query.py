@@ -871,6 +871,22 @@ class IndexReader:
             if lb <= len(t) <= ub and _levenshtein_leq(base, t, max_edits)
         ]
 
+    def spellcheck(self, term: str, n: int = 1) -> list[tuple[str, int]]:
+        """Did-you-mean (Solr SpellCheckComponent / Lucene
+        DirectSpellChecker analog — the reference UI renders
+        spellcheck.suggestions.collation, velocity/did_you_mean.vm):
+        top-n dictionary terms within ONE edit of `term`, df desc then
+        term asc, `term` itself excluded. Same cached dictionary artifact
+        and vectorized `_lev1_hits` scan as expand_fuzzy."""
+        rows = self._prefix_term_rows("")
+        uniq = np.array([t for t, _ in rows], dtype="U")
+        dfs = np.array([d for _, d in rows], dtype=np.int64)
+        hit = _lev1_hits(term, uniq)
+        hit &= uniq != term
+        idx = np.flatnonzero(hit)
+        order = np.lexsort((uniq[idx], -dfs[idx]))[:n]
+        return [(str(uniq[idx[o]]), int(dfs[idx[o]])) for o in order]
+
     def _prefix_docs(self, prefix: str, fset, kind: str = "prefix") -> np.ndarray:
         """Sorted doc ids matching a prefix / wildcard / fuzzy term — the
         union bitset of the expanded terms' postings (Lucene

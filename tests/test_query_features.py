@@ -467,3 +467,23 @@ def test_lev1_hits_matches_dp():
         got = _lev1_hits(base, uniq2)
         exp = np.array([_levenshtein_leq(base, w, 1) for w in uniq2])
         assert np.array_equal(got, exp), base
+
+
+def test_spellcheck(built_index):
+    """spellcheck(): df-max term within one edit, brute-force checked
+    against the dictionary + DP distance; query term itself excluded."""
+    from nexlt_ray.query import IndexReader, _levenshtein_leq
+
+    idx, _ = built_index
+    r = IndexReader(idx)
+    rows = r._prefix_term_rows("")
+    for base in ("tabel", "quer", "zzzzzzz"):
+        exp = sorted(
+            [
+                (t, df)
+                for t, df in rows
+                if t != base and _levenshtein_leq(base, t, 1)
+            ],
+            key=lambda td: (-td[1], td[0]),
+        )[:3]
+        assert r.spellcheck(base, n=3) == exp, base
