@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 72 entries, 63 DuckDB-oracled, ordered so the driver's
+                 74 entries, 65 DuckDB-oracled, ordered so the driver's
                  50-row correctness window is entirely oracled (see the
                  queries() docstring for the ordering contract).
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_band_docs": P.length_band_docs,
         "spellcheck_suggest": P.spellcheck_suggest,
         "prefix_dup_groups": P.prefix_dup_groups,
+        "range_facet_counts": P.range_facet_counts,
+        "vocab_stats_by_lang": P.vocab_stats_by_lang,
         # --- rows-only (each pytest-oracled; see module docstring) ---
         "ann_lsh_topk": P.ann_lsh_topk,
         "ann_ivf_topk": P.ann_ivf_topk,
@@ -1066,6 +1068,28 @@ k AS (SELECT doc_id, array_to_string(toks[1:10], ' ') AS k10
       FROM t WHERE len(toks) >= 10),
 g AS (SELECT k10, min(doc_id) AS keep_id, count(*) AS c FROM k GROUP BY k10)
 SELECT k.doc_id, g.keep_id FROM k JOIN g USING (k10) WHERE g.c > 1
+""",
+        # facet.range over n_chars (gap 100) for docs matching 'table'
+        "range_facet_counts": """
+WITH t AS (
+  SELECT n_chars,
+    list_contains(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> ''), 'table') AS m
+  FROM documents)
+SELECT (n_chars // 100 * 100)::BIGINT AS bucket_lo, count(*) AS n
+FROM t WHERE m GROUP BY 1 ORDER BY 1
+""",
+        # per-lang exact vocabulary size + token totals
+        "vocab_stats_by_lang": """
+WITH t AS (
+  SELECT lang,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS toks
+  FROM documents),
+p AS (SELECT lang, unnest(toks) AS tok FROM t)
+SELECT lang, count(DISTINCT tok)::BIGINT AS n_distinct_terms,
+       count(*)::BIGINT AS n_tokens
+FROM p GROUP BY lang ORDER BY lang
 """,
         "path_prefix_counts": """
 SELECT prefix, count(*) AS n FROM (

@@ -1757,6 +1757,127 @@ def facet_counts_docs(sf_dir: str) -> pa.Table:
     )
 
 
+def range_facet_counts(sf_dir: str) -> pa.Table:
+    """Solr facet.range analog (facet.range=n_chars&facet.range.gap=100)
+    over the docs matching FACET_PIVOT_TERM: count per [lo, lo+100) bucket
+    of n_chars. One streaming pass of per-batch (bucket -> partial count)
+    before a tiny groupby Sum — the numeric-histogram twin of the field
+    facets (reference G4 FacetComponent, solrconfig.xml:1104)."""
+    from ray.data.aggregate import Sum
+
+    ds = _documents(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        tf = _qterm_tf(tb, [FACET_PIVOT_TERM], len(batch))[0]
+        nc = np.asarray(batch["n_chars"], dtype=np.int64)[tf > 0]
+        if nc.size == 0:
+            return pa.table(
+                {"bucket_lo": pa.array([], pa.int64()),
+                 "n_p": pa.array([], pa.int64())}
+            )
+        b, c = np.unique(nc // 100 * 100, return_counts=True)
+        return pa.table(
+            {"bucket_lo": pa.array(b), "n_p": pa.array(c.astype(np.int64))}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket_lo")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .take_all()
+    )
+    rows = sorted((int(r["bucket_lo"]), int(r["n"])) for r in agg)
+    return pa.table(
+        {
+            "bucket_lo": pa.array([r[0] for r in rows], pa.int64()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def vocab_stats_by_lang(sf_dir: str) -> pa.Table:
+    """Per-language vocabulary statistics: exact distinct-term count and
+    total token count (the JSON-facet `unique(field)` analog and the
+    Heaps-law corpus profile). Stage 1 emits per-batch distinct
+    (lang, term) pairs with partial token counts; stage 2 is the
+    vocabulary-sized (lang, term) groupby Sum; stage 3 folds that to one
+    row per lang (rows-per-lang count is exact because stage 2 leaves
+    each pair exactly once). The driver only ever sees #langs rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _documents(sf_dir, ["doc_id", "text", "lang"])
+    empty = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "term": pa.array([], pa.string()),
+            "cf_p": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        if tb.terms.size == 0:
+            return empty
+        langs = np.asarray(batch["lang"].to_pylist(), dtype="U")
+        lang_u, lang_inv = np.unique(langs, return_inverse=True)
+        term_u, term_inv = np.unique(tb.terms.astype("U"), return_inverse=True)
+        key = lang_inv[tb.doc_idx] * np.int64(term_u.size) + term_inv
+        ukey, cf = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array(
+                    lang_u[ukey // term_u.size].astype("U"), pa.string()
+                ),
+                "term": pa.array(
+                    term_u[ukey % term_u.size].astype("U"), pa.string()
+                ),
+                "cf_p": pa.array(cf.astype(np.int64)),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Sum("cf_p", alias_name="cf"))
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        langs = np.asarray(batch["lang"].to_pylist(), dtype="U")
+        cf = np.asarray(batch["cf"], dtype=np.int64)
+        lang_u, lang_inv = np.unique(langs, return_inverse=True)
+        return pa.table(
+            {
+                "lang": pa.array(lang_u.astype("U"), pa.string()),
+                "t_p": pa.array(np.bincount(lang_inv).astype(np.int64)),
+                "n_p": pa.array(
+                    np.bincount(lang_inv, weights=cf).astype(np.int64)
+                ),
+            }
+        )
+
+    agg = (
+        pairs.map_batches(fold, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("t_p", alias_name="n_distinct_terms"),
+            Sum("n_p", alias_name="n_tokens"),
+        )
+        .take_all()
+    )
+    rows = sorted(
+        (str(r["lang"]), int(r["n_distinct_terms"]), int(r["n_tokens"]))
+        for r in agg
+    )
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "n_distinct_terms": pa.array([r[1] for r in rows], pa.int64()),
+            "n_tokens": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
 def path_prefix_counts(sf_dir: str) -> pa.Table:
     """Hierarchy-facet counts through the text_path chain
     (PathHierarchyTokenizer analog, schema.xml text_path): each doc's
