@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 74 entries, 65 DuckDB-oracled, ordered so the driver's
+                 76 entries, 67 DuckDB-oracled, ordered so the driver's
                  50-row correctness window is entirely oracled (see the
                  queries() docstring for the ordering contract).
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_dup_groups": P.prefix_dup_groups,
         "range_facet_counts": P.range_facet_counts,
         "vocab_stats_by_lang": P.vocab_stats_by_lang,
+        "sloppy_phrase_match_count": P.sloppy_phrase_match_count,
+        "mm_match_count": P.mm_match_count,
         # --- rows-only (each pytest-oracled; see module docstring) ---
         "ann_lsh_topk": P.ann_lsh_topk,
         "ann_ivf_topk": P.ann_ivf_topk,
@@ -1090,6 +1092,50 @@ p AS (SELECT lang, unnest(toks) AS tok FROM t)
 SELECT lang, count(DISTINCT tok)::BIGINT AS n_distinct_terms,
        count(*)::BIGINT AS n_tokens
 FROM p GROUP BY lang ORDER BY lang
+""",
+        # sloppy phrase "a b"~N: exists positions with |p_b - p_a - 1| <= N
+        "sloppy_phrase_match_count": """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS toks
+  FROM documents),
+p AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS i FROM t),
+q(phrase, ta, tb, slop) AS (VALUES
+  ('value table', 'value', 'table', 1), ('hash join', 'hash', 'join', 2),
+  ('the part', 'the', 'part', 0), ('window agg', 'window', 'agg', 3))
+SELECT q.phrase, q.slop::BIGINT AS slop,
+       count(DISTINCT CASE WHEN b.doc_id IS NOT NULL THEN a.doc_id
+             END)::BIGINT AS num_found
+FROM q
+LEFT JOIN p a ON a.tok = q.ta
+LEFT JOIN p b ON b.doc_id = a.doc_id AND b.tok = q.tb
+             AND abs(b.i - a.i - 1) <= q.slop
+GROUP BY q.phrase, q.slop
+""",
+        # Solr mm: docs containing >= mm distinct terms of each OR query
+        "mm_match_count": """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS toks
+  FROM documents),
+p AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+q(query, mm) AS (VALUES
+  ('table scan merge', 2), ('the value data row', 3),
+  ('spark query window', 2), ('slow fast big small', 4)),
+qt AS (SELECT query, unnest(string_split(query, ' ')) AS tok FROM q),
+hits AS (
+  SELECT qt.query, p.doc_id, count(*) AS nmatch
+  FROM qt JOIN p USING (tok) GROUP BY qt.query, p.doc_id),
+cnt AS (
+  SELECT h.query, count(*) AS n
+  FROM hits h JOIN q USING (query) WHERE h.nmatch >= q.mm
+  GROUP BY h.query)
+SELECT q.query, q.mm::BIGINT AS mm,
+       coalesce(cnt.n, 0)::BIGINT AS num_found
+FROM q LEFT JOIN cnt USING (query)
 """,
         "path_prefix_counts": """
 SELECT prefix, count(*) AS n FROM (

@@ -709,6 +709,112 @@ def fuzzy_match_count(sf_dir: str) -> pa.Table:
     )
 
 
+#: (query, mm) specs for the minimum-should-match twin (Solr mm param)
+MM_QUERIES = [
+    ("table scan merge", 2), ("the value data row", 3),
+    ("spark query window", 2), ("slow fast big small", 4)
+]
+
+
+def mm_match_count(sf_dir: str) -> pa.Table:
+    """numFound per OR query under Solr's mm / Lucene
+    minimumNumberShouldMatch — SQL-parity twin of
+    `IndexReader.match_count(q, min_should_match=N)`: a doc matches iff it
+    contains >= N distinct query terms (specs use distinct terms, so
+    clause count == distinct-term count). One streaming pass: per-batch
+    `_qterm_tf` membership matrix -> per-query count partials -> Sum."""
+    from ray.data.aggregate import Sum
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    specs = [(q.split(), mm) for q, mm in MM_QUERIES]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        n = len(batch)
+        cols = {}
+        for qi, (terms, mm) in enumerate(specs):
+            c = 0
+            if tb.terms.size:
+                member = _qterm_tf(tb, terms, n) > 0
+                c = int((member.sum(axis=0) >= mm).sum())
+            cols[f"c_{qi}"] = pa.array([np.int64(c)])
+        return pa.table(cols)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(f"c_{i}", alias_name=f"c_{i}") for i in range(len(MM_QUERIES))]
+    )
+    return pa.table(
+        {
+            "query": pa.array([q for q, _ in MM_QUERIES], pa.string()),
+            "mm": pa.array([m for _, m in MM_QUERIES], pa.int64()),
+            "num_found": pa.array(
+                [int(agg[f"c_{i}"]) for i in range(len(MM_QUERIES))],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+#: (phrase, slop) specs for the sloppy-phrase twin (Lucene `"a b"~N`)
+SLOPPY_PHRASES = [
+    ("value table", 1), ("hash join", 2), ("the part", 0), ("window agg", 3)
+]
+
+
+def sloppy_phrase_match_count(sf_dir: str) -> pa.Table:
+    """numFound per sloppy PhraseQuery `"a b"~N` — SQL-parity twin of
+    `IndexReader.match_count('"a b"~N')` (movement-cost semantics: a doc
+    matches iff positions exist with |p_b - p_a - 1| <= slop, reordering
+    included). Fully vectorized per batch: one packed (doc, pos)
+    searchsorted window probe per spec — no per-doc Python."""
+    from ray.data.aggregate import Sum
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    max_slop = max(s for _, s in SLOPPY_PHRASES)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        cols = {}
+        have = tb.terms.size > 0
+        if have:
+            terms_u = tb.terms.astype("U")
+            d = tb.doc_idx.astype(np.int64)
+            p = tb.positions.astype(np.int64)
+            m_pack = np.int64(int(p.max()) + max_slop + 2)
+        for qi, (phrase, slop) in enumerate(SLOPPY_PHRASES):
+            c = 0
+            if have:
+                ta, tb_ = tokenize_query(phrase, profile="simple")
+                ma = terms_u == ta
+                mb = terms_u == tb_
+                if ma.any() and mb.any():
+                    key_a = d[ma] * m_pack + p[ma]
+                    key_a.sort()
+                    db, pb_ = d[mb], p[mb]
+                    lo = db * m_pack + np.maximum(pb_ - 1 - slop, 0)
+                    hi = db * m_pack + (pb_ - 1 + slop)
+                    ex = np.searchsorted(key_a, lo, side="left") < (
+                        np.searchsorted(key_a, hi, side="right")
+                    )
+                    c = int(np.unique(db[ex]).size)
+            cols[f"c_{qi}"] = pa.array([np.int64(c)])
+        return pa.table(cols)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(f"c_{i}", alias_name=f"c_{i}") for i in range(len(SLOPPY_PHRASES))]
+    )
+    return pa.table(
+        {
+            "phrase": pa.array([p for p, _ in SLOPPY_PHRASES], pa.string()),
+            "slop": pa.array([s for _, s in SLOPPY_PHRASES], pa.int64()),
+            "num_found": pa.array(
+                [int(agg[f"c_{i}"]) for i in range(len(SLOPPY_PHRASES))],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 FACET_PIVOT_TERM = "table"  # query for the pivot-facet twin
 
 

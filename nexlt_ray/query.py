@@ -323,6 +323,16 @@ class TermPostings:
 
 _RANGE_RX = re.compile(r"^\[(.+) TO (.+)\]$")
 _FUZZY_RX = re.compile(r'^([^\s"*?~]+)~([12])?$')
+_SLOP_RX = re.compile(r'^"(.*)"~(\d+)$', re.S)
+
+
+def _split_phrase_slop(body: str) -> tuple[str, int]:
+    """Peel the '"~N' slop marker `parse` appends to a sloppy-phrase body;
+    (body, 0) for a plain phrase."""
+    i = body.rfind('"~')
+    if i >= 0 and body[i + 2:].isdigit():
+        return body[:i], int(body[i + 2:])
+    return body, 0
 
 
 def _levenshtein_leq(a: str, b: str, k: int) -> bool:
@@ -1306,6 +1316,12 @@ class IndexReader:
             # q=<lang>:[* TO *] with fq filters doing the real selection
             # (solrTestLib_v2.js:38-44, corpus.cgi:328)
             return "all", ""
+        m = _SLOP_RX.match(q)
+        if m:
+            # Lucene sloppy PhraseQuery `"a b"~N` — slop rides along in the
+            # body after a '"~' marker (no plain-phrase body can produce
+            # one; _split_phrase_slop peels it off before tokenization)
+            return "phrase", m.group(1) + '"~' + m.group(2)
         if len(q) >= 2 and q.startswith('"') and q.endswith('"'):
             return "phrase", q[1:-1]
         if (
@@ -1406,12 +1422,14 @@ class IndexReader:
         return toks
 
     def _search_boolean(
-        self, clauses, k: int, fset, lang: str | None
+        self, clauses, k: int, fset, lang: str | None,
+        min_should_match: int = 0,
     ) -> list[tuple[int, float]]:
         """Exhaustive scorer for boosted/required queries: score = sum of
         boost * BM25 contribution over present clauses; docs missing any
         required clause are dropped (a required term absent from the index
-        means zero matches — Lucene MUST)."""
+        means zero matches — Lucene MUST). min_should_match counts SHOULD
+        clauses only, exactly Lucene's minimumNumberShouldMatch."""
         toks = self._boolean_tokens(clauses, lang)
         if not toks or k <= 0:
             return []
@@ -1429,25 +1447,34 @@ class IndexReader:
         union = np.unique(np.concatenate(all_docs))
         acc = np.zeros(union.size, dtype=np.float32)
         mask = np.ones(union.size, dtype=bool)
+        should_cnt = np.zeros(union.size, dtype=np.int32)
         for tp, (d, t), (_, boost, req) in zip(plist, decoded, toks):
             if tp is not None and d.size:
                 s = self._term_contrib(tp, d, t) * np.float32(boost)
-                acc[np.searchsorted(union, d)] += s
+                at = np.searchsorted(union, d)
+                acc[at] += s
+                if not req:
+                    should_cnt[at] += 1
             if req:
                 mask &= (
                     np.isin(union, d, assume_unique=True)
                     if d.size
                     else np.zeros(union.size, dtype=bool)
                 )
+        if min_should_match > 0:
+            mask &= should_cnt >= min_should_match
         union, acc = union[mask], acc[mask]
         if union.size == 0:
             return []
         order = np.lexsort((union, -acc))[:k]
         return [(int(union[i]), float(acc[i])) for i in order]
 
-    def _boolean_docs(self, clauses, fset, lang: str | None) -> np.ndarray:
+    def _boolean_docs(
+        self, clauses, fset, lang: str | None, min_should_match: int = 0
+    ) -> np.ndarray:
         """Match set for boosted/required queries (boosts don't change
-        membership; required clauses intersect)."""
+        membership; required clauses intersect; min_should_match counts
+        SHOULD clauses only, like Lucene)."""
         toks = self._boolean_tokens(clauses, lang)
         if not toks:
             return np.empty(0, np.int64)
@@ -1463,6 +1490,14 @@ class IndexReader:
             if any(s.size for s in sets)
             else np.empty(0, np.int64)
         )
+        if min_should_match > 0 and union.size:
+            cnt = np.zeros(union.size, dtype=np.int32)
+            for s, (_, _, req) in zip(sets, toks):
+                if not req and s.size:
+                    at = np.searchsorted(union, s)
+                    sel = (at < union.size) & (union[np.minimum(at, union.size - 1)] == s)
+                    cnt[at[sel]] += 1
+            union = union[cnt >= min_should_match]
         for s, (_, _, req) in zip(sets, toks):
             if req and union.size:
                 union = union[np.isin(union, s, assume_unique=True)]
@@ -1496,6 +1531,7 @@ class IndexReader:
         lang: str | None = None,
         filters: dict | None = None,
         use_cache: bool = True,
+        min_should_match: int = 0,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, float32 score); ties broken by ascending doc_id.
         `algorithm`: "wand" (vectorized block-max) or "exhaustive" —
@@ -1518,12 +1554,14 @@ class IndexReader:
                 if filters
                 else None
             )
-            ckey = (query, k, mode, algorithm, lang, fk)
+            ckey = (query, k, mode, algorithm, lang, fk, min_should_match)
             hit = self._result_cache.get(ckey)
             if hit is not None:
                 self._result_cache.move_to_end(ckey)
                 return list(hit)
-        out = self._search_impl(query, k, mode, algorithm, lang, filters)
+        out = self._search_impl(
+            query, k, mode, algorithm, lang, filters, min_should_match
+        )
         if ckey is not None:
             self._result_cache[ckey] = out
             if len(self._result_cache) > self._result_cache_cap:
@@ -1538,6 +1576,7 @@ class IndexReader:
         algorithm: str,
         lang: str | None,
         filters: dict | None,
+        min_should_match: int = 0,
     ) -> list[tuple[int, float]]:
         from .tokenize import tokenize_query
 
@@ -1575,7 +1614,12 @@ class IndexReader:
         if kind == "terms":
             clauses = self._parse_boolean_clauses(body)
             if clauses is not None:
-                return self._search_boolean(clauses, k, fset, lang)
+                return self._search_boolean(
+                    clauses, k, fset, lang, min_should_match
+                )
+        slop = 0
+        if kind == "phrase":
+            body, slop = _split_phrase_slop(body)
         terms = tokenize_query(
             body, profile=self._query_profile(lang), protected=self.protected
         )
@@ -1594,14 +1638,20 @@ class IndexReader:
         if not terms or k <= 0:
             return []
         if kind == "phrase":
-            return self._search_phrase(terms, k, fset)
-        if algorithm == "exhaustive" or mode == "AND":
-            return self._search_exhaustive(terms, k, mode, fset)
+            return self._search_phrase(terms, k, fset, slop=slop)
+        if algorithm == "exhaustive" or mode == "AND" or min_should_match > 1:
+            # mm > 1 routes to the exhaustive scorer: the membership count
+            # invalidates WAND's per-term upper-bound pruning (Lucene's
+            # WANDScorer carries mm natively; rank-identity here comes from
+            # the exhaustive path instead)
+            return self._search_exhaustive(
+                terms, k, mode, fset, min_should_match
+            )
         return self._search_wand(terms, k, fset)
 
     def match_count(
         self, query: str, mode: str = "OR", lang: str | None = None,
-        filters: dict | None = None,
+        filters: dict | None = None, min_should_match: int = 0,
     ) -> int:
         """numFound analog (reference G3, corpus.cgi:409)."""
         if self.parse(query)[0] == "all":
@@ -1609,7 +1659,12 @@ class IndexReader:
                 return int(self.n_docs)  # no doc-array materialization
             # filtered match-all: count bucket-by-bucket (O(bucket) peak)
             return self._filter_docs(filters, lang).count()
-        return int(self._matching_docs(query, mode, lang=lang, filters=filters).size)
+        return int(
+            self._matching_docs(
+                query, mode, lang=lang, filters=filters,
+                min_should_match=min_should_match,
+            ).size
+        )
 
     # ------------------------------------------------------------------
     # facets on query results (reference G4 FacetComponent,
@@ -1722,7 +1777,7 @@ class IndexReader:
 
     def _matching_docs(
         self, query: str, mode: str = "OR", lang: str | None = None,
-        filters: dict | None = None,
+        filters: dict | None = None, min_should_match: int = 0,
     ) -> np.ndarray:
         """The ONE match-set analysis path shared by match_count / facets /
         search_sorted: same profile routing, protected set, synonym
@@ -1751,7 +1806,12 @@ class IndexReader:
         if kind == "terms":
             clauses = self._parse_boolean_clauses(body)
             if clauses is not None:
-                return self._boolean_docs(clauses, fset, lang)
+                return self._boolean_docs(
+                    clauses, fset, lang, min_should_match
+                )
+        slop = 0
+        if kind == "phrase":
+            body, slop = _split_phrase_slop(body)
         terms = tokenize_query(
             body, profile=self._query_profile(lang), protected=self.protected
         )
@@ -1760,7 +1820,7 @@ class IndexReader:
         if not terms:
             return np.empty(0, np.int64)
         if kind == "phrase":
-            return self._phrase_candidates(terms, fset)
+            return self._phrase_candidates(terms, fset, slop=slop)
         sets = [
             tp.decode_all()[0] if tp else np.empty(0, np.int64)
             for tp in self._clause_postings(terms)
@@ -1769,6 +1829,17 @@ class IndexReader:
             cur = sets[0]
             for s in sets[1:]:
                 cur = np.intersect1d(cur, s, assume_unique=True)
+        elif min_should_match > 1:
+            # Solr mm: docs matching >= mm of the SHOULD clauses (clause
+            # count — membership counted once per clause over unique-doc
+            # posting sets)
+            cc = (
+                np.concatenate([s for s in sets if s.size])
+                if any(s.size for s in sets)
+                else np.empty(0, np.int64)
+            )
+            u, c = np.unique(cc, return_counts=True)
+            cur = u[c >= min_should_match]
         else:
             cur = np.unique(np.concatenate(sets)) if sets else np.empty(0, np.int64)
         if fset is not None and cur.size:
@@ -1896,7 +1967,7 @@ class IndexReader:
     # -- exhaustive ----------------------------------------------------
     def _search_exhaustive(
         self, terms: list[str], k: int, mode: str = "OR",
-        fset: FilterSet | None = None,
+        fset: FilterSet | None = None, min_should_match: int = 0,
     ) -> list[tuple[int, float]]:
         plist = self._clause_postings(terms)
         decoded = [
@@ -1907,6 +1978,18 @@ class IndexReader:
         union, acc = self._score_union(plist, decoded)
         if union.size == 0:
             return []
+        if min_should_match > 1:
+            # Solr mm / Lucene BooleanQuery.minimumNumberShouldMatch: keep
+            # docs matching >= mm of the SHOULD clauses (clause count, so a
+            # repeated term counts per clause, as in Lucene)
+            cnt = np.zeros(union.size, dtype=np.int32)
+            for d, _ in decoded:
+                if d.size:
+                    cnt[np.searchsorted(union, d)] += 1
+            keep = cnt >= min_should_match
+            union, acc = union[keep], acc[keep]
+            if union.size == 0:
+                return []
         if mode == "AND":
             mask = np.ones(union.size, dtype=bool)
             for tp, (d, _) in zip(plist, decoded):
@@ -2029,13 +2112,26 @@ class IndexReader:
         return a[sel]
 
     def _phrase_candidates(
-        self, terms: list[str], fset: FilterSet | None = None
+        self, terms: list[str], fset: FilterSet | None = None, slop: int = 0
     ) -> np.ndarray:
         """Docs containing the terms at consecutive positions — fully
         vectorized: seed (candidate_rank, phrase_start) parallel arrays from
         the rarest term's position stream, then for each hotter term probe
         its positional bitmap at start+i, keeping only surviving starts.
-        Sorted by construction throughout; no per-row Python."""
+        Sorted by construction throughout; no per-row Python.
+
+        slop > 0 (Lucene sloppy PhraseQuery, `"a b"~N`) widens each probe
+        to an OR over start+i+delta for delta in [-slop, slop] — for a
+        2-term phrase that is exactly Lucene's movement cost
+        |p_b - p_a - 1| <= slop (reordered "b a" matches at slop >= 2, the
+        SloppyPhraseScorer behaviour). Restricted to 2-term phrases: the
+        n-term sloppy alignment is a different (priority-queue) algorithm
+        and is not implemented."""
+        if slop and len(terms) > 2:
+            raise ValueError(
+                "slop > 0 is supported for 2-term phrases only "
+                f"(got {len(terms)} terms)"
+            )
         plist = self._clause_postings(terms)
         empty = np.empty(0, dtype=np.int64)
         if any(tp is None for tp in plist):
@@ -2125,16 +2221,26 @@ class IndexReader:
             safe = np.minimum(ord_c, docs_u.size - 1)
             in_t = (ord_c < docs_u.size) & (docs_u[safe] == cand)
             t_ord = safe[r]
-            probe = s + np.int32(i)  # term i's required position
-            ok = in_t[r] & (probe < span[t_ord])
-            if i < i0:
-                ok &= probe >= 0
-            bit = starts[t_ord] + probe
-            np.minimum(bit, bit.dtype.type(int(words.size) * 32 - 1), out=bit)
-            if i < i0:
-                np.maximum(bit, 0, out=bit)
-            sh = (bit & 31).astype(np.uint32)
-            hit = ok & (((words[bit >> 5] >> sh) & np.uint32(1)) != 0)
+            hit = np.zeros(r.size, dtype=bool)
+            neg_possible = (i < i0) or slop > 0
+            for delta in range(-slop, slop + 1):
+                if slop and terms[i] == terms[i0] and i + delta == i0:
+                    # repeated-term phrase: a probe at the seed's own
+                    # position would match the seed occurrence itself;
+                    # Lucene requires distinct positions per term instance
+                    continue
+                probe = s + np.int32(i + delta)  # term i's allowed position
+                ok = in_t[r] & (probe < span[t_ord])
+                if neg_possible:
+                    ok &= probe >= 0
+                bit = starts[t_ord] + probe
+                np.minimum(
+                    bit, bit.dtype.type(int(words.size) * 32 - 1), out=bit
+                )
+                if neg_possible:
+                    np.maximum(bit, 0, out=bit)
+                sh = (bit & 31).astype(np.uint32)
+                hit |= ok & (((words[bit >> 5] >> sh) & np.uint32(1)) != 0)
             r = r[hit]
             if j != last:  # the last term's survivors only need ranks
                 s = s[hit]
@@ -2143,9 +2249,10 @@ class IndexReader:
         return cand[r[np.concatenate(([True], r[1:] != r[:-1]))]]
 
     def _search_phrase(
-        self, terms: list[str], k: int, fset: FilterSet | None = None
+        self, terms: list[str], k: int, fset: FilterSet | None = None,
+        slop: int = 0,
     ) -> list[tuple[int, float]]:
-        cand = self._phrase_candidates(terms, fset)
+        cand = self._phrase_candidates(terms, fset, slop=slop)
         if cand.size == 0:
             return []
         plist = self._clause_postings(terms)

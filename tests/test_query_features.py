@@ -487,3 +487,108 @@ def test_spellcheck(built_index):
             key=lambda td: (-td[1], td[0]),
         )[:3]
         assert r.spellcheck(base, n=3) == exp, base
+
+
+def test_sloppy_phrase(built_index):
+    """Sloppy PhraseQuery ("a b"~N): doc set equals a brute-force
+    min-movement scan (exists positions with |p_b - p_a - 1| <= N) over
+    the tokenized docstore, including reordering at slop >= 2; slop=0 via
+    the marker equals the plain exact phrase."""
+    from nexlt_ray.query import IndexReader
+    from nexlt_ray.tokenize import tokenize_batch
+
+    idx, manifest = built_index
+    r = IndexReader(idx)
+    meta = pq.read_table(
+        f"{idx}/docstore", columns=["doc_bucket", "local_rank", "content"]
+    )
+    did = (
+        np.asarray(manifest["doc_offsets"])[np.asarray(meta["doc_bucket"])]
+        + np.asarray(meta["local_rank"])
+    )
+    tb = tokenize_batch(meta["content"], profile="code")
+    terms = tb.terms.astype("U")
+
+    def brute(a, b, slop):
+        out = set()
+        for dx in np.unique(tb.doc_idx):
+            sel = tb.doc_idx == dx
+            pa_ = tb.positions[sel & (terms == a)]
+            pb_ = tb.positions[sel & (terms == b)]
+            if pa_.size and pb_.size:
+                cost = np.abs(pb_[None, :] - pa_[:, None] - 1)
+                if a == b:
+                    cost = cost[pb_[None, :] != pa_[:, None]]
+                if cost.size and cost.min() <= slop:
+                    out.add(int(did[dx]))
+        return out
+
+    pairs = [("def", "self"), ("return", "import"), ("self", "def")]
+    any_widened = False
+    for a, b in pairs:
+        exact = set(int(d) for d, _ in r.search(f'"{a} {b}"', k=100000))
+        for slop in (0, 1, 2, 3):
+            exp = brute(a, b, slop)
+            q = f'"{a} {b}"~{slop}'
+            assert r.match_count(q) == len(exp), q
+            got = {int(d) for d, _ in r.search(q, k=100000)}
+            assert got == exp, q
+            if slop == 0:
+                assert got == exact, q
+            any_widened |= len(exp) > len(exact)
+    assert any_widened  # slop actually widened at least one pair
+    # reordering: "b a" adjacent matches at slop >= 2
+    exp2 = brute("def", "self", 2)
+    rev = brute("self", "def", 0)
+    assert rev <= exp2 or not rev
+
+
+def test_min_should_match(built_index):
+    """Solr mm / Lucene minimumNumberShouldMatch: doc set equals the
+    brute-force >=N-of-terms scan; composes with MUST (+term) counting
+    SHOULD clauses only; search and match_count agree; mm<=1 is the plain
+    OR."""
+    from nexlt_ray.query import IndexReader
+    from nexlt_ray.tokenize import tokenize_batch
+
+    idx, manifest = built_index
+    r = IndexReader(idx)
+    meta = pq.read_table(
+        f"{idx}/docstore", columns=["doc_bucket", "local_rank", "content"]
+    )
+    did = (
+        np.asarray(manifest["doc_offsets"])[np.asarray(meta["doc_bucket"])]
+        + np.asarray(meta["local_rank"])
+    )
+    tb = tokenize_batch(meta["content"], profile="code")
+    terms_all = tb.terms.astype("U")
+
+    def docs_with(t):
+        return set(int(d) for d in np.unique(did[tb.doc_idx[terms_all == t]]))
+
+    q = "def self return import"
+    qterms = q.split()
+    sets = [docs_with(t) for t in qterms]
+    for mm in (0, 1, 2, 3, 4):
+        exp = {
+            d
+            for d in set().union(*sets)
+            if sum(d in s for s in sets) >= max(mm, 1)
+        }
+        assert r.match_count(q, min_should_match=mm) == len(exp), mm
+        got = {int(d) for d, _ in r.search(q, k=100000, min_should_match=mm)}
+        assert got == exp, mm
+    # plain OR unchanged (mm=0 == mm absent)
+    assert r.match_count(q) == r.match_count(q, min_should_match=1)
+    # composes with MUST: +def counts toward membership as MUST, mm applies
+    # to the remaining SHOULD clauses
+    qb = "+def self return import"
+    for mm in (1, 2, 3):
+        exp = {
+            d
+            for d in sets[0]
+            if sum(d in s for s in sets[1:]) >= mm
+        }
+        assert r.match_count(qb, min_should_match=mm) == len(exp), mm
+        got = {int(d) for d, _ in r.search(qb, k=100000, min_should_match=mm)}
+        assert got == exp, mm
