@@ -1500,6 +1500,28 @@ def build_index(
     return manifest
 
 
+def reindex(
+    index_dir: str, out_dir: str, cfg: BuildConfig | None = None
+) -> dict:
+    """Rebuild an index from its own docstore under a (possibly different)
+    analyzer/config — the reindex-after-schema-change maintenance op (the
+    reference's answer to an analyzer change is a full re-crawl + re-post
+    via parseJSON.pl; here the stored fields ARE the source of truth, like
+    Solr with stored="true"). The docstore parquet is column-compatible
+    with corpus input (stage 1 reads only [repo, path, commit, lang,
+    content] and re-derives sha/ids/norms), so a reindex with the same
+    config is byte-identical to the original build and a profile change is
+    rank-identical to building the new profile from the raw corpus — both
+    tested (tests/test_incremental.py)."""
+    src = os.path.join(index_dir, "docstore")
+    files = sorted(
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    if not files:
+        raise ValueError(f"no docstore parquet under {src}")
+    return build_index(files, out_dir, cfg)
+
+
 def extend_index(
     input_path: str | list[str],
     index_dir: str,

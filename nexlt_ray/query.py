@@ -1305,6 +1305,36 @@ class IndexReader:
             tfs, nb, tp.df, self.n_docs, self.avgdl, self.params, self._k_table
         )
 
+    def explain(
+        self, query: str, doc_id: int, lang: str | None = None
+    ) -> list[dict]:
+        """Solr debugQuery / Lucene Explanation analog: the per-term BM25
+        breakdown of `doc_id`'s score for an OR term query — one dict per
+        query term with tf, df, and the float32 contribution. Accumulating
+        the contributions in term order float32-exactly reproduces the
+        doc's search() score (tested). Terms absent from the doc (or the
+        index) report tf=0, contribution 0."""
+        from .tokenize import tokenize_query
+
+        terms = tokenize_query(
+            query, profile=self._query_profile(lang), protected=self.protected
+        )
+        doc = np.array([doc_id], dtype=np.int64)
+        out = []
+        for t, tp in zip(terms, self._clause_postings(terms)):
+            tf, df, contrib = 0, 0, 0.0
+            if tp is not None:
+                df = int(tp.df)
+                d, tfs = tp.postings_for_docs(doc)
+                at = np.searchsorted(d, doc_id)
+                if at < d.size and d[at] == doc_id:
+                    tf = int(tfs[at])
+                    contrib = float(
+                        self._term_contrib(tp, doc, np.array([tf]))[0]
+                    )
+            out.append({"term": t, "tf": tf, "df": df, "contribution": contrib})
+        return out
+
     # ------------------------------------------------------------------
     # search
     # ------------------------------------------------------------------

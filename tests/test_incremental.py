@@ -308,3 +308,44 @@ def test_delete_by_query(ray_session, tmp_path):
     # no-op on a query with no matches
     m2 = delete_by_query(idx, "zzzznotaterm")
     assert m2["n_docs"] == m1["n_docs"]
+
+
+def test_reindex_same_config_byte_identical(ray_session, corpus_parts, tmp_path):
+    """reindex(src, dst, same config): the docstore is a complete source of
+    truth, so rebuilding from it is byte-identical to the original build."""
+    from nexlt_ray.build import BuildConfig, build_index, reindex
+
+    a_dir, _, _ = corpus_parts
+    cfg = BuildConfig(num_doc_buckets=8, num_term_buckets=4)
+    orig = str(tmp_path / "orig")
+    re_d = str(tmp_path / "re")
+    build_index(a_dir, orig, cfg)
+    reindex(orig, re_d, cfg)
+    for sub in ("docstore", "segments"):
+        assert _tree_bytes(orig, sub) == _tree_bytes(re_d, sub), sub
+
+
+def test_reindex_profile_change(ray_session, corpus_parts, tmp_path):
+    """reindex with a different analyzer equals building the new profile
+    from the raw corpus — the Solr schema-change reindex."""
+    from nexlt_ray.build import BuildConfig, build_index, reindex
+    from nexlt_ray.query import IndexReader
+
+    a_dir, _, _ = corpus_parts
+    orig = str(tmp_path / "orig_code")
+    re_d = str(tmp_path / "re_en")
+    direct = str(tmp_path / "direct_en")
+    build_index(
+        a_dir, orig, BuildConfig(num_doc_buckets=8, num_term_buckets=4)
+    )
+    cfg_en = BuildConfig(
+        profile="text_en", num_doc_buckets=8, num_term_buckets=4
+    )
+    reindex(orig, re_d, cfg_en)
+    build_index(a_dir, direct, cfg_en)
+    for sub in ("docstore", "segments"):
+        assert _tree_bytes(direct, sub) == _tree_bytes(re_d, sub), sub
+    r = IndexReader(re_d)
+    assert r.search("running parser", k=5) == IndexReader(direct).search(
+        "running parser", k=5
+    )

@@ -592,3 +592,24 @@ def test_min_should_match(built_index):
         assert r.match_count(qb, min_should_match=mm) == len(exp), mm
         got = {int(d) for d, _ in r.search(qb, k=100000, min_should_match=mm)}
         assert got == exp, mm
+
+
+def test_explain(built_index):
+    """explain(): per-term contributions sum (in float32 term order) to the
+    doc's search() score; absent terms report tf=0/contribution 0."""
+    from nexlt_ray.query import IndexReader
+
+    idx, _ = built_index
+    r = IndexReader(idx)
+    for q in ("def self return", "http parse", "def zzzznotaterm"):
+        top = r.search(q, k=3)
+        assert top, q
+        for doc, score in top:
+            ex = r.explain(q, doc)
+            acc = np.float32(0.0)
+            for row in ex:
+                acc = np.float32(acc + np.float32(row["contribution"]))
+            assert float(acc) == score, (q, doc)
+        ze = [row for row in r.explain(q, top[0][0]) if row["tf"] == 0]
+        for row in ze:
+            assert row["contribution"] == 0.0
