@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 76 entries, 67 DuckDB-oracled, ordered so the driver's
+                 81 entries, 72 DuckDB-oracled, ordered so the driver's
                  50-row correctness window is entirely oracled (see the
                  queries() docstring for the ordering contract).
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
@@ -124,6 +124,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_stats_by_lang": P.vocab_stats_by_lang,
         "sloppy_phrase_match_count": P.sloppy_phrase_match_count,
         "mm_match_count": P.mm_match_count,
+        "token_count_stats": P.token_count_stats,
+        "rollup_counts": P.rollup_counts,
+        "elevated_search_topk": P.elevated_search_topk,
+        "cursor_page_docs": P.cursor_page_docs,
+        "contamination_overlap": P.contamination_overlap_docs,
         # --- rows-only (each pytest-oracled; see module docstring) ---
         "ann_lsh_topk": P.ann_lsh_topk,
         "ann_ivf_topk": P.ann_ivf_topk,
@@ -701,6 +706,78 @@ def _lang_norm_sql() -> str:
     )
 
 
+def _token_count_sql() -> str:
+    from nexlt_ray.pipelines import PRETOKEN_PATTERN
+
+    return f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_ws_tokens,
+  len(regexp_extract_all(text, '{PRETOKEN_PATTERN}'))::BIGINT AS n_pretokens,
+  len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS n_alpha_runs,
+  len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_digit_runs,
+  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]+'))::BIGINT AS n_punct_runs
+FROM documents
+"""
+
+
+def _elevated_sql(k: int = 10) -> str:
+    from nexlt_ray.pipelines import ELEVATE_SPEC
+
+    el_vals = ", ".join(
+        f"({qid}, {pos + 1}, {doc})"
+        for qid, (pins, _) in sorted(ELEVATE_SPEC.items())
+        for pos, doc in enumerate(pins)
+    )
+    ex_vals = ", ".join(
+        f"({qid}, {doc})"
+        for qid, (_, excl) in sorted(ELEVATE_SPEC.items())
+        for doc in excl
+    ) or "(-1, -1)"
+    base = _bm25_sql()
+    cut = base.rindex("SELECT qid, doc_id")
+    return base[:cut].rstrip() + f""",
+el(qid, pos, doc_id) AS (VALUES {el_vals}),
+ex(qid, doc_id) AS (VALUES {ex_vals}),
+nel AS (SELECT qid, count(*) AS n FROM el GROUP BY qid),
+elev AS (
+  SELECT el.qid, el.pos AS rnk, el.doc_id,
+         coalesce(round(s.score, 4), 0) AS score_r
+  FROM el LEFT JOIN scores s ON s.qid = el.qid AND s.doc_id = el.doc_id),
+rest AS (
+  SELECT s.qid,
+         coalesce(nel.n, 0) + row_number() OVER (
+             PARTITION BY s.qid
+             ORDER BY round(s.score, 4) DESC, s.doc_id) AS rnk,
+         s.doc_id, round(s.score, 4) AS score_r
+  FROM scores s
+  LEFT JOIN nel ON nel.qid = s.qid
+  WHERE NOT EXISTS (SELECT 1 FROM el
+                    WHERE el.qid = s.qid AND el.doc_id = s.doc_id)
+    AND NOT EXISTS (SELECT 1 FROM ex
+                    WHERE ex.qid = s.qid AND ex.doc_id = s.doc_id)
+)
+SELECT qid, rnk::BIGINT AS "rank", doc_id, score_r FROM elev
+UNION ALL
+SELECT qid, rnk::BIGINT AS "rank", doc_id, score_r FROM rest WHERE rnk <= {k}
+"""
+
+
+def _cursor_sql() -> str:
+    from nexlt_ray.pipelines import CURSOR_PAGES, CURSOR_PAGE_SIZE
+
+    pages = ", ".join(str(p) for p in CURSOR_PAGES)
+    return f"""
+WITH o AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rn
+  FROM documents)
+SELECT (rn // {CURSOR_PAGE_SIZE})::BIGINT AS page,
+       (rn % {CURSOR_PAGE_SIZE} + 1)::BIGINT AS "rank",
+       doc_id, n_chars
+FROM o WHERE rn // {CURSOR_PAGE_SIZE} IN ({pages})
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "term_df_top100": f"""
@@ -1269,5 +1346,23 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            AS sim_e6
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+""",
+        "token_count_stats": _token_count_sql(),
+        "rollup_counts": """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY ROLLUP (lang, source)
+""",
+        "elevated_search_topk": _elevated_sql(),
+        "cursor_page_docs": _cursor_sql(),
+        "contamination_overlap": """
+WITH ev AS (SELECT text FROM documents ORDER BY doc_id LIMIT 3),
+g AS (SELECT DISTINCT unnest(list_transform(range(1, length(text) - 32 + 2),
+                                            i -> substr(text, i, 32))) AS gram
+      FROM ev WHERE length(text) >= 32),
+c AS (SELECT d.doc_id, count(*)::BIGINT AS n FROM documents d
+      JOIN g ON contains(d.text, g.gram) GROUP BY d.doc_id)
+SELECT d.doc_id, coalesce(c.n, 0)::BIGINT AS n_overlaps
+FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
 """,
     }

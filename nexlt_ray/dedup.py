@@ -1305,3 +1305,89 @@ def dup_clusters(pairs, max_iters: int = 50, fast_path_max_edges: int = 2_000_00
         lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}),
         batch_format="pyarrow",
     )
+
+
+def contamination_overlap_counts(
+    docs,
+    eval_texts: list[str],
+    min_len: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-doc contamination ACCOUNTING: for every document, the number of
+    DISTINCT eval-set `min_len`-grams it contains (the report-side
+    companion to `decontaminate`, which only drops — GPT-3 appendix C
+    reports exactly this overlap statistic per benchmark). Same shape as
+    `decontaminate`: broadcast eval fingerprints once via ray.put, one flat
+    rolling-hash pass per batch straight off the Arrow buffers, exact
+    confirmation of rare probe hits against the gram bytes. Emits
+    (doc_id, n_overlaps) for ALL docs (zeros included) — a pure map,
+    no shuffle."""
+    import ray
+
+    from .textstats import _rolling_hashes
+
+    grams: set[str] = set()
+    for t in eval_texts:
+        for p in range(len(t) - min_len + 1):
+            grams.add(t[p : p + min_len])
+    gsorted = sorted(g.encode("utf-8") for g in grams)
+    hs = (
+        np.unique(
+            np.concatenate(
+                [
+                    _rolling_hashes(np.frombuffer(g, dtype=np.uint8), min_len)
+                    for g in gsorted
+                ]
+            )
+        )
+        if gsorted
+        else np.empty(0, np.uint64)
+    )
+    ref = ray.put((hs, {g: i for i, g in enumerate(gsorted)}))
+
+    def count(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        hset, gidx = _ray.get(ref)
+        n = batch.num_rows
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        counts = np.zeros(n, dtype=np.int64)
+        if hset.size == 0 or n == 0:
+            return pa.table({"doc_id": pa.array(ids), "n_overlaps": pa.array(counts)})
+        col = batch[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if arr.type == pa.string():
+            arr = arr.cast(pa.large_string())
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset : arr.offset + n + 1
+        ]
+        data = (
+            np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            if arr.buffers()[2] is not None
+            else np.empty(0, np.uint8)
+        )
+        base = int(offs[0])
+        flat = data[base : int(offs[-1])]
+        h_all = _rolling_hashes(flat, min_len)
+        pairs = []
+        if h_all.size:
+            idx = np.searchsorted(hset, h_all)
+            idx_safe = np.minimum(idx, hset.size - 1)
+            hit_pos = np.flatnonzero((idx < hset.size) & (hset[idx_safe] == h_all))
+            # hits are rare; each maps to (doc, gram-id) and is exact-confirmed
+            for p in hit_pos:
+                g_start = base + int(p)
+                doc = int(np.searchsorted(offs, g_start, side="right")) - 1
+                if g_start + min_len <= int(offs[doc + 1]):
+                    gi = gidx.get(data[g_start : g_start + min_len].tobytes())
+                    if gi is not None:
+                        pairs.append((doc, gi))
+        if pairs:
+            key = np.unique(
+                np.array([d * len(gidx) + g for d, g in pairs], dtype=np.int64)
+            )
+            counts = np.bincount(key // len(gidx), minlength=n).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids), "n_overlaps": pa.array(counts)})
+
+    return docs.map_batches(count, batch_format="pyarrow")

@@ -3132,3 +3132,297 @@ def frame_samples(sf_dir: str):
     return ds.map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=32, concurrency=2, num_cpus=1
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: token accounting, rollup aggregation, query elevation,
+# cursor deep paging, contamination overlap accounting
+# ---------------------------------------------------------------------------
+# BPE-ish pre-tokenizer classes (GPT-2-style coarse split: letter runs,
+# digit runs, non-alnum-non-space runs). Shared verbatim with the DuckDB
+# oracle (both engines are RE2-based, so the class semantics agree).
+PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_count_stats(sf_dir: str):
+    """Per-doc token accounting (SURVEY training-data ops: token counting —
+    whitespace tokens + a BPE-ish regex pre-tokenizer). Pure vectorized
+    counting: one `pc.count_substring_regex` pass per counter over the
+    zero-copy Arrow batch; the pre-token stream itself is NEVER
+    materialized (at 100 TB it would be ~10x the corpus bytes — counters
+    keep the stage O(1) memory per doc)."""
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+
+        def cnt(pat: str) -> pa.Array:
+            return pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_ws_tokens": cnt(r"\S+"),
+                "n_pretokens": cnt(PRETOKEN_PATTERN),
+                "n_alpha_runs": cnt("[A-Za-z]+"),
+                "n_digit_runs": cnt("[0-9]+"),
+                "n_punct_runs": cnt(r"[^A-Za-z0-9\s]+"),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def rollup_counts(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP (lang, source): doc counts + char sums at all three
+    levels — (lang, source), (lang), grand total — with 'ALL' as the
+    rolled-up sentinel (hash-stable vs SQL NULLs). Classic combiner shape:
+    each batch emits partial counts for ALL levels at once (3 rows per
+    distinct group per batch, never per doc), then ONE small groupby sums
+    partials — the shuffle carries #distinct-groups x 3 rows regardless of
+    corpus size."""
+    ds = _documents(sf_dir, ["doc_id", "lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_numpy(zero_copy_only=False),
+                "source": batch["source"].to_numpy(zero_copy_only=False),
+                "n_chars": np.asarray(batch["n_chars"], dtype=np.int64),
+            }
+        )
+        outs = []
+        for keys in ((["lang", "source"]), (["lang"]), ([])):
+            if keys:
+                g = df.groupby(keys, sort=False).agg(
+                    n_p=("n_chars", "size"), chars_p=("n_chars", "sum")
+                ).reset_index()
+            else:
+                g = pd.DataFrame(
+                    {"n_p": [len(df)], "chars_p": [int(df["n_chars"].sum())]}
+                )
+            if "lang" not in g:
+                g["lang"] = "ALL"
+            if "source" not in g:
+                g["source"] = "ALL"
+            outs.append(g[["lang", "source", "n_p", "chars_p"]])
+        out = pd.concat(outs, ignore_index=True)
+        return pa.table(
+            {
+                "lang": pa.array(out["lang"], pa.string()),
+                "source": pa.array(out["source"], pa.string()),
+                "n_p": pa.array(out["n_p"].astype(np.int64)),
+                "chars_p": pa.array(out["chars_p"].astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_p", alias_name="n_docs"),
+                   Sum("chars_p", alias_name="sum_chars"))
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "source": pa.array(out["source"], pa.string()),
+            "n_docs": pa.array(out["n_docs"], pa.int64()),
+            "sum_chars": pa.array(out["sum_chars"], pa.int64()),
+        }
+    )
+
+
+def contamination_overlap_docs(sf_dir: str):
+    """Per-doc count of distinct eval 32-grams contained (companion to
+    decontaminated_docs; same eval set = 3 lowest-doc_id docs)."""
+    import pyarrow.parquet as pqt
+
+    eval_tbl = pqt.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    order = np.argsort(np.asarray(eval_tbl["doc_id"]))[:3]
+    eval_texts = [eval_tbl["text"][int(i)].as_py() for i in order]
+    return dedup_ops.contamination_overlap_counts(
+        _documents(sf_dir, ["doc_id", "text"]), eval_texts, min_len=32
+    )
+
+
+# Query-elevation spec (Solr QueryElevationComponent parity: reference
+# declares conf/elevate.xml — query text -> pinned doc ids in editorial
+# order + exclude="true" docs; solrconfig.xml:1351 references the QEC
+# EditorialMarkerFactory). Keyed by DOC_QUERIES qid; ids exist at every sf
+# (doc_id is dense from 0).
+ELEVATE_SPEC: dict[int, tuple[tuple[int, ...], tuple[int, ...]]] = {
+    0: ((7, 3), (12,)),   # pin 7 then 3, exclude 12
+    2: ((42,), ()),       # pin 42
+    4: ((5, 1), (9,)),    # pin 5 then 1, exclude 9
+}
+
+
+def elevated_search_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """BM25 top-k with editorial query elevation (Solr QEC semantics,
+    forceElevation analog): per query, pinned docs come FIRST in spec
+    order — included even when they don't match the query (score_r 0) —
+    excluded docs are removed, and the remainder fills to k rows by
+    (score desc, doc_id asc). Scoring is the standard two-streaming-pass
+    shape (global stats, then per-block partial top-k); pinned docs are
+    additionally force-emitted per block (a tiny doc_id `is_in` probe), so
+    their exact scores surface even when they sit far outside the block
+    top-k. Output (qid, rank, doc_id, score_r)."""
+    qterms = doc_query_terms()
+    terms = sorted({t for _, t in qterms})
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        n = len(batch)
+        cols = {
+            "n_p": pa.array([np.int64(n)]),
+            "len_p": pa.array([np.int64(tb.doc_len.sum())]),
+        }
+        dfm = (_qterm_tf(tb, terms, n) > 0).sum(axis=1)
+        for ti in range(len(terms)):
+            cols[f"df_{ti}"] = pa.array([np.int64(dfm[ti])])
+        return pa.table(cols)
+
+    from ray.data.aggregate import Sum
+
+    stats = ds.map_batches(stats_partial, batch_format="pyarrow").aggregate(
+        Sum("n_p", alias_name="n_docs"),
+        Sum("len_p", alias_name="total_len"),
+        *[Sum(f"df_{ti}", alias_name=f"df_{ti}") for ti in range(len(terms))],
+    )
+    n_docs = stats["n_docs"]
+    avgdl = stats["total_len"] / n_docs
+    idf = {
+        t: float(np.log(1.0 + (n_docs - stats[f"df_{ti}"] + 0.5)
+                        / (stats[f"df_{ti}"] + 0.5)))
+        for ti, t in enumerate(terms)
+    }
+    pinned_all = sorted({d for p, _ in ELEVATE_SPEC.values() for d in p})
+    max_excl = max((len(x) for _, x in ELEVATE_SPEC.values()), default=0)
+    k_blk = k + max_excl  # exclusions can evict at most max_excl of the top
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        n = len(batch)
+        dl = tb.doc_len.astype(np.float64)
+        doc_id = np.asarray(batch["doc_id"])
+        tfm = _qterm_tf(tb, terms, n).astype(np.float64)
+        denom_k = K1 * (1.0 - B + B * dl / avgdl)
+        force = np.isin(doc_id, pinned_all)
+        out_q, out_d, out_s = [], [], []
+        for qid in range(len(DOC_QUERIES)):
+            qts = [t for q, t in qterms if q == qid]
+            s = np.zeros(n, dtype=np.float64)
+            matched = np.zeros(n, dtype=bool)
+            for t in qts:
+                tf = tfm[terms.index(t)]
+                m = tf > 0
+                s = s + np.where(m, idf[t] * tf * (K1 + 1.0) / (tf + denom_k), 0.0)
+                matched |= m
+            emit = matched | force
+            sr = np.round(np.where(matched, s, 0.0)[emit], 4)
+            d = doc_id[emit]
+            fr = force[emit]
+            # partial top-k_blk among matched rows, plus every pinned row
+            order = np.lexsort((d, -sr))
+            keep = order[(np.arange(order.size) < k_blk) | fr[order]]
+            out_q.append(np.full(keep.size, qid, dtype=np.int64))
+            out_d.append(d[keep])
+            out_s.append(sr[keep])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q)),
+                "doc_id": pa.array(np.concatenate(out_d)),
+                "score_r": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(score_topk, batch_format="pyarrow").take_all()
+    q = np.array([r["qid"] for r in parts], dtype=np.int64)
+    d = np.array([r["doc_id"] for r in parts], dtype=np.int64)
+    s = np.array([r["score_r"] for r in parts], dtype=np.float64)
+    rows_q, rows_r, rows_d, rows_s = [], [], [], []
+    for qid in range(len(DOC_QUERIES)):
+        pins, excl = ELEVATE_SPEC.get(qid, ((), ()))
+        sel = np.flatnonzero(q == qid)
+        smap = dict(zip(d[sel].tolist(), s[sel].tolist()))
+        rank = 1
+        for pid in pins:
+            rows_q.append(qid); rows_r.append(rank)
+            rows_d.append(pid); rows_s.append(smap.get(pid, 0.0))
+            rank += 1
+        drop = set(pins) | set(excl)
+        rest = sel[~np.isin(d[sel], sorted(drop))] if drop else sel
+        order = np.lexsort((d[rest], -s[rest]))[: k - len(pins)]
+        for i in rest[order]:
+            rows_q.append(qid); rows_r.append(rank)
+            rows_d.append(int(d[i])); rows_s.append(float(s[i]))
+            rank += 1
+    return pa.table(
+        {
+            "qid": pa.array(rows_q, pa.int64()),
+            "rank": pa.array(rows_r, pa.int64()),
+            "doc_id": pa.array(rows_d, pa.int64()),
+            "score_r": pa.array(rows_s, pa.float64()),
+        }
+    )
+
+
+CURSOR_PAGE_SIZE = 20
+CURSOR_PAGES = (0, 3, 7, 12)  # the deep pages a cursor walk returns
+
+
+def cursor_page_docs(sf_dir: str) -> pa.Table:
+    """cursorMark-style deep paging (Solr cursor semantics: sort must be a
+    total order ending in the uniqueKey; each page is an independent query
+    carrying a keyset cursor, NEVER an offset): order by (n_chars asc,
+    doc_id asc), page size 20, walking to page 12. Each page fetch is one
+    streaming pass — per block, a vectorized keyset mask
+    (n_chars, doc_id) > cursor plus a partial 20-smallest, merged exactly
+    on the driver (<= 20 rows per block partial). Deep page P costs the
+    same as page 0 — the offset-paging O(P*rows) re-sort is exactly what
+    cursors exist to avoid. Output (page, rank, doc_id, n_chars)."""
+    ds = _documents(sf_dir, ["doc_id", "n_chars"])
+    want = set(CURSOR_PAGES)
+    cur_c, cur_d = -1, -1  # cursor: last (n_chars, doc_id) served
+    rows_p, rows_r, rows_d, rows_c = [], [], [], []
+    for page in range(max(CURSOR_PAGES) + 1):
+        cc, cd = cur_c, cur_d
+
+        def fetch(batch: pa.Table, cc=cc, cd=cd) -> pa.Table:
+            nc = np.asarray(batch["n_chars"], dtype=np.int64)
+            di = np.asarray(batch["doc_id"], dtype=np.int64)
+            m = (nc > cc) | ((nc == cc) & (di > cd))
+            nc, di = nc[m], di[m]
+            order = np.lexsort((di, nc))[:CURSOR_PAGE_SIZE]
+            return pa.table(
+                {"doc_id": pa.array(di[order]), "n_chars": pa.array(nc[order])}
+            )
+
+        parts = ds.map_batches(fetch, batch_format="pyarrow").take_all()
+        nc = np.array([r["n_chars"] for r in parts], dtype=np.int64)
+        di = np.array([r["doc_id"] for r in parts], dtype=np.int64)
+        order = np.lexsort((di, nc))[:CURSOR_PAGE_SIZE]
+        if order.size == 0:
+            break
+        cur_c, cur_d = int(nc[order[-1]]), int(di[order[-1]])
+        if page in want:
+            rows_p.extend([page] * order.size)
+            rows_r.extend(range(1, order.size + 1))
+            rows_d.extend(di[order].tolist())
+            rows_c.extend(nc[order].tolist())
+    return pa.table(
+        {
+            "page": pa.array(rows_p, pa.int64()),
+            "rank": pa.array(rows_r, pa.int64()),
+            "doc_id": pa.array(rows_d, pa.int64()),
+            "n_chars": pa.array(rows_c, pa.int64()),
+        }
+    )
