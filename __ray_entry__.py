@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 81 entries, 72 DuckDB-oracled, ordered so the driver's
+                 84 entries, 75 DuckDB-oracled, ordered so the driver's
                  50-row correctness window is entirely oracled (see the
                  queries() docstring for the ordering contract).
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "elevated_search_topk": P.elevated_search_topk,
         "cursor_page_docs": P.cursor_page_docs,
         "contamination_overlap": P.contamination_overlap_docs,
+        "synonym_match_count": P.synonym_match_count,
+        "kmeans_clusters": P.kmeans_clusters,
+        "cluster_label_purity": P.cluster_label_purity,
         # --- rows-only (each pytest-oracled; see module docstring) ---
         "ann_lsh_topk": P.ann_lsh_topk,
         "ann_ivf_topk": P.ann_ivf_topk,
@@ -762,6 +765,48 @@ SELECT qid, rnk::BIGINT AS "rank", doc_id, score_r FROM rest WHERE rnk <= {k}
 """
 
 
+def _syn_values() -> str:
+    from nexlt_ray.pipelines import synonym_expansions
+
+    vals = ", ".join(f"({qid}, '{t}')" for qid, t in synonym_expansions())
+    return f"sq(qid, term) AS (VALUES {vals})"
+
+
+def _kmeans_sql(with_labels: bool = False) -> str:
+    from nexlt_ray.pipelines import KMEANS_ITERS, KMEANS_K
+
+    cte = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+       FROM e ORDER BY vec_id LIMIT {KMEANS_K})""",
+    ]
+    for it in range(KMEANS_ITERS):
+        cte.append(f"""a{it} AS (
+  SELECT e.vec_id, c.cid, e.v FROM e CROSS JOIN c{it} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY list_distance(e.v, c.v), c.cid) = 1)""")
+        cte.append(f"""m{it} AS (
+  SELECT cid, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x FROM a{it})""")
+        cte.append(f"""c{it + 1} AS (
+  SELECT c{it}.cid, coalesce(cm.v, c{it}.v) AS v
+  FROM c{it} LEFT JOIN (
+    SELECT cid, list(x ORDER BY i) AS v
+    FROM (SELECT cid, i, avg(x) AS x FROM m{it} GROUP BY cid, i) GROUP BY cid
+  ) cm ON cm.cid = c{it}.cid)""")
+    cte.append(f"""fin AS (
+  SELECT e.vec_id, c.cid AS cluster FROM e CROSS JOIN c{KMEANS_ITERS} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY list_distance(e.v, c.v), c.cid) = 1)""")
+    body = "WITH " + ",\n".join(cte)
+    if with_labels:
+        return body + """
+SELECT f.cluster, e2.label::BIGINT AS label, count(*)::BIGINT AS n_vecs
+FROM fin f JOIN embeddings e2 ON e2.vec_id = f.vec_id
+GROUP BY 1, 2
+"""
+    return body + "\nSELECT vec_id, cluster FROM fin\n"
+
+
 def _cursor_sql() -> str:
     from nexlt_ray.pipelines import CURSOR_PAGES, CURSOR_PAGE_SIZE
 
@@ -1365,4 +1410,16 @@ c AS (SELECT d.doc_id, count(*)::BIGINT AS n FROM documents d
 SELECT d.doc_id, coalesce(c.n, 0)::BIGINT AS n_overlaps
 FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
 """,
+        "synonym_match_count": f"""
+{_TOK},
+{_syn_values()},
+qids AS (SELECT DISTINCT qid FROM sq)
+SELECT qids.qid, count(DISTINCT tok.doc_id)::BIGINT AS num_found
+FROM qids
+LEFT JOIN sq ON sq.qid = qids.qid
+LEFT JOIN tok ON tok.term = sq.term
+GROUP BY qids.qid
+""",
+        "kmeans_clusters": _kmeans_sql(),
+        "cluster_label_purity": _kmeans_sql(with_labels=True),
     }

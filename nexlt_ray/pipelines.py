@@ -3426,3 +3426,229 @@ def cursor_page_docs(sf_dir: str) -> pa.Table:
             "n_chars": pa.array(rows_c, pa.int64()),
         }
     )
+
+
+# Query-side synonym expansion (reference schema.xml:295-307 applies
+# SynonymFilter at QUERY time only, from conf/synonyms.txt — both its
+# forms: equivalence groups `a,b,c` and explicit mappings `a => b`).
+SYNONYM_GROUPS = (("row", "line"), ("agg", "group"), ("sort", "order"))
+SYNONYM_MAP = {"quick": ("fast",)}
+SYN_QUERIES = ("row table", "agg window", "quick merge", "sort key", "dup spark")
+
+
+def synonym_expansions() -> list[tuple[int, str]]:
+    """(qid, term) clauses of SYN_QUERIES after query-time synonym
+    expansion — single source of truth shared with the oracle SQL."""
+    cls: dict[str, tuple[str, ...]] = {}
+    for g in SYNONYM_GROUPS:
+        for t in g:
+            cls[t] = tuple(g)
+    out = []
+    for qid, q in enumerate(SYN_QUERIES):
+        seen: set[str] = set()
+        for t in tokenize_query(q, profile="simple"):
+            for e in cls.get(t) or SYNONYM_MAP.get(t) or (t,):
+                if e not in seen:
+                    seen.add(e)
+                    out.append((qid, e))
+    return out
+
+
+def synonym_match_count(sf_dir: str) -> pa.Table:
+    """numFound per synonym-expanded query (OR over the expanded clause
+    set): same streaming partial-count shape as match_count_or — per batch
+    one int per query, summed by a scalar aggregate."""
+    qterms = synonym_expansions()
+    terms = sorted({t for _, t in qterms})
+    nq = len(SYN_QUERIES)
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        n = len(batch)
+        hm = _qterm_tf(tb, terms, n) > 0
+        cols = {}
+        for qid in range(nq):
+            any_hit = np.zeros(n, dtype=bool)
+            for q, t in qterms:
+                if q == qid:
+                    any_hit |= hm[terms.index(t)]
+            cols[f"q{qid}"] = pa.array(any_hit.sum(keepdims=True).astype(np.int64))
+        return pa.table(cols)
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(f"q{qid}", alias_name=f"s{qid}") for qid in range(nq)]
+    )
+    return pa.table(
+        {
+            "qid": pa.array(np.arange(nq, dtype=np.int64)),
+            "num_found": pa.array(
+                [int(agg[f"s{q}"]) for q in range(nq)], pa.int64()
+            ),
+        }
+    )
+
+
+# Deterministic distributed k-means (clustering for corpus curation /
+# semantic dedup; the reference ships a Carrot2 ClusteringComponent config
+# under conf/clustering/). Init = embeddings of the K lowest vec_ids;
+# KMEANS_ITERS Lloyd steps; ties to the lowest centroid id.
+KMEANS_K, KMEANS_ITERS = 8, 2
+
+
+def _kmeans_fit(sf_dir: str):
+    """Returns (dataset, final centroids (K, dim) float64). Scale shape:
+    centroids broadcast via ray.put (one object-store copy); each batch
+    emits K partial (count, sum-vector) rows — never per-row data — so the
+    driver reduces K x num_blocks tiny rows per iteration. No shuffle."""
+    import pyarrow.parquet as pqt
+    import ray
+    import ray.data
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ids = pqt.read_table(path, columns=["vec_id"])["vec_id"].to_numpy()
+    k_ids = np.sort(np.partition(ids, KMEANS_K - 1)[:KMEANS_K])
+    seed = pqt.read_table(
+        path, columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", k_ids.tolist())],
+    )
+    order = np.argsort(np.asarray(seed["vec_id"]))
+    cent = np.stack(
+        [np.asarray(seed["embedding"][int(i)].as_py(), dtype=np.float64)
+         for i in order]
+    )
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def assign(V: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # squared distance via expansion; argmin takes the FIRST minimum,
+        # i.e. ties break to the lowest centroid id (matches the oracle's
+        # ORDER BY dist, cid)
+        d2 = (
+            (V * V).sum(axis=1, keepdims=True)
+            - 2.0 * (V @ c.T)
+            + (c * c).sum(axis=1)
+        )
+        return np.argmin(d2, axis=1)
+
+    for _ in range(KMEANS_ITERS):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table, ref=ref) -> pa.Table:
+            import ray as _ray
+
+            c = _ray.get(ref)
+            V = np.stack(
+                batch["embedding"].to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            a = assign(V, c)
+            cnt = np.bincount(a, minlength=KMEANS_K).astype(np.int64)
+            sums = np.zeros((KMEANS_K, V.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, V)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(KMEANS_K, dtype=np.int64)),
+                    "cnt": pa.array(cnt),
+                    "vsum": pa.array(list(sums)),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        cnt = np.zeros(KMEANS_K, dtype=np.int64)
+        sums = np.zeros_like(cent)
+        for r in parts:
+            cnt[int(r["cid"])] += int(r["cnt"])
+            sums[int(r["cid"])] += np.asarray(r["vsum"], dtype=np.float64)
+        nz = cnt > 0
+        # empty clusters keep their previous centroid (same convention as
+        # the oracle's LEFT JOIN + coalesce)
+        cent = np.where(nz[:, None], sums / np.maximum(cnt, 1)[:, None], cent)
+    return ds, cent
+
+
+def kmeans_clusters(sf_dir: str):
+    """Per-vector cluster assignment after KMEANS_ITERS deterministic Lloyd
+    steps over the embedding column. Output (vec_id, cluster)."""
+    import ray
+
+    ds, cent = _kmeans_fit(sf_dir)
+    ref = ray.put(cent)
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        c = _ray.get(ref)
+        V = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        d2 = (
+            (V * V).sum(axis=1, keepdims=True)
+            - 2.0 * (V @ c.T)
+            + (c * c).sum(axis=1)
+        )
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")
+
+
+def cluster_label_purity(sf_dir: str) -> pa.Table:
+    """Contingency counts (cluster, label, n_vecs) between the k-means
+    assignment and the ground-truth label column — the purity/NMI input
+    table for curation QA. The label lookup rides the same batch (no
+    join): assignment and contingency count happen in one pass, partial
+    counts summed by one tiny groupby."""
+    import ray
+    import ray.data
+
+    _, cent = _kmeans_fit(sf_dir)
+    ref = ray.put(cent)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        c = _ray.get(ref)
+        V = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        d2 = (
+            (V * V).sum(axis=1, keepdims=True)
+            - 2.0 * (V @ c.T)
+            + (c * c).sum(axis=1)
+        )
+        a = np.argmin(d2, axis=1).astype(np.int64)
+        lab = np.asarray(batch["label"], dtype=np.int64)
+        key = a * (lab.max(initial=0) + 1) + lab
+        uk, cnt = np.unique(key, return_counts=True)
+        width = lab.max(initial=0) + 1
+        return pa.table(
+            {
+                "cluster": pa.array(uk // width),
+                "label": pa.array(uk % width),
+                "n_p": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cluster", "label"])
+        .aggregate(Sum("n_p", alias_name="n_vecs"))
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "cluster": pa.array(out["cluster"], pa.int64()),
+            "label": pa.array(out["label"], pa.int64()),
+            "n_vecs": pa.array(out["n_vecs"], pa.int64()),
+        }
+    )
