@@ -1598,6 +1598,49 @@ class IndexReader:
                 self._result_cache.popitem(last=False)
         return list(out)
 
+    def search_elevated(
+        self,
+        query: str,
+        elevate: list[int],
+        exclude: list[int] | tuple = (),
+        k: int = 10,
+        mode: str = "OR",
+        lang: str | None = None,
+        filters: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        """Solr QueryElevationComponent analog (the reference ships
+        conf/elevate.xml: per query, pinned doc ids in editorial order plus
+        exclude=\"true\" docs; solrconfig.xml:1351 references the QEC
+        marker transformer). Pinned docs come first in `elevate` order —
+        included even when they don't match the query (forceElevation;
+        score 0.0) — `exclude` docs are removed, and the remainder fills to
+        k by the normal (score desc, doc_id asc) order. A pinned doc
+        outside the organic top-k gets its EXACT score via explain()'s
+        float32 term-order accumulation (identical to search()'s by test)."""
+        pins = [int(d) for d in elevate]
+        drop = set(pins) | {int(d) for d in exclude}
+        # k + |drop| organic hits guarantee k survivors after removal
+        hits = self.search(
+            query, k=k + len(drop), mode=mode, lang=lang, filters=filters
+        )
+        smap = dict(hits)
+        out: list[tuple[int, float]] = []
+        for pid in pins:
+            s = smap.get(pid)
+            if s is None:
+                acc = np.float32(0.0)
+                for e in self.explain(query, pid, lang=lang):
+                    acc = np.float32(acc + np.float32(e["contribution"]))
+                s = float(acc)
+            out.append((pid, s))
+        for d, s in hits:
+            if len(out) >= k:
+                break
+            if d in drop:
+                continue
+            out.append((d, s))
+        return out[:k]
+
     def _search_impl(
         self,
         query: str,
@@ -1891,6 +1934,7 @@ class IndexReader:
         mode: str = "OR",
         lang: str | None = None,
         filters: dict | None = None,
+        cursor: tuple | None = None,
     ) -> pa.Table:
         """Matching docs ordered by one or more doc-meta columns (doc_id
         tie-break), windowed by (start, rows); returns stored fields of the
@@ -1898,6 +1942,15 @@ class IndexReader:
         srclc asc` / `release desc, srclc asc` orderings
         (solrTestLib_v2.js:83-96). numFound rides in the result's schema
         metadata (b"num_found") like Solr's response header.
+
+        `cursor` enables Solr cursorMark deep paging: pass the previous
+        page's b"next_cursor" (a tuple of that page's last sort-key values
+        plus its doc_id — doc_id is the mandatory uniqueKey tie-break that
+        makes the order total) to get the NEXT page; candidates are
+        keyset-filtered per bucket BEFORE the partial top-k, so page P
+        costs the same as page 0 instead of sorting start+rows candidates.
+        Mutually exclusive with `start` (as in Solr). numFound stays the
+        full match count.
 
         Scale discipline: the sort streams one doc bucket at a time — each
         bucket contributes only its partial top-(start+rows) candidates
@@ -1913,6 +1966,11 @@ class IndexReader:
         )
         if len(asc) != len(sort_fields):
             raise ValueError("ascending must match sort_by length")
+        if cursor is not None:
+            if start:
+                raise ValueError("cursor and start are mutually exclusive")
+            if len(cursor) != len(sort_fields) + 1:
+                raise ValueError("cursor must hold one value per sort key + doc_id")
 
         def lex_order(docs_a: np.ndarray, keys_a: list[np.ndarray]) -> np.ndarray:
             # np.lexsort: LAST key is primary -> (doc_id, key_n, ..., key_1);
@@ -1933,6 +1991,19 @@ class IndexReader:
             keys_b = [
                 self._meta_shard(f, b)[local].astype("U") for f in sort_fields
             ]
+            if cursor is not None:
+                # keyset predicate: (keys, doc_id) strictly after the cursor
+                # in the (per-key-direction) total order — vectorized
+                # lexicographic compare, applied BEFORE the partial top-k
+                after = np.zeros(docs_b.size, dtype=bool)
+                eq = np.ones(docs_b.size, dtype=bool)
+                for kb, a, cv in zip(keys_b, asc, cursor[:-1]):
+                    gt = (kb > str(cv)) if a else (kb < str(cv))
+                    after |= eq & gt
+                    eq &= kb == str(cv)
+                after |= eq & (docs_b > int(cursor[-1]))
+                docs_b = docs_b[after]
+                keys_b = [kb[after] for kb in keys_b]
             if docs_b.size > need:
                 order_b = lex_order(docs_b, keys_b)[:need]
                 docs_b = docs_b[order_b]
@@ -1945,16 +2016,21 @@ class IndexReader:
         docs = np.concatenate(cand_docs)
         keys = [np.concatenate(ks) for ks in cand_keys]
         order = lex_order(docs, keys)
-        page = docs[order[start : start + rows]]
+        sel = order[start : start + rows]
+        page = docs[sel]
+        meta = {b"num_found": str(num_found).encode()}
+        if sel.size:
+            import json
+
+            nc = [str(ks[sel[-1]]) for ks in keys] + [int(docs[sel[-1]])]
+            meta[b"next_cursor"] = json.dumps(nc).encode()
         fields = self.doc_fields([int(d) for d in page])
         if fields.num_rows == 0:
-            return fields.replace_schema_metadata(
-                {b"num_found": str(num_found).encode()}
-            )
+            return fields.replace_schema_metadata(meta)
         # doc_fields returns doc_id-ascending; restore the page's sort order
         pos = {int(d): i for i, d in enumerate(fields["doc_id"].to_pylist())}
         out = fields.take(pa.array([pos[int(d)] for d in page]))
-        return out.replace_schema_metadata({b"num_found": str(num_found).encode()})
+        return out.replace_schema_metadata(meta)
 
     # -- shared scoring kernel -----------------------------------------
     def _score_union(

@@ -613,3 +613,62 @@ def test_explain(built_index):
         ze = [row for row in r.explain(q, top[0][0]) if row["tf"] == 0]
         for row in ze:
             assert row["contribution"] == 0.0
+
+
+def test_cursor_paging_matches_offset(built_index):
+    """cursorMark walk == offset paging over a multi-key (desc, asc) sort."""
+    import json
+
+    from nexlt_ray.query import IndexReader
+
+    idx, _ = built_index
+    r = IndexReader(idx)
+    kw = dict(sort_by=["lang", "path"], ascending=[False, True])
+    full = r.search_sorted("parse", rows=10_000, **kw)
+    num_found = int(full.schema.metadata[b"num_found"])
+    assert full.num_rows == num_found > 10
+    got = []
+    cur = None
+    while True:
+        p = r.search_sorted("parse", rows=7, cursor=cur, **kw)
+        if p.num_rows == 0:
+            break
+        got.extend(p["doc_id"].to_pylist())
+        assert int(p.schema.metadata[b"num_found"]) == num_found
+        cur = tuple(json.loads(p.schema.metadata[b"next_cursor"]))
+        if p.num_rows < 7:
+            break
+    assert got == full["doc_id"].to_pylist()
+    # cursor and start are mutually exclusive (Solr contract)
+    with pytest.raises(ValueError):
+        r.search_sorted("parse", rows=7, start=3, cursor=cur, **kw)
+
+
+def test_search_elevated(built_index):
+    from nexlt_ray.query import IndexReader
+
+    idx, manifest = built_index
+    r = IndexReader(idx)
+    q = "parse def"
+    base = r.search(q, k=10)
+    assert len(base) == 10
+    all_hits = r.search(q, k=10**6)
+    hit_ids = {d for d, _ in all_hits}
+    n_docs = int(np.asarray(manifest["doc_offsets"])[-1]) + int(
+        np.asarray(manifest["doc_counts"])[-1]
+    )
+    far = next(d for d in range(n_docs) if d not in hit_ids)  # non-matching
+    pins = [base[5][0], far]
+    excl = [base[0][0]]
+    out = r.search_elevated(q, elevate=pins, exclude=excl, k=10)
+    assert len(out) == 10
+    assert [d for d, _ in out[:2]] == pins
+    assert out[0][1] == base[5][1]  # pinned keeps its organic score
+    assert out[1][1] == 0.0  # forceElevation: non-matching pinned scores 0
+    assert excl[0] not in {d for d, _ in out}
+    organic = [t for t in base if t[0] not in {*pins, *excl}]
+    assert out[2:] == organic[:8]
+    # a pinned doc OUTSIDE the organic top-k surfaces its exact score
+    deep = all_hits[-1]
+    out2 = r.search_elevated(q, elevate=[deep[0]], k=5)
+    assert out2[0] == (deep[0], pytest.approx(deep[1]))
