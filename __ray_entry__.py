@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 84 entries, 75 DuckDB-oracled, ordered so the driver's
+                 85 entries, 76 DuckDB-oracled, ordered so the driver's
                  50-row correctness window is entirely oracled (see the
                  queries() docstring for the ordering contract).
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_match_count": P.synonym_match_count,
         "kmeans_clusters": P.kmeans_clusters,
         "cluster_label_purity": P.cluster_label_purity,
+        "customer_order_counts": P.customer_order_counts,
         # --- rows-only (each pytest-oracled; see module docstring) ---
         "ann_lsh_topk": P.ann_lsh_topk,
         "ann_ivf_topk": P.ann_ivf_topk,
@@ -1422,4 +1423,12 @@ GROUP BY qids.qid
 """,
         "kmeans_clusters": _kmeans_sql(),
         "cluster_label_purity": _kmeans_sql(with_labels=True),
+        "customer_order_counts": """
+SELECT c.c_custkey, c.c_mktsegment,
+       count(o.o_orderkey)::BIGINT AS n_orders,
+       coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)::BIGINT
+           AS total_cents
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+""",
     }

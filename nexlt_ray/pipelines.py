@@ -3652,3 +3652,63 @@ def cluster_label_purity(sf_dir: str) -> pa.Table:
             "n_vecs": pa.array(out["n_vecs"], pa.int64()),
         }
     )
+
+
+def customer_order_counts(sf_dir: str) -> pa.Table:
+    """Left OUTER join surface: every customer with its order count and
+    total spend in cents — zero-order customers kept with zeros (the SQL
+    LEFT JOIN shape the inner/semi/anti family lacked). Orders are
+    pre-aggregated per batch (combiner) before the per-custkey groupby, so
+    the join's right side is one row per customer with orders; the join
+    itself is the partitioned `hash_join(how="left outer")` — one tagged
+    shuffle, Arrow-native group kernel, no broadcast of either side."""
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = np.asarray(batch["o_custkey"], dtype=np.int64)
+        cents = np.round(
+            np.asarray(batch["o_totalprice"], dtype=np.float64) * 100
+        ).astype(np.int64)
+        uk, inv = np.unique(ck, return_inverse=True)
+        return pa.table(
+            {
+                "o_custkey": pa.array(uk),
+                "n_p": pa.array(np.bincount(inv).astype(np.int64)),
+                "cents_p": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n_p", alias_name="n_orders"),
+                   Sum("cents_p", alias_name="total_cents"))
+    )
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    out = hash_join(
+        cust, per_cust, "c_custkey", "o_custkey", how="left outer"
+    ).to_pandas()
+    return pa.table(
+        {
+            "c_custkey": pa.array(out["c_custkey"].astype(np.int64)),
+            "c_mktsegment": pa.array(out["c_mktsegment"], pa.string()),
+            "n_orders": pa.array(
+                out["n_orders"].fillna(0).astype(np.int64)
+            ),
+            "total_cents": pa.array(
+                out["total_cents"].fillna(0).astype(np.int64)
+            ),
+        }
+    )
