@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 85 entries, 76 DuckDB-oracled, ordered so the driver's
+                 86 entries, 76 DuckDB-oracled, ordered so the driver's
                  50-row correctness window is entirely oracled (see the
                  queries() docstring for the ordering contract).
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
@@ -18,7 +18,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  winnowing fingerprints, AllPairs prefix-filter Jaccard
                  oracling the MinHash output, token-window highlighting,
                  stopword-argmax langid); non-SQL ops (WAND/Lucene-float32
-                 scoring, LSH/IVF ANN, multimodal stubs) are rows-only
+                 scoring, LSH/IVF ANN, multimodal decode features) are rows-only
                  checked by design, each with a pytest oracle (rank
                  identity, recall, exactness-vs-brute-force).
 """
@@ -141,9 +141,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_bm25_topk": P.corpus_bm25_topk,
         "corpus_filtered_topk": P.corpus_filtered_topk,
         "corpus_mlt_topk": P.corpus_mlt_topk,
-        # multimodal plumbing (decode stubbed, see nexlt_ray/multimodal.py)
+        # multimodal: REAL stdlib PNG/WAV decode (video stubbed; multimodal.py)
         "media_features": P.media_features,
         "frame_samples": P.frame_samples,
+        "audio_features": P.audio_features,
         # NeXLT translation-unit golden pipeline (reference tools/test.sh shape)
         "tu_golden": _tu_golden,
     }

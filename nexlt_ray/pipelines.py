@@ -3712,3 +3712,20 @@ def customer_order_counts(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def audio_features(sf_dir: str):
+    """Audio decode + feature extraction over REAL PCM WAV payloads
+    (StdlibDecodeBackend: stdlib wave module — no codec library needed)."""
+    import ray.data
+
+    from .multimodal import AudioFeatureExtractor, synthetic_audio_table
+
+    ds = ray.data.from_arrow(synthetic_audio_table(200))
+    return ds.map_batches(
+        AudioFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+        num_cpus=1,
+    )

@@ -894,3 +894,71 @@ def test_unigram_lm_scores_oov_and_empty(ray_session):
     assert out["lm_logprob"][0] == round(lp, 4)
     assert out["lm_logprob"][1] == round(lp, 4)
     assert pd.isna(out["lm_logprob"][2])
+
+
+def test_png_roundtrip_all_filters_and_colortypes():
+    """encode_png -> StdlibDecodeBackend: bit-exact for every scanline
+    filter (0-4) and color type (gray/RGB/RGBA)."""
+    from nexlt_ray.multimodal import StdlibDecodeBackend, encode_png
+
+    be = StdlibDecodeBackend()
+    rng = np.random.default_rng(3)
+    for ft in range(5):
+        gray = rng.integers(0, 256, size=(9, 7), dtype=np.uint8)
+        rgb = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+        rgba = rng.integers(0, 256, size=(9, 7, 4), dtype=np.uint8)
+        assert np.array_equal(
+            be.decode_image(encode_png(gray, ft)), np.repeat(gray[:, :, None], 3, 2)
+        ), f"gray filter {ft}"
+        assert np.array_equal(be.decode_image(encode_png(rgb, ft)), rgb), ft
+        assert np.array_equal(
+            be.decode_image(encode_png(rgba, ft)), rgba[:, :, :3]
+        ), f"rgba filter {ft}"
+
+
+def test_ppm_decode():
+    from nexlt_ray.multimodal import StdlibDecodeBackend
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    payload = b"P6\n# a comment\n6 4\n255\n" + img.tobytes()
+    assert np.array_equal(StdlibDecodeBackend().decode_image(payload), img)
+
+
+def test_wav_roundtrip():
+    from nexlt_ray.multimodal import StdlibDecodeBackend, encode_wav
+
+    t = np.arange(2048) / 16000.0
+    sig = 0.7 * np.sin(2 * np.pi * 440.0 * t)
+    dec = StdlibDecodeBackend().decode_audio(encode_wav(sig))
+    assert dec.dtype == np.float32 and dec.shape == (2048,)
+    assert np.allclose(dec, sig, atol=2.0 / 32768)
+
+
+def test_media_features_real_decode():
+    """The default media pipeline path decodes REAL PNGs: features equal
+    the mean/std of the bit-exact decoded pixels."""
+    from nexlt_ray.multimodal import (
+        ImageFeatureExtractor,
+        StdlibDecodeBackend,
+        synthetic_media_table,
+    )
+
+    tbl = synthetic_media_table(10)
+    out = ImageFeatureExtractor()(tbl)
+    be = StdlibDecodeBackend()
+    for i in range(10):
+        img = be.decode_image(tbl["payload"][i].as_py())
+        exp = np.concatenate(
+            [img.mean(axis=(0, 1)), img.std(axis=(0, 1))]
+        ).astype(np.float32)
+        assert np.allclose(np.asarray(out["feature"][i].as_py()), exp)
+
+
+def test_audio_features_pipeline(ray_session):
+    from nexlt_ray.pipelines import audio_features
+
+    out = audio_features("unused").to_pandas()
+    assert len(out) == 200
+    assert (out["n_samples"] == 1024).all()
+    assert (out["rms"] > 0).all() and (out["peak"] <= 1.0).all()
