@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 86 entries, 76 DuckDB-oracled, ordered so the driver's
+                 87 entries, 77 DuckDB-oracled, ordered so the driver's
                  50-row correctness window is entirely oracled (see the
                  queries() docstring for the ordering contract).
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": P.kmeans_clusters,
         "cluster_label_purity": P.cluster_label_purity,
         "customer_order_counts": P.customer_order_counts,
+        "train_val_split": P.train_val_split,
         # --- rows-only (each pytest-oracled; see module docstring) ---
         "ann_lsh_topk": P.ann_lsh_topk,
         "ann_ivf_topk": P.ann_ivf_topk,
@@ -825,6 +826,21 @@ FROM o WHERE rn // {CURSOR_PAGE_SIZE} IN ({pages})
 """
 
 
+def _split_sql() -> str:
+    from nexlt_ray.pipelines import SPLIT_SPEC
+
+    cases = " ".join(
+        f"WHEN b >= {lo} AND b < {hi} THEN '{name}'"
+        for name, (lo, hi) in SPLIT_SPEC.items()
+    )
+    return f"""
+SELECT doc_id, lang, CASE {cases} ELSE '' END AS split
+FROM (SELECT doc_id, lang,
+             ((doc_id * 2654435761) % 4294967296) % 1000 AS b
+      FROM documents)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "term_df_top100": f"""
@@ -1432,4 +1448,5 @@ SELECT c.c_custkey, c.c_mktsegment,
 FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY 1, 2
 """,
+        "train_val_split": _split_sql(),
     }

@@ -3729,3 +3729,17 @@ def audio_features(sf_dir: str):
         concurrency=2,
         num_cpus=1,
     )
+
+
+# Deterministic train/val/test split spec (hash-bucket ranges over denom
+# 1000; leakage-safe: membership is a pure function of doc_id)
+SPLIT_SPEC = {"train": (0, 900), "val": (900, 950), "test": (950, 1000)}
+
+
+def train_val_split(sf_dir: str):
+    """Per-doc split assignment via `sampling.hash_split` — the
+    training-pipeline split step (same multiplicative id hash as
+    stratified_sample, so splits and samples compose consistently)."""
+    return sampling_ops.hash_split(
+        _documents(sf_dir, ["doc_id", "lang"]), SPLIT_SPEC
+    )

@@ -193,3 +193,31 @@ def balanced_sample(
         return batch.filter(pa.array((h % n_of[inv]) < thr_of[inv]))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def hash_split(
+    ds,
+    boundaries: dict[str, tuple[int, int]],
+    id_col: str = "doc_id",
+    denom: int = 1000,
+):
+    """Deterministic train/val/test assignment: split = the named
+    [lo, hi) bucket-range that hash(id) % denom falls into (leakage-safe:
+    membership is a pure function of the id, so re-runs, re-shards and
+    incremental additions never move a row between splits — the property
+    random splits lose). Pure map, no shuffle. SQL equivalent: CASE over
+    the same multiplicative-hash expression stratified_sample documents."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        h = (
+            _hash_ids(ids) % np.uint64(denom)
+            if ids.size
+            else np.empty(0, np.uint64)
+        )
+        out = np.full(ids.size, "", dtype="U16")
+        for name, (lo, hi) in boundaries.items():
+            out[(h >= lo) & (h < hi)] = name
+        return batch.append_column("split", pa.array(out, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
