@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 87 entries, 77 DuckDB-oracled, ordered so the driver's
+                 88 entries, 77 DuckDB-oracled, ordered so the driver's
                  50-row correctness window is entirely oracled (see the
                  queries() docstring for the ordering contract).
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": P.customer_order_counts,
         "train_val_split": P.train_val_split,
         # --- rows-only (each pytest-oracled; see module docstring) ---
+        "approx_vocab_by_lang": P.approx_vocab_by_lang,
         "ann_lsh_topk": P.ann_lsh_topk,
         "ann_ivf_topk": P.ann_ivf_topk,
         # flagship engine (Lucene-exact scoring; oracle = pytest rank-identity)

@@ -3743,3 +3743,56 @@ def train_val_split(sf_dir: str):
     return sampling_ops.hash_split(
         _documents(sf_dir, ["doc_id", "lang"]), SPLIT_SPEC
     )
+
+
+def approx_vocab_by_lang(sf_dir: str, p: int = 12) -> pa.Table:
+    """Approximate per-language distinct-term counts via a mergeable
+    HyperLogLog sketch (Flajolet et al. 2007) — the production answer to
+    vocab_stats_by_lang's exact (lang, term) groupby when the vocabulary
+    is 10^8-10^9 terms: the exact plan shuffles the full vocabulary; this
+    plan ships one 2^p-byte register array per (lang, batch) and never
+    shuffles a term. Per batch: hash terms (same splitmix64 string hash
+    the joins use), max-fold into per-lang registers; driver max-merges
+    #langs x #blocks tiny rows and estimates. Accuracy ~1.04/sqrt(2^p)
+    (1.6% at p=12), verified in tests against the exact operator."""
+    from .joins import _string_hashes
+    from .textstats import hll_estimate, hll_registers
+
+    ds = _documents(sf_dir, ["doc_id", "text", "lang"])
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        if tb.terms.size == 0:
+            return pa.table(
+                {"lang": pa.array([], pa.string()),
+                 "regs": pa.array([], pa.binary())}
+            )
+        langs = np.asarray(batch["lang"].to_pylist(), dtype="U")
+        h = _string_hashes(pa.array(tb.terms, pa.string()))
+        tok_lang = langs[tb.doc_idx]
+        lang_u, lang_inv = np.unique(tok_lang, return_inverse=True)
+        out_l, out_r = [], []
+        for li, lu in enumerate(lang_u):
+            out_l.append(str(lu))
+            out_r.append(hll_registers(h[lang_inv == li], p=p).tobytes())
+        return pa.table(
+            {"lang": pa.array(out_l, pa.string()),
+             "regs": pa.array(out_r, pa.binary())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged: dict[str, np.ndarray] = {}
+    for r in parts:
+        regs = np.frombuffer(r["regs"], dtype=np.uint8)
+        cur = merged.get(r["lang"])
+        merged[r["lang"]] = regs if cur is None else np.maximum(cur, regs)
+    langs = sorted(merged)
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "approx_distinct_terms": pa.array(
+                [hll_estimate(merged[lg]) for lg in langs], pa.int64()
+            ),
+        }
+    )

@@ -529,3 +529,47 @@ def unigram_lm_scores(
     return docs.map_batches(
         Score, batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=1
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate distinct (Flajolet-Fuchs-Gandouet-Meunier 2007)
+# ---------------------------------------------------------------------------
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (successive halving, exact — no
+    float log2, which loses integers past 2^53)."""
+    x = x.copy()
+    bl = np.zeros(x.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(s))
+        bl[big] += s
+        x[big] >>= np.uint64(s)
+    bl[x > 0] += 1
+    return bl
+
+
+def hll_registers(hashes: np.ndarray, p: int = 12) -> np.ndarray:
+    """One HLL register array (2^p uint8) from 64-bit hashes: bucket = top
+    p bits, rank = leading-zeros-of-suffix + 1. Mergeable by elementwise
+    max — the property that makes the sketch a pure per-batch partial."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if hashes.size == 0:
+        return regs
+    bucket = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    w = hashes & ((np.uint64(1) << np.uint64(64 - p)) - np.uint64(1))
+    rank = (64 - p) - _bit_length_u64(w) + 1  # w == 0 -> (64-p)+1
+    np.maximum.at(regs, bucket, rank.astype(np.uint8))
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    """Cardinality estimate with the standard small-range (linear
+    counting) correction."""
+    m = regs.size
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    if e <= 2.5 * m:
+        v = int(np.count_nonzero(regs == 0))
+        if v > 0:
+            e = m * np.log(m / v)
+    return int(round(e))

@@ -962,3 +962,32 @@ def test_audio_features_pipeline(ray_session):
     assert len(out) == 200
     assert (out["n_samples"] == 1024).all()
     assert (out["rms"] > 0).all() and (out["peak"] <= 1.0).all()
+
+
+def test_hll_accuracy_large_cardinality():
+    from nexlt_ray.joins import _mix64
+    from nexlt_ray.textstats import hll_estimate, hll_registers
+
+    for n in (1_000, 50_000, 1_000_000):
+        h = _mix64(np.arange(n, dtype=np.uint64))
+        est = hll_estimate(hll_registers(h))
+        assert abs(est - n) / n < 0.05, (n, est)
+    # mergeability: union of two halves == whole
+    h = _mix64(np.arange(100_000, dtype=np.uint64))
+    a, b = hll_registers(h[:60_000]), hll_registers(h[40_000:])
+    assert hll_estimate(np.maximum(a, b)) == hll_estimate(hll_registers(h))
+
+
+def test_approx_vocab_matches_exact(ray_session):
+    from nexlt_ray.pipelines import approx_vocab_by_lang, vocab_stats_by_lang
+
+    sf_dir = "/root/testdata/sf0.001"
+    approx = approx_vocab_by_lang(sf_dir).to_pandas().set_index("lang")
+    exact = vocab_stats_by_lang(sf_dir)
+    if hasattr(exact, "to_pandas"):
+        exact = exact.to_pandas()
+    exact = exact.set_index("lang")
+    for lg in exact.index:
+        e = int(exact.loc[lg, "n_distinct_terms"])
+        a = int(approx.loc[lg, "approx_distinct_terms"])
+        assert abs(a - e) <= max(2, 0.05 * e), (lg, a, e)
