@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 88 entries, 77 DuckDB-oracled, ordered so the driver's
+                 89 entries, 78 DuckDB-oracled, ordered so the driver's
                  50-row correctness window is entirely oracled (see the
                  queries() docstring for the ordering contract).
   oracle_sql() — DuckDB-equivalent SQL per query where SQL-expressible
@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_label_purity": P.cluster_label_purity,
         "customer_order_counts": P.customer_order_counts,
         "train_val_split": P.train_val_split,
+        "funnel_counts": P.funnel_counts,
         # --- rows-only (each pytest-oracled; see module docstring) ---
         "approx_vocab_by_lang": P.approx_vocab_by_lang,
         "ann_lsh_topk": P.ann_lsh_topk,
@@ -827,6 +828,28 @@ FROM o WHERE rn // {CURSOR_PAGE_SIZE} IN ({pages})
 """
 
 
+def _funnel_sql() -> str:
+    from nexlt_ray.pipelines import FUNNEL_STAGES, FUNNEL_WINDOW_US
+
+    w_h = FUNNEL_WINDOW_US // 3_600_000_000
+    cte = [
+        "e AS (SELECT user_id, ts, event_type FROM events)",
+        f"s1 AS (SELECT user_id, ts FROM e WHERE event_type = '{FUNNEL_STAGES[0]}')",
+    ]
+    for k, stage in enumerate(FUNNEL_STAGES[1:], start=2):
+        cte.append(f"""s{k} AS (
+  SELECT DISTINCT e.user_id, e.ts FROM e
+  JOIN s{k - 1} p ON p.user_id = e.user_id
+  WHERE e.event_type = '{stage}' AND e.ts > p.ts
+    AND e.ts <= p.ts + INTERVAL {w_h} HOUR)""")
+    selects = "\nUNION ALL ".join(
+        f"SELECT {k}::BIGINT AS stage, "
+        f"(SELECT count(DISTINCT user_id) FROM s{k})::BIGINT AS n_users"
+        for k in range(1, len(FUNNEL_STAGES) + 1)
+    )
+    return "WITH " + ",\n".join(cte) + "\n" + selects
+
+
 def _split_sql() -> str:
     from nexlt_ray.pipelines import SPLIT_SPEC
 
@@ -1450,4 +1473,5 @@ FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY 1, 2
 """,
         "train_val_split": _split_sql(),
+        "funnel_counts": _funnel_sql(),
     }

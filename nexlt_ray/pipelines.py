@@ -3796,3 +3796,94 @@ def approx_vocab_by_lang(sf_dir: str, p: int = 12) -> pa.Table:
             ),
         }
     )
+
+
+# Funnel analysis spec: ordered stages, each step within FUNNEL_WINDOW_US
+# of SOME completion of the previous stage (existence semantics — pinned
+# identically in the DuckDB oracle's step joins)
+FUNNEL_STAGES = ("signup", "view", "purchase")
+FUNNEL_WINDOW_US = 6 * 3600 * 1_000_000  # 6 hours
+
+
+def funnel_counts(sf_dir: str) -> pa.Table:
+    """Sequential-pattern (funnel) analysis over events: how many users
+    complete each stage prefix signup -> view -> purchase, each step
+    within 6 h of some completion of the previous stage. One shuffle
+    (hash-partition by user), then a vectorized per-user DP: stage-k
+    completion times = stage-k events with ANY stage-(k-1) completion in
+    (t - W, t), found by two searchsorteds against the sorted previous-
+    stage times — per-user work is O(events log events), never pairwise.
+    Output (stage, n_users)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+    def keep_stages(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(
+                batch["event_type"], value_set=pa.array(list(FUNNEL_STAGES))
+            )
+        )
+
+    ds = ds.map_batches(keep_stages, batch_format="pyarrow")
+
+    def user_stage(g: pa.Table) -> pa.Table:
+        ts = (
+            g["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        et = np.asarray(g["event_type"].to_pylist(), dtype="U16")
+        order = np.argsort(ts, kind="stable")
+        ts, et = ts[order], et[order]
+        prev = np.sort(ts[et == FUNNEL_STAGES[0]])
+        depth = 1 if prev.size else 0
+        for k, stage in enumerate(FUNNEL_STAGES[1:], start=2):
+            if prev.size == 0:
+                break
+            cand = np.sort(ts[et == stage])
+            lo = np.searchsorted(prev, cand - FUNNEL_WINDOW_US, side="left")
+            hi = np.searchsorted(prev, cand, side="left")
+            prev = cand[hi > lo]
+            if prev.size:
+                depth = k
+        return pa.table(
+            {
+                "user_id": pa.array([int(g["user_id"][0].as_py())], pa.int64()),
+                "depth": pa.array([np.int64(depth)]),
+            }
+        )
+
+    per_user = ds.groupby("user_id").map_groups(
+        user_stage, batch_format="pyarrow"
+    )
+
+    def depth_hist(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["depth"], dtype=np.int64)
+        counts = [
+            np.int64((d >= s).sum()) for s in range(1, len(FUNNEL_STAGES) + 1)
+        ]
+        return pa.table(
+            {f"s{s}": pa.array([c]) for s, c in zip(
+                range(1, len(FUNNEL_STAGES) + 1), counts)}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = per_user.map_batches(depth_hist, batch_format="pyarrow").aggregate(
+        *[Sum(f"s{s}", alias_name=f"n{s}")
+          for s in range(1, len(FUNNEL_STAGES) + 1)]
+    )
+    return pa.table(
+        {
+            "stage": pa.array(
+                np.arange(1, len(FUNNEL_STAGES) + 1, dtype=np.int64)
+            ),
+            "n_users": pa.array(
+                [int(agg[f"n{s}"]) for s in range(1, len(FUNNEL_STAGES) + 1)],
+                pa.int64(),
+            ),
+        }
+    )
