@@ -135,6 +135,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": P.customer_order_counts,
         "train_val_split": P.train_val_split,
         "funnel_counts": P.funnel_counts,
+        "chunked_docs": P.chunked_docs,
+        "heavy_hitters_terms": P.heavy_hitters_terms,
+        "retention_cohorts": P.retention_cohorts,
+        "window_distinct_users": P.window_distinct_users,
         # --- rows-only (each pytest-oracled; see module docstring) ---
         "approx_vocab_by_lang": P.approx_vocab_by_lang,
         "ann_lsh_topk": P.ann_lsh_topk,
@@ -1474,4 +1478,37 @@ GROUP BY 1, 2
 """,
         "train_val_split": _split_sql(),
         "funnel_counts": _funnel_sql(),
+        "chunked_docs": r"""
+WITH n AS (SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS n
+           FROM documents),
+c AS (SELECT doc_id, n,
+             1 + CASE WHEN n > 32 THEN (n - 32 + 23) // 24 ELSE 0 END AS k
+      FROM n WHERE n > 0),
+g AS (SELECT doc_id, n, unnest(generate_series(0, k - 1)) AS g FROM c)
+SELECT doc_id, g::BIGINT AS chunk_idx,
+       (g * 24)::BIGINT AS start_tok,
+       least(g * 24 + 32, n)::BIGINT AS end_tok,
+       (least(g * 24 + 32, n) - g * 24)::BIGINT AS n_chunk_tokens
+FROM g
+""",
+        "heavy_hitters_terms": f"""
+{_TOK}
+SELECT term, count(*)::BIGINT AS cf FROM tok
+GROUP BY term ORDER BY cf DESC, term LIMIT 25
+""",
+        "retention_cohorts": """
+WITH w AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 604800000000 AS week FROM events),
+f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+SELECT f.cohort_week::BIGINT AS cohort_week,
+       (w.week - f.cohort_week)::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM w JOIN f USING (user_id)
+GROUP BY 1, 2
+""",
+        "window_distinct_users": """
+SELECT (epoch_us(ts) // 3600000000)::BIGINT AS window_id,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1
+""",
     }

@@ -102,3 +102,53 @@ def pack_sequences(
     return tok.groupby("__bucket").map_groups(
         scan_bucket, batch_format="pyarrow"
     )
+
+
+def chunk_spans(
+    docs,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Context-window chunking with overlap (the other standard pretraining
+    layout, complementing pack_sequences): each document is cut into spans
+    of `window` whitespace tokens starting every `stride` tokens, the last
+    span clipped to the doc end. Emits (id, chunk_idx, start_tok, end_tok,
+    n_chunk_tokens) -- a doc with n tokens yields
+    1 + ceil(max(n - window, 0) / stride) chunks (n > 0).
+
+    Pure map, no shuffle: the span arithmetic is a per-batch numpy
+    repeat/arange expansion over the vectorized token counts (the token
+    stream itself is never materialized), so the stage streams at any
+    corpus size. All-integer output (DuckDB oracle: generate_series over
+    the same count expression)."""
+    import pyarrow.compute as pc
+
+    assert window > 0 and stride > 0
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(batch[text_col], r"\S+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        k = np.where(
+            n > 0, 1 + (np.maximum(n - window, 0) + stride - 1) // stride, 0
+        ).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(n), dtype=np.int64), k)
+        # chunk_idx within each doc: global arange minus each doc's base
+        base = np.concatenate([[0], np.cumsum(k)[:-1]])
+        cidx = np.arange(int(k.sum()), dtype=np.int64) - base[doc_of]
+        start = cidx * stride
+        end = np.minimum(start + window, n[doc_of])
+        return pa.table(
+            {
+                id_col: pa.array(ids[doc_of], pa.int64()),
+                "chunk_idx": pa.array(cidx),
+                "start_tok": pa.array(start),
+                "end_tok": pa.array(end),
+                "n_chunk_tokens": pa.array(end - start),
+            }
+        )
+
+    return docs.map_batches(expand, batch_format="pyarrow")

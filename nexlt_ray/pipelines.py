@@ -3887,3 +3887,154 @@ def funnel_counts(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data chunking, sketch-accelerated top terms, cohort analytics
+# ---------------------------------------------------------------------------
+def chunked_docs(sf_dir: str):
+    """Context-window chunk spans (window=32, stride=24 whitespace tokens)
+    over `documents` -- the sliding-window pretraining layout. Pure map, no
+    shuffle (see packing.chunk_spans)."""
+    from .packing import chunk_spans
+
+    return chunk_spans(_documents(sf_dir, ["doc_id", "text"]), 32, 24)
+
+
+def heavy_hitters_terms(sf_dir: str) -> pa.Table:
+    """Exact top-25 terms by collection frequency via the Misra-Gries
+    bounded-width sketch + exact candidate recount (textstats.
+    heavy_hitters_exact_topk): every batch ships <= sketch_k summary rows
+    instead of one row per distinct term, and the recount pass makes the
+    result exact (guarantee asserted). The scale path for term_df_top100's
+    regime when the vocabulary itself is shuffle-dominant."""
+    from .textstats import heavy_hitters_exact_topk
+
+    return heavy_hitters_exact_topk(
+        _documents(sf_dir, ["doc_id", "text"]), k_out=25, sketch_k=256
+    )
+
+
+def _events_week(sf_dir: str, columns):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=columns
+    )
+
+
+WEEK_US = 7 * 86400 * 1_000_000
+
+
+def retention_cohorts(sf_dir: str) -> pa.Table:
+    """Weekly cohort retention matrix over `events`: cohort = epoch-week of
+    a user's first event; for every (cohort_week, week_offset) count the
+    DISTINCT users from that cohort active that week. The standard
+    large-scale product-analytics rollup.
+
+    Scale plan: (1) per-batch partial min-week per user -> groupby min
+    (first-touch table, one row per user, stays distributed); (2) per-batch
+    DISTINCT (user, week) pairs -> groupby count (global pair dedup);
+    (3) the two user-keyed Datasets meet in ONE partitioned hash_join (both
+    sides large -- no broadcast of the user dimension); (4) per-batch
+    partial counts per (cohort_week, offset) -> tiny final groupby. Every
+    shuffle is user- or cell-keyed; nothing is corpus-sized on the driver.
+    All-integer output."""
+    from .joins import hash_join
+    from ray.data.aggregate import Min, Sum
+
+    ds = _events_week(sf_dir, ["ts", "user_id"])
+
+    def week_pairs(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        week = pc.divide(us, WEEK_US)
+        t = pa.table({"user_id": batch["user_id"], "week": week})
+        g = pa.TableGroupBy(t, ["user_id", "week"]).aggregate([([], "count_all")])
+        return g.select(["user_id", "week"])
+
+    pairs = (
+        ds.map_batches(week_pairs, batch_format="pyarrow")
+        .groupby(["user_id", "week"])
+        .count()
+        .select_columns(["user_id", "week"])
+    )
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, "user_id").aggregate([("week", "min")])
+        return g.rename_columns(["user_id", "w_p"])
+
+    first = (
+        pairs.map_batches(first_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("w_p", alias_name="cohort_week"))
+    )
+
+    joined = hash_join(pairs, first, "user_id", "user_id")
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        cw = np.asarray(batch["cohort_week"], dtype=np.int64)
+        off = np.asarray(batch["week"], dtype=np.int64) - cw
+        t = pa.table(
+            {"cohort_week": pa.array(cw), "week_offset": pa.array(off)}
+        )
+        g = pa.TableGroupBy(t, ["cohort_week", "week_offset"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["cohort_week", "week_offset", "n_p"])
+
+    agg = (
+        joined.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_p", alias_name="n_users"))
+    )
+    df = agg.to_pandas()
+    return pa.table(
+        {
+            "cohort_week": pa.array(df["cohort_week"].astype(np.int64)),
+            "week_offset": pa.array(df["week_offset"].astype(np.int64)),
+            "n_users": pa.array(df["n_users"].astype(np.int64)),
+        }
+    )
+
+
+def window_distinct_users(sf_dir: str) -> pa.Table:
+    """Distinct users per 1-hour tumbling window -- the windowed
+    COUNT(DISTINCT) every streaming engine special-cases. Exact two-phase
+    plan: per-batch DISTINCT (window, user) pairs (bounded partial), one
+    pair-keyed groupby for global dedup, then per-batch partial counts per
+    window + a window-keyed groupby sum. The shuffle carries deduped pairs,
+    never raw events; nothing driver-sized until the final per-window rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _events_week(sf_dir, ["ts", "user_id"])
+    win_us = 3600 * 1_000_000
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        win = pc.divide(us, win_us)
+        t = pa.table({"window_id": win, "user_id": batch["user_id"]})
+        g = pa.TableGroupBy(t, ["window_id", "user_id"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.select(["window_id", "user_id"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, "window_id").aggregate([([], "count_all")])
+        return g.rename_columns(["window_id", "n_p"])
+
+    agg = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["window_id", "user_id"])
+        .count()
+        .select_columns(["window_id", "user_id"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("window_id")
+        .aggregate(Sum("n_p", alias_name="n_users"))
+    )
+    df = agg.to_pandas()
+    return pa.table(
+        {
+            "window_id": pa.array(df["window_id"].astype(np.int64)),
+            "n_users": pa.array(df["n_users"].astype(np.int64)),
+        }
+    )

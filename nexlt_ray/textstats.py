@@ -573,3 +573,138 @@ def hll_estimate(regs: np.ndarray) -> int:
         if v > 0:
             e = m * np.log(m / v)
     return int(round(e))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (Misra & Gries 1982; mergeable per Agarwal et
+# al., "Mergeable Summaries", PODS 2012) + exact recount verification.
+# Scale rationale: the exact top-k-by-frequency plan (term_df_top100) must
+# shuffle one partial row per DISTINCT TERM PER BATCH -- at 100 TB the term
+# shuffle is vocabulary-sized. The MG summary caps every batch's
+# contribution at `sketch_k` rows regardless of vocabulary, and the final
+# exact recount touches only the provably-sufficient candidate set, so the
+# output is EXACT (asserted), not approximate.
+# ---------------------------------------------------------------------------
+def mg_truncate(terms, counts: np.ndarray, k: int):
+    """Truncate an exact (terms, counts) frequency table to a Misra-Gries
+    summary of <= k counters: subtract the (k+1)-th largest count `d` from
+    every counter and keep the strictly-positive ones. Returns
+    (terms, counts, d). Invariants: every surviving count is a LOWER bound
+    on the input count; any dropped term's input count is <= d; summing a
+    term's counts across summaries under-estimates its true total by at
+    most the sum of all `d`s (the mergeable-summaries bound)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    if len(counts) <= k:
+        return terms, counts, 0
+    d = int(np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1])
+    keep = counts > d
+    return terms.filter(pa.array(keep)), counts[keep] - d, d
+
+ERR_SENTINEL = ""  # the simple tokenizer never emits an empty term
+
+
+def heavy_hitters_exact_topk(
+    docs, k_out: int = 25, sketch_k: int = 256, text_col: str = "text"
+) -> pa.Table:
+    """Exact global top-`k_out` terms by collection frequency via a
+    bounded-width Misra-Gries sketch + exact candidate recount.
+
+    Plan: (1) per-batch exact counts truncated to `sketch_k` MG counters
+    (error mass carried as an ERR_SENTINEL row, so the whole summary is
+    one mergeable Arrow table); (2) groupby-sum merge, then a per-block
+    re-truncation keeps the merged summary bounded at any corpus size;
+    (3) candidate set R = terms whose upper bound (count + total error)
+    could reach rank k_out; (4) one more streaming pass recounts R exactly
+    (pc.index_in against the broadcast candidate list -- rows per batch
+    <= |R|); (5) the MG guarantee `exact k-th count > total error` is
+    ASSERTED, making the returned top-k exact, not approximate.
+    Reference seam: the TermsComponent-style term report
+    (solrconfig.xml /terms) at vocabularies where the exact shuffle is
+    the bottleneck."""
+    def partial(batch: pa.Table) -> pa.Table:
+        vocab, codes, _ = _simple_tokens_encoded(batch[text_col])
+        cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        terms, cnts, d = mg_truncate(vocab, cnt, sketch_k)
+        return pa.table(
+            {
+                "term": pa.concat_arrays(
+                    [terms.cast(pa.string()), pa.array([ERR_SENTINEL], pa.string())]
+                ),
+                "c_p": pa.array(np.concatenate([cnts, [d]]), pa.int64()),
+            }
+        )
+
+    def retruncate(batch: pa.Table) -> pa.Table:
+        # keep the merged summary <= sketch_k rows per block: hierarchical
+        # MG merge (summaries of summaries stay summaries)
+        is_err = pc.equal(batch["term"], ERR_SENTINEL)
+        err = pc.sum(batch.filter(is_err)["c"]).as_py() or 0
+        rest = batch.filter(pc.invert(is_err))
+        terms, cnts, d = mg_truncate(
+            rest["term"].combine_chunks(),
+            rest["c"].to_numpy(zero_copy_only=False),
+            sketch_k,
+        )
+        return pa.table(
+            {
+                "term": pa.concat_arrays(
+                    [terms.cast(pa.string()), pa.array([ERR_SENTINEL], pa.string())]
+                ),
+                "c_p": pa.array(np.concatenate([cnts, [err + d]]), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c_p", alias_name="c"))
+        .map_batches(retruncate, batch_format="pyarrow")
+        .to_pandas()
+    )
+    err_total = int(merged.loc[merged["term"] == ERR_SENTINEL, "c_p"].sum())
+    cand = merged[merged["term"] != ERR_SENTINEL]
+    if len(cand) == 0:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "cf": pa.array([], pa.int64())})
+    lb = cand["c_p"].to_numpy()
+    k_eff = min(k_out, len(cand))
+    l_k = np.partition(lb, len(lb) - k_eff)[len(lb) - k_eff]
+    r_terms = cand.loc[lb + err_total >= l_k, "term"].tolist()
+
+    cand_arr = pa.array(sorted(r_terms), pa.string())
+
+    def recount(batch: pa.Table) -> pa.Table:
+        vocab, codes, _ = _simple_tokens_encoded(batch[text_col])
+        cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        ridx = pc.index_in(vocab, value_set=cand_arr)
+        rcodes = ridx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = rcodes >= 0
+        out = np.zeros(len(cand_arr), dtype=np.int64)
+        np.add.at(out, rcodes[hit], cnt[hit])
+        nz = out > 0
+        return pa.table(
+            {"term": cand_arr.filter(pa.array(nz)), "c_p": pa.array(out[nz])}
+        )
+
+    exact = (
+        docs.map_batches(recount, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c_p", alias_name="cf"))
+        .to_pandas()
+    )
+    exact = exact.sort_values(["cf", "term"], ascending=[False, True]).head(k_out)
+    kth = int(exact["cf"].iloc[-1])
+    # MG exactness guarantee: any term outside R has true cf <= err_total
+    # (absent) or cf < l_k <= kth (present-but-pruned upper bound)
+    assert kth > err_total, (
+        f"MG guarantee violated (kth={kth} <= err={err_total}): "
+        f"raise sketch_k={sketch_k} for this distribution"
+    )
+    return pa.table(
+        {
+            "term": pa.array(exact["term"].tolist(), pa.string()),
+            "cf": pa.array(exact["cf"].to_numpy().astype(np.int64)),
+        }
+    )

@@ -991,3 +991,70 @@ def test_approx_vocab_matches_exact(ray_session):
         e = int(exact.loc[lg, "n_distinct_terms"])
         a = int(approx.loc[lg, "approx_distinct_terms"])
         assert abs(a - e) <= max(2, 0.05 * e), (lg, a, e)
+
+
+def test_mg_truncate_invariants():
+    # exact table smaller than k passes through untouched
+    terms = pa.array([f"t{i}" for i in range(5)])
+    cnts = np.array([10, 9, 8, 7, 6], dtype=np.int64)
+    t2, c2, d = T.mg_truncate(terms, cnts, 8)
+    assert d == 0 and list(c2) == list(cnts)
+    # truncation: survivors decremented by the (k+1)-th largest; every
+    # surviving count remains a lower bound; <= k survive
+    cnts = np.arange(1, 21, dtype=np.int64)  # 1..20
+    terms = pa.array([f"t{i:02d}" for i in range(20)])
+    t2, c2, d = T.mg_truncate(terms, cnts, 4)
+    assert d == 16  # 5th largest of 1..20
+    assert len(c2) <= 4 and (c2 > 0).all()
+    kept = dict(zip(t2.to_pylist(), c2))
+    for name, lb in kept.items():
+        assert lb <= cnts[int(name[1:])]
+
+
+def test_heavy_hitters_exact_under_forced_decrements(ray_session):
+    # vocabulary (600 terms) far exceeds sketch_k=32 per-batch counters and
+    # the corpus spreads over many small batches -> decrements fire, yet
+    # the recount pass must return the EXACT top-k
+    import ray.data
+    from collections import Counter
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:03d}" for i in range(600)]
+    # Zipf-ish: term i has weight 1/(i+1)
+    w = 1.0 / (np.arange(600) + 1.0)
+    w /= w.sum()
+    docs, exact = [], Counter()
+    for d in range(400):
+        toks = rng.choice(vocab, size=40, p=w)
+        exact.update(toks)
+        docs.append({"doc_id": d, "text": " ".join(toks)})
+    ds = ray.data.from_items(docs).repartition(16)
+    got = T.heavy_hitters_exact_topk(ds, k_out=10, sketch_k=32)
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["term"].to_pylist(), got["cf"].to_pylist())) == [
+        (t, c) for t, c in want
+    ]
+
+
+def test_chunk_spans_edges(ray_session):
+    import ray.data
+    from nexlt_ray.packing import chunk_spans
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": ""},              # 0 tokens -> no chunks
+            {"doc_id": 1, "text": "a b c"},          # n < window -> 1 chunk
+            {"doc_id": 2, "text": " ".join(["x"] * 32)},  # n == window -> 1
+            {"doc_id": 3, "text": " ".join(["x"] * 33)},  # n = W+1 -> 2
+            {"doc_id": 4, "text": " ".join(["x"] * 80)},  # 1+ceil(48/24)=3
+        ]
+    )
+    out = chunk_spans(docs, window=32, stride=24).to_pandas()
+    per = out.groupby("doc_id").size().to_dict()
+    assert per == {1: 1, 2: 1, 3: 2, 4: 3}
+    d4 = out[out.doc_id == 4].sort_values("chunk_idx")
+    assert list(d4.start_tok) == [0, 24, 48]
+    assert list(d4.end_tok) == [32, 56, 80]
+    assert (d4.n_chunk_tokens == d4.end_tok - d4.start_tok).all()
+    d3 = out[out.doc_id == 3].sort_values("chunk_idx")
+    assert list(d3.end_tok) == [32, 33]
