@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": P.funnel_counts,
         "chunked_docs": P.chunked_docs,
         "heavy_hitters_terms": P.heavy_hitters_terms,
+        "textrank_keywords": P.textrank_keywords,
         "retention_cohorts": P.retention_cohorts,
         "window_distinct_users": P.window_distinct_users,
         # --- rows-only (each pytest-oracled; see module docstring) ---
@@ -869,6 +870,42 @@ FROM (SELECT doc_id, lang,
 """
 
 
+def _textrank_sql() -> str:
+    from nexlt_ray.pipelines import TEXTRANK_ITERS, TEXTRANK_S0
+
+    base = 15 * TEXTRANK_S0 // 100
+    its, prev = [], "s0"
+    for i in range(1, TEXTRANK_ITERS + 1):
+        its.append(
+            f"s{i} AS (SELECT ed.dst AS term, "
+            f"({base} + sum((s.score * ed.w * 85) // (100 * ed.wdeg)))::BIGINT "
+            f"AS score FROM ed JOIN {prev} s ON s.term = ed.src GROUP BY ed.dst)"
+        )
+        prev = f"s{i}"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS toks
+  FROM documents),
+p AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+  FROM t),
+e0 AS (
+  SELECT least(a.tok, b.tok) AS t1, greatest(a.tok, b.tok) AS t2,
+         count(*)::BIGINT AS w
+  FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 3
+  GROUP BY 1, 2),
+eu AS (SELECT t1 AS src, t2 AS dst, w FROM e0
+       UNION ALL SELECT t2, t1, w FROM e0),
+deg AS (SELECT src, sum(w)::BIGINT AS wdeg FROM eu GROUP BY src),
+ed AS (SELECT eu.src, eu.dst, eu.w, deg.wdeg FROM eu JOIN deg USING (src)),
+s0 AS (SELECT src AS term, {TEXTRANK_S0}::BIGINT AS score FROM deg),
+{", ".join(its)}
+SELECT term, score FROM {prev} ORDER BY score DESC, term LIMIT 20
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "term_df_top100": f"""
@@ -1511,4 +1548,5 @@ SELECT (epoch_us(ts) // 3600000000)::BIGINT AS window_id,
        count(DISTINCT user_id)::BIGINT AS n_users
 FROM events GROUP BY 1
 """,
+        "textrank_keywords": _textrank_sql(),
     }

@@ -248,6 +248,71 @@ def bigram_top50(sf_dir: str) -> pa.Table:
 COOCCUR_WINDOW = 3
 
 
+_COOCCUR_EMPTY = pa.table(
+    {
+        "t1": pa.array([], pa.string()),
+        "t2": pa.array([], pa.string()),
+        "n_p": pa.array([], pa.int64()),
+    }
+)
+
+
+def _cooccur_pair_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial counts of unordered term pairs co-occurring
+    within a forward window of COOCCUR_WINDOW tokens: shifted-index pair
+    expansion + dictionary-encode bincount. Shared by cooccur_top50 and
+    textrank_keywords (same edge definition, same oracle SQL shape)."""
+    empty = _COOCCUR_EMPTY
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    parts = pc.split_pattern_regex(pc.utf8_lower(text), pattern="[^a-z0-9]+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = parts.values
+    if len(flat) == 0:
+        return empty
+    offs = _offsets_of(parts)
+    doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), np.diff(offs))
+    ne = (
+        pc.greater(pc.utf8_length(flat), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)
+    )
+    toks = flat.filter(pa.array(ne))
+    d = doc_of[ne]
+    lidx, ridx = [], []
+    for k in range(1, COOCCUR_WINDOW + 1):
+        if len(toks) <= k:
+            break
+        same = np.flatnonzero(d[k:] == d[:-k])
+        lidx.append(same)
+        ridx.append(same + k)
+    if not lidx:
+        return empty
+    left = toks.take(pa.array(np.concatenate(lidx)))
+    right = toks.take(pa.array(np.concatenate(ridx)))
+    # fold to unordered pairs: (min, max) by string order
+    swap = pc.greater(left, right)
+    t1 = pc.if_else(swap, right, left)
+    t2 = pc.if_else(swap, left, right)
+    denc = pc.dictionary_encode(pc.binary_join_element_wise(t1, t2, "\x00"))
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    cnt = np.bincount(
+        np.asarray(denc.indices, dtype=np.int64),
+        minlength=len(denc.dictionary),
+    )
+    both = pc.split_pattern(denc.dictionary, "\x00")
+    return pa.table(
+        {
+            "t1": pc.list_element(both, 0),
+            "t2": pc.list_element(both, 1),
+            "n_p": pa.array(cnt.astype(np.int64)),
+        }
+    )
+
+
 def cooccur_top50(sf_dir: str) -> pa.Table:
     """Top 50 unordered term pairs co-occurring within a forward window of
     COOCCUR_WINDOW tokens (n desc, t1 asc, t2 asc) — collocation /
@@ -257,68 +322,11 @@ def cooccur_top50(sf_dir: str) -> pa.Table:
     bigram_top50: per-batch shifted-pair bincount -> pair groupby Sum ->
     per-block exact top-k merge."""
     ds = _documents(sf_dir, ["doc_id", "text"])
-    empty = pa.table(
-        {
-            "t1": pa.array([], pa.string()),
-            "t2": pa.array([], pa.string()),
-            "n_p": pa.array([], pa.int64()),
-        }
-    )
-
-    def partial(batch: pa.Table) -> pa.Table:
-        text = batch["text"]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        parts = pc.split_pattern_regex(pc.utf8_lower(text), pattern="[^a-z0-9]+")
-        if isinstance(parts, pa.ChunkedArray):
-            parts = parts.combine_chunks()
-        flat = parts.values
-        if len(flat) == 0:
-            return empty
-        offs = _offsets_of(parts)
-        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), np.diff(offs))
-        ne = (
-            pc.greater(pc.utf8_length(flat), 0)
-            .to_numpy(zero_copy_only=False)
-            .astype(bool)
-        )
-        toks = flat.filter(pa.array(ne))
-        d = doc_of[ne]
-        lidx, ridx = [], []
-        for k in range(1, COOCCUR_WINDOW + 1):
-            if len(toks) <= k:
-                break
-            same = np.flatnonzero(d[k:] == d[:-k])
-            lidx.append(same)
-            ridx.append(same + k)
-        if not lidx:
-            return empty
-        left = toks.take(pa.array(np.concatenate(lidx)))
-        right = toks.take(pa.array(np.concatenate(ridx)))
-        # fold to unordered pairs: (min, max) by string order
-        swap = pc.greater(left, right)
-        t1 = pc.if_else(swap, right, left)
-        t2 = pc.if_else(swap, left, right)
-        denc = pc.dictionary_encode(pc.binary_join_element_wise(t1, t2, "\x00"))
-        if isinstance(denc, pa.ChunkedArray):
-            denc = denc.combine_chunks()
-        cnt = np.bincount(
-            np.asarray(denc.indices, dtype=np.int64),
-            minlength=len(denc.dictionary),
-        )
-        both = pc.split_pattern(denc.dictionary, "\x00")
-        return pa.table(
-            {
-                "t1": pc.list_element(both, 0),
-                "t2": pc.list_element(both, 1),
-                "n_p": pa.array(cnt.astype(np.int64)),
-            }
-        )
 
     from ray.data.aggregate import Sum
 
     agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(_cooccur_pair_partial, batch_format="pyarrow")
         .groupby(["t1", "t2"])
         .aggregate(Sum("n_p", alias_name="n"))
     )
@@ -4036,5 +4044,168 @@ def window_distinct_users(sf_dir: str) -> pa.Table:
         {
             "window_id": pa.array(df["window_id"].astype(np.int64)),
             "n_users": pa.array(df["n_users"].astype(np.int64)),
+        }
+    )
+
+
+TEXTRANK_S0 = 1_000_000  # fixed-point starting score (x 1e6)
+TEXTRANK_ITERS = 3
+
+
+def textrank_keywords(
+    sf_dir: str, k_out: int = 20, fast_path_max_edges: int = 2_000_000
+) -> pa.Table:
+    """Corpus-level TextRank keywords (Mihalcea & Tarau, EMNLP 2004):
+    PageRank over the undirected term co-occurrence graph (same +-3-token
+    window edges as cooccur_top50), d=0.85, run in INTEGER fixed-point so
+    the result is partitioning-invariant and expression-identical in SQL:
+    score'(t) = 0.15*S0 + sum over in-edges floor(score(u)*w*85 /
+    (100*wdeg(u))) -- int64 floors and order-independent integer sums,
+    never float accumulation. Nodes = terms with at least one edge
+    (isolated single-token docs contribute no graph mass, standard
+    TextRank).
+
+    Scale plan: edge build reuses the partial-count discipline
+    (per-batch pair bincount -> one pair groupby); wdeg is a groupby over
+    the edge list; each iteration is ONE partitioned hash_join
+    (vocabulary-keyed scores onto edges -- the score side is never
+    broadcast) + per-batch partial sums + a term groupby. Iteration count
+    is fixed (3), so the whole pipeline is a bounded chain of
+    vocabulary-sized exchanges regardless of corpus size. Overflow
+    headroom: score*w*85 stays < 2^63 while score_mass * max_edge_weight
+    < ~1e17; rescale S0 down for pathological single-pair corpora."""
+    from .joins import hash_join
+    from ray.data.aggregate import Sum
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    edges_u = (
+        ds.map_batches(_cooccur_pair_partial, batch_format="pyarrow")
+        .groupby(["t1", "t2"])
+        .aggregate(Sum("n_p", alias_name="w"))
+        .materialize()
+    )
+
+    # small-graph fast path (dup_clusters precedent): the AGGREGATED edge
+    # list is vocabulary-sized, not corpus-sized; when it fits comfortably
+    # in one task, 3 iterations of Ray joins are pure fixed overhead.
+    # Identical integer arithmetic -> identical output on either path.
+    if edges_u.count() <= fast_path_max_edges:
+        import ray
+
+        tab = pa.concat_tables(
+            ray.get(edges_u.to_arrow_refs())
+        ).combine_chunks()
+        if len(tab) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "score": pa.array([], pa.int64())})
+        t1 = tab["t1"].to_numpy(zero_copy_only=False)
+        t2 = tab["t2"].to_numpy(zero_copy_only=False)
+        w2 = np.concatenate([np.asarray(tab["w"], dtype=np.int64)] * 2)
+        nodes, codes = np.unique(np.concatenate([t1, t2]), return_inverse=True)
+        src = codes[: len(t1)]
+        dst = codes[len(t1):]
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+        n = len(nodes)
+        wdeg = np.zeros(n, dtype=np.int64)
+        np.add.at(wdeg, src, w2)
+        s = np.full(n, TEXTRANK_S0, dtype=np.int64)
+        base = 15 * TEXTRANK_S0 // 100
+        for _ in range(TEXTRANK_ITERS):
+            c = (s[src] * w2 * 85) // (100 * wdeg[src])
+            s = np.full(n, base, dtype=np.int64)
+            np.add.at(s, dst, c)
+        order = np.lexsort((nodes, -s))[:k_out]
+        return pa.table(
+            {
+                "term": pa.array(nodes[order].astype("U"), pa.string()),
+                "score": pa.array(s[order], pa.int64()),
+            }
+        )
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [batch["t1"].combine_chunks().cast(pa.string()),
+                     batch["t2"].combine_chunks().cast(pa.string())]
+                ),
+                "dst": pa.concat_arrays(
+                    [batch["t2"].combine_chunks().cast(pa.string()),
+                     batch["t1"].combine_chunks().cast(pa.string())]
+                ),
+                "w": pa.concat_arrays(
+                    [batch["w"].combine_chunks().cast(pa.int64())] * 2
+                ),
+            }
+        )
+
+    directed = edges_u.map_batches(symmetrize, batch_format="pyarrow")
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, "src").aggregate([("w", "sum")])
+        return g.rename_columns(["src", "d_p"])
+
+    deg = (
+        directed.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("src")
+        .aggregate(Sum("d_p", alias_name="wdeg"))
+    )
+    # (src, dst, w, wdeg): join once, reuse across iterations
+    edges = hash_join(directed, deg, "src", "src").materialize()
+
+    def init_scores(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": batch["src"],
+                "score": pa.array(
+                    np.full(len(batch), TEXTRANK_S0, dtype=np.int64)
+                ),
+            }
+        )
+
+    scores = deg.map_batches(init_scores, batch_format="pyarrow")
+
+    base = 15 * TEXTRANK_S0 // 100
+
+    def contrib_partial(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["score"], dtype=np.int64)
+        w = np.asarray(batch["w"], dtype=np.int64)
+        wd = np.asarray(batch["wdeg"], dtype=np.int64)
+        c = (s * w * 85) // (100 * wd)
+        t = pa.table({"term": batch["dst"], "c_p": pa.array(c)})
+        g = pa.TableGroupBy(t, "term").aggregate([("c_p", "sum")])
+        return g.rename_columns(["term", "c_p"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": batch["term"],
+                "score": pc.add(batch["c"], base),
+            }
+        )
+
+    for _ in range(TEXTRANK_ITERS):
+        joined = hash_join(edges, scores, "src", "term")
+        scores = (
+            joined.map_batches(contrib_partial, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("c_p", alias_name="c"))
+            .map_batches(finish, batch_format="pyarrow")
+        )
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["score"], dtype=np.int64)
+        t = batch["term"].to_numpy(zero_copy_only=False)
+        return batch.take(pa.array(np.lexsort((t, -s))[:k_out]))
+
+    rows = scores.map_batches(block_top, batch_format="pyarrow").take_all()
+    s = np.array([r["score"] for r in rows], dtype=np.int64)
+    t = np.array([r["term"] for r in rows], dtype=object)
+    order = np.lexsort((t, -s))[:k_out]
+    return pa.table(
+        {
+            "term": pa.array(t[order].astype("U"), pa.string()),
+            "score": pa.array(s[order], pa.int64()),
         }
     )

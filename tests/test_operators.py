@@ -1058,3 +1058,15 @@ def test_chunk_spans_edges(ray_session):
     assert (d4.n_chunk_tokens == d4.end_tok - d4.start_tok).all()
     d3 = out[out.doc_id == 3].sort_values("chunk_idx")
     assert list(d3.end_tok) == [32, 33]
+
+
+def test_textrank_fast_and_distributed_paths_agree(ray_session):
+    from nexlt_ray import pipelines as P
+
+    sf = "/root/testdata/sf0.001"
+    fast = P.textrank_keywords(sf).to_pandas()
+    dist = P.textrank_keywords(sf, fast_path_max_edges=0).to_pandas()
+    assert fast.equals(dist)
+    # scores are positive fixed-point ints, strictly ranked desc
+    assert (fast["score"] > 0).all()
+    assert list(fast["score"]) == sorted(fast["score"], reverse=True)
