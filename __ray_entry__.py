@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct_users": P.window_distinct_users,
         # --- rows-only (each pytest-oracled; see module docstring) ---
         "approx_vocab_by_lang": P.approx_vocab_by_lang,
+        "approx_value_percentiles": P.approx_value_percentiles,
         "ann_lsh_topk": P.ann_lsh_topk,
         "ann_ivf_topk": P.ann_ivf_topk,
         # flagship engine (Lucene-exact scoring; oracle = pytest rank-identity)

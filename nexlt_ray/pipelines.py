@@ -4209,3 +4209,78 @@ def textrank_keywords(
             "score": pa.array(s[order], pa.int64()),
         }
     )
+
+
+DD_ALPHA = 0.01
+_DD_ZERO_BUCKET = np.int64(np.iinfo(np.int64).min)
+
+
+def approx_value_percentiles(sf_dir: str) -> pa.Table:
+    """Approximate p50/p90/p99 of events.value per event_type via DDSketch
+    (textstats.dd_bucket_counts): relative error <= DD_ALPHA on the value,
+    with a BIT-DETERMINISTIC result under any partitioning/merge order
+    (the sketch is an exponential-bucket histogram; counts just add).
+    The scale companion to value_percentiles_by_type: exact percentiles
+    need a bounded integer domain, DDSketch covers unbounded positive
+    doubles with a fixed-size shuffle (one row per (type, bucket) per
+    batch, ~O(log range / alpha) buckets). Rows-only driver entry; the
+    relative-error and merge-invariance guarantees are pytest-oracled."""
+    import ray.data
+    from ray.data.aggregate import Sum
+    from .textstats import dd_bucket_counts, dd_quantile
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        vals = np.asarray(batch["value"], dtype=np.float64)
+        types, codes = np.unique(et, return_inverse=True)
+        out_t, out_b, out_n = [], [], []
+        for ti, t in enumerate(types):
+            idx, cnt, n_zero = dd_bucket_counts(vals[codes == ti], DD_ALPHA)
+            out_t.append(np.full(len(idx), t, dtype=object))
+            out_b.append(idx)
+            out_n.append(cnt)
+            if n_zero:
+                out_t.append(np.array([t], dtype=object))
+                out_b.append(np.array([_DD_ZERO_BUCKET]))
+                out_n.append(np.array([n_zero], dtype=np.int64))
+        if not out_t:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int64()),
+                             "n_p": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    np.concatenate(out_t).astype("U"), pa.string()
+                ),
+                "bucket": pa.array(np.concatenate(out_b), pa.int64()),
+                "n_p": pa.array(np.concatenate(out_n), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for t, grp in agg.groupby("event_type", sort=True):
+        b = grp["bucket"].to_numpy()
+        n = grp["n"].to_numpy().astype(np.int64)
+        zero_mask = b == _DD_ZERO_BUCKET
+        n_zero = int(n[zero_mask].sum())
+        bi, ni = b[~zero_mask], n[~zero_mask]
+        qs = [dd_quantile(bi, ni, n_zero, q, DD_ALPHA) for q in (0.5, 0.9, 0.99)]
+        rows.append((t, *[int(round(q * 1e6)) for q in qs]))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "p50_e6": pa.array([r[1] for r in rows], pa.int64()),
+            "p90_e6": pa.array([r[2] for r in rows], pa.int64()),
+            "p99_e6": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )

@@ -708,3 +708,53 @@ def heavy_hitters_exact_topk(
             "cf": pa.array(exact["cf"].to_numpy().astype(np.int64)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch approximate quantiles (Masson, Lee & Rim, VLDB 2019): log-gamma
+# exponential buckets with counts. Unlike KLL/t-digest, the sketch is a
+# plain histogram -- ORDER-INDEPENDENT and bit-deterministic under any
+# merge order (bucket counts just add), which makes it a pure per-batch
+# partial + groupby-sum in Ray Data. Guarantee: the value returned for any
+# quantile q is within relative error alpha of the true q-quantile value.
+# Completes the mergeable-sketch trio: HLL (distinct), Misra-Gries (heavy
+# hitters), DDSketch (quantiles).
+# ---------------------------------------------------------------------------
+def dd_gamma(alpha: float) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def dd_bucket_counts(values: np.ndarray, alpha: float = 0.01):
+    """Bucket a batch of non-negative values: idx = ceil(ln v / ln gamma)
+    for v > 0 (int64), zeros counted separately. Returns (idx array,
+    count array, n_zero). Vectorized; negative values are rejected (the
+    two-store variant is a trivial extension, the synthetic domain is
+    non-negative)."""
+    v = np.asarray(values, dtype=np.float64)
+    assert (v >= 0).all(), "DDSketch store expects non-negative values"
+    n_zero = int((v == 0).sum())
+    pos = v[v > 0]
+    if pos.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), n_zero
+    idx = np.ceil(np.log(pos) / np.log(dd_gamma(alpha))).astype(np.int64)
+    u, cnt = np.unique(idx, return_counts=True)
+    return u, cnt.astype(np.int64), n_zero
+
+
+def dd_quantile(bucket_idx: np.ndarray, counts: np.ndarray, n_zero: int,
+                q: float, alpha: float = 0.01) -> float:
+    """q-quantile estimate from merged bucket counts (rank = floor(q*(n-1))
+    over the value-sorted multiset; bucket estimate 2*gamma^i/(gamma+1),
+    the point whose relative distance to every value in the bucket is
+    <= alpha)."""
+    order = np.argsort(bucket_idx)
+    bucket_idx, counts = bucket_idx[order], counts[order]
+    n = int(counts.sum()) + n_zero
+    assert n > 0
+    rank = int(np.floor(q * (n - 1)))
+    if rank < n_zero:
+        return 0.0
+    cum = n_zero + np.cumsum(counts)
+    j = int(np.searchsorted(cum, rank + 1))
+    g = dd_gamma(alpha)
+    return float(2.0 * g ** int(bucket_idx[j]) / (g + 1.0))

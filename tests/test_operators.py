@@ -1070,3 +1070,46 @@ def test_textrank_fast_and_distributed_paths_agree(ray_session):
     # scores are positive fixed-point ints, strictly ranked desc
     assert (fast["score"] > 0).all()
     assert list(fast["score"]) == sorted(fast["score"], reverse=True)
+
+
+def test_ddsketch_relative_error_and_merge_invariance():
+    rng = np.random.default_rng(11)
+    # heavy-tailed positive domain spanning 7 orders of magnitude
+    vals = np.exp(rng.normal(0, 3, size=200_000)).astype(np.float64)
+    alpha = 0.01
+    idx, cnt, nz = T.dd_bucket_counts(vals, alpha)
+    assert nz == 0
+    for q in (0.01, 0.25, 0.5, 0.9, 0.99, 0.999):
+        est = T.dd_quantile(idx, cnt, nz, q, alpha)
+        true = np.quantile(vals, q, method="lower")
+        assert abs(est - true) <= alpha * true * 1.0001, (q, est, true)
+    # merge invariance: any split of the input yields the SAME merged
+    # bucket table (histogram counts just add)
+    parts = np.array_split(rng.permutation(vals), 7)
+    acc = {}
+    for p in parts:
+        i2, c2, z2 = T.dd_bucket_counts(p, alpha)
+        assert z2 == 0
+        for i, c in zip(i2, c2):
+            acc[int(i)] = acc.get(int(i), 0) + int(c)
+    whole = dict(zip(idx.astype(int), cnt.astype(int)))
+    assert acc == whole
+
+
+def test_approx_value_percentiles_vs_exact(ray_session):
+    from nexlt_ray import pipelines as P
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    got = P.approx_value_percentiles(sf).to_pandas().set_index("event_type")
+    ev = pq.read_table(
+        f"{sf}/events.parquet", columns=["event_type", "value"]
+    ).to_pandas()
+    assert set(got.index) == set(ev["event_type"])
+    for t, grp in ev.groupby("event_type"):
+        vals = grp["value"].to_numpy()
+        for col, q in (("p50_e6", 0.5), ("p90_e6", 0.9), ("p99_e6", 0.99)):
+            est = got.loc[t, col] / 1e6
+            # same rank convention as dd_quantile: floor(q * (n-1))
+            true = float(np.quantile(vals, q, method="lower"))
+            assert abs(est - true) <= 0.0101 * true, (t, col, est, true)
