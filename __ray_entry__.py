@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunked_docs": P.chunked_docs,
         "heavy_hitters_terms": P.heavy_hitters_terms,
         "textrank_keywords": P.textrank_keywords,
+        "parts_without_bulk_orders": P.parts_without_bulk_orders,
         "retention_cohorts": P.retention_cohorts,
         "window_distinct_users": P.window_distinct_users,
         # --- rows-only (each pytest-oracled; see module docstring) ---
@@ -1550,4 +1551,9 @@ SELECT (epoch_us(ts) // 3600000000)::BIGINT AS window_id,
 FROM events GROUP BY 1
 """,
         "textrank_keywords": _textrank_sql(),
+        "parts_without_bulk_orders": """
+SELECT p_partkey, p_name FROM part
+WHERE p_partkey NOT IN
+      (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+""",
     }

@@ -70,11 +70,25 @@ def hash_join(
     co-locates matching buckets. Bucketing hashes are only a placement
     decision — matching happens on the actual key values — so correctness
     never depends on hash quality, only balance does. Null keys are dropped
-    at the tag (SQL inner-join semantics).
+    at the tag (SQL inner-join semantics; for `left semi`/`left anti` a
+    null-key left row is likewise dropped — match broadcast_semi_anti_join's
+    anti-with-nulls semantics by pre-filtering if needed).
+
+    `how`: "inner", "left outer", "left semi", or "left anti". Semi/anti
+    output only the left columns, and the right side ships ONLY its key
+    columns through the shuffle — the both-sides-large set-membership path
+    that broadcast_semi_anti_join cannot serve once the key set outgrows
+    the object store.
     """
     lkeys = [left_key] if isinstance(left_key, str) else list(left_key)
     rkeys = [right_key] if isinstance(right_key, str) else list(right_key)
     assert len(lkeys) == len(rkeys)
+    assert how in ("inner", "left outer", "left semi", "left anti")
+    semi_anti = how in ("left semi", "left anti")
+
+    if semi_anti:
+        # membership only: the right side ships nothing but its keys
+        right = right.select_columns(rkeys)
 
     # unified superset schema so the tagged union has one block schema
     lschema, rschema = left.schema(), right.schema()
@@ -121,7 +135,10 @@ def hash_join(
     )
 
     shared = {rk for lk, rk in zip(lkeys, rkeys) if lk == rk}
-    out_cols = [c for c in all_cols if c not in rkeys or c in shared]
+    out_cols = (
+        lnames if semi_anti
+        else [c for c in all_cols if c not in rkeys or c in shared]
+    )
 
     out_schema = pa.schema([(c, all_types[c]) for c in out_cols])
     # right side carries only its keys + columns the left doesn't have, so
@@ -135,11 +152,15 @@ def hash_join(
         side = g["__side"].to_numpy(zero_copy_only=False).astype(bool)
         l = g.filter(pa.array(~side)).select(lnames)
         r = g.filter(pa.array(side)).select(r_cols)
-        if how == "inner" and (l.num_rows == 0 or r.num_rows == 0):
+        if l.num_rows == 0 or (
+            r.num_rows == 0 and how in ("inner", "left semi")
+        ):
             return out_schema.empty_table()
+        if r.num_rows == 0 and how == "left anti":
+            return l.select(out_cols).cast(out_schema)
         joined = l.join(
             r, keys=lkeys, right_keys=rkeys,
-            join_type="inner" if how == "inner" else "left outer",
+            join_type=how if how != "inner" else "inner",
         )
         return joined.select(out_cols).cast(out_schema)
 

@@ -4284,3 +4284,30 @@ def approx_value_percentiles(sf_dir: str) -> pa.Table:
             "p99_e6": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+def parts_without_bulk_orders(sf_dir: str):
+    """Parts never ordered in bulk (no lineitem with l_quantity >= 48):
+    a PARTITIONED anti join where both sides are large -- the scale
+    complement to customers_without_orders' broadcast anti join
+    (broadcast dies once the key set outgrows the object store; the
+    reference's new-product diff, tr2solr.sh:76, is the same set
+    difference). The right side is filtered at the read and ships only
+    its key column through the single tagged-union shuffle
+    (joins.hash_join how="left anti")."""
+    import ray.data
+    from .joins import hash_join
+
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    )
+    bulk = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity"],
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["l_quantity"], 48)).select(
+            ["l_partkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    return hash_join(part, bulk, "p_partkey", "l_partkey", how="left anti")

@@ -1113,3 +1113,34 @@ def test_approx_value_percentiles_vs_exact(ray_session):
             # same rank convention as dd_quantile: floor(q * (n-1))
             true = float(np.quantile(vals, q, method="lower"))
             assert abs(est - true) <= 0.0101 * true, (t, col, est, true)
+
+
+def test_hash_join_semi_anti_modes(ray_session):
+    import ray.data
+    from nexlt_ray.joins import hash_join
+
+    rng = np.random.default_rng(3)
+    lkeys = rng.integers(0, 50, size=300)
+    rkeys = rng.integers(25, 75, size=120)
+    left = ray.data.from_items(
+        [{"k": int(k), "v": i} for i, k in enumerate(lkeys)]
+    ).repartition(5)
+    right = ray.data.from_items(
+        [{"k": int(k), "extra": "x"} for k in rkeys]
+    ).repartition(3)
+    rset = set(rkeys.tolist())
+
+    semi = hash_join(left, right, "k", "k", num_buckets=8, how="left semi")
+    anti = hash_join(left, right, "k", "k", num_buckets=8, how="left anti")
+    sdf = semi.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    adf = anti.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    # only left columns; each left row at most once (no multiplication by
+    # duplicate right keys)
+    assert list(sdf.columns) == ["k", "v"] and list(adf.columns) == ["k", "v"]
+    assert len(sdf) + len(adf) == 300
+    assert set(sdf["k"]).issubset(rset)
+    assert set(adf["k"]).isdisjoint(rset)
+    exp_semi = sorted(
+        (int(k), i) for i, k in enumerate(lkeys) if int(k) in rset
+    )
+    assert list(map(tuple, sdf[["k", "v"]].to_numpy())) == exp_semi
