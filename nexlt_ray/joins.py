@@ -74,7 +74,9 @@ def hash_join(
     null-key left row is likewise dropped — match broadcast_semi_anti_join's
     anti-with-nulls semantics by pre-filtering if needed).
 
-    `how`: "inner", "left outer", "left semi", or "left anti". Semi/anti
+    `how`: "inner", "left outer", "left semi", "left anti", or
+    "full outer" (key columns coalesced into the left key names, matching
+    Acero). Semi/anti
     output only the left columns, and the right side ships ONLY its key
     columns through the shuffle — the both-sides-large set-membership path
     that broadcast_semi_anti_join cannot serve once the key set outgrows
@@ -83,7 +85,9 @@ def hash_join(
     lkeys = [left_key] if isinstance(left_key, str) else list(left_key)
     rkeys = [right_key] if isinstance(right_key, str) else list(right_key)
     assert len(lkeys) == len(rkeys)
-    assert how in ("inner", "left outer", "left semi", "left anti")
+    assert how in (
+        "inner", "left outer", "left semi", "left anti", "full outer"
+    )
     semi_anti = how in ("left semi", "left anti")
 
     if semi_anti:
@@ -152,12 +156,26 @@ def hash_join(
         side = g["__side"].to_numpy(zero_copy_only=False).astype(bool)
         l = g.filter(pa.array(~side)).select(lnames)
         r = g.filter(pa.array(side)).select(r_cols)
-        if l.num_rows == 0 or (
-            r.num_rows == 0 and how in ("inner", "left semi")
-        ):
+        if l.num_rows == 0 and how != "full outer":
+            return out_schema.empty_table()
+        if r.num_rows == 0 and how in ("inner", "left semi"):
             return out_schema.empty_table()
         if r.num_rows == 0 and how == "left anti":
             return l.select(out_cols).cast(out_schema)
+        if how == "full outer" and (l.num_rows == 0 or r.num_rows == 0):
+            # one-sided bucket: emit the surviving side padded with nulls
+            # (key columns come from that side — Acero would coalesce)
+            src = l if r.num_rows == 0 else r
+            key_of = dict(zip(lkeys, rkeys))
+            cols = {}
+            for c in out_cols:
+                if c in src.column_names:
+                    cols[c] = src[c]
+                elif src is r and c in key_of:
+                    cols[c] = src[key_of[c]]
+                else:
+                    cols[c] = pa.nulls(src.num_rows, type=all_types[c])
+            return pa.table(cols).cast(out_schema)
         joined = l.join(
             r, keys=lkeys, right_keys=rkeys,
             join_type=how if how != "inner" else "inner",

@@ -1144,3 +1144,40 @@ def test_hash_join_semi_anti_modes(ray_session):
         (int(k), i) for i, k in enumerate(lkeys) if int(k) in rset
     )
     assert list(map(tuple, sdf[["k", "v"]].to_numpy())) == exp_semi
+
+
+def test_hash_join_full_outer_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from nexlt_ray.joins import hash_join
+
+    rng = np.random.default_rng(5)
+    ldf = pd.DataFrame(
+        {"k": rng.integers(0, 40, size=150), "v": np.arange(150)}
+    )
+    rdf = pd.DataFrame(
+        {"rk": rng.integers(20, 60, size=90), "w": np.arange(90) * 10}
+    )
+    left = ray.data.from_pandas(ldf).repartition(4)
+    right = ray.data.from_pandas(rdf).repartition(3)
+    got = (
+        hash_join(left, right, "k", "rk", num_buckets=8, how="full outer")
+        .to_pandas()
+    )
+    con = duckdb.connect()
+    con.register("l", ldf)
+    con.register("r", rdf)
+    exp = con.sql(
+        "SELECT coalesce(l.k, r.rk) AS k, l.v, r.w "
+        "FROM l FULL OUTER JOIN r ON l.k = r.rk"
+    ).df()
+
+    def canon(df):
+        df = df[["k", "v", "w"]].astype("float64")
+        return df.sort_values(["k", "v", "w"], na_position="last").reset_index(
+            drop=True
+        )
+
+    pd.testing.assert_frame_equal(canon(got), canon(exp))
+    # keys never null after coalescing
+    assert got["k"].notna().all()
