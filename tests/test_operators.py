@@ -1181,3 +1181,45 @@ def test_hash_join_full_outer_vs_duckdb(ray_session):
     pd.testing.assert_frame_equal(canon(got), canon(exp))
     # keys never null after coalescing
     assert got["k"].notna().all()
+
+
+def test_bloom_semi_anti_join_exact_and_no_false_negatives(ray_session):
+    import ray.data
+    from nexlt_ray.joins import (
+        bloom_build, bloom_might_contain, bloom_semi_anti_join, hash_join,
+    )
+
+    rng = np.random.default_rng(9)
+    lk = rng.integers(0, 10_000, size=2000)
+    rk = rng.integers(5_000, 15_000, size=800)
+    left = ray.data.from_items(
+        [{"k": int(k), "v": i} for i, k in enumerate(lk)]
+    ).repartition(6)
+    right = ray.data.from_items(
+        [{"rk": int(k)} for k in rk]
+    ).repartition(4)
+
+    m_bits = 1 << 16
+    bloom = bloom_build(right, "rk", m_bits=m_bits)
+    # no false negatives: every true member must probe positive
+    members = pa.array(sorted(set(rk.tolist())), pa.int64())
+    assert bloom_might_contain(bloom, members, m_bits).all()
+
+    for anti in (True, False):
+        got = bloom_semi_anti_join(
+            left, right, "k", "rk", anti=anti, m_bits=m_bits, num_buckets=8
+        ).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        exp = hash_join(
+            left, right, "k", "rk", num_buckets=8,
+            how="left anti" if anti else "left semi",
+        ).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+
+    # the pre-filter actually prunes: definite non-members bypass the join
+    mask = bloom_might_contain(
+        bloom, pa.array(lk.tolist(), pa.int64()), m_bits
+    )
+    rset = set(rk.tolist())
+    true_members = np.array([k in rset for k in lk])
+    fp_rate = (mask & ~true_members).sum() / max((~true_members).sum(), 1)
+    assert fp_rate < 0.05, fp_rate
