@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_terms": P.heavy_hitters_terms,
         "textrank_keywords": P.textrank_keywords,
         "parts_without_bulk_orders": P.parts_without_bulk_orders,
+        "length_percentile_docs": P.length_percentile_docs,
+        "corpus_snapshot_diff": P.corpus_snapshot_diff,
         "retention_cohorts": P.retention_cohorts,
         "window_distinct_users": P.window_distinct_users,
         # --- rows-only (each pytest-oracled; see module docstring) ---
@@ -1555,5 +1557,37 @@ FROM events GROUP BY 1
 SELECT p_partkey, p_name FROM part
 WHERE p_partkey NOT IN
       (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+""",
+        "length_percentile_docs": """
+WITH t AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents),
+n AS (SELECT count(*)::BIGINT AS c FROM t)
+SELECT doc_id, n_tokens,
+       ((10000 * (rank() OVER (ORDER BY n_tokens) - 1))
+        // greatest(c - 1, 1))::BIGINT AS pct_bp
+FROM t, n
+""",
+        "corpus_snapshot_diff": """
+WITH v1 AS (SELECT doc_id, substr(sha256(text), 1, 16) AS sha1_
+            FROM documents),
+v2 AS (
+  SELECT CASE WHEN doc_id % 17 = 0 THEN doc_id + 1000000000
+              ELSE doc_id END AS doc_id,
+         CASE WHEN doc_id % 17 = 0
+                THEN substr(sha256('added:' || doc_id), 1, 16)
+              WHEN doc_id % 23 = 0
+                THEN substr(sha256('edited:' || text), 1, 16)
+              ELSE substr(sha256(text), 1, 16) END AS sha2_
+  FROM documents),
+j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, v1.sha1_, v2.sha2_
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+SELECT doc_id,
+       CASE WHEN sha1_ IS NULL THEN 'added'
+            WHEN sha2_ IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM j WHERE sha1_ IS NULL OR sha2_ IS NULL OR sha1_ <> sha2_
 """,
     }

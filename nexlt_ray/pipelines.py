@@ -4311,3 +4311,137 @@ def parts_without_bulk_orders(sf_dir: str):
         batch_format="pyarrow",
     )
     return hash_join(part, bulk, "p_partkey", "l_partkey", how="left anti")
+
+
+def length_percentile_docs(sf_dir: str) -> pa.Table:
+    """Per-doc token-length percentile rank in basis points:
+    pct_bp = (10000 * count_of_strictly_shorter_docs) // (N - 1) -- the
+    curriculum-ordering / length-normalization signal. Value-determined
+    (all docs with equal n_tokens share a rank), hence partitioning-
+    invariant, unlike ntile's arbitrary tie splits. Same two-pass shape as
+    length_band_docs: tiny per-value histogram (partial bincount + value
+    groupby), broadcast cumulative counts into a pure map. SQL-exact:
+    rank() OVER (ORDER BY n_tokens) is 1 + strictly-less count."""
+    from ray.data.aggregate import Sum
+
+    ds = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        ts_ops.token_counts_batch, batch_format="pyarrow"
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["n_tokens"], dtype=np.int64)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table(
+            {"v": pa.array(uniq), "c_p": pa.array(cnt.astype(np.int64))}
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("c_p", alias_name="c"))
+        .take_all()
+    )
+    vs = np.array([r["v"] for r in hist], dtype=np.int64)
+    cs = np.array([r["c"] for r in hist], dtype=np.int64)
+    order = np.argsort(vs)
+    vs, cs = vs[order], cs[order]
+    less = np.concatenate([[0], np.cumsum(cs)[:-1]])  # strictly-less counts
+    n_total = int(cs.sum())
+    denom = max(n_total - 1, 1)
+
+    def rank_map(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["n_tokens"], dtype=np.int64)
+        idx = np.searchsorted(vs, v)
+        pct = (10000 * less[idx]) // denom
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(v),
+                "pct_bp": pa.array(pct.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(rank_map, batch_format="pyarrow")
+
+
+# deterministic synthetic "v2" of the corpus for the snapshot-diff op:
+# doc_id % 17 == 0 removed, doc_id % 23 == 0 edited, and one added doc
+# per removed id (id + 10^9) -- both sides derivable in SQL
+_DIFF_RM, _DIFF_ED, _DIFF_ADD_BASE = 17, 23, 1_000_000_000
+
+
+def corpus_snapshot_diff(sf_dir: str) -> pa.Table:
+    """Snapshot diff between corpus v1 and v2 (the CDC / incremental-ingest
+    accounting op: which docs were added, removed, or changed between two
+    crawls). v2 is derived deterministically from v1 (see _DIFF_* rules) so
+    the oracle can re-derive both sides. Plan: ONE full-outer hash_join on
+    doc_id comparing content shas -- left-only = removed, right-only =
+    added, sha mismatch = changed; unchanged rows are filtered OUT before
+    the join ships them... they can't be (membership unknown until the
+    join), so instead the join ships (doc_id, sha) pairs ONLY (never text)
+    and emits one status row per non-identical doc; the output is
+    diff-sized for reporting while the shuffle is id+sha-sized."""
+    from .joins import hash_join
+
+    v1 = _documents(sf_dir, ["doc_id", "text"])
+
+    def sha_v1(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        shas = [
+            hashlib.sha256(t.encode()).hexdigest()[:16]
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "sha1_": pa.array(shas, pa.string())}
+        )
+
+    def sha_v2(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        texts = batch["text"].to_pylist()
+        out_id, out_sha = [], []
+        for i, t in zip(ids.tolist(), texts):
+            if i % _DIFF_RM == 0:
+                # removed from v2; an added doc takes a fresh id
+                out_id.append(i + _DIFF_ADD_BASE)
+                out_sha.append(
+                    hashlib.sha256(f"added:{i}".encode()).hexdigest()[:16]
+                )
+                continue
+            body = ("edited:" + t) if i % _DIFF_ED == 0 else t
+            out_id.append(i)
+            out_sha.append(hashlib.sha256(body.encode()).hexdigest()[:16])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "sha2_": pa.array(out_sha, pa.string()),
+            }
+        )
+
+    s1 = v1.map_batches(sha_v1, batch_format="pyarrow")
+    s2 = v1.map_batches(sha_v2, batch_format="pyarrow")
+    joined = hash_join(s1, s2, "doc_id", "doc_id", how="full outer")
+
+    def status(batch: pa.Table) -> pa.Table:
+        a = batch["sha1_"].to_numpy(zero_copy_only=False)
+        b = batch["sha2_"].to_numpy(zero_copy_only=False)
+        st = np.where(
+            pd_isna_vec(a), "added",
+            np.where(pd_isna_vec(b), "removed",
+                     np.where(a == b, "unchanged", "changed")),
+        )
+        keep = st != "unchanged"
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(keep)),
+                "status": pa.array(st[keep].astype("U"), pa.string()),
+            }
+        )
+
+    return joined.map_batches(status, batch_format="pyarrow")
+
+
+def pd_isna_vec(a: np.ndarray) -> np.ndarray:
+    return np.array([x is None for x in a.tolist()], dtype=bool)
