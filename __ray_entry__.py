@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_without_bulk_orders": P.parts_without_bulk_orders,
         "length_percentile_docs": P.length_percentile_docs,
         "corpus_snapshot_diff": P.corpus_snapshot_diff,
+        "table_profile_events": P.table_profile_events,
         "retention_cohorts": P.retention_cohorts,
         "window_distinct_users": P.window_distinct_users,
         # --- rows-only (each pytest-oracled; see module docstring) ---
@@ -1589,5 +1590,28 @@ SELECT doc_id,
             WHEN sha2_ IS NULL THEN 'removed'
             ELSE 'changed' END AS status
 FROM j WHERE sha1_ IS NULL OR sha2_ IS NULL OR sha1_ <> sha2_
+""",
+        "table_profile_events": """
+WITH enc AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                    CAST(round(value * 100) AS BIGINT) AS value_cents
+             FROM events),
+u AS (
+  SELECT 'event_id' AS col, count(event_id)::BIGINT AS n_valid,
+         count(*)::BIGINT AS n, count(DISTINCT event_id)::BIGINT AS n_distinct,
+         min(event_id)::BIGINT AS min_i, max(event_id)::BIGINT AS max_i FROM enc
+  UNION ALL
+  SELECT 'user_id', count(user_id)::BIGINT, count(*)::BIGINT,
+         count(DISTINCT user_id)::BIGINT, min(user_id)::BIGINT,
+         max(user_id)::BIGINT FROM enc
+  UNION ALL
+  SELECT 'ts_us', count(ts_us)::BIGINT, count(*)::BIGINT,
+         count(DISTINCT ts_us)::BIGINT, min(ts_us)::BIGINT,
+         max(ts_us)::BIGINT FROM enc
+  UNION ALL
+  SELECT 'value_cents', count(value_cents)::BIGINT, count(*)::BIGINT,
+         count(DISTINCT value_cents)::BIGINT, min(value_cents)::BIGINT,
+         max(value_cents)::BIGINT FROM enc)
+SELECT col, n, (n - n_valid)::BIGINT AS n_null, n_distinct, min_i, max_i
+FROM u
 """,
     }

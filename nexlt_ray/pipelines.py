@@ -4445,3 +4445,130 @@ def corpus_snapshot_diff(sf_dir: str) -> pa.Table:
 
 def pd_isna_vec(a: np.ndarray) -> np.ndarray:
     return np.array([x is None for x in a.tolist()], dtype=bool)
+
+
+PROFILE_COLS = ("event_id", "user_id", "ts_us", "value_cents")
+
+
+def table_profile_events(sf_dir: str) -> pa.Table:
+    """Per-column statistics profile of `events` (the warehouse
+    ANALYZE-TABLE / data-profiling op): row count, null count, EXACT
+    distinct count, min, max for each numeric-encodable column (ts ->
+    epoch micros, value -> cents; all-integer so the DuckDB oracle is
+    expression-identical). Two passes: (1) one streaming pass emits a
+    single partial row per column per batch (n/nulls/min/max fold in the
+    batch); (2) distinct counts use the pair-dedup idiom -- per-batch
+    DISTINCT (column, value) pairs, one pair-keyed groupby, per-batch
+    partial counts, tiny column groupby. The shuffle carries deduped
+    (column, value) pairs; at 100 TB swap the exact pass for the HLL
+    registers (textstats) per column when approximate suffices."""
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def encode(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "value_cents": pa.array(
+                    np.round(
+                        np.asarray(batch["value"], dtype=np.float64) * 100
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    enc = ds.map_batches(encode, batch_format="pyarrow")
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        rows = {"col": [], "n_p": [], "null_p": [], "min_p": [], "max_p": []}
+        for c in PROFILE_COLS:
+            col = batch[c]
+            valid = col.drop_null()
+            rows["col"].append(c)
+            rows["n_p"].append(len(col))
+            rows["null_p"].append(col.null_count)
+            # empty-valid batches keep identity elements
+            rows["min_p"].append(
+                pc.min(valid).as_py() if len(valid) else np.iinfo(np.int64).max
+            )
+            rows["max_p"].append(
+                pc.max(valid).as_py() if len(valid) else np.iinfo(np.int64).min
+            )
+        return pa.table(
+            {
+                "col": pa.array(rows["col"], pa.string()),
+                "n_p": pa.array(rows["n_p"], pa.int64()),
+                "null_p": pa.array(rows["null_p"], pa.int64()),
+                "min_p": pa.array(rows["min_p"], pa.int64()),
+                "max_p": pa.array(rows["max_p"], pa.int64()),
+            }
+        )
+
+    stats = (
+        enc.map_batches(stat_partial, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(
+            Sum("n_p", alias_name="n"),
+            Sum("null_p", alias_name="n_null"),
+            Min("min_p", alias_name="min_i"),
+            Max("max_p", alias_name="max_i"),
+        )
+        .to_pandas()
+        .set_index("col")
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for c in PROFILE_COLS:
+            u = pc.unique(batch[c].drop_null())
+            cols.append(np.full(len(u), c, dtype=object))
+            vals.append(np.asarray(u, dtype=np.int64))
+        return pa.table(
+            {
+                "col": pa.array(np.concatenate(cols).astype("U"), pa.string()),
+                "value": pa.array(np.concatenate(vals), pa.int64()),
+            }
+        )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, "col").aggregate([([], "count_all")])
+        return g.rename_columns(["col", "d_p"])
+
+    distinct = (
+        enc.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["col", "value"])
+        .count()
+        .select_columns(["col", "value"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(Sum("d_p", alias_name="n_distinct"))
+        .to_pandas()
+        .set_index("col")
+    )
+
+    cols = sorted(PROFILE_COLS)
+    return pa.table(
+        {
+            "col": pa.array(cols, pa.string()),
+            "n": pa.array([int(stats.loc[c, "n"]) for c in cols], pa.int64()),
+            "n_null": pa.array(
+                [int(stats.loc[c, "n_null"]) for c in cols], pa.int64()
+            ),
+            "n_distinct": pa.array(
+                [int(distinct.loc[c, "n_distinct"]) for c in cols], pa.int64()
+            ),
+            "min_i": pa.array(
+                [int(stats.loc[c, "min_i"]) for c in cols], pa.int64()
+            ),
+            "max_i": pa.array(
+                [int(stats.loc[c, "max_i"]) for c in cols], pa.int64()
+            ),
+        }
+    )
