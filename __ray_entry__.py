@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_percentile_docs": P.length_percentile_docs,
         "corpus_snapshot_diff": P.corpus_snapshot_diff,
         "table_profile_events": P.table_profile_events,
+        "semdedup_clusters": P.semdedup_clusters,
         "retention_cohorts": P.retention_cohorts,
         "window_distinct_users": P.window_distinct_users,
         # --- rows-only (each pytest-oracled; see module docstring) ---
@@ -1613,5 +1614,20 @@ u AS (
          max(value_cents)::BIGINT FROM enc)
 SELECT col, n, (n - n_valid)::BIGINT AS n_null, n_distinct, min_i, max_i
 FROM u
+""",
+        "semdedup_clusters": """
+WITH RECURSIVE
+hits AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(
+      a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45),
+e AS (SELECT va AS a, vb AS b FROM hits UNION SELECT vb, va FROM hits),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b)
+SELECT a::BIGINT AS vec_id, min(b)::BIGINT AS cluster_id
+FROM reach GROUP BY a
 """,
     }

@@ -4572,3 +4572,39 @@ def table_profile_events(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def semdedup_clusters(sf_dir: str) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate CLUSTERS over
+    the embedding column — exact cosine>=0.45 pair graph (the same
+    all-pairs blocked matmul that backs cosine_dup_pairs) resolved into
+    connected components (dedup.dup_clusters min-label propagation), so
+    transitive chains collapse to one canonical vec per cluster (keep
+    cluster_id == vec_id). Composition of two independently-oracled
+    operators; the oracle recomputes the closure with a recursive CTE."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    pairs = sim_ops.exact_cosine_pairs(ds, tau=0.45).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_a": b["vec_a"].combine_chunks().cast(pa.int64()),
+                "doc_b": b["vec_b"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = dedup_ops.dup_clusters(pairs)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas() if not isinstance(out, pa.Table) else out.to_pandas()
+    return pa.table(
+        {
+            "vec_id": pa.array(out["doc_id"].to_numpy().astype(np.int64)),
+            "cluster_id": pa.array(
+                out["cluster_id"].to_numpy().astype(np.int64)
+            ),
+        }
+    )
