@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_snapshot_diff": P.corpus_snapshot_diff,
         "table_profile_events": P.table_profile_events,
         "semdedup_clusters": P.semdedup_clusters,
+        "value_decile_histogram": P.value_decile_histogram,
         "retention_cohorts": P.retention_cohorts,
         "window_distinct_users": P.window_distinct_users,
         # --- rows-only (each pytest-oracled; see module docstring) ---
@@ -1629,5 +1630,15 @@ reach(a, b) AS (
   SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b)
 SELECT a::BIGINT AS vec_id, min(b)::BIGINT AS cluster_id
 FROM reach GROUP BY a
+""",
+        "value_decile_histogram": """
+WITH enc AS (SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events),
+r AS (SELECT v,
+        (10 * (rank() OVER (ORDER BY v) - 1))
+          // (SELECT count(*) FROM enc) AS d
+      FROM enc)
+SELECT d::BIGINT AS decile, count(*)::BIGINT AS n,
+       min(v)::BIGINT AS lo_cents, max(v)::BIGINT AS hi_cents
+FROM r GROUP BY d
 """,
     }

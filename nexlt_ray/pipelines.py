@@ -4608,3 +4608,55 @@ def semdedup_clusters(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def value_decile_histogram(sf_dir: str) -> pa.Table:
+    """Equi-depth decile histogram of events.value (integer cents) -- the
+    optimizer-statistics companion to table_profile_events. Buckets are
+    VALUE-DETERMINED: decile(v) = (10 * count_strictly_less(v)) // N, so
+    ties land in one bucket and the result is partitioning-invariant
+    (rank() arithmetic in SQL, no implementation-defined ntile splits).
+    One streaming pass builds the per-value count histogram (domain-sized
+    partials, tiny groupby); the decile rollup is driver arithmetic over
+    that histogram, never a second data pass."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = np.round(
+            np.asarray(batch["value"], dtype=np.float64) * 100
+        ).astype(np.int64)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table(
+            {"v": pa.array(uniq), "c_p": pa.array(cnt.astype(np.int64))}
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("c_p", alias_name="c"))
+        .take_all()
+    )
+    vs = np.array([r["v"] for r in hist], dtype=np.int64)
+    cs = np.array([r["c"] for r in hist], dtype=np.int64)
+    order = np.argsort(vs)
+    vs, cs = vs[order], cs[order]
+    n_total = int(cs.sum())
+    less = np.concatenate([[0], np.cumsum(cs)[:-1]])
+    dec = (10 * less) // n_total
+    rows = []
+    for d in np.unique(dec):
+        m = dec == d
+        rows.append((int(d), int(cs[m].sum()), int(vs[m].min()), int(vs[m].max())))
+    return pa.table(
+        {
+            "decile": pa.array([r[0] for r in rows], pa.int64()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "lo_cents": pa.array([r[2] for r in rows], pa.int64()),
+            "hi_cents": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
