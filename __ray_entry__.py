@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile_events": P.table_profile_events,
         "semdedup_clusters": P.semdedup_clusters,
         "value_decile_histogram": P.value_decile_histogram,
+        "gopher_filter_docs": P.gopher_filter_docs,
         "retention_cohorts": P.retention_cohorts,
         "window_distinct_users": P.window_distinct_users,
         # --- rows-only (each pytest-oracled; see module docstring) ---
@@ -913,6 +914,34 @@ SELECT term, score FROM {prev} ORDER BY score DESC, term LIMIT 20
 """
 
 
+def _gopher_sql() -> str:
+    from nexlt_ray.textstats import PUNCT_CLASS, STOPWORDS_EN
+
+    stoplist = ", ".join(f"'{w}'" for w in sorted(STOPWORDS_EN))
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+    length(text)::BIGINT AS n_chars,
+    len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens,
+    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::BIGINT AS n_alnum,
+    (length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')))::BIGINT AS n_punct,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        x -> x IN ({stoplist})))::BIGINT AS n_stop
+  FROM documents),
+f AS (
+  SELECT doc_id,
+    CASE WHEN n_tokens < 20 THEN 1
+         WHEN (100 * n_alnum) // greatest(n_tokens, 1) < 300
+           OR (100 * n_alnum) // greatest(n_tokens, 1) > 500 THEN 2
+         WHEN n_stop < 2 THEN 3
+         WHEN 100 * n_punct > 20 * greatest(n_chars, 1) THEN 4
+         ELSE 0 END AS fail_code
+  FROM c)
+SELECT doc_id, (fail_code = 0)::BIGINT AS keep, fail_code::BIGINT AS fail_code
+FROM f
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "term_df_top100": f"""
@@ -1641,4 +1670,5 @@ SELECT d::BIGINT AS decile, count(*)::BIGINT AS n,
        min(v)::BIGINT AS lo_cents, max(v)::BIGINT AS hi_cents
 FROM r GROUP BY d
 """,
+        "gopher_filter_docs": _gopher_sql(),
     }

@@ -4660,3 +4660,75 @@ def value_decile_histogram(sf_dir: str) -> pa.Table:
             "hi_cents": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+def gopher_filter_docs(sf_dir: str):
+    """Gopher-style rule filter (Rae et al. 2021, Table A1 shape): per doc,
+    keep/drop plus the FIRST failing rule code -- the canonical pretraining
+    curation gate, with reason codes for the rejection-analysis report.
+    All-integer rules over vectorized counters (no floats, so the DuckDB
+    oracle is expression-identical):
+      1: n_tokens >= 20            (too short)
+      2: mean word length in [3, 5] (100 * n_alnum // n_tokens in [300,500])
+      3: >= 2 English stopword hits (the Gopher 'stop word' rule)
+      4: punct chars <= 20% of chars
+    Pure map, one pass, no shuffle."""
+    from .textstats import PUNCT_CLASS, STOPWORDS_EN
+
+    stop = pa.array(sorted(STOPWORDS_EN), pa.string())
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def rules(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        low = pc.utf8_lower(text)
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n_tokens = pc.cast(
+            pc.count_substring_regex(low, "[a-z0-9]+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        n_alnum = pc.cast(
+            pc.utf8_length(pc.replace_substring_regex(low, "[^a-z0-9]", "")),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        n_punct = (
+            n_chars
+            - pc.cast(
+                pc.utf8_length(
+                    pc.replace_substring_regex(text, PUNCT_CLASS, "")
+                ),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+        )
+        parts = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = parts.values
+        offs = np.asarray(parts.offsets, dtype=np.int64)
+        doc_of = np.repeat(
+            np.arange(len(batch), dtype=np.int64), np.diff(offs)
+        )
+        is_stop = pc.is_in(flat, value_set=stop).to_numpy(
+            zero_copy_only=False
+        ).astype(bool)
+        n_stop = np.bincount(doc_of[is_stop], minlength=len(batch)).astype(
+            np.int64
+        )
+
+        nt = np.maximum(n_tokens, 1)  # rule 1 catches the zero case first
+        mean_wl_e2 = (100 * n_alnum) // nt
+        fail = np.zeros(len(batch), dtype=np.int64)
+        r4 = 100 * n_punct > 20 * np.maximum(n_chars, 1)
+        fail = np.where(r4, 4, fail)
+        fail = np.where(n_stop < 2, 3, fail)
+        fail = np.where((mean_wl_e2 < 300) | (mean_wl_e2 > 500), 2, fail)
+        fail = np.where(n_tokens < 20, 1, fail)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "keep": pa.array((fail == 0).astype(np.int64)),
+                "fail_code": pa.array(fail),
+            }
+        )
+
+    return ds.map_batches(rules, batch_format="pyarrow")
