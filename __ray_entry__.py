@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_clusters": P.semdedup_clusters,
         "value_decile_histogram": P.value_decile_histogram,
         "gopher_filter_docs": P.gopher_filter_docs,
+        "props_field_stats": P.props_field_stats,
         "retention_cohorts": P.retention_cohorts,
         "window_distinct_users": P.window_distinct_users,
         # --- rows-only (each pytest-oracled; see module docstring) ---
@@ -1671,4 +1672,14 @@ SELECT d::BIGINT AS decile, count(*)::BIGINT AS n,
 FROM r GROUP BY d
 """,
         "gopher_filter_docs": _gopher_sql(),
+        "props_field_stats": """
+WITH k AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+  FROM events
+  WHERE regexp_extract(props, '"k": ([0-9]+)', 1) <> '')
+SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS k_sum,
+       min(k)::BIGINT AS k_min, max(k)::BIGINT AS k_max
+FROM k GROUP BY event_type
+""",
     }

@@ -4732,3 +4732,50 @@ def gopher_filter_docs(sf_dir: str):
         )
 
     return ds.map_batches(rules, batch_format="pyarrow")
+
+
+def props_field_stats(sf_dir: str) -> pa.Table:
+    """Semi-structured field extraction + aggregate: pull the integer `k`
+    field out of the JSON `props` column with ONE vectorized regex pass
+    (pc.extract_regex -- the columnar analog of the reference's
+    incremental JSON ingest parse, parseJSON.pl; no per-row json.loads)
+    and roll up n / sum / min / max per event_type with the usual
+    per-batch partial + tiny groupby. RE2 regex on both sides keeps the
+    DuckDB oracle expression-identical (regexp_extract)."""
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch["props"], pattern=r'"k": (?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "k": k})
+        t = t.filter(pc.is_valid(t["k"]))
+        g = pa.TableGroupBy(t, "event_type").aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")]
+        )
+        return g.rename_columns(["event_type", "n_p", "s_p", "mn_p", "mx_p"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_p", alias_name="n"),
+            Sum("s_p", alias_name="k_sum"),
+            Min("mn_p", alias_name="k_min"),
+            Max("mx_p", alias_name="k_max"),
+        )
+    )
+    df = agg.to_pandas()
+    return pa.table(
+        {
+            "event_type": pa.array(df["event_type"], pa.string()),
+            "n": pa.array(df["n"].astype(np.int64)),
+            "k_sum": pa.array(df["k_sum"].astype(np.int64)),
+            "k_min": pa.array(df["k_min"].astype(np.int64)),
+            "k_max": pa.array(df["k_max"].astype(np.int64)),
+        }
+    )
