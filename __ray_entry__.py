@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_decile_histogram": P.value_decile_histogram,
         "gopher_filter_docs": P.gopher_filter_docs,
         "props_field_stats": P.props_field_stats,
+        "event_transition_counts": P.event_transition_counts,
         "retention_cohorts": P.retention_cohorts,
         "window_distinct_users": P.window_distinct_users,
         # --- rows-only (each pytest-oracled; see module docstring) ---
@@ -1681,5 +1682,15 @@ WITH k AS (
 SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS k_sum,
        min(k)::BIGINT AS k_min, max(k)::BIGINT AS k_max
 FROM k GROUP BY event_type
+""",
+        "event_transition_counts": """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type AS from_type, event_type AS to_type, count(*)::BIGINT AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
 """,
     }

@@ -4779,3 +4779,64 @@ def props_field_stats(sf_dir: str) -> pa.Table:
             "k_max": pa.array(df["k_max"].astype(np.int64)),
         }
     )
+
+
+def event_transition_counts(sf_dir: str) -> pa.Table:
+    """Per-user event-type transition counts (the clickstream Markov
+    matrix): order each user's events by (ts, event_id) and count adjacent
+    (from_type, to_type) pairs corpus-wide. One user-keyed groupby
+    co-locates each user's history; the per-group kernel is a vectorized
+    sort + shift (no Python over rows); transition partials then fold in a
+    tiny pair groupby. SQL-exact vs lag() OVER (PARTITION BY user ORDER BY
+    ts, event_id)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = np.asarray(g["event_id"], dtype=np.int64)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us))
+        et = et[order]
+        if len(et) < 2:
+            return pa.table(
+                {
+                    "from_type": pa.array([], pa.string()),
+                    "to_type": pa.array([], pa.string()),
+                    "n_p": pa.array([], pa.int64()),
+                }
+            )
+        # \x1f separator: numpy U-dtype strips trailing NULs, so \x00 keys
+        # collapse (see test_distinct_doc_terms_digit_leading_tokens)
+        pair = np.char.add(
+            np.char.add(et[:-1].astype("U"), "\x1f"), et[1:].astype("U")
+        )
+        uniq, cnt = np.unique(pair, return_counts=True)
+        both = np.char.partition(uniq, "\x1f")
+        return pa.table(
+            {
+                "from_type": pa.array(both[:, 0], pa.string()),
+                "to_type": pa.array(both[:, 2], pa.string()),
+                "n_p": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n_p", alias_name="n"))
+    )
+    df = agg.to_pandas()
+    return pa.table(
+        {
+            "from_type": pa.array(df["from_type"], pa.string()),
+            "to_type": pa.array(df["to_type"], pa.string()),
+            "n": pa.array(df["n"].astype(np.int64)),
+        }
+    )
