@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter_docs": P.gopher_filter_docs,
         "props_field_stats": P.props_field_stats,
         "event_transition_counts": P.event_transition_counts,
+        "token_budget_sample": P.token_budget_sample,
         "retention_cohorts": P.retention_cohorts,
         "window_distinct_users": P.window_distinct_users,
         # --- rows-only (each pytest-oracled; see module docstring) ---
@@ -1692,5 +1693,15 @@ WITH s AS (
 SELECT prev_type AS from_type, event_type AS to_type, count(*)::BIGINT AS n
 FROM s WHERE prev_type IS NOT NULL
 GROUP BY 1, 2
+""",
+        "token_budget_sample": r"""
+WITH t AS (SELECT doc_id, source,
+                  len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM t)
+SELECT doc_id, source, n_tokens, cum::BIGINT AS cum_tokens
+FROM c WHERE cum <= 800
 """,
     }

@@ -4840,3 +4840,84 @@ def event_transition_counts(sf_dir: str) -> pa.Table:
             "n": pa.array(df["n"].astype(np.int64)),
         }
     )
+
+
+TOKEN_BUDGET_PER_SOURCE = 800
+
+
+def token_budget_sample(sf_dir: str):
+    """Token-quota mixing: keep each source's docs (in doc_id order) until
+    the source's cumulative whitespace-token count reaches
+    TOKEN_BUDGET_PER_SOURCE -- the 'sample N tokens per source' step of
+    building a pretraining mixture, where quotas are over TOKENS, not doc
+    counts (balanced_sample's regime). Deterministic: the kept set is a
+    pure function of (source, doc_id, n_tokens).
+
+    Same distributed EXACT prefix sum as pack_sequences, partitioned by
+    source: (1) per-batch partial token sums per (source, id-range bucket)
+    -> tiny groupby -> driver exclusive scan per source (rows = #sources x
+    #buckets, never corpus-sized); (2) bucket-atomic map_groups adds the
+    broadcast base to a local cumsum and applies the quota. SQL-exact vs
+    SUM OVER (PARTITION BY source ORDER BY doc_id)."""
+    from ray.data.aggregate import Sum
+
+    shift = 6  # 64-doc id ranges; raise at corpus scale (packing.py note)
+    ds = _documents(sf_dir, ["doc_id", "source", "text"])
+
+    def tok(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(batch["text"], r"\S+"), pa.int64()
+        )
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "n_tokens": n,
+                "__bucket": pa.array(ids >> shift),
+            }
+        )
+
+    toks = ds.map_batches(tok, batch_format="pyarrow")
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, ["source", "__bucket"]).aggregate(
+            [("n_tokens", "sum")]
+        )
+        return g.rename_columns(["source", "__bucket", "s_p"])
+
+    totals = (
+        toks.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby(["source", "__bucket"])
+        .aggregate(Sum("s_p", alias_name="s"))
+        .to_pandas()
+        .sort_values(["source", "__bucket"])
+    )
+    base: dict[tuple, int] = {}
+    for src, grp in totals.groupby("source", sort=False):
+        run = 0
+        for b, sv in zip(grp["__bucket"], grp["s"]):
+            base[(src, int(b))] = run
+            run += int(sv)
+
+    def scan_bucket(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["doc_id"], dtype=np.int64)
+        n = np.asarray(g["n_tokens"], dtype=np.int64)
+        order = np.argsort(ids)
+        src = g["source"][0].as_py()
+        b = int(g["__bucket"][0].as_py())
+        cum = np.empty_like(n)
+        cum[order] = np.cumsum(n[order]) + base[(src, b)]
+        keep = cum <= TOKEN_BUDGET_PER_SOURCE
+        return pa.table(
+            {
+                "doc_id": g["doc_id"].filter(pa.array(keep)),
+                "source": g["source"].filter(pa.array(keep)),
+                "n_tokens": g["n_tokens"].filter(pa.array(keep)),
+                "cum_tokens": pa.array(cum[keep]),
+            }
+        )
+
+    return toks.groupby(["source", "__bucket"]).map_groups(
+        scan_bucket, batch_format="pyarrow"
+    )
