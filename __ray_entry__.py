@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_field_stats": P.props_field_stats,
         "event_transition_counts": P.event_transition_counts,
         "token_budget_sample": P.token_budget_sample,
+        "kmeans_medoids": P.kmeans_medoids,
         "retention_cohorts": P.retention_cohorts,
         "window_distinct_users": P.window_distinct_users,
         # --- rows-only (each pytest-oracled; see module docstring) ---
@@ -819,6 +820,17 @@ def _kmeans_sql(with_labels: bool = False) -> str:
   QUALIFY row_number() OVER (PARTITION BY e.vec_id
       ORDER BY list_distance(e.v, c.v), c.cid) = 1)""")
     body = "WITH " + ",\n".join(cte)
+    if with_labels == "medoids":
+        from nexlt_ray.pipelines import KMEANS_ITERS as _KI
+
+        return body + f"""
+SELECT f.cluster, e2.vec_id AS medoid_vec_id
+FROM fin f
+JOIN embeddings e2 ON e2.vec_id = f.vec_id
+JOIN c{_KI} c ON c.cid = f.cluster
+QUALIFY row_number() OVER (PARTITION BY f.cluster
+    ORDER BY list_distance(e2.embedding::DOUBLE[], c.v), e2.vec_id) = 1
+"""
     if with_labels:
         return body + """
 SELECT f.cluster, e2.label::BIGINT AS label, count(*)::BIGINT AS n_vecs
@@ -1704,4 +1716,5 @@ c AS (SELECT doc_id, source, n_tokens,
 SELECT doc_id, source, n_tokens, cum::BIGINT AS cum_tokens
 FROM c WHERE cum <= 800
 """,
+        "kmeans_medoids": _kmeans_sql(with_labels="medoids"),
     }

@@ -4921,3 +4921,64 @@ def token_budget_sample(sf_dir: str):
     return toks.groupby(["source", "__bucket"]).map_groups(
         scan_bucket, batch_format="pyarrow"
     )
+
+
+def kmeans_medoids(sf_dir: str) -> pa.Table:
+    """Per-cluster representative selection after k-means: the vector
+    closest to each final centroid (euclidean, vec_id tie-break) -- the
+    cluster-pruning / diverse-exemplar step of embedding-based curation
+    (pick one representative per semantic cluster). One streaming pass:
+    assign + per-batch best-candidate per cluster (K rows per batch), then
+    a trivial driver reduce over K x #batches rows. Output
+    (cluster, medoid_vec_id), all-integer."""
+    import ray
+
+    ds, cent = _kmeans_fit(sf_dir)
+    ref = ray.put(cent)
+
+    def best_partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        c = _ray.get(ref)
+        V = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        d2 = (
+            (V * V).sum(axis=1, keepdims=True)
+            - 2.0 * (V @ c.T)
+            + (c * c).sum(axis=1)
+        )
+        assign = np.argmin(d2, axis=1)
+        # recompute the assigned distance with the direct formula (matches
+        # the oracle's sum((a-b)^2) rounding more closely than the
+        # expansion used for the argmin scan)
+        d = ((V - c[assign]) ** 2).sum(axis=1)
+        out_c, out_id, out_d = [], [], []
+        for cl in np.unique(assign):
+            m = assign == cl
+            order = np.lexsort((ids[m], d[m]))
+            out_c.append(int(cl))
+            out_id.append(int(ids[m][order[0]]))
+            out_d.append(float(d[m][order[0]]))
+        return pa.table(
+            {
+                "cluster": pa.array(out_c, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "d": pa.array(out_d, pa.float64()),
+            }
+        )
+
+    rows = ds.map_batches(best_partial, batch_format="pyarrow").take_all()
+    best: dict[int, tuple] = {}
+    for r in rows:
+        key = (r["d"], r["vec_id"])
+        if r["cluster"] not in best or key < best[r["cluster"]]:
+            best[r["cluster"]] = key
+    cl = sorted(best)
+    return pa.table(
+        {
+            "cluster": pa.array(cl, pa.int64()),
+            "medoid_vec_id": pa.array([best[c][1] for c in cl], pa.int64()),
+        }
+    )
