@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transition_counts": P.event_transition_counts,
         "token_budget_sample": P.token_budget_sample,
         "kmeans_medoids": P.kmeans_medoids,
+        "dedup_weights": P.dedup_weights,
         "retention_cohorts": P.retention_cohorts,
         "window_distinct_users": P.window_distinct_users,
         # --- rows-only (each pytest-oracled; see module docstring) ---
@@ -926,6 +927,21 @@ ed AS (SELECT eu.src, eu.dst, eu.w, deg.wdeg FROM eu JOIN deg USING (src)),
 s0 AS (SELECT src AS term, {TEXTRANK_S0}::BIGINT AS score FROM deg),
 {", ".join(its)}
 SELECT term, score FROM {prev} ORDER BY score DESC, term LIMIT 20
+"""
+
+
+def _dedup_weights_sql() -> str:
+    base = _dup_clusters_sql()
+    i = base.rindex("SELECT a::BIGINT AS doc_id")
+    return base[:i] + """, cl AS (
+  SELECT a::BIGINT AS doc_id, min(b)::BIGINT AS cluster_id
+  FROM reach GROUP BY a),
+w AS (SELECT cluster_id, count(*)::BIGINT AS weight FROM cl GROUP BY 1)
+SELECT d.doc_id, coalesce(w.weight, 1)::BIGINT AS weight
+FROM documents d
+LEFT JOIN cl ON cl.doc_id = d.doc_id
+LEFT JOIN w ON w.cluster_id = d.doc_id
+WHERE cl.doc_id IS NULL OR cl.cluster_id = d.doc_id
 """
 
 
@@ -1717,4 +1733,5 @@ SELECT doc_id, source, n_tokens, cum::BIGINT AS cum_tokens
 FROM c WHERE cum <= 800
 """,
         "kmeans_medoids": _kmeans_sql(with_labels="medoids"),
+        "dedup_weights": _dedup_weights_sql(),
     }

@@ -4982,3 +4982,54 @@ def kmeans_medoids(sf_dir: str) -> pa.Table:
             "medoid_vec_id": pa.array([best[c][1] for c in cl], pa.int64()),
         }
     )
+
+
+def dedup_weights(sf_dir: str):
+    """Duplication-aware training weights: after near-dup clustering
+    (token-set Jaccard >= 0.9, same graph as dup_clusters), keep ONE
+    canonical doc per cluster (cluster_id == doc_id) carrying the cluster
+    size as its weight -- the 'dedup but preserve the duplication count'
+    accounting used when duplication frequency should inform sampling
+    rather than silently vanish. Docs outside any dup pair keep weight 1.
+
+    Plan: cluster labels are bounded by the PAIR GRAPH (not the corpus),
+    so the weight table and member set broadcast; the corpus pass is a
+    pure map that drops non-canonical members and attaches weights."""
+    import ray
+
+    clusters = dup_clusters_docs(sf_dir)
+    if hasattr(clusters, "to_pandas"):
+        cdf = clusters.to_pandas()
+    else:
+        cdf = clusters
+    sizes = cdf.groupby("cluster_id").size().to_dict()
+    weight_of = {
+        int(r.doc_id): int(sizes[r.cluster_id])
+        for r in cdf.itertuples()
+        if int(r.doc_id) == int(r.cluster_id)
+    }
+    members = set(int(x) for x in cdf["doc_id"])
+    w_ref = ray.put((weight_of, members))
+
+    class Weigh:
+        def __init__(self):
+            self.weight_of, self.members = ray.get(w_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["doc_id"], dtype=np.int64)
+            keep = np.array(
+                [i not in self.members or i in self.weight_of for i in ids.tolist()],
+                dtype=bool,
+            )
+            kept = ids[keep]
+            w = np.array(
+                [self.weight_of.get(int(i), 1) for i in kept.tolist()],
+                dtype=np.int64,
+            )
+            return pa.table(
+                {"doc_id": pa.array(kept), "weight": pa.array(w)}
+            )
+
+    return _documents(sf_dir, ["doc_id"]).map_batches(
+        Weigh, batch_format="pyarrow", concurrency=(1, 8)
+    )
