@@ -5002,30 +5002,36 @@ def dedup_weights(sf_dir: str):
         cdf = clusters.to_pandas()
     else:
         cdf = clusters
-    sizes = cdf.groupby("cluster_id").size().to_dict()
-    weight_of = {
-        int(r.doc_id): int(sizes[r.cluster_id])
-        for r in cdf.itertuples()
-        if int(r.doc_id) == int(r.cluster_id)
-    }
-    members = set(int(x) for x in cdf["doc_id"])
-    w_ref = ray.put((weight_of, members))
+    sizes = cdf.groupby("cluster_id").size()
+    canon = cdf[cdf["doc_id"] == cdf["cluster_id"]]
+    canon_ids = canon["doc_id"].to_numpy().astype(np.int64)
+    order = np.argsort(canon_ids)
+    canon_ids = canon_ids[order]
+    canon_w = sizes.loc[canon["cluster_id"]].to_numpy().astype(np.int64)[order]
+    members_arr = np.sort(cdf["doc_id"].to_numpy().astype(np.int64))
+    w_ref = ray.put((canon_ids, canon_w, members_arr))
 
     class Weigh:
         def __init__(self):
-            self.weight_of, self.members = ray.get(w_ref)
+            self.canon_ids, self.canon_w, self.members = ray.get(w_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            # fully vectorized: sorted-array membership + weight gather
             ids = np.asarray(batch["doc_id"], dtype=np.int64)
-            keep = np.array(
-                [i not in self.members or i in self.weight_of for i in ids.tolist()],
-                dtype=bool,
-            )
+            in_members = np.isin(ids, self.members, assume_unique=False)
+            if len(self.canon_ids):
+                pos = np.searchsorted(self.canon_ids, ids)
+                pos_c = np.minimum(pos, len(self.canon_ids) - 1)
+                is_canon = self.canon_ids[pos_c] == ids
+            else:
+                is_canon = np.zeros(len(ids), dtype=bool)
+            keep = ~in_members | is_canon
             kept = ids[keep]
-            w = np.array(
-                [self.weight_of.get(int(i), 1) for i in kept.tolist()],
-                dtype=np.int64,
-            )
+            w = np.ones(len(kept), dtype=np.int64)
+            kc = is_canon[keep]
+            w[kc] = self.canon_w[
+                np.searchsorted(self.canon_ids, kept[kc])
+            ]
             return pa.table(
                 {"doc_id": pa.array(kept), "weight": pa.array(w)}
             )
