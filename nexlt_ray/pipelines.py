@@ -4444,7 +4444,9 @@ def corpus_snapshot_diff(sf_dir: str) -> pa.Table:
 
 
 def pd_isna_vec(a: np.ndarray) -> np.ndarray:
-    return np.array([x is None for x in a.tolist()], dtype=bool)
+    import pandas as pd
+
+    return np.asarray(pd.isna(a), dtype=bool)
 
 
 PROFILE_COLS = ("event_id", "user_id", "ts_us", "value_cents")
