@@ -1223,3 +1223,63 @@ def test_bloom_semi_anti_join_exact_and_no_false_negatives(ray_session):
     true_members = np.array([k in rset for k in lk])
     fp_rate = (mask & ~true_members).sum() / max((~true_members).sum(), 1)
     assert fp_rate < 0.05, fp_rate
+
+
+@pytest.mark.parametrize("how", ["inner", "left outer", "full outer",
+                                 "left semi", "left anti"])
+def test_hash_join_all_modes_randomized_vs_duckdb(ray_session, how):
+    """Property check across the whole join matrix: random int keys with
+    heavy duplication, nulls on both sides (dropped at the tag -- the
+    documented semantics, mirrored in the SQL via IS NOT NULL), uneven
+    partitioning."""
+    import duckdb
+    import ray.data
+    from nexlt_ray.joins import hash_join
+
+    rng = np.random.default_rng(hash(how) % 2**31)
+    n_l, n_r = 400, 250
+    lk = rng.integers(0, 60, size=n_l).astype(float)
+    rk = rng.integers(30, 90, size=n_r).astype(float)
+    lk[rng.random(n_l) < 0.05] = np.nan
+    rk[rng.random(n_r) < 0.05] = np.nan
+    lt = pa.table({
+        "k": pa.array([None if np.isnan(x) else int(x) for x in lk],
+                      pa.int64()),
+        "v": pa.array(np.arange(n_l, dtype=np.int64)),
+    })
+    rt = pa.table({
+        "rk": pa.array([None if np.isnan(x) else int(x) for x in rk],
+                       pa.int64()),
+        "w": pa.array(np.arange(n_r, dtype=np.int64) * 7),
+    })
+    ldf, rdf = lt.to_pandas(), rt.to_pandas()
+    left = ray.data.from_arrow(lt).repartition(5)
+    right = ray.data.from_arrow(rt).repartition(2)
+    got = hash_join(left, right, "k", "rk", num_buckets=8, how=how).to_pandas()
+
+    con = duckdb.connect()
+    con.register("l", ldf)
+    con.register("r", rdf)
+    sql = {
+        "inner": "SELECT l.k, l.v, r.w FROM l JOIN r ON l.k = r.rk",
+        "left outer": """SELECT l.k, l.v, r.w FROM l LEFT JOIN r ON l.k = r.rk
+                         WHERE l.k IS NOT NULL""",
+        "full outer": """SELECT coalesce(l.k, r.rk) AS k, l.v, r.w
+                         FROM (SELECT * FROM l WHERE k IS NOT NULL) l
+                         FULL OUTER JOIN
+                              (SELECT * FROM r WHERE rk IS NOT NULL) r
+                         ON l.k = r.rk""",
+        "left semi": """SELECT k, v FROM l WHERE k IN
+                        (SELECT rk FROM r WHERE rk IS NOT NULL)""",
+        "left anti": """SELECT k, v FROM l WHERE k IS NOT NULL AND k NOT IN
+                        (SELECT rk FROM r WHERE rk IS NOT NULL)""",
+    }[how]
+    exp = con.sql(sql).df()
+
+    def canon(df):
+        df = df[sorted(df.columns)].astype("float64")
+        return df.sort_values(list(df.columns), na_position="last").reset_index(
+            drop=True
+        )
+
+    pd.testing.assert_frame_equal(canon(got), canon(exp))
