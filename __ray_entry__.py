@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_sample": P.token_budget_sample,
         "kmeans_medoids": P.kmeans_medoids,
         "dedup_weights": P.dedup_weights,
+        "heavy_hitters_by_lang": P.heavy_hitters_by_lang,
         "retention_cohorts": P.retention_cohorts,
         "window_distinct_users": P.window_distinct_users,
         # --- rows-only (each pytest-oracled; see module docstring) ---
@@ -1734,4 +1735,12 @@ FROM c WHERE cum <= 800
 """,
         "kmeans_medoids": _kmeans_sql(with_labels="medoids"),
         "dedup_weights": _dedup_weights_sql(),
+        "heavy_hitters_by_lang": f"""
+{_TOK}
+SELECT d.lang, tok.term, count(*)::BIGINT AS cf
+FROM tok JOIN documents d USING (doc_id)
+GROUP BY d.lang, tok.term
+QUALIFY row_number() OVER (PARTITION BY d.lang
+    ORDER BY count(*) DESC, tok.term) <= 5
+""",
     }

@@ -5041,3 +5041,15 @@ def dedup_weights(sf_dir: str):
     return _documents(sf_dir, ["doc_id"]).map_batches(
         Weigh, batch_format="pyarrow", concurrency=(1, 8)
     )
+
+
+def heavy_hitters_by_lang(sf_dir: str) -> pa.Table:
+    """Exact top-5 terms per language via the stratified Misra-Gries
+    sketch + per-stratum exact recount (textstats.
+    heavy_hitters_by_group_exact_topk; per-group guarantee asserted)."""
+    from .textstats import heavy_hitters_by_group_exact_topk
+
+    return heavy_hitters_by_group_exact_topk(
+        _documents(sf_dir, ["doc_id", "lang", "text"]),
+        group_col="lang", k_out=5, sketch_k=128,
+    )

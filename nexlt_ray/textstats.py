@@ -758,3 +758,117 @@ def dd_quantile(bucket_idx: np.ndarray, counts: np.ndarray, n_zero: int,
     j = int(np.searchsorted(cum, rank + 1))
     g = dd_gamma(alpha)
     return float(2.0 * g ** int(bucket_idx[j]) / (g + 1.0))
+
+
+def heavy_hitters_by_group_exact_topk(
+    docs,
+    group_col: str = "lang",
+    k_out: int = 5,
+    sketch_k: int = 128,
+    text_col: str = "text",
+) -> pa.Table:
+    """Stratified Misra-Gries: exact top-`k_out` terms per `group_col`
+    stratum. Same sketch-then-recount plan as heavy_hitters_exact_topk,
+    with every stage keyed by (group, term) and the error mass tracked PER
+    GROUP (each stratum gets its own guarantee assertion). Per-batch cost
+    is <= sketch_k rows per group present in the batch."""
+    def partial(batch: pa.Table) -> pa.Table:
+        groups = batch[group_col].to_numpy(zero_copy_only=False)
+        out_g, out_t, out_c = [], [], []
+        for g in np.unique(groups):
+            sub = batch.filter(pa.array(groups == g))
+            vocab, codes, _ = _simple_tokens_encoded(sub[text_col])
+            cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+            terms, cnts, d = mg_truncate(vocab, cnt, sketch_k)
+            out_g.append(np.full(len(terms) + 1, g, dtype=object))
+            out_t.append(
+                np.concatenate([np.asarray(terms.cast(pa.string())), [ERR_SENTINEL]])
+            )
+            out_c.append(np.concatenate([cnts, [d]]))
+        if not out_g:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "c_p": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "g": pa.array(np.concatenate(out_g).astype("U"), pa.string()),
+                "term": pa.array(
+                    np.concatenate(out_t).astype("U"), pa.string()
+                ),
+                "c_p": pa.array(np.concatenate(out_c).astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["g", "term"])
+        .aggregate(Sum("c_p", alias_name="c"))
+        .to_pandas()
+    )
+    results = []
+    for g, grp in merged.groupby("g", sort=True):
+        err_total = int(grp.loc[grp["term"] == ERR_SENTINEL, "c"].sum())
+        cand = grp[grp["term"] != ERR_SENTINEL]
+        if len(cand) == 0:
+            continue
+        lb = cand["c"].to_numpy()
+        k_eff = min(k_out, len(cand))
+        l_k = np.partition(lb, len(lb) - k_eff)[len(lb) - k_eff]
+        r_terms = sorted(cand.loc[lb + err_total >= l_k, "term"].tolist())
+        results.append((g, r_terms, err_total))
+
+    cand_map = {g: pa.array(terms, pa.string()) for g, terms, _ in results}
+    err_map = {g: e for g, _, e in results}
+
+    def recount(batch: pa.Table) -> pa.Table:
+        groups = batch[group_col].to_numpy(zero_copy_only=False)
+        out_g, out_t, out_c = [], [], []
+        for g in np.unique(groups):
+            ca = cand_map.get(g)
+            if ca is None or len(ca) == 0:
+                continue
+            sub = batch.filter(pa.array(groups == g))
+            vocab, codes, _ = _simple_tokens_encoded(sub[text_col])
+            cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+            ridx = pc.index_in(vocab, value_set=ca)
+            rc = ridx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+            hit = rc >= 0
+            out = np.zeros(len(ca), dtype=np.int64)
+            np.add.at(out, rc[hit], cnt[hit])
+            nz = out > 0
+            out_g.append(np.full(int(nz.sum()), g, dtype=object))
+            out_t.append(np.asarray(ca.filter(pa.array(nz))))
+            out_c.append(out[nz])
+        if not out_g:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "c_p": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "g": pa.array(np.concatenate(out_g).astype("U"), pa.string()),
+                "term": pa.array(np.concatenate(out_t).astype("U"), pa.string()),
+                "c_p": pa.array(np.concatenate(out_c).astype(np.int64)),
+            }
+        )
+
+    exact = (
+        docs.map_batches(recount, batch_format="pyarrow")
+        .groupby(["g", "term"])
+        .aggregate(Sum("c_p", alias_name="cf"))
+        .to_pandas()
+    )
+    rows = []
+    for g, grp in exact.groupby("g", sort=True):
+        top = grp.sort_values(["cf", "term"], ascending=[False, True]).head(k_out)
+        kth = int(top["cf"].iloc[-1])
+        assert kth > err_map[g], (g, kth, err_map[g], "raise sketch_k")
+        rows.extend((g, t, int(c)) for t, c in zip(top["term"], top["cf"]))
+    return pa.table(
+        {
+            group_col: pa.array([r[0] for r in rows], pa.string()),
+            "term": pa.array([r[1] for r in rows], pa.string()),
+            "cf": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )

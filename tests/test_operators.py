@@ -1283,3 +1283,31 @@ def test_hash_join_all_modes_randomized_vs_duckdb(ray_session, how):
         )
 
     pd.testing.assert_frame_equal(canon(got), canon(exp))
+
+
+def test_heavy_hitters_by_group_exact_under_decrements(ray_session):
+    import ray.data
+    from collections import Counter
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    w = 1.0 / (np.arange(300) + 1.0)
+    w /= w.sum()
+    docs, exact = [], {"a": Counter(), "b": Counter()}
+    for d in range(300):
+        g = "a" if d % 2 == 0 else "b"
+        # disjoint stratum vocabularies: stratum b reverses the Zipf order
+        toks = rng.choice(vocab, size=30, p=(w if g == "a" else w[::-1]))
+        exact[g].update(toks)
+        docs.append({"doc_id": d, "lang": g, "text": " ".join(toks)})
+    ds = ray.data.from_items(docs).repartition(12)
+    got = T.heavy_hitters_by_group_exact_topk(
+        ds, group_col="lang", k_out=8, sketch_k=24
+    )
+    gl = got["lang"].to_pylist()
+    gt = got["term"].to_pylist()
+    gc = got["cf"].to_pylist()
+    for g in ("a", "b"):
+        want = sorted(exact[g].items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+        have = [(t, c) for lg, t, c in zip(gl, gt, gc) if lg == g]
+        assert have == [(t, c) for t, c in want], g
