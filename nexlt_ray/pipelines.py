@@ -5053,3 +5053,19 @@ def heavy_hitters_by_lang(sf_dir: str) -> pa.Table:
         _documents(sf_dir, ["doc_id", "lang", "text"]),
         group_col="lang", k_out=5, sketch_k=128,
     )
+
+
+def whitened_embeddings(sf_dir: str):
+    """PCA-whitened embedding column (similarity.pca_whiten): decorrelated
+    unit-variance vectors for downstream ANN / clustering. Rows-only driver
+    entry (float output); the transform's correctness -- identity
+    covariance of the result, agreement with a single-matrix numpy
+    reference -- is pytest-oracled."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    out, _ = sim_ops.pca_whiten(ds)
+    return out

@@ -373,3 +373,65 @@ def ivf_topk(
 
     cand = ds.map_batches(probe_filter, batch_format="pyarrow")
     return brute_force_topk(cand, queries, k=k, concurrency=concurrency)
+
+
+def pca_whiten(ds, col: str = "embedding", eps: float = 1e-6):
+    """PCA whitening of an embedding column (the standard pre-ANN /
+    pre-clustering transform: decorrelate + unit-variance so euclidean
+    structure matches Mahalanobis). Distributed moment accumulation: each
+    batch emits ONE partial row (sum vector, X^T X matrix, count) -- d and
+    d^2 floats regardless of batch size -- then the d x d eigendecomposition
+    runs on the driver (d is tiny; the DATA never leaves the workers) and
+    the projection broadcasts into a pure map. Returns (Dataset of vec_id +
+    whitened embedding, eigvals desc). Float sums are partial-order
+    dependent at ~1e-12 relative -- accuracy is pytest-verified against a
+    single-matrix numpy reference, not hash-compared."""
+    import ray
+    import ray.data  # noqa: F401
+
+    def moments(batch: pa.Table) -> pa.Table:
+        X = _matrix_of(batch, col).astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([len(X)], pa.int64()),
+                "s": pa.array([X.sum(axis=0).tobytes()], pa.binary()),
+                "xx": pa.array([(X.T @ X).ravel().tobytes()], pa.binary()),
+                "d": pa.array([X.shape[1]], pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(moments, batch_format="pyarrow").take_all()
+    d = int(rows[0]["d"])
+    n = sum(int(r["n"]) for r in rows)
+    s = np.zeros(d, np.float64)
+    xx = np.zeros((d, d), np.float64)
+    for r in rows:
+        s += np.frombuffer(r["s"], np.float64)
+        xx += np.frombuffer(r["xx"], np.float64).reshape(d, d)
+    mu = s / n
+    cov = xx / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    W = evecs / np.sqrt(np.maximum(evals, 0.0) + eps)  # d x d whitener
+    w_ref = ray.put((mu, W))
+
+    class Project:
+        def __init__(self):
+            self.mu, self.W = ray.get(w_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            X = _matrix_of(batch, col).astype(np.float64)
+            Y = (X - self.mu) @ self.W
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"],
+                    "embedding": pa.array(
+                        list(Y.astype(np.float32)),
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            )
+
+    out = ds.map_batches(Project, batch_format="pyarrow", concurrency=(1, 8))
+    return out, evals

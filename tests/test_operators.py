@@ -1311,3 +1311,28 @@ def test_heavy_hitters_by_group_exact_under_decrements(ray_session):
         want = sorted(exact[g].items(), key=lambda kv: (-kv[1], kv[0]))[:8]
         have = [(t, c) for lg, t, c in zip(gl, gt, gc) if lg == g]
         assert have == [(t, c) for t, c in want], g
+
+
+def test_pca_whiten_matches_numpy_and_whitens(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(17)
+    d = 8
+    # anisotropic gaussian with strong correlations
+    A = rng.standard_normal((d, d))
+    X = rng.standard_normal((3000, d)) @ A
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": row.astype(np.float32).tolist()}
+         for i, row in enumerate(X)]
+    ).repartition(7)
+    out, evals = S.pca_whiten(ds)
+    # eigenvalues match a single-matrix reference
+    Xf = X.astype(np.float32).astype(np.float64)
+    cov = np.cov(Xf, rowvar=False, bias=True)
+    ref = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert np.allclose(evals, ref, rtol=1e-6, atol=1e-9)
+    # the whitened output has ~identity covariance
+    df = out.to_pandas().sort_values("vec_id")
+    Y = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    covY = np.cov(Y, rowvar=False, bias=True)
+    assert np.allclose(covY, np.eye(d), atol=5e-3)
