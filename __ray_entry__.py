@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_vocab_by_lang": P.approx_vocab_by_lang,
         "approx_value_percentiles": P.approx_value_percentiles,
         "whitened_embeddings": P.whitened_embeddings,
+        "approx_window_distinct_users": P.approx_window_distinct_users,
         "ann_lsh_topk": P.ann_lsh_topk,
         "ann_ivf_topk": P.ann_ivf_topk,
         # flagship engine (Lucene-exact scoring; oracle = pytest rank-identity)

@@ -5069,3 +5069,48 @@ def whitened_embeddings(sf_dir: str):
     )
     out, _ = sim_ops.pca_whiten(ds)
     return out
+
+
+def approx_window_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
+    """Approximate distinct users per 1-hour tumbling window via mergeable
+    HyperLogLog — the flat-scale companion to window_distinct_users: the
+    exact plan's shuffle carries the (window, user) pair cardinality
+    (measured ~event-sized at 2M events), while this ships one 2^p-byte
+    register row per (window, batch) and never shuffles a user id.
+    Same register max-merge as approx_vocab_by_lang. Rows-only driver
+    entry; accuracy vs the exact operator is pytest-verified."""
+    from .textstats import hll_estimate, hll_registers
+    from .joins import _mix64
+
+    ds = _events_week(sf_dir, ["ts", "user_id"])
+    win_us = 3600 * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        win = us // win_us
+        h = _mix64(np.asarray(batch["user_id"], dtype=np.int64))
+        win_u, win_inv = np.unique(win, return_inverse=True)
+        out_w, out_r = [], []
+        for wi, wv in enumerate(win_u):
+            out_w.append(int(wv))
+            out_r.append(hll_registers(h[win_inv == wi], p=p).tobytes())
+        return pa.table(
+            {"window_id": pa.array(out_w, pa.int64()),
+             "regs": pa.array(out_r, pa.binary())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged: dict[int, np.ndarray] = {}
+    for r in parts:
+        regs = np.frombuffer(r["regs"], dtype=np.uint8)
+        cur = merged.get(r["window_id"])
+        merged[r["window_id"]] = regs if cur is None else np.maximum(cur, regs)
+    wins = sorted(merged)
+    return pa.table(
+        {
+            "window_id": pa.array(wins, pa.int64()),
+            "approx_users": pa.array(
+                [hll_estimate(merged[w]) for w in wins], pa.int64()
+            ),
+        }
+    )

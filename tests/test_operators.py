@@ -1336,3 +1336,18 @@ def test_pca_whiten_matches_numpy_and_whitens(ray_session):
     Y = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     covY = np.cov(Y, rowvar=False, bias=True)
     assert np.allclose(covY, np.eye(d), atol=5e-3)
+
+
+def test_approx_window_distinct_matches_exact(ray_session):
+    from nexlt_ray import pipelines as P
+
+    sf = "/root/testdata/sf0.001"
+    exact = P.window_distinct_users(sf).to_pandas().set_index("window_id")
+    approx = (
+        P.approx_window_distinct_users(sf).to_pandas().set_index("window_id")
+    )
+    assert set(exact.index) == set(approx.index)
+    for w in exact.index:
+        e = int(exact.loc[w, "n_users"])
+        a = int(approx.loc[w, "approx_users"])
+        assert abs(a - e) <= max(2, 0.05 * e), (w, a, e)
