@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_value_percentiles": P.approx_value_percentiles,
         "whitened_embeddings": P.whitened_embeddings,
         "approx_window_distinct_users": P.approx_window_distinct_users,
+        "compression_ratio_docs": P.compression_ratio_docs,
         "ann_lsh_topk": P.ann_lsh_topk,
         "ann_ivf_topk": P.ann_ivf_topk,
         # flagship engine (Lucene-exact scoring; oracle = pytest rank-identity)

@@ -5114,3 +5114,13 @@ def approx_window_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
             ),
         }
     )
+
+
+def compression_ratio_docs(sf_dir: str):
+    """Per-doc zlib compression-ratio quality signal (textstats.
+    compression_ratio_batch): pure map, rows-only (the ratio depends on
+    the zlib encoder, not SQL-recomputable); ordering/monotonicity
+    properties are pytest-oracled."""
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        ts_ops.compression_ratio_batch, batch_format="pyarrow"
+    )

@@ -872,3 +872,31 @@ def heavy_hitters_by_group_exact_topk(
             "cf": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+def compression_ratio_batch(
+    batch: pa.Table, text_col: str = "text", level: int = 6
+) -> pa.Table:
+    """Per-doc zlib compression ratio — the repetitiveness signal used by
+    web-curation pipelines alongside the n-gram counters (a highly
+    compressible doc is boilerplate/repetition; an incompressible one is
+    noise/binary). ratio_e4 = 10000 * compressed_len // raw_len (integer;
+    0 for empty docs). The zlib call is per-row C work on the UTF-8
+    buffer, same regime as the build's per-doc sha256."""
+    import zlib
+
+    texts = batch[text_col].to_pylist()
+    raw = np.array([len(t.encode("utf-8")) for t in texts], dtype=np.int64)
+    comp = np.array(
+        [len(zlib.compress(t.encode("utf-8"), level)) for t in texts],
+        dtype=np.int64,
+    )
+    ratio = np.where(raw > 0, (10000 * comp) // np.maximum(raw, 1), 0)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "raw_bytes": pa.array(raw),
+            "compressed_bytes": pa.array(comp),
+            "ratio_e4": pa.array(ratio.astype(np.int64)),
+        }
+    )

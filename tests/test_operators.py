@@ -1351,3 +1351,14 @@ def test_approx_window_distinct_matches_exact(ray_session):
         e = int(exact.loc[w, "n_users"])
         a = int(approx.loc[w, "approx_users"])
         assert abs(a - e) <= max(2, 0.05 * e), (w, a, e)
+
+
+def test_compression_ratio_flags_repetition(ray_session):
+    rep = "spam ham " * 200                  # highly repetitive
+    normal = " ".join(f"w{i}x{i * 7 % 97}" for i in range(400))
+    batch = pa.table({"doc_id": [0, 1, 2], "text": [rep, normal, ""]})
+    out = T.compression_ratio_batch(batch)
+    r = dict(zip(out["doc_id"].to_pylist(), out["ratio_e4"].to_pylist()))
+    assert r[0] < r[1]          # repetition compresses far better
+    assert r[2] == 0            # empty doc
+    assert out.equals(T.compression_ratio_batch(batch))  # deterministic
