@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "whitened_embeddings": P.whitened_embeddings,
         "approx_window_distinct_users": P.approx_window_distinct_users,
         "compression_ratio_docs": P.compression_ratio_docs,
+        "bpe_merge_rules": P.bpe_merge_rules,
         "ann_lsh_topk": P.ann_lsh_topk,
         "ann_ivf_topk": P.ann_ivf_topk,
         # flagship engine (Lucene-exact scoring; oracle = pytest rank-identity)

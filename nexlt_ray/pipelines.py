@@ -5124,3 +5124,15 @@ def compression_ratio_docs(sf_dir: str):
     return _documents(sf_dir, ["doc_id", "text"]).map_batches(
         ts_ops.compression_ratio_batch, batch_format="pyarrow"
     )
+
+
+def bpe_merge_rules(sf_dir: str) -> pa.Table:
+    """Learn 20 BPE merge rules from `documents` (bpe.bpe_learn — tokenizer
+    induction, Sennrich et al. 2016): the corpus reduces to its
+    distinct-word histogram distributedly; the merge loop is a pure
+    function of that bounded table. Rows-only driver entry (the merge
+    procedure is not SQL-expressible); pytest-oracled against an
+    independent textbook implementation."""
+    from .bpe import bpe_learn
+
+    return bpe_learn(_documents(sf_dir, ["doc_id", "text"]), n_merges=20)

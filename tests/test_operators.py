@@ -1362,3 +1362,57 @@ def test_compression_ratio_flags_repetition(ray_session):
     assert r[0] < r[1]          # repetition compresses far better
     assert r[2] == 0            # empty doc
     assert out.equals(T.compression_ratio_batch(batch))  # deterministic
+
+
+def test_bpe_learn_matches_textbook_reference(ray_session):
+    import ray.data
+    from collections import Counter
+    from nexlt_ray.bpe import bpe_learn
+
+    rng = np.random.default_rng(23)
+    base = ["lower", "lowest", "newer", "newest", "wider", "low", "new",
+            "slower", "slowest", "widest"]
+    docs = [
+        {"doc_id": i, "text": " ".join(rng.choice(base, size=12))}
+        for i in range(120)
+    ]
+    got = bpe_learn(ray.data.from_items(docs).repartition(6), n_merges=12)
+
+    # independent textbook BPE (Sennrich et al. 2016, alg. 1) on the same
+    # word histogram, symbols = utf-8 bytes + 256 end marker, fresh ids
+    # from 257, ties (count DESC, left ASC, right ASC), greedy L-to-R
+    hist = Counter()
+    for d in docs:
+        hist.update(d["text"].split())
+    vocab = {
+        w: [int(x) for x in w.encode()] + [256] for w in hist
+    }
+    rules = []
+    next_id = 257
+    for r in range(12):
+        pc_ = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc_[(syms[i], syms[i + 1])] += hist[w]
+        if not pc_:
+            break
+        (a, b), cnt = min(
+            pc_.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(next_id)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+        rules.append((r, a, b, next_id, cnt))
+        next_id += 1
+
+    have = list(zip(got["rank"].to_pylist(), got["left_id"].to_pylist(),
+                    got["right_id"].to_pylist(), got["new_id"].to_pylist(),
+                    got["pair_count"].to_pylist()))
+    assert have == rules
