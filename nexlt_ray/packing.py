@@ -125,7 +125,9 @@ def chunk_spans(
     the same count expression)."""
     import pyarrow.compute as pc
 
-    assert window > 0 and stride > 0
+    # overlap semantics: stride > window would skip tokens AND emit an
+    # empty trailing span (hypothesis-found edge, n=2/W=1/S=2)
+    assert 0 < stride <= window
 
     def expand(batch: pa.Table) -> pa.Table:
         n = pc.cast(

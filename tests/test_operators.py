@@ -1416,3 +1416,73 @@ def test_bpe_learn_matches_textbook_reference(ray_session):
                     got["right_id"].to_pylist(), got["new_id"].to_pylist(),
                     got["pair_count"].to_pylist()))
     assert have == rules
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property tests (pure kernels — no ray session needed)
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n=st.integers(0, 500),
+    window=st.integers(1, 64),
+    data=st.data(),
+)
+def test_chunk_count_formula_invariants(n, window, data):
+    # chunk_spans enforces stride <= window (overlap semantics; stride >
+    # window skips tokens and emits an empty trailing span)
+    stride = data.draw(st.integers(1, window))
+    # the shared chunk-count formula (packing.chunk_spans / its SQL oracle):
+    # starts every `stride`, each span clipped to n, last span must reach n
+    k = 0 if n == 0 else 1 + (max(n - window, 0) + stride - 1) // stride
+    starts = [i * stride for i in range(k)]
+    ends = [min(s + window, n) for s in starts]
+    if n == 0:
+        assert k == 0
+        return
+    assert ends[-1] == n                       # coverage reaches the end
+    assert all(e > s for s, e in zip(starts, ends))  # no empty chunk
+    if k > 1:
+        # the second-to-last chunk does NOT already reach n (k is minimal)
+        assert ends[-2] < n
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    counts=st.lists(st.integers(1, 10_000), min_size=1, max_size=300),
+    k=st.integers(1, 50),
+)
+def test_mg_truncate_bounds_property(counts, k):
+    cnts = np.asarray(counts, dtype=np.int64)
+    terms = pa.array([f"t{i:04d}" for i in range(len(cnts))])
+    t2, c2, d = T.mg_truncate(terms, cnts, k)
+    assert len(c2) <= k
+    kept = dict(zip(t2.to_pylist(), (int(x) for x in c2)))
+    for name, lb in kept.items():
+        true = int(cnts[int(name[1:])])
+        assert 0 < lb <= true           # lower bound, strictly positive
+        assert true - lb <= d           # under-estimate bounded by d
+    # every dropped term's true count is <= d
+    for i, true in enumerate(cnts):
+        if f"t{i:04d}" not in kept:
+            assert true <= d
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(1e-6, 1e9, allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=500,
+    ),
+    q=st.floats(0.0, 1.0),
+)
+def test_ddsketch_relative_error_property(vals, q):
+    v = np.asarray(vals, dtype=np.float64)
+    alpha = 0.02
+    idx, cnt, nz = T.dd_bucket_counts(v, alpha)
+    est = T.dd_quantile(idx, cnt, nz, q, alpha)
+    true = float(np.quantile(v, q, method="lower"))
+    assert abs(est - true) <= alpha * true * (1 + 1e-9)
