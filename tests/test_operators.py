@@ -1486,3 +1486,42 @@ def test_ddsketch_relative_error_property(vals, q):
     est = T.dd_quantile(idx, cnt, nz, q, alpha)
     true = float(np.quantile(v, q, method="lower"))
     assert abs(est - true) <= alpha * true * (1 + 1e-9)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    words=st.lists(
+        st.lists(st.integers(0, 3), min_size=1, max_size=12),
+        min_size=1, max_size=8,
+    ),
+    a=st.integers(0, 3),
+    b=st.integers(0, 3),
+)
+def test_bpe_apply_merge_matches_sequential_greedy(words, a, b):
+    from nexlt_ray.bpe import _apply_merge
+
+    lens = np.array([len(w) for w in words], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    flat = np.array([s for w in words for s in w], dtype=np.int32)
+    got_flat, got_offs, n_merged = _apply_merge(flat, offs, a, b, 99)
+
+    exp = []
+    total = 0
+    for w in words:
+        out, i = [], 0
+        while i < len(w):
+            if i + 1 < len(w) and w[i] == a and w[i + 1] == b:
+                out.append(99)
+                i += 2
+                total += 1
+            else:
+                out.append(w[i])
+                i += 1
+        exp.append(out)
+    exp_flat = [s for w in exp for s in w]
+    exp_offs = np.concatenate(
+        [[0], np.cumsum([len(w) for w in exp])]
+    )
+    assert got_flat.tolist() == exp_flat
+    assert got_offs.tolist() == exp_offs.tolist()
+    assert n_merged == total
