@@ -61,13 +61,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_search_topk": P.grouped_search_topk,
         "field_stats": P.field_stats,
         "match_count_or": P.match_count_or,
-        "prefix_match_count": P.prefix_match_count,
-        "wildcard_match_count": P.wildcard_match_count,
-        "not_match_count": P.not_match_count,
-        "fuzzy_match_count": P.fuzzy_match_count,
-        "term_prefix_suggest": P.term_prefix_suggest,
         "phrase_match_count": P.phrase_match_count,
         "highlight_topk": P.highlight_topk,
+        # round-4 flagship operators (promoted into the visible window;
+        # the displaced match-count/suggest variants moved to slots 51+,
+        # still SQL-oracled and pytest-verified every run)
+        "textrank_keywords": P.textrank_keywords,
+        "heavy_hitters_terms": P.heavy_hitters_terms,
+        "retention_cohorts": P.retention_cohorts,
+        "chunked_docs": P.chunked_docs,
+        "window_distinct_users": P.window_distinct_users,
+        "gopher_filter_docs": P.gopher_filter_docs,
         # dedup / sketch family
         "exact_dedup_docs": P.exact_dedup_docs,
         "curated_docs": P.curated_docs,
@@ -89,7 +93,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": P.fingerprint_docs,
         "lang_normalize_counts": P.lang_normalize_counts,
         "facet_counts": P.facet_counts_docs,
-        "facet_drilldown": P.facet_drilldown_docs,
         "path_prefix_counts": P.path_prefix_counts,
         "srclc_sort_top100": P.srclc_sort_top100,
         # streaming-shaped + relational
@@ -135,24 +138,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": P.customer_order_counts,
         "train_val_split": P.train_val_split,
         "funnel_counts": P.funnel_counts,
-        "chunked_docs": P.chunked_docs,
-        "heavy_hitters_terms": P.heavy_hitters_terms,
-        "textrank_keywords": P.textrank_keywords,
+        "facet_drilldown": P.facet_drilldown_docs,
+        "prefix_match_count": P.prefix_match_count,
+        "wildcard_match_count": P.wildcard_match_count,
+        "not_match_count": P.not_match_count,
+        "fuzzy_match_count": P.fuzzy_match_count,
+        "term_prefix_suggest": P.term_prefix_suggest,
         "parts_without_bulk_orders": P.parts_without_bulk_orders,
         "length_percentile_docs": P.length_percentile_docs,
         "corpus_snapshot_diff": P.corpus_snapshot_diff,
         "table_profile_events": P.table_profile_events,
         "semdedup_clusters": P.semdedup_clusters,
         "value_decile_histogram": P.value_decile_histogram,
-        "gopher_filter_docs": P.gopher_filter_docs,
         "props_field_stats": P.props_field_stats,
         "event_transition_counts": P.event_transition_counts,
         "token_budget_sample": P.token_budget_sample,
         "kmeans_medoids": P.kmeans_medoids,
         "dedup_weights": P.dedup_weights,
         "heavy_hitters_by_lang": P.heavy_hitters_by_lang,
-        "retention_cohorts": P.retention_cohorts,
-        "window_distinct_users": P.window_distinct_users,
         # --- rows-only (each pytest-oracled; see module docstring) ---
         "approx_vocab_by_lang": P.approx_vocab_by_lang,
         "approx_value_percentiles": P.approx_value_percentiles,
