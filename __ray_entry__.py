@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_medoids": P.kmeans_medoids,
         "dedup_weights": P.dedup_weights,
         "heavy_hitters_by_lang": P.heavy_hitters_by_lang,
+        "cooccur_triangles": P.cooccur_triangles,
         # --- rows-only (each pytest-oracled; see module docstring) ---
         "approx_vocab_by_lang": P.approx_vocab_by_lang,
         "approx_value_percentiles": P.approx_value_percentiles,
@@ -1742,6 +1743,23 @@ FROM c WHERE cum <= 800
 """,
         "kmeans_medoids": _kmeans_sql(with_labels="medoids"),
         "dedup_weights": _dedup_weights_sql(),
+        "cooccur_triangles": """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS toks
+  FROM documents),
+p AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+  FROM t),
+e0 AS (
+  SELECT least(a.tok, b.tok) AS t1, greatest(a.tok, b.tok) AS t2
+  FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 3
+  GROUP BY 1, 2 HAVING count(*) >= 120)
+SELECT a.t1, a.t2, b.t2 AS t3
+FROM e0 a JOIN e0 b ON b.t1 = a.t2
+JOIN e0 c ON c.t1 = a.t1 AND c.t2 = b.t2
+""",
         "heavy_hitters_by_lang": f"""
 {_TOK}
 SELECT d.lang, tok.term, count(*)::BIGINT AS cf

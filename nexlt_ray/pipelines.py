@@ -5136,3 +5136,54 @@ def bpe_merge_rules(sf_dir: str) -> pa.Table:
     from .bpe import bpe_learn
 
     return bpe_learn(_documents(sf_dir, ["doc_id", "text"]), n_merges=20)
+
+
+COOCCUR_TRIANGLE_MIN = 120
+
+
+def cooccur_triangles(sf_dir: str):
+    """Triangle enumeration in the term co-occurrence graph (edges =
+    unordered +-3-token pairs with count >= COOCCUR_TRIANGLE_MIN) — the
+    graph-analytics benchmark op, completing the graph family alongside
+    connected components (dup_clusters) and PageRank (textrank). The
+    standard two-join distributed plan over ordered edges (t1 < t2, so
+    every triangle enumerates exactly once as a < b < c):
+      wedges   = edges(a,b) |x| edges(b,c)        -- one partitioned join
+      triangles = wedges semi-join edges on (a,c) -- closing-edge check
+    Both joins are the existing single-shuffle hash_join (the semi mode
+    ships only the edge keys). Output (t1, t2, t3); oracle = the same
+    three-way self-join in DuckDB."""
+    from .joins import hash_join
+    from ray.data.aggregate import Sum
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    edges = (
+        ds.map_batches(_cooccur_pair_partial, batch_format="pyarrow")
+        .groupby(["t1", "t2"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b["n"], COOCCUR_TRIANGLE_MIN)
+            ).select(["t1", "t2"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    e_ab = edges.map_batches(
+        lambda b: pa.table({"a": b["t1"], "b": b["t2"]}),
+        batch_format="pyarrow",
+    )
+    e_bc = edges.map_batches(
+        lambda b: pa.table({"bb": b["t1"], "c": b["t2"]}),
+        batch_format="pyarrow",
+    )
+    wedges = hash_join(e_ab, e_bc, "b", "bb")
+    closed = hash_join(
+        wedges, edges, ["a", "c"], ["t1", "t2"], how="left semi"
+    )
+    return closed.map_batches(
+        lambda b: pa.table(
+            {"t1": b["a"], "t2": b["b"], "t3": b["c"]}
+        ),
+        batch_format="pyarrow",
+    )
