@@ -5141,7 +5141,7 @@ def bpe_merge_rules(sf_dir: str) -> pa.Table:
 COOCCUR_TRIANGLE_MIN = 120
 
 
-def cooccur_triangles(sf_dir: str):
+def cooccur_triangles(sf_dir: str, fast_path_max_edges: int = 2_000_000):
     """Triangle enumeration in the term co-occurrence graph (edges =
     unordered +-3-token pairs with count >= COOCCUR_TRIANGLE_MIN) — the
     graph-analytics benchmark op, completing the graph family alongside
@@ -5152,7 +5152,11 @@ def cooccur_triangles(sf_dir: str):
       triangles = wedges semi-join edges on (a,c) -- closing-edge check
     Both joins are the existing single-shuffle hash_join (the semi mode
     ships only the edge keys). Output (t1, t2, t3); oracle = the same
-    three-way self-join in DuckDB."""
+    three-way self-join in DuckDB. Small-graph fast path (same precedent
+    as dup_clusters/textrank): the AGGREGATED edge list is
+    vocabulary-sized, so below `fast_path_max_edges` the enumeration runs
+    as one numpy adjacency-intersection task — identical output by
+    construction, join path kept for vocabulary-scale graphs."""
     from .joins import hash_join
     from ray.data.aggregate import Sum
 
@@ -5169,6 +5173,42 @@ def cooccur_triangles(sf_dir: str):
         )
         .materialize()
     )
+
+    if edges.count() <= fast_path_max_edges:
+        import ray
+
+        tab = pa.concat_tables(ray.get(edges.to_arrow_refs())).combine_chunks()
+        t1 = tab["t1"].to_numpy(zero_copy_only=False)
+        t2 = tab["t2"].to_numpy(zero_copy_only=False)
+        nodes, codes = np.unique(np.concatenate([t1, t2]), return_inverse=True)
+        a, b2 = codes[: len(t1)], codes[len(t1):]
+        # forward adjacency (a < b by string order of the folded pairs)
+        order = np.lexsort((b2, a))
+        a_s, b_s = a[order], b2[order]
+        starts = np.searchsorted(a_s, np.arange(len(nodes)))
+        ends = np.searchsorted(a_s, np.arange(len(nodes)) + 1)
+        out1, out2, out3 = [], [], []
+        for i in range(len(a_s)):
+            x, y = a_s[i], b_s[i]
+            # triangles x<y<z: z in adj(x) ∩ adj(y)
+            zx = b_s[starts[x]:ends[x]]
+            zy = b_s[starts[y]:ends[y]]
+            z = np.intersect1d(zx[zx > y], zy, assume_unique=True)
+            if z.size:
+                out1.append(np.full(z.size, x))
+                out2.append(np.full(z.size, y))
+                out3.append(z)
+        if not out1:
+            return pa.table({c: pa.array([], pa.string())
+                             for c in ("t1", "t2", "t3")})
+        return pa.table(
+            {
+                "t1": pa.array(nodes[np.concatenate(out1)].astype("U")),
+                "t2": pa.array(nodes[np.concatenate(out2)].astype("U")),
+                "t3": pa.array(nodes[np.concatenate(out3)].astype("U")),
+            }
+        )
+
     e_ab = edges.map_batches(
         lambda b: pa.table({"a": b["t1"], "b": b["t2"]}),
         batch_format="pyarrow",

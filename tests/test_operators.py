@@ -1525,3 +1525,17 @@ def test_bpe_apply_merge_matches_sequential_greedy(words, a, b):
     assert got_flat.tolist() == exp_flat
     assert got_offs.tolist() == exp_offs.tolist()
     assert n_merged == total
+
+
+def test_triangles_fast_and_join_paths_agree(ray_session):
+    from nexlt_ray import pipelines as P
+
+    sf = "/root/testdata/sf0.001"
+    fast = P.cooccur_triangles(sf).to_pandas()
+    dist = P.cooccur_triangles(sf, fast_path_max_edges=0).to_pandas()
+    key = ["t1", "t2", "t3"]
+    f = fast[key].sort_values(key).reset_index(drop=True)
+    d = dist[key].sort_values(key).reset_index(drop=True)
+    assert f.equals(d) and len(f) > 0
+    # ordering invariant: every triangle enumerated once, t1 < t2 < t3
+    assert ((f.t1 < f.t2) & (f.t2 < f.t3)).all()
