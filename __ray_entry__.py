@@ -1752,10 +1752,11 @@ WITH t AS (
 p AS (
   SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
   FROM t),
-e0 AS (
+e1 AS (
   SELECT least(a.tok, b.tok) AS t1, greatest(a.tok, b.tok) AS t2
   FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 3
-  GROUP BY 1, 2 HAVING count(*) >= 120)
+  GROUP BY 1, 2 HAVING count(*) >= 120),
+e0 AS (SELECT t1, t2 FROM e1 WHERE t1 <> t2)
 SELECT a.t1, a.t2, b.t2 AS t3
 FROM e0 a JOIN e0 b ON b.t1 = a.t2
 JOIN e0 c ON c.t1 = a.t1 AND c.t2 = b.t2

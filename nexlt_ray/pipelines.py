@@ -5166,8 +5166,14 @@ def cooccur_triangles(sf_dir: str, fast_path_max_edges: int = 2_000_000):
         .groupby(["t1", "t2"])
         .aggregate(Sum("n_p", alias_name="n"))
         .map_batches(
+            # simple-graph semantics: drop self-loops (a token co-occurring
+            # with itself within the window) — degenerate "triangles"
+            # through (x,x) edges are not triangles
             lambda b: b.filter(
-                pc.greater_equal(b["n"], COOCCUR_TRIANGLE_MIN)
+                pc.and_(
+                    pc.greater_equal(b["n"], COOCCUR_TRIANGLE_MIN),
+                    pc.not_equal(b["t1"], b["t2"]),
+                )
             ).select(["t1", "t2"]),
             batch_format="pyarrow",
         )
