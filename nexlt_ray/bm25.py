@@ -44,9 +44,14 @@ def norm_k_table(avgdl: float, params: BM25Params = BM25Params()) -> np.ndarray:
     """256-entry cache: norm byte -> K = k1*(1-b+b*dl/avgdl) (float64).
 
     The analog of Lucene BM25Similarity's per-segment norm cache.
+
+    avgdl == 0 means the corpus has zero tokens total, so no posting exists
+    and K is never consulted; pin the divisor to 1.0 to keep the table finite
+    (same convention as the pure-Python oracle, which never reaches its
+    division in that case).
     """
     dl = NORM_DECODE_TABLE.astype(np.float64)
-    return params.k1 * (1.0 - params.b + params.b * dl / avgdl)
+    return params.k1 * (1.0 - params.b + params.b * dl / (avgdl or 1.0))
 
 
 def term_scores(
@@ -79,7 +84,7 @@ def term_upper_bound(
     metadata (max tf, min norm byte). Valid because BM25 is increasing in tf
     and decreasing in dl: s <= s(max_tf, min_dl)."""
     dl = float(NORM_DECODE_TABLE[min_norm_byte])
-    k = params.k1 * (1.0 - params.b + params.b * dl / avgdl)
+    k = params.k1 * (1.0 - params.b + params.b * dl / (avgdl or 1.0))
     w = idf(df, n_docs) * (params.k1 + 1.0)
     # float32-cast like real contributions, then nudge up one ulp so the bound
     # stays >= any float32 contribution after rounding
@@ -100,7 +105,7 @@ def term_upper_bounds(
     dl = NORM_DECODE_TABLE[np.asarray(min_norm_bytes, dtype=np.int64)].astype(
         np.float64
     )
-    k = params.k1 * (1.0 - params.b + params.b * dl / avgdl)
+    k = params.k1 * (1.0 - params.b + params.b * dl / (avgdl or 1.0))
     w = idf(df, n_docs) * (params.k1 + 1.0)
     tf = np.asarray(max_tfs, dtype=np.float64)
     ub = (w * tf / (tf + k)).astype(np.float32)
