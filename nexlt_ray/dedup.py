@@ -527,7 +527,7 @@ def verify_pairs_exact_ds(
         return verify_pairs_exact(ds, tbl, tau_num, tau_den,
                                   text_col=text_col, shingle=shingle)
 
-    from .joins import hash_join
+    from .joins import hash_join, join_out_schema
 
     def project(b: pa.Table) -> pa.Table:
         return b.select(["doc_a", "doc_b"])
@@ -552,7 +552,12 @@ def verify_pairs_exact_ds(
     # semi-join to candidate docs (right side carries only the key), then
     # materialize: reused by the size aggregate and both pair joins, and
     # bounded by the candidate docs' term volume
-    dt = hash_join(dt_all, cand_docs, "doc_id", "doc_id").materialize()
+    dt = hash_join(
+        dt_all, cand_docs, "doc_id", "doc_id",
+        # cand_docs is a lazy distinct over the candidate ids: schema passed
+        # so the probe doesn't run that groupby once extra
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    ).materialize()
 
     from ray.data.aggregate import Count
 
@@ -567,17 +572,41 @@ def verify_pairs_exact_ds(
                           batch_format="pyarrow")
     dt_b = dt.map_batches(rename({"doc_id": "doc_b", "term": "term"}),
                           batch_format="pyarrow")
-    j1 = hash_join(cand, dt_a, "doc_a", "doc_a")            # (doc_a, doc_b, term)
-    j2 = hash_join(j1, dt_b, ["doc_b", "term"], ["doc_b", "term"])
+    # explicit schemas through the chain: probing a lazy join/aggregate
+    # output's schema executes that whole stage once extra (j1 for j2's
+    # probe, j2+groupby for with_a's, the sizes aggregation for sz_a's)
+    i64, s = pa.int64(), pa.string()
+    pair_schema = pa.schema([("doc_a", i64), ("doc_b", i64)])
+    dta_schema = pa.schema([("doc_a", i64), ("term", s)])
+    dtb_schema = pa.schema([("doc_b", i64), ("term", s)])
+    j1 = hash_join(cand, dt_a, "doc_a", "doc_a",
+                   left_schema=pair_schema, right_schema=dta_schema)
+    j2 = hash_join(
+        j1, dt_b, ["doc_b", "term"], ["doc_b", "term"],
+        left_schema=join_out_schema(pair_schema, dta_schema,
+                                    "doc_a", "doc_a"),
+        right_schema=dtb_schema,
+    )
     inter = (
         j2.groupby(["doc_a", "doc_b"]).count()
+    )
+    inter_schema = pa.schema(
+        [("doc_a", i64), ("doc_b", i64), ("count()", i64)]
     )
     sz_a = sizes.map_batches(rename({"doc_id": "doc_a", "n": "n_a"}),
                              batch_format="pyarrow")
     sz_b = sizes.map_batches(rename({"doc_id": "doc_b", "n": "n_b"}),
                              batch_format="pyarrow")
-    with_a = hash_join(inter, sz_a, "doc_a", "doc_a")
-    with_b = hash_join(with_a, sz_b, "doc_b", "doc_b")
+    sza_schema = pa.schema([("doc_a", i64), ("n_a", i64)])
+    szb_schema = pa.schema([("doc_b", i64), ("n_b", i64)])
+    with_a = hash_join(inter, sz_a, "doc_a", "doc_a",
+                       left_schema=inter_schema, right_schema=sza_schema)
+    with_b = hash_join(
+        with_a, sz_b, "doc_b", "doc_b",
+        left_schema=join_out_schema(inter_schema, sza_schema,
+                                    "doc_a", "doc_a"),
+        right_schema=szb_schema,
+    )
 
     def finish(batch: pa.Table) -> pa.Table:
         inter_c = np.asarray(batch["count()"]).astype(np.int64)
@@ -1139,7 +1168,19 @@ def substring_dup_pairs(
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count())
         .select_columns(["doc_a", "doc_b"])
+        # distinct candidate pairs are bounded (near-dup count, not corpus
+        # size); materialize ONCE so the two text joins don't re-run the
+        # winnowing shuffle, and so the zero-candidate case is detectable
+        .materialize()
     )
+    cand_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    if cand.count() == 0:
+        # a clean corpus has no candidates at all; Ray gives an all-empty
+        # shuffle output ZERO blocks (schema None, to_pandas loses the
+        # columns), so return a typed empty dataset instead
+        import ray.data
+
+        return ray.data.from_arrow(cand_schema.empty_table())
 
     texts = docs.select_columns(["doc_id", text_col])
 
@@ -1148,15 +1189,28 @@ def substring_dup_pairs(
             return pa.table({id_name: b["doc_id"], txt_name: b[text_col]})
         return f
 
+    # explicit schemas: cand is an unmaterialized aggregate output (probing
+    # it would execute the whole candidate shuffle once just for the schema,
+    # and a zero-candidate corpus has no schema at all), and the chained
+    # second join would re-execute the first for the same probe
+    from .joins import join_out_schema
+
+    dschema = docs.schema()  # Ray Data Schema wrapper: only .names/.types
+    tcol = dict(zip(dschema.names, dschema.types))[text_col]
+    ra_schema = pa.schema([("doc_a", pa.int64()), ("text_a", tcol)])
+    rb_schema = pa.schema([("doc_b", pa.int64()), ("text_b", tcol)])
     j = hash_join(
         cand,
         texts.map_batches(rename("doc_a", "text_a"), batch_format="pyarrow"),
         "doc_a", "doc_a", num_buckets=num_buckets,
+        left_schema=cand_schema, right_schema=ra_schema,
     )
     j = hash_join(
         j,
         texts.map_batches(rename("doc_b", "text_b"), batch_format="pyarrow"),
         "doc_b", "doc_b", num_buckets=num_buckets,
+        left_schema=join_out_schema(cand_schema, ra_schema, "doc_a", "doc_a"),
+        right_schema=rb_schema,
     )
 
     def verify(batch: pa.Table) -> pa.Table:

@@ -53,6 +53,38 @@ def _string_hashes(arr) -> np.ndarray:
     return _mix64(h ^ lens.astype(np.uint64))
 
 
+def join_out_schema(
+    lschema: pa.Schema,
+    rschema: pa.Schema,
+    left_key,
+    right_key,
+    how: str = "inner",
+) -> pa.Schema:
+    """The schema hash_join(left, right, ...) produces, computed from the
+    input schemas alone. Use it to thread explicit schemas through CHAINED
+    joins: Ray Data cannot infer schemas through UDFs, so probing a join
+    (or any shuffle) output's .schema() executes that whole stage once just
+    for the probe — passing left_schema/right_schema skips it."""
+    lkeys = [left_key] if isinstance(left_key, str) else list(left_key)
+    rkeys = [right_key] if isinstance(right_key, str) else list(right_key)
+    semi_anti = how in ("left semi", "left anti")
+    if semi_anti:
+        rt = dict(zip(rschema.names, rschema.types))
+        rschema = pa.schema([(n, rt[n]) for n in rkeys])
+    lnames = list(lschema.names)
+    rnames = list(rschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    all_cols = lnames + [n for n in rnames if n not in lnames]
+    all_types = {**rtypes, **ltypes}
+    shared = {rk for lk, rk in zip(lkeys, rkeys) if lk == rk}
+    out_cols = (
+        lnames if semi_anti
+        else [c for c in all_cols if c not in rkeys or c in shared]
+    )
+    return pa.schema([(c, all_types[c]) for c in out_cols])
+
+
 def hash_join(
     left,
     right,
@@ -60,6 +92,8 @@ def hash_join(
     right_key,
     num_buckets: int = 32,
     how: str = "inner",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """Partitioned hash join of two Datasets on int64 OR string key(s).
 
@@ -81,6 +115,13 @@ def hash_join(
     columns through the shuffle — the both-sides-large set-membership path
     that broadcast_semi_anti_join cannot serve once the key set outgrows
     the object store.
+
+    `left_schema`/`right_schema`: pass the side's schema when it is an
+    unmaterialized shuffle/aggregate output — skips a .schema() probe that
+    would otherwise EXECUTE that stage once just for the schema (and makes
+    the join well-defined when the side aggregated to zero rows, where Ray
+    Data reports schema None). `join_out_schema` computes the schema this
+    function returns, for chaining.
     """
     lkeys = [left_key] if isinstance(left_key, str) else list(left_key)
     rkeys = [right_key] if isinstance(right_key, str) else list(right_key)
@@ -93,9 +134,40 @@ def hash_join(
     if semi_anti:
         # membership only: the right side ships nothing but its keys
         right = right.select_columns(rkeys)
+        if right_schema is not None:
+            rt = dict(zip(right_schema.names, right_schema.types))
+            right_schema = pa.schema([(n, rt[n]) for n in rkeys])
 
-    # unified superset schema so the tagged union has one block schema
-    lschema, rschema = left.schema(), right.schema()
+    # Unified superset schema so the tagged union has one block schema.
+    # Schema probes on an UNMATERIALIZED shuffle/aggregate input execute
+    # that whole stage once just to learn the schema (Ray Data has no
+    # static inference through UDFs) and the real run executes it again —
+    # callers chaining joins or joining aggregate outputs should pass
+    # left_schema/right_schema (see join_out_schema) to skip the probe.
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
+    # A None schema means the side aggregated to ZERO rows (Ray Data then
+    # has no blocks to infer from). Degenerate exactly where the output is
+    # fully determined; otherwise the caller must supply the schema.
+    if rschema is None:
+        if how == "left anti":
+            return left  # empty right excludes nothing
+        if how == "left semi":
+            return left.limit(0)
+        raise ValueError(
+            f"hash_join(how={how!r}): right side is empty with unknown "
+            "schema (a zero-row aggregate output); pass right_schema="
+        )
+    if lschema is None:
+        if how == "full outer":
+            raise ValueError(
+                "hash_join(how='full outer'): left side is empty with "
+                "unknown schema (a zero-row aggregate output); pass "
+                "left_schema="
+            )
+        # inner / left outer / semi / anti of an empty left is empty; the
+        # left's schema is unknowable here, so the result is `left` itself
+        return left
     lnames = list(lschema.names)
     rnames = list(rschema.names)
     ltypes = dict(zip(lschema.names, lschema.types))

@@ -3706,7 +3706,13 @@ def customer_order_counts(sf_dir: str) -> pa.Table:
         columns=["c_custkey", "c_mktsegment"],
     )
     out = hash_join(
-        cust, per_cust, "c_custkey", "o_custkey", how="left outer"
+        cust, per_cust, "c_custkey", "o_custkey", how="left outer",
+        # per_cust is an unmaterialized aggregate; skip the schema probe
+        # that would execute the orders aggregation once extra
+        right_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("n_orders", pa.int64()),
+             ("total_cents", pa.int64())]
+        ),
     ).to_pandas()
     return pa.table(
         {
@@ -3977,7 +3983,18 @@ def retention_cohorts(sf_dir: str) -> pa.Table:
         .aggregate(Min("w_p", alias_name="cohort_week"))
     )
 
-    joined = hash_join(pairs, first, "user_id", "user_id")
+    # both sides are unmaterialized aggregates; explicit schemas keep the
+    # join's probe from executing each aggregation once extra (the `first`
+    # probe would run the `pairs` shuffle too — it aggregates over it)
+    joined = hash_join(
+        pairs, first, "user_id", "user_id",
+        left_schema=pa.schema(
+            [("user_id", pa.int64()), ("week", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("user_id", pa.int64()), ("cohort_week", pa.int64())]
+        ),
+    )
 
     def cell_partial(batch: pa.Table) -> pa.Table:
         cw = np.asarray(batch["cohort_week"], dtype=np.int64)
@@ -4151,8 +4168,13 @@ def textrank_keywords(
         .groupby("src")
         .aggregate(Sum("d_p", alias_name="wdeg"))
     )
-    # (src, dst, w, wdeg): join once, reuse across iterations
-    edges = hash_join(directed, deg, "src", "src").materialize()
+    # (src, dst, w, wdeg): join once, reuse across iterations. deg is an
+    # unmaterialized aggregate — pass its schema so the join's probe does
+    # not execute the degree aggregation once extra
+    deg_schema = pa.schema([("src", pa.string()), ("wdeg", pa.int64())])
+    edges = hash_join(
+        directed, deg, "src", "src", right_schema=deg_schema
+    ).materialize()
 
     def init_scores(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -4185,8 +4207,13 @@ def textrank_keywords(
             }
         )
 
+    # scores is a lazy per-iteration chain: probing its schema would
+    # re-execute every prior iteration (quadratic); pass it explicitly
+    scores_schema = pa.schema([("term", pa.string()), ("score", pa.int64())])
     for _ in range(TEXTRANK_ITERS):
-        joined = hash_join(edges, scores, "src", "term")
+        joined = hash_join(
+            edges, scores, "src", "term", right_schema=scores_schema
+        )
         scores = (
             joined.map_batches(contrib_partial, batch_format="pyarrow")
             .groupby("term")
@@ -5182,8 +5209,16 @@ def cooccur_triangles(sf_dir: str, fast_path_max_edges: int = 2_000_000):
 
     if edges.count() <= fast_path_max_edges:
         import ray
+        import ray.data
 
-        tab = pa.concat_tables(ray.get(edges.to_arrow_refs())).combine_chunks()
+        tri_schema = pa.schema(
+            [("t1", pa.string()), ("t2", pa.string()), ("t3", pa.string())]
+        )
+        blocks = [b for b in ray.get(edges.to_arrow_refs()) if b.num_rows]
+        if not blocks:
+            # no qualifying co-occurrence edges at all -> no triangles
+            return ray.data.from_arrow(tri_schema.empty_table())
+        tab = pa.concat_tables(blocks).combine_chunks()
         t1 = tab["t1"].to_numpy(zero_copy_only=False)
         t2 = tab["t2"].to_numpy(zero_copy_only=False)
         nodes, codes = np.unique(np.concatenate([t1, t2]), return_inverse=True)
@@ -5225,7 +5260,13 @@ def cooccur_triangles(sf_dir: str, fast_path_max_edges: int = 2_000_000):
     )
     wedges = hash_join(e_ab, e_bc, "b", "bb")
     closed = hash_join(
-        wedges, edges, ["a", "c"], ["t1", "t2"], how="left semi"
+        wedges, edges, ["a", "c"], ["t1", "t2"], how="left semi",
+        # wedges is the (lazy) first join's output: without the explicit
+        # schema the semi join's probe would execute that whole join shuffle
+        # once extra
+        left_schema=pa.schema(
+            [("a", pa.string()), ("b", pa.string()), ("c", pa.string())]
+        ),
     )
     return closed.map_batches(
         lambda b: pa.table(

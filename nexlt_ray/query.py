@@ -323,7 +323,9 @@ class TermPostings:
 
 _RANGE_RX = re.compile(r"^\[(.+) TO (.+)\]$")
 _FUZZY_RX = re.compile(r'^([^\s"*?~]+)~([12])?$')
-_SLOP_RX = re.compile(r'^"(.*)"~(\d+)$', re.S)
+# body may not contain a quote: '"a b" "c d"~2' is multi-clause input, not
+# one sloppy phrase — it falls through to the terms parse instead
+_SLOP_RX = re.compile(r'^"([^"]*)"~(\d+)$', re.S)
 
 
 def _split_phrase_slop(body: str) -> tuple[str, int]:
@@ -2230,14 +2232,14 @@ class IndexReader:
         to an OR over start+i+delta for delta in [-slop, slop] — for a
         2-term phrase that is exactly Lucene's movement cost
         |p_b - p_a - 1| <= slop (reordered "b a" matches at slop >= 2, the
-        SloppyPhraseScorer behaviour). Restricted to 2-term phrases: the
-        n-term sloppy alignment is a different (priority-queue) algorithm
-        and is not implemented."""
+        SloppyPhraseScorer behaviour). For phrases of 3+ terms the n-term
+        sloppy alignment (a priority-queue algorithm) is not implemented;
+        the slop DEGRADES to 0 — sound but conservative (every exact-phrase
+        match is a sloppy match, so no wrong doc is ever returned; distant
+        arrangements a real SloppyPhraseScorer would accept are missed). A
+        serving layer must not raise on user-typed queries."""
         if slop and len(terms) > 2:
-            raise ValueError(
-                "slop > 0 is supported for 2-term phrases only "
-                f"(got {len(terms)} terms)"
-            )
+            slop = 0
         plist = self._clause_postings(terms)
         empty = np.empty(0, dtype=np.int64)
         if any(tp is None for tp in plist):

@@ -309,7 +309,13 @@ def top_terms_per_doc(docs, k_top: int = 3, text_col: str = "text"):
         .aggregate(Sum("df_part", alias_name="df"))
     )
 
-    joined = hash_join(tf, df, "term", "term", num_buckets=32)
+    # df is an unmaterialized aggregate: without the explicit schema the
+    # join's .schema() probe would execute the WHOLE df aggregation (and
+    # its tokenize pass) once extra just to learn the column types
+    joined = hash_join(
+        tf, df, "term", "term", num_buckets=32,
+        right_schema=pa.schema([("term", pa.string()), ("df", pa.int64())]),
+    )
 
     def partial_top(batch: pa.Table) -> pa.Table:
         d = np.asarray(batch["doc_id"])
