@@ -313,6 +313,8 @@ def asof_join(
     on: str,
     tiebreak: str,
     num_buckets: int = 32,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """Backward as-of join (the standard time-series operator Ray Data
     lacks): each left row matches the LAST right row with the same `by` key
@@ -327,8 +329,11 @@ def asof_join(
     and de-overlap if a single key exceeds worker memory.
 
     Returns left columns + right columns prefixed `r_`.
+    `left_schema`/`right_schema`: same contract as hash_join — pass them
+    for unmaterialized shuffle/aggregate inputs to skip the schema probe.
     """
-    lschema, rschema = left.schema(), right.schema()
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
     lnames = list(lschema.names)
     rnames = list(rschema.names)
     ltypes = dict(zip(lschema.names, lschema.types))
@@ -402,6 +407,8 @@ def range_join(
     on: str,
     window: int,
     num_buckets: int = 32,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """Banded range join: all (left, right) pairs with the same `by` key and
     |left.on - right.on| <= window (int64 units). The other classic
@@ -416,8 +423,11 @@ def range_join(
     bounded by window width.
 
     Returns left columns + right columns prefixed `r_`.
+    `left_schema`/`right_schema`: same contract as hash_join — pass them
+    for unmaterialized shuffle/aggregate inputs to skip the schema probe.
     """
-    lschema, rschema = left.schema(), right.schema()
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
     lnames = list(lschema.names)
     rnames = list(rschema.names)
     rtypes = dict(zip(rschema.names, rschema.types))

@@ -4110,12 +4110,12 @@ def textrank_keywords(
     if edges_u.count() <= fast_path_max_edges:
         import ray
 
-        tab = pa.concat_tables(
-            ray.get(edges_u.to_arrow_refs())
-        ).combine_chunks()
-        if len(tab) == 0:
+        blocks = [b for b in ray.get(edges_u.to_arrow_refs()) if b.num_rows]
+        if not blocks:
+            # a zero-row aggregate has no blocks at all (concat would raise)
             return pa.table({"term": pa.array([], pa.string()),
                              "score": pa.array([], pa.int64())})
+        tab = pa.concat_tables(blocks).combine_chunks()
         t1 = tab["t1"].to_numpy(zero_copy_only=False)
         t2 = tab["t2"].to_numpy(zero_copy_only=False)
         w2 = np.concatenate([np.asarray(tab["w"], dtype=np.int64)] * 2)
