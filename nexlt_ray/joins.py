@@ -334,6 +334,13 @@ def asof_join(
     """
     lschema = left_schema if left_schema is not None else left.schema()
     rschema = right_schema if right_schema is not None else right.schema()
+    # a side that is empty with unknown schema (zero-row aggregate /
+    # repartitioned empty) cannot match anything under inner semantics;
+    # the degenerate output has no r_ columns (they are unknowable)
+    if lschema is None:
+        return left
+    if rschema is None:
+        return left.limit(0)
     lnames = list(lschema.names)
     rnames = list(rschema.names)
     ltypes = dict(zip(lschema.names, lschema.types))
@@ -428,6 +435,12 @@ def range_join(
     """
     lschema = left_schema if left_schema is not None else left.schema()
     rschema = right_schema if right_schema is not None else right.schema()
+    # same degenerates as asof_join: an empty unknown-schema side matches
+    # nothing under inner semantics
+    if lschema is None:
+        return left
+    if rschema is None:
+        return left.limit(0)
     lnames = list(lschema.names)
     rnames = list(rschema.names)
     rtypes = dict(zip(rschema.names, rschema.types))
