@@ -1182,7 +1182,39 @@ def substring_dup_pairs(
 
         return ray.data.from_arrow(cand_schema.empty_table())
 
-    texts = docs.select_columns(["doc_id", text_col])
+    # Candidate docs are typically a tiny fraction of the corpus, but the
+    # two text-fetch joins below would ship EVERY doc's text through the
+    # tagged-union shuffle. A Bloom filter over the candidate ids (built in
+    # one streaming pass over the materialized cand, broadcast once) drops
+    # proven non-candidates map-side; false positives just ride the inner
+    # join and fall out — exactness is untouched, shuffled text bytes drop
+    # from corpus volume to ~candidate volume.
+    import ray
+
+    from .joins import bloom_build, bloom_might_contain
+
+    def cand_ids(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pa.concat_arrays(
+                [b["doc_a"].combine_chunks(), b["doc_b"].combine_chunks()]
+            )}
+        )
+
+    _M_BITS = 1 << 23
+    bloom_ref = ray.put(bloom_build(
+        cand.map_batches(cand_ids, batch_format="pyarrow"),
+        "doc_id", _M_BITS,
+    ))
+
+    def only_candidates(b: pa.Table) -> pa.Table:
+        # plain task fn, not an actor pool: ray.get of the broadcast bloom
+        # is a zero-copy local read after the first touch per node
+        keep = bloom_might_contain(ray.get(bloom_ref), b["doc_id"], _M_BITS)
+        return b.filter(pa.array(keep))
+
+    texts = docs.select_columns(["doc_id", text_col]).map_batches(
+        only_candidates, batch_format="pyarrow"
+    )
 
     def rename(id_name: str, txt_name: str):
         def f(b: pa.Table) -> pa.Table:
