@@ -171,7 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_bm25_topk": P.corpus_bm25_topk,
         "corpus_filtered_topk": P.corpus_filtered_topk,
         "corpus_mlt_topk": P.corpus_mlt_topk,
-        # multimodal: REAL stdlib PNG/WAV decode (video stubbed; multimodal.py)
+        # multimodal: REAL stdlib PNG/WAV/Y4M decode (multimodal.py)
         "media_features": P.media_features,
         "frame_samples": P.frame_samples,
         "audio_features": P.audio_features,

@@ -2,13 +2,16 @@
 with typed metadata.
 
 Decoding: `StdlibDecodeBackend` (the default) REALLY decodes PNG and PPM
-images and PCM WAV audio using only the stdlib (zlib, wave, struct) +
-numpy, implemented from the public format specs (PNG: RFC 2083 — IHDR/
-IDAT/IEND chunks, all five scanline filters; WAV: RIFF PCM). No codec
-*libraries* ship in this environment, but these formats don't need one.
-Video remains stubbed (`FakeDecodeBackend` — a deterministic stand-in; no
-video codec is implementable from stdlib), and a real deployment can plug
-PIL/torchaudio/ffmpeg by subclassing `DecodeBackend`. The Ray-side
+images, PCM WAV audio, and Y4M (YUV4MPEG2) video using only the stdlib
+(zlib, wave, struct) + numpy, implemented from the public format specs
+(PNG: RFC 2083 — IHDR/IDAT/IEND chunks, all five scanline filters; WAV:
+RIFF PCM; Y4M: the mjpegtools YUV4MPEG2 stream format — textual
+`YUV4MPEG2 W.. H.. F..` header, per-frame `FRAME` markers, raw planar
+YUV in C420/C422/C444/Cmono). No codec *libraries* ship in this
+environment, but these formats don't need one. COMPRESSED video (H.264
+etc.) still needs a library backend — a real deployment plugs
+PIL/torchaudio/ffmpeg by subclassing `DecodeBackend`; `FakeDecodeBackend`
+remains as the documented test stand-in for such formats. The Ray-side
 plumbing — schemas, actor-pool stages, batch sizing for large binary
 payloads, output layout — is real and tested (tests/test_operators.py).
 
@@ -51,6 +54,13 @@ class DecodeBackend:
         raise NotImplementedError(
             "subclass provides the codec: StdlibDecodeBackend covers PCM "
             "WAV; MP3/FLAC etc. need a library backend (soundfile)"
+        )
+
+    def decode_video(self, payload: bytes) -> np.ndarray:  # (n, h, w, 3) uint8
+        raise NotImplementedError(
+            "subclass provides the codec: StdlibDecodeBackend covers Y4M "
+            "(uncompressed YUV4MPEG2); H.264 etc. need a library backend "
+            "(ffmpeg/PyAV)"
         )
 
 
@@ -180,6 +190,146 @@ class StdlibDecodeBackend(DecodeBackend):
             raise ValueError(f"unsupported WAV sample width {sw}")
         return a.reshape(-1, ch).mean(axis=1).astype(np.float32)
 
+    def decode_video(self, payload: bytes) -> np.ndarray:
+        """Y4M (YUV4MPEG2) → (n_frames, h, w, 3) uint8 RGB (BT.601)."""
+        planes, w, h, _ = decode_y4m_planes(payload)
+        return np.stack([_yuv_to_rgb(y, u, v) for y, u, v in planes])
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — the mjpegtools uncompressed-video stream format.
+# Public spec (mjpegtools yuv4mpeg(5) man page): an ASCII stream header
+# "YUV4MPEG2 W<w> H<h> F<num>:<den> [I..] [A..] [C<colorspace>] [X..]\n",
+# then per frame an ASCII "FRAME[ <params>]\n" marker followed by raw
+# planar YUV bytes (Y then Cb then Cr). Chroma geometry per colorspace:
+# C420* = (w/2, h/2), C422 = (w/2, h), C444 = (w, h), Cmono = no chroma.
+# ---------------------------------------------------------------------------
+_Y4M_CHROMA = {
+    "420": (2, 2),  # C420 / C420jpeg / C420mpeg2 / C420paldv: same geometry,
+    "422": (2, 1),  # different chroma *siting*, which nearest upsampling folds
+    "444": (1, 1),
+    "mono": None,
+}
+
+
+def _y4m_chroma_divs(colorspace: str):
+    key = colorspace[1:] if colorspace.startswith("C") else colorspace
+    if key.startswith("420"):
+        key = "420"
+    if key not in _Y4M_CHROMA:
+        raise ValueError(f"unsupported Y4M colorspace {colorspace!r}")
+    return _Y4M_CHROMA[key]
+
+
+def decode_y4m_planes(payload: bytes):
+    """Parse a Y4M stream → (frames, w, h, colorspace) where frames is a
+    list of (Y, U, V) uint8 plane arrays (U=V=None for Cmono). Exact: the
+    planes are the stream's raw bytes, no colorspace math."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii")
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    colorspace = "C420jpeg"  # spec default when no C tag is present
+    for tok in header.split(" ")[1:]:
+        if not tok:
+            continue
+        tag, val = tok[0], tok[1:]
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "C":
+            colorspace = tok
+        # F (rate), I (interlacing), A (aspect), X (extension): irrelevant
+        # to raw plane extraction; progressive assumed, documented.
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W or H")
+    divs = _y4m_chroma_divs(colorspace)
+    if divs is not None and (w % divs[0] or h % divs[1]):
+        raise ValueError(f"{colorspace} requires dims divisible by {divs}")
+    y_sz = w * h
+    c_sz = 0 if divs is None else (w // divs[0]) * (h // divs[1])
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("expected FRAME marker")
+        pos = fnl + 1
+        y = np.frombuffer(payload, np.uint8, y_sz, pos).reshape(h, w)
+        pos += y_sz
+        if divs is None:
+            frames.append((y, None, None))
+            continue
+        cw, chh = w // divs[0], h // divs[1]
+        u = np.frombuffer(payload, np.uint8, c_sz, pos).reshape(chh, cw)
+        pos += c_sz
+        v = np.frombuffer(payload, np.uint8, c_sz, pos).reshape(chh, cw)
+        pos += c_sz
+        frames.append((y, u, v))
+    return frames, w, h, colorspace
+
+
+def encode_y4m_planes(frames, colorspace: str = "C444", rate=(25, 1)) -> bytes:
+    """Serialize (Y, U, V) uint8 plane tuples as a Y4M stream. The planes
+    are written verbatim — decode_y4m_planes round-trips bit-exactly."""
+    y0 = frames[0][0]
+    h, w = y0.shape
+    parts = [
+        f"YUV4MPEG2 W{w} H{h} F{rate[0]}:{rate[1]} Ip A1:1 {colorspace}\n".encode()
+    ]
+    for y, u, v in frames:
+        parts.append(b"FRAME\n")
+        parts.append(np.ascontiguousarray(y, np.uint8).tobytes())
+        if u is not None:
+            parts.append(np.ascontiguousarray(u, np.uint8).tobytes())
+            parts.append(np.ascontiguousarray(v, np.uint8).tobytes())
+    return b"".join(parts)
+
+
+def _yuv_to_rgb(y: np.ndarray, u, v) -> np.ndarray:
+    """BT.601 limited-range YCbCr → RGB uint8; chroma nearest-upsampled to
+    the luma grid (folds the C420 siting variants together, documented)."""
+    h, w = y.shape
+    yf = (y.astype(np.float32) - 16.0) * 1.1643836
+    if u is None:  # Cmono
+        g = np.clip(np.rint(yf), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    uf = u.astype(np.float32) - 128.0
+    vf = v.astype(np.float32) - 128.0
+    if u.shape != y.shape:
+        uf = np.repeat(np.repeat(uf, h // u.shape[0], 0), w // u.shape[1], 1)
+        vf = np.repeat(np.repeat(vf, h // v.shape[0], 0), w // v.shape[1], 1)
+    r = yf + 1.5960268 * vf
+    g = yf - 0.3917623 * uf - 0.8129676 * vf
+    b = yf + 2.0172321 * uf
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def rgb_to_yuv_planes(frame: np.ndarray, colorspace: str = "C444"):
+    """BT.601 limited-range RGB → (Y, U, V) planes; chroma subsampled by
+    box mean for C420/C422 (encoder side of the Y4M pair)."""
+    r = frame[:, :, 0].astype(np.float32)
+    g = frame[:, :, 1].astype(np.float32)
+    b = frame[:, :, 2].astype(np.float32)
+    y = 16.0 + 0.2568370 * r + 0.5041294 * g + 0.0979473 * b
+    u = 128.0 - 0.1482229 * r - 0.2909928 * g + 0.4392157 * b
+    v = 128.0 + 0.4392157 * r - 0.3677883 * g - 0.0714274 * b
+    yq = np.clip(np.rint(y), 16, 235).astype(np.uint8)
+    divs = _y4m_chroma_divs(colorspace)
+    if divs is None:
+        return yq, None, None
+    dw, dh = divs
+    h, w = frame.shape[:2]
+    uq = np.clip(
+        np.rint(u.reshape(h // dh, dh, w // dw, dw).mean(axis=(1, 3))), 16, 240
+    ).astype(np.uint8)
+    vq = np.clip(
+        np.rint(v.reshape(h // dh, dh, w // dw, dw).mean(axis=(1, 3))), 16, 240
+    ).astype(np.uint8)
+    return yq, uq, vq
+
 
 def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     """Minimal PNG encoder (own-output test/corpus generation): 8-bit
@@ -308,30 +458,39 @@ class ImageFeatureExtractor:
 
 
 class FrameSampler:
-    """Actor-pool stage: sample every `stride`-th 'frame' of a fake video
-    payload (deterministic slices of the payload hash stream) — exercises
-    the 1->N flat-map output layout for frame extraction."""
+    """Actor-pool stage: REALLY decode a Y4M video payload and keep every
+    `stride`-th frame — the 1->N flat-map output layout for frame
+    extraction. Emits (item_id, frame_no, frame_sha256, mean_luma) per
+    sampled frame; sha is over the decoded RGB bytes so downstream frame
+    dedup composes with the exact-dedup operators."""
 
-    def __init__(self, stride: int = 4, n_frames: int = 8):
+    def __init__(self, stride: int = 4, backend: DecodeBackend | None = None):
         self.stride = stride
-        self.n_frames = n_frames
-        self.backend = FakeDecodeBackend()
+        self.backend = backend or StdlibDecodeBackend()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        item_ids, frame_nos, shas = [], [], []
+        item_ids, frame_nos, shas, lumas = [], [], [], []
         for iid, payload in zip(
             batch["item_id"].to_pylist(), batch["payload"].to_pylist()
         ):
-            for fi in range(0, self.n_frames, self.stride):
-                frame = self.backend.decode_image(payload + fi.to_bytes(4, "big"))
+            frames = self.backend.decode_video(payload)
+            for fi in range(0, len(frames), self.stride):
+                rgb = frames[fi]
                 item_ids.append(iid)
                 frame_nos.append(fi)
-                shas.append(hashlib.sha256(frame.tobytes()).hexdigest())
+                shas.append(hashlib.sha256(rgb.tobytes()).hexdigest())
+                # BT.601 luma of the decoded RGB (not the Y plane: measures
+                # what downstream vision stages would actually see)
+                lumas.append(
+                    float(rgb.astype(np.float32).mean(axis=(0, 1)) @
+                          np.array([0.299, 0.587, 0.114], np.float32))
+                )
         return pa.table(
             {
                 "item_id": pa.array(item_ids, pa.int64()),
                 "frame_no": pa.array(frame_nos, pa.int32()),
                 "frame_sha256": pa.array(shas, pa.string()),
+                "mean_luma": pa.array(lumas, pa.float64()),
             }
         )
 
@@ -376,6 +535,38 @@ def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:
             "item_id": pa.array(np.arange(n, dtype=np.int64)),
             "payload": pa.array(payloads, pa.binary()),
             "media_type": pa.array(["image/png"] * n, pa.string()),
+            "width": pa.array(np.full(n, 16, dtype=np.int32)),
+            "height": pa.array(np.full(n, 16, dtype=np.int32)),
+        }
+    )
+
+
+def synthetic_video_table(
+    n: int, n_frames: int = 8, seed: int = 11, colorspace: str = "C420jpeg"
+) -> pa.Table:
+    """Deterministic video corpus: REAL Y4M payloads (16x16, `n_frames`
+    frames of seeded moving-gradient RGB, BT.601-encoded planar YUV)."""
+    rng = np.random.default_rng(seed)
+    xx, yy = np.meshgrid(np.arange(16), np.arange(16))
+    payloads = []
+    for _ in range(n):
+        phase = float(rng.uniform(0, 16))
+        speed = float(rng.uniform(0.5, 3.0))
+        base = rng.integers(0, 256, size=3)
+        frames = []
+        for fi in range(n_frames):
+            shift = (xx + yy + phase + speed * fi) % 16
+            rgb = np.stack(
+                [((shift * 16 + base[c]) % 256).astype(np.uint8) for c in range(3)],
+                axis=2,
+            )
+            frames.append(rgb_to_yuv_planes(rgb, colorspace))
+        payloads.append(encode_y4m_planes(frames, colorspace))
+    return pa.table(
+        {
+            "item_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["video/x-yuv4mpeg"] * n, pa.string()),
             "width": pa.array(np.full(n, 16, dtype=np.int32)),
             "height": pa.array(np.full(n, 16, dtype=np.int32)),
         }

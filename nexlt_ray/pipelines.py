@@ -3132,13 +3132,16 @@ def media_features(sf_dir: str):
 
 
 def frame_samples(sf_dir: str):
+    """Stride-sample frames from REAL Y4M video payloads (stdlib-only
+    YUV4MPEG2 decode, multimodal.py): 1->N flat-map actor-pool stage,
+    small batch_size because payloads are multi-frame binaries."""
     import ray.data
 
-    from .multimodal import FrameSampler, synthetic_media_table
+    from .multimodal import FrameSampler, synthetic_video_table
 
-    ds = ray.data.from_arrow(synthetic_media_table(100))
+    ds = ray.data.from_arrow(synthetic_video_table(100))
     return ds.map_batches(
-        FrameSampler, batch_format="pyarrow", batch_size=32, concurrency=2, num_cpus=1
+        FrameSampler, batch_format="pyarrow", batch_size=16, concurrency=2, num_cpus=1
     )
 
 

@@ -381,15 +381,91 @@ def test_multimodal_feature_stage(ray_session):
 
 
 def test_frame_sampler_layout(ray_session):
+    """FrameSampler REALLY decodes Y4M payloads: stride sampling layout +
+    per-frame shas match a direct single-process decode."""
+    import hashlib
+
     import ray.data
 
-    from nexlt_ray.multimodal import FrameSampler, synthetic_media_table
+    from nexlt_ray.multimodal import (
+        FrameSampler,
+        StdlibDecodeBackend,
+        synthetic_video_table,
+    )
 
-    out = ray.data.from_arrow(synthetic_media_table(10)).map_batches(
+    tbl = synthetic_video_table(10)  # 8 frames each
+    out = ray.data.from_arrow(tbl).map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=8, concurrency=2, num_cpus=1
-    ).to_pandas()
+    ).to_pandas().sort_values(["item_id", "frame_no"]).reset_index(drop=True)
     assert set(out["frame_no"]) == {0, 4}
     assert len(out) == 20  # 10 items x 2 sampled frames
+    be = StdlibDecodeBackend()
+    for i in (0, 7):
+        frames = be.decode_video(tbl["payload"][i].as_py())
+        assert frames.shape == (8, 16, 16, 3)
+        for fi in (0, 4):
+            row = out[(out.item_id == i) & (out.frame_no == fi)].iloc[0]
+            assert row.frame_sha256 == hashlib.sha256(
+                frames[fi].tobytes()
+            ).hexdigest()
+
+
+def test_y4m_roundtrip_and_conversion():
+    """Y4M encode->decode is bit-exact on the YUV planes for every
+    supported colorspace; YUV->RGB matches a scalar BT.601 reference."""
+    from nexlt_ray.multimodal import (
+        _yuv_to_rgb,
+        decode_y4m_planes,
+        encode_y4m_planes,
+        rgb_to_yuv_planes,
+    )
+
+    rng = np.random.default_rng(3)
+    for cs, (w, h) in [
+        ("C420jpeg", (8, 6)), ("C420", (8, 6)), ("C422", (8, 6)),
+        ("C444", (7, 5)), ("Cmono", (7, 5)),
+    ]:
+        frames = []
+        for _ in range(3):
+            rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            frames.append(rgb_to_yuv_planes(rgb, cs))
+        payload = encode_y4m_planes(frames, cs)
+        dec, dw, dh, dcs = decode_y4m_planes(payload)
+        assert (dw, dh, dcs) == (w, h, cs) and len(dec) == 3
+        for (y0, u0, v0), (y1, u1, v1) in zip(frames, dec):
+            assert np.array_equal(y0, y1)
+            if u0 is None:
+                assert u1 is None
+            else:
+                assert np.array_equal(u0, u1) and np.array_equal(v0, v1)
+    # scalar BT.601 reference check on one C444 frame
+    y = rng.integers(16, 236, size=(4, 4), dtype=np.uint8)
+    u = rng.integers(16, 241, size=(4, 4), dtype=np.uint8)
+    v = rng.integers(16, 241, size=(4, 4), dtype=np.uint8)
+    got = _yuv_to_rgb(y, u, v)
+    for i in range(4):
+        for j in range(4):
+            yf = (float(y[i, j]) - 16.0) * 1.1643836
+            uf, vf = float(u[i, j]) - 128.0, float(v[i, j]) - 128.0
+            exp = [
+                yf + 1.5960268 * vf,
+                yf - 0.3917623 * uf - 0.8129676 * vf,
+                yf + 2.0172321 * uf,
+            ]
+            exp = [min(255, max(0, round(e))) for e in exp]
+            assert list(got[i, j]) == exp
+    # C420 chroma upsampling: each 2x2 luma block shares one chroma sample
+    y2 = np.full((4, 4), 128, np.uint8)
+    u2 = np.array([[100, 200], [50, 150]], np.uint8)
+    v2 = np.full((2, 2), 128, np.uint8)
+    rgb = _yuv_to_rgb(y2, u2, v2)
+    assert np.array_equal(rgb[0, 0], rgb[1, 1]) and np.array_equal(
+        rgb[0, 2], rgb[1, 3]
+    )
+    # default-colorspace header (no C tag) parses as C420jpeg
+    raw = b"YUV4MPEG2 W2 H2 F25:1\nFRAME\n" + bytes(4) + bytes(1) + bytes(1)
+    dec, w, h, cs = decode_y4m_planes(raw)
+    assert (w, h, cs) == (2, 2, "C420jpeg") and dec[0][1].shape == (1, 1)
 
 
 def test_minhash_pairs_corpus_finds_exact_dups(ray_session):
