@@ -1615,3 +1615,48 @@ def test_triangles_fast_and_join_paths_agree(ray_session):
     assert f.equals(d) and len(f) > 0
     # ordering invariant: every triangle enumerated once, t1 < t2 < t3
     assert ((f.t1 < f.t2) & (f.t2 < f.t3)).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n_frames=st.integers(1, 4),
+    wh=st.integers(1, 6),
+    hh=st.integers(1, 6),
+    cs=st.sampled_from(["C420jpeg", "C420mpeg2", "C422", "C444", "Cmono"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_y4m_roundtrip_property(n_frames, wh, hh, cs, seed):
+    """Y4M encode->decode round-trips bit-exactly for ARBITRARY plane
+    content (not just the BT.601-quantized range) across all supported
+    colorspaces, frame counts, and dimensions."""
+    from nexlt_ray.multimodal import (
+        _y4m_chroma_divs,
+        decode_y4m_planes,
+        encode_y4m_planes,
+    )
+
+    divs = _y4m_chroma_divs(cs)
+    w, h = wh, hh
+    if divs is not None:
+        w, h = wh * divs[0], hh * divs[1]  # dims must divide evenly
+    rng = np.random.default_rng(seed)
+    frames = []
+    for _ in range(n_frames):
+        y = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        if divs is None:
+            frames.append((y, None, None))
+        else:
+            cw, chh = w // divs[0], h // divs[1]
+            frames.append((
+                y,
+                rng.integers(0, 256, size=(chh, cw), dtype=np.uint8),
+                rng.integers(0, 256, size=(chh, cw), dtype=np.uint8),
+            ))
+    dec, dw, dh, dcs = decode_y4m_planes(encode_y4m_planes(frames, cs))
+    assert (dw, dh, dcs) == (w, h, cs) and len(dec) == n_frames
+    for (y0, u0, v0), (y1, u1, v1) in zip(frames, dec):
+        assert np.array_equal(y0, y1)
+        if u0 is None:
+            assert u1 is None and v1 is None
+        else:
+            assert np.array_equal(u0, u1) and np.array_equal(v0, v1)
