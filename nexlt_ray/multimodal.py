@@ -1,15 +1,18 @@
 """Multimodal column handling: image/audio/video as opaque binary columns
 with typed metadata.
 
-Decoding: `StdlibDecodeBackend` (the default) REALLY decodes PNG and PPM
-images, PCM WAV audio, and Y4M (YUV4MPEG2) video using only the stdlib
-(zlib, wave, struct) + numpy, implemented from the public format specs
-(PNG: RFC 2083 — IHDR/IDAT/IEND chunks, all five scanline filters; WAV:
-RIFF PCM; Y4M: the mjpegtools YUV4MPEG2 stream format — textual
-`YUV4MPEG2 W.. H.. F..` header, per-frame `FRAME` markers, raw planar
-YUV in C420/C422/C444/Cmono). No codec *libraries* ship in this
-environment, but these formats don't need one. COMPRESSED video (H.264
-etc.) still needs a library backend — a real deployment plugs
+Decoding: `StdlibDecodeBackend` (the default) REALLY decodes PNG, PPM,
+baseline JPEG, and GIF images, PCM WAV audio, and Y4M (YUV4MPEG2) video
+using only the stdlib (zlib, wave, struct) + numpy, implemented from the
+public format specs (PNG: RFC 2083 — IHDR/IDAT/IEND chunks, all five
+scanline filters; JPEG: ITU-T T.81 baseline sequential DCT — see
+nexlt_ray.jpeg; GIF: the 89a spec's variable-width LZW — see
+nexlt_ray.gif; WAV: RIFF PCM; Y4M: the mjpegtools YUV4MPEG2 stream
+format — textual `YUV4MPEG2 W.. H.. F..` header, per-frame `FRAME`
+markers, raw planar YUV in C420/C422/C444/Cmono). No codec *libraries*
+ship in this environment; these implementations come straight from the
+specs. COMPRESSED video (H.264 etc.) and perceptual audio (MP3/AAC)
+still need a library backend — a real deployment plugs
 PIL/torchaudio/ffmpeg by subclassing `DecodeBackend`; `FakeDecodeBackend`
 remains as the documented test stand-in for such formats. The Ray-side
 plumbing — schemas, actor-pool stages, batch sizing for large binary
@@ -113,14 +116,27 @@ def _unfilter_scanlines(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
 class StdlibDecodeBackend(DecodeBackend):
     """Real decoders from the public specs, stdlib-only (zlib/wave/struct):
     PNG (8-bit gray/RGB/RGBA, non-interlaced, all five filters), PPM P6,
-    and PCM WAV (8/16/32-bit, any channel count, averaged to mono)."""
+    baseline JPEG (ITU-T T.81 — see nexlt_ray.jpeg), GIF87a/89a incl.
+    interlace (see nexlt_ray.gif), and PCM WAV (8/16/32-bit, any channel
+    count, averaged to mono)."""
 
     def decode_image(self, payload: bytes) -> np.ndarray:
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             return self._decode_png(payload)
         if payload[:2] == b"P6":
             return self._decode_ppm(payload)
-        raise ValueError("unsupported image format (expect PNG or PPM P6)")
+        if payload[:2] == b"\xFF\xD8":
+            from .jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
+        if payload[:4] == b"GIF8":
+            from .gif import decode_gif
+
+            return decode_gif(payload)
+        raise ValueError(
+            "unsupported image format (expect PNG, PPM P6, baseline JPEG, "
+            "or GIF)"
+        )
 
     @staticmethod
     def _decode_png(data: bytes) -> np.ndarray:
@@ -519,22 +535,39 @@ class AudioFeatureExtractor:
 
 
 def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic media corpus in IMAGE_SCHEMA shape: REAL 16x16 PNG
-    payloads (filter type rotates over 0-4 so the pipeline exercises every
-    decoder filter path)."""
+    """Deterministic media corpus in IMAGE_SCHEMA shape: REAL 16x16
+    payloads rotating over every stdlib decoder path — PNG (all five
+    scanline filters), baseline JPEG (4:4:4, 4:2:0, grayscale;
+    nexlt_ray.jpeg), and GIF87a LZW (nexlt_ray.gif)."""
+    from .gif import encode_gif
+    from .jpeg import encode_jpeg
+
     rng = np.random.default_rng(seed)
-    payloads = [
-        encode_png(
-            rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8),
-            filter_type=i % 5,
-        )
-        for i in range(n)
-    ]
+    payloads, types = [], []
+    for i in range(n):
+        img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        v = i % 9
+        if v < 5:
+            payloads.append(encode_png(img, filter_type=v))
+            types.append("image/png")
+        elif v == 5:
+            payloads.append(encode_jpeg(img, quality=90, subsampling="444"))
+            types.append("image/jpeg")
+        elif v == 6:
+            payloads.append(encode_jpeg(img, quality=90, subsampling="420"))
+            types.append("image/jpeg")
+        elif v == 7:
+            payloads.append(encode_jpeg(img[:, :, 0], quality=90))
+            types.append("image/jpeg")
+        else:
+            # GIF needs <=256 distinct colors: quantize to a 27-color cube
+            payloads.append(encode_gif((img // 86) * 86))
+            types.append("image/gif")
     return pa.table(
         {
             "item_id": pa.array(np.arange(n, dtype=np.int64)),
             "payload": pa.array(payloads, pa.binary()),
-            "media_type": pa.array(["image/png"] * n, pa.string()),
+            "media_type": pa.array(types, pa.string()),
             "width": pa.array(np.full(n, 16, dtype=np.int32)),
             "height": pa.array(np.full(n, 16, dtype=np.int32)),
         }

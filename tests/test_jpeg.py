@@ -1,0 +1,363 @@
+"""Baseline JPEG (nexlt_ray.jpeg) and GIF/LZW (nexlt_ray.gif) codec tests.
+
+Strategy (same as the PNG/Y4M codecs): every piece with an independent
+mathematical definition is checked against a brute-force reference
+computed differently — the matrix IDCT vs the T.81 A.3.3 quadruple loop,
+zigzag vs a hand walk, canonical Huffman codes vs first-principles
+properties — and whole-stream behavior is checked by encode->decode
+round-trips (bit-exact for lossless GIF; PSNR / hand-computed DC
+reconstruction bounds for lossy JPEG). No Ray needed.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nexlt_ray.gif import decode_gif, decode_gif_frames, encode_gif
+from nexlt_ray.jpeg import (
+    AC_LUMA_BITS,
+    AC_LUMA_VALS,
+    DC_LUMA_BITS,
+    DC_LUMA_VALS,
+    DCT_M,
+    ZZ_RASTER,
+    decode_jpeg,
+    encode_jpeg,
+    huffman_codes,
+    idct2d_reference,
+)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+# --------------------------------------------------------------------------
+# components vs brute force
+# --------------------------------------------------------------------------
+
+def test_idct_matches_t81_quadruple_loop():
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        coef = rng.integers(-1000, 1000, (8, 8)).astype(np.float64)
+        fast = DCT_M.T @ coef @ DCT_M
+        assert np.abs(fast - idct2d_reference(coef)).max() < 1e-9
+
+
+def test_dct_roundtrip_identity():
+    rng = np.random.default_rng(4)
+    b = rng.random((8, 8)) * 255
+    f = DCT_M @ b @ DCT_M.T
+    assert np.abs(DCT_M.T @ f @ DCT_M - b).max() < 1e-9
+
+
+def test_zigzag_order():
+    # T.81 Figure 5's first and last entries, hand-walked
+    assert list(ZZ_RASTER[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    # ... and the canonical table's final row ends 47, 55, 62, 63
+    assert list(ZZ_RASTER[-4:]) == [47, 55, 62, 63]
+    # a permutation of 0..63
+    assert sorted(ZZ_RASTER.tolist()) == list(range(64))
+
+
+def test_huffman_canonical_codes():
+    """C.2 canonical expansion: lengths follow BITS, codes of one length
+    are consecutive, and the whole table is prefix-free."""
+    codes = huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    assert len(codes) == sum(AC_LUMA_BITS) == 162
+    by_len: dict[int, list[int]] = {}
+    for sym, (code, ln) in codes.items():
+        by_len.setdefault(ln, []).append(code)
+    for ln, cs in by_len.items():
+        assert len(cs) == AC_LUMA_BITS[ln - 1]
+        assert sorted(cs) == list(range(min(cs), min(cs) + len(cs)))
+    # prefix-free: no code is a prefix of a longer one
+    as_bits = sorted(
+        (format(c, f"0{ln}b") for c, ln in codes.values()), key=len
+    )
+    for i, a in enumerate(as_bits):
+        for b in as_bits[i + 1 :]:
+            assert not b.startswith(a), (a, b)
+    # DC luma: 12 symbols, shortest code is 2 bits (BITS starts 0,1,5,...)
+    dc = huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    assert len(dc) == 12 and min(ln for _, ln in dc.values()) == 2
+
+
+# --------------------------------------------------------------------------
+# JPEG whole-stream
+# --------------------------------------------------------------------------
+
+def test_jpeg_constant_image_roundtrip_exact():
+    for v in (0, 57, 130, 255):
+        img = np.full((24, 40, 3), v, np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quality=90))
+        assert dec.shape == (24, 40, 3)
+        assert int(np.abs(dec.astype(int) - v).max()) <= 1
+
+
+def test_jpeg_single_block_dc_reconstruction_hand_computed():
+    """Grayscale constant block: the only nonzero coefficient is DC, so the
+    decoded value is predictable by hand from the quantization table the
+    encoder embeds: round(round((v-128)*8/q) * q / 8) + 128."""
+    from nexlt_ray.jpeg import QUANT_LUMA, _quality_scale
+
+    v = 77
+    q = int(_quality_scale(QUANT_LUMA.reshape(8, 8), 85)[0, 0])
+    dc = np.rint((v - 128) * 8.0 / q)
+    expected = int(np.clip(np.rint(dc * q / 8.0) + 128, 0, 255))
+    dec = decode_jpeg(encode_jpeg(np.full((8, 8), v, np.uint8), quality=85))
+    assert (dec == expected).all()
+
+
+@pytest.mark.parametrize("subsampling,min_psnr", [("444", 40), ("420", 35)])
+def test_jpeg_gradient_psnr(subsampling, min_psnr):
+    x = np.linspace(0, 255, 75)
+    y = np.linspace(0, 255, 53)
+    grad = np.clip(
+        np.stack(
+            [
+                np.add.outer(y, x) / 2,
+                np.add.outer(0 * y, x),
+                np.add.outer(y, 0 * x),
+            ],
+            axis=2,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(grad, quality=95, subsampling=subsampling))
+    assert dec.shape == grad.shape
+    assert psnr(grad, dec) > min_psnr
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    """DRI/RSTn only reset DC predictors; the quantized coefficients are
+    identical, so the decoded image must be bit-identical."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (40, 56, 3), np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, quality=80))
+    with_rst = decode_jpeg(encode_jpeg(img, quality=80, restart_interval=2))
+    assert np.array_equal(plain, with_rst)
+
+
+def test_jpeg_grayscale_and_odd_sizes():
+    rng = np.random.default_rng(10)
+    for h, w in [(1, 1), (8, 8), (9, 17), (16, 15), (31, 2)]:
+        g = rng.integers(0, 256, (h, w), np.uint8)
+        dec = decode_jpeg(encode_jpeg(g, quality=92))
+        assert dec.shape == (h, w, 3)
+        # grayscale replicates into 3 identical channels
+        assert np.array_equal(dec[:, :, 0], dec[:, :, 1])
+        rgb = rng.integers(0, 256, (h, w, 3), np.uint8)
+        for sub in ("444", "420"):
+            assert decode_jpeg(encode_jpeg(rgb, subsampling=sub)).shape == (
+                h,
+                w,
+                3,
+            )
+
+
+def test_jpeg_noise_error_bounded():
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, (32, 48, 3), np.uint8)
+    dec = decode_jpeg(encode_jpeg(noise, quality=90))
+    err = np.abs(dec.astype(int) - noise.astype(int))
+    assert float(err.mean()) < 12.0  # measured ~6.2; noise is the worst case
+    dec100 = decode_jpeg(encode_jpeg(noise, quality=100))
+    assert psnr(noise, dec100) > 45  # q100: quant table is nearly all ones
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    import struct
+
+    sof2 = (
+        b"\xFF\xD8"
+        + b"\xFF\xC2"
+        + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        + b"\x01\x11\x00"
+    )
+    with pytest.raises(ValueError, match="unsupported JPEG process"):
+        decode_jpeg(sof2)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    quality=st.integers(60, 98),
+    seed=st.integers(0, 2**31),
+)
+def test_jpeg_roundtrip_property(h, w, quality, seed):
+    """Any size/quality: decode(encode(img)) has the right shape/dtype and
+    bounded error (worst case is full-range noise; per-pixel error is
+    bounded by the sum of quantization steps, far under 128)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=quality))
+    assert dec.shape == (h, w, 3) and dec.dtype == np.uint8
+    assert float(np.mean(np.abs(dec.astype(int) - img.astype(int)))) < 40.0
+
+
+# --------------------------------------------------------------------------
+# GIF whole-stream (lossless: bit-exact round trips)
+# --------------------------------------------------------------------------
+
+def test_gif_roundtrip_exact_basic():
+    rng = np.random.default_rng(12)
+    for shape, ncol in [((13, 17), 5), ((64, 64), 250), ((7, 300), 2), ((1, 1), 1)]:
+        pal = rng.integers(0, 256, (ncol, 3), np.uint8)
+        img = pal[rng.integers(0, ncol, shape)]
+        assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_gif_width_boundary_and_table_churn():
+    """Images that push the LZW code width across 2^n boundaries and (at
+    200x100, 256 colors) churn the dictionary — the off-by-one trap in the
+    width-bump discipline shows up here as garbage pixels."""
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, (256, 3), np.uint8)
+    noise = pal[rng.integers(0, 256, (100, 200))]
+    assert np.array_equal(decode_gif(encode_gif(noise)), noise)
+    runs = pal[(np.add.outer(np.arange(90), np.arange(310)) // 7) % 3]
+    assert np.array_equal(decode_gif(encode_gif(runs)), runs)
+
+
+def test_gif_interlaced_decode():
+    """Hand-assemble an interlaced GIF (spec row passes 8/8, 8/8+4, 4/4+2,
+    2/2+1) and check the decoder reorders rows back."""
+    import struct
+
+    from nexlt_ray.gif import _lzw_encode
+
+    rng = np.random.default_rng(14)
+    h, w = 19, 11
+    pal = rng.integers(0, 256, (8, 3), np.uint8)
+    idx = rng.integers(0, 8, (h, w)).astype(np.uint8)
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    rows_on_wire = idx[order]  # what an interlaced encoder transmits
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 2, 0, 0)  # 8-entry GCT
+    out += pal.tobytes()
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlace
+    out.append(3)  # min code size for 8 colors
+    lzw = _lzw_encode(rows_on_wire.ravel(), 3)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"
+    dec = decode_gif(bytes(out))
+    assert np.array_equal(dec, pal[idx])
+
+
+def test_gif_89a_extensions_skipped():
+    """Splice a Graphic Control Extension between the screen descriptor and
+    the image block; the decoder must skip it."""
+    rng = np.random.default_rng(15)
+    pal = rng.integers(0, 256, (4, 3), np.uint8)
+    img = pal[rng.integers(0, 4, (9, 9))]
+    data = bytearray(encode_gif(img))
+    # header(6) + LSD(7) + GCT(2 entries? no: bits for 4 colors -> 4) ...
+    # find the image separator and insert the extension right before it
+    sep = data.index(0x2C, 13)
+    gce = b"\x21\xF9\x04\x00\x00\x00\x00\x00"
+    patched = bytes(data[:sep]) + gce + bytes(data[sep:])
+    assert np.array_equal(decode_gif(patched), img)
+    assert bytes(data[:6]) in (b"GIF87a", b"GIF89a")
+
+
+def test_gif_multi_frame_enumeration():
+    """Two image blocks in one stream, the second carrying a LOCAL color
+    table (its palette ordering differs from the global one):
+    decode_gif_frames yields both, each through its own table."""
+    rng = np.random.default_rng(16)
+    pal = rng.integers(0, 256, (16, 3), np.uint8)
+    a = pal[rng.integers(0, 16, (6, 6))]
+    b = pal[rng.integers(0, 16, (6, 6))]
+    ga, gb = encode_gif(a), encode_gif(b)
+    # lift b's global color table into a local one on its image descriptor
+    bits_b = (gb[10] & 7) + 1
+    n_b = 1 << bits_b
+    gct_b = gb[13 : 13 + 3 * n_b]
+    sep_b = 13 + 3 * n_b
+    assert gb[sep_b] == 0x2C
+    desc = bytearray(gb[sep_b : sep_b + 10])
+    desc[9] |= 0x80 | (bits_b - 1)  # local color table flag + size
+    stream = ga[:-1] + bytes(desc) + gct_b + gb[sep_b + 10 :]
+    frames = list(decode_gif_frames(stream))
+    assert len(frames) == 2
+    assert np.array_equal(frames[0], a) and np.array_equal(frames[1], b)
+
+
+def test_gif_too_many_colors_rejected():
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (32, 32, 3), np.uint8)  # ~1024 distinct
+    with pytest.raises(ValueError, match="<=256"):
+        encode_gif(img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    ncol=st.integers(1, 256),
+    seed=st.integers(0, 2**31),
+)
+def test_gif_roundtrip_property(h, w, ncol, seed):
+    """Lossless: encode->decode is the identity for ANY palette/size."""
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncol, 3), np.uint8)
+    img = pal[rng.integers(0, ncol, (h, w))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+# --------------------------------------------------------------------------
+# backend dispatch + pipeline integration
+# --------------------------------------------------------------------------
+
+def test_backend_dispatches_jpeg_and_gif():
+    from nexlt_ray.multimodal import StdlibDecodeBackend
+
+    be = StdlibDecodeBackend()
+    rng = np.random.default_rng(18)
+    img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    dec = be.decode_image(encode_jpeg(img, quality=95))
+    assert dec.shape == (16, 16, 3)
+    assert psnr(img, dec) > 25
+    quant = (img // 64) * 64
+    assert np.array_equal(be.decode_image(encode_gif(quant)), quant)
+
+
+def test_media_table_mixes_all_image_codecs():
+    """synthetic_media_table rotates PNG/JPEG(3 variants)/GIF; the feature
+    extractor must handle a mixed batch, and features must equal the
+    mean/std of each payload's own decode."""
+    from nexlt_ray.multimodal import (
+        ImageFeatureExtractor,
+        StdlibDecodeBackend,
+        synthetic_media_table,
+    )
+
+    tbl = synthetic_media_table(18)
+    assert set(tbl["media_type"].to_pylist()) == {
+        "image/png",
+        "image/jpeg",
+        "image/gif",
+    }
+    out = ImageFeatureExtractor()(tbl)
+    be = StdlibDecodeBackend()
+    for i in range(18):
+        img = be.decode_image(tbl["payload"][i].as_py())
+        exp = np.concatenate(
+            [img.mean(axis=(0, 1)), img.std(axis=(0, 1))]
+        ).astype(np.float32)
+        assert np.allclose(np.asarray(out["feature"][i].as_py()), exp)
