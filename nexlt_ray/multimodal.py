@@ -140,7 +140,7 @@ class StdlibDecodeBackend(DecodeBackend):
 
     @staticmethod
     def _decode_png(data: bytes) -> np.ndarray:
-        pos, idat = 8, b""
+        pos, idat, plte = 8, b"", None
         w = h = depth = color = interlace = None
         while pos + 8 <= len(data):
             (ln,), typ = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
@@ -151,18 +151,24 @@ class StdlibDecodeBackend(DecodeBackend):
                 w, h, depth, color, _, _, interlace = struct.unpack(
                     ">IIBBBBB", chunk
                 )
+            elif typ == b"PLTE":
+                plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
             elif typ == b"IDAT":
                 idat += chunk
             elif typ == b"IEND":
                 break
-        if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+        if depth != 8 or interlace != 0 or color not in (0, 2, 3, 6):
             raise ValueError(
                 f"unsupported PNG variant (depth={depth}, color={color}, "
                 f"interlace={interlace}); this decoder covers 8-bit "
-                "gray/RGB/RGBA non-interlaced"
+                "gray/RGB/RGBA/palette non-interlaced"
             )
-        ch = {0: 1, 2: 3, 6: 4}[color]
+        ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
         px = _unfilter_scanlines(zlib.decompress(idat), w, h, ch).reshape(h, w, ch)
+        if color == 3:  # palette: indices through PLTE
+            if plte is None:
+                raise ValueError("palette PNG without a PLTE chunk")
+            return plte[px[:, :, 0]]
         if ch == 1:
             return np.repeat(px, 3, axis=2)
         return px[:, :, :3]  # RGBA: alpha dropped, (h, w, 3) contract

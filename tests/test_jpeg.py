@@ -361,3 +361,71 @@ def test_media_table_mixes_all_image_codecs():
             [img.mean(axis=(0, 1)), img.std(axis=(0, 1))]
         ).astype(np.float32)
         assert np.allclose(np.asarray(out["feature"][i].as_py()), exp)
+
+
+# --------------------------------------------------------------------------
+# external real-world files (vendored from CPython's Lib/test/imghdrdata,
+# PSF license): the same 16x16 logo rendered by external tools in four
+# formats — cross-format agreement validates the decoders against streams
+# our own encoders never produced.
+# --------------------------------------------------------------------------
+
+import os
+
+_DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _load(name: str) -> bytes:
+    with open(os.path.join(_DATA, name), "rb") as f:
+        return f.read()
+
+
+def test_external_palette_png_matches_ppm_exactly():
+    """python.png is a PALETTE (color type 3) PNG; python.ppm is the same
+    pixels uncompressed. Two fully independent decode paths, bit-equal."""
+    from nexlt_ray.multimodal import StdlibDecodeBackend
+
+    be = StdlibDecodeBackend()
+    png = be.decode_image(_load("python.png"))
+    ppm = be.decode_image(_load("python.ppm"))
+    assert png.shape == ppm.shape == (16, 16, 3)
+    assert np.array_equal(png, ppm)
+
+
+def test_external_libjpeg_file_decodes_aligned():
+    """python.jpg was produced by a real external JPEG encoder. Decoding it
+    must land pixel-aligned on the lossless PPM (shift-(0,0) correlation
+    is the alignment test: a chroma-upsample or MCU-layout bug shows up as
+    an off-by-one shift scoring higher than (0,0))."""
+    from nexlt_ray.multimodal import StdlibDecodeBackend
+
+    be = StdlibDecodeBackend()
+    jpg = decode_jpeg(_load("python.jpg"))
+    ppm = be.decode_image(_load("python.ppm"))
+    assert jpg.shape == (16, 16, 3)
+    assert psnr(ppm, jpg) > 20  # sharp-edged logo: real loss, bounded
+    base = np.corrcoef(jpg[:, :, 0].ravel(), ppm[:, :, 0].ravel())[0, 1]
+    assert base > 0.99
+    for dy, dx in ((0, 1), (1, 0), (0, -1), (-1, 0)):
+        shifted = np.roll(np.roll(jpg[:, :, 0], dy, 0), dx, 1).ravel()
+        assert np.corrcoef(shifted, ppm[:, :, 0].ravel())[0, 1] < base
+
+
+def test_external_gif_file_decodes():
+    """python.gif is an 89a file from ImageMagick with an application
+    extension, a graphic-control extension (transparency on index 63) and
+    a 64-color quantized palette. Non-transparent pixels must agree with
+    the PPM up to the file's own palette quantization (<=4/channel)."""
+    from nexlt_ray.multimodal import StdlibDecodeBackend
+
+    raw = _load("python.gif")
+    assert raw[:6] == b"GIF89a"
+    gif = decode_gif(raw)
+    ppm = StdlibDecodeBackend().decode_image(_load("python.ppm"))
+    assert gif.shape == (16, 16, 3)
+    # transparent background pixels decode as the palette's index-63 color
+    # (black here); exclude them, bound the rest by quantization error
+    opaque = np.any(gif != 0, axis=2)
+    err = np.abs(gif.astype(int) - ppm.astype(int))[opaque]
+    assert err.max() <= 4
+    assert opaque.sum() > 100  # the logo body is opaque
