@@ -448,35 +448,56 @@ class ImageFeatureExtractor:
     `__init__` constructs the backend once per actor (model-load analog);
     `__call__` is per batch. Use with:
         ds.map_batches(ImageFeatureExtractor, batch_size=64, concurrency=N)
-    — small batch_size because payloads are large binaries."""
+    — small batch_size because payloads are large binaries.
 
-    def __init__(self, backend: DecodeBackend | None = None):
+    `on_error`: at corpus scale corrupt payloads are a statistical
+    certainty, and one must not kill a whole batch task (the reference's
+    indexers die on the first bad record — parseJSON.pl:107; we do
+    better). "raise" (default) propagates; "mark" keeps the row with a
+    null `feature` and the message in `decode_error`, so downstream can
+    count/quarantine bad records with a plain filter."""
+
+    def __init__(
+        self, backend: DecodeBackend | None = None, on_error: str = "raise"
+    ):
+        if on_error not in ("raise", "mark"):
+            raise ValueError("on_error must be 'raise' or 'mark'")
         self.backend = backend or StdlibDecodeBackend()
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
+        feats: list[list[float] | None] = []
+        errors: list[str | None] = []
         for payload in batch["payload"].to_pylist():
-            img = self.backend.decode_image(payload)
-            feats.append(
-                np.concatenate(
-                    [img.mean(axis=(0, 1)), img.std(axis=(0, 1))]
-                ).astype(np.float32)
-            )
-        return pa.table(
-            {
-                "item_id": batch["item_id"],
-                "feature": pa.array(
-                    [f.tolist() for f in feats], pa.list_(pa.float32())
-                ),
-                "payload_sha256": pa.array(
-                    [
-                        hashlib.sha256(p).hexdigest()
-                        for p in batch["payload"].to_pylist()
-                    ],
-                    pa.string(),
-                ),
-            }
-        )
+            try:
+                img = self.backend.decode_image(payload)
+                feats.append(
+                    np.concatenate(
+                        [img.mean(axis=(0, 1)), img.std(axis=(0, 1))]
+                    )
+                    .astype(np.float32)
+                    .tolist()
+                )
+                errors.append(None)
+            except Exception as e:  # noqa: BLE001 — per-record isolation
+                if self.on_error == "raise":
+                    raise
+                feats.append(None)
+                errors.append(f"{type(e).__name__}: {e}")
+        cols = {
+            "item_id": batch["item_id"],
+            "feature": pa.array(feats, pa.list_(pa.float32())),
+            "payload_sha256": pa.array(
+                [
+                    hashlib.sha256(p).hexdigest()
+                    for p in batch["payload"].to_pylist()
+                ],
+                pa.string(),
+            ),
+        }
+        if self.on_error == "mark":
+            cols["decode_error"] = pa.array(errors, pa.string())
+        return pa.table(cols)
 
 
 class FrameSampler:
@@ -486,16 +507,35 @@ class FrameSampler:
     sampled frame; sha is over the decoded RGB bytes so downstream frame
     dedup composes with the exact-dedup operators."""
 
-    def __init__(self, stride: int = 4, backend: DecodeBackend | None = None):
+    def __init__(
+        self,
+        stride: int = 4,
+        backend: DecodeBackend | None = None,
+        on_error: str = "raise",
+    ):
+        if on_error not in ("raise", "mark"):
+            raise ValueError("on_error must be 'raise' or 'mark'")
         self.stride = stride
         self.backend = backend or StdlibDecodeBackend()
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         item_ids, frame_nos, shas, lumas = [], [], [], []
         for iid, payload in zip(
             batch["item_id"].to_pylist(), batch["payload"].to_pylist()
         ):
-            frames = self.backend.decode_video(payload)
+            try:
+                frames = self.backend.decode_video(payload)
+            except Exception as e:  # noqa: BLE001 — per-record isolation
+                if self.on_error == "raise":
+                    raise
+                # one marker row per bad payload: frame_no=-1, sha carries
+                # the error message so the quarantine row is greppable
+                item_ids.append(iid)
+                frame_nos.append(-1)
+                shas.append(f"decode_error:{type(e).__name__}: {e}")
+                lumas.append(float("nan"))
+                continue
             for fi in range(0, len(frames), self.stride):
                 rgb = frames[fi]
                 item_ids.append(iid)
@@ -518,15 +558,30 @@ class FrameSampler:
 
 
 class AudioFeatureExtractor:
-    """Actor-pool stage: WAV decode + duration/RMS/peak features."""
+    """Actor-pool stage: WAV decode + duration/RMS/peak features.
+    `on_error="mark"` keeps bad rows with n_samples=-1 / NaN stats (see
+    ImageFeatureExtractor)."""
 
-    def __init__(self, backend: DecodeBackend | None = None):
+    def __init__(
+        self, backend: DecodeBackend | None = None, on_error: str = "raise"
+    ):
+        if on_error not in ("raise", "mark"):
+            raise ValueError("on_error must be 'raise' or 'mark'")
         self.backend = backend or StdlibDecodeBackend()
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n_s, rms, peak = [], [], []
         for payload in batch["payload"].to_pylist():
-            a = self.backend.decode_audio(payload)
+            try:
+                a = self.backend.decode_audio(payload)
+            except Exception as e:  # noqa: BLE001 — per-record isolation
+                if self.on_error == "raise":
+                    raise
+                n_s.append(-1)
+                rms.append(float("nan"))
+                peak.append(float("nan"))
+                continue
             n_s.append(a.size)
             rms.append(float(np.sqrt(np.mean(a.astype(np.float64) ** 2))))
             peak.append(float(np.abs(a).max(initial=0.0)))

@@ -1660,3 +1660,73 @@ def test_y4m_roundtrip_property(n_frames, wh, hh, cs, seed):
             assert u1 is None and v1 is None
         else:
             assert np.array_equal(u0, u1) and np.array_equal(v0, v1)
+
+
+def test_media_on_error_mark_isolates_bad_payloads():
+    """Per-record error isolation: at corpus scale a corrupt payload must
+    not kill the batch task. on_error='mark' keeps the row, nulls the
+    feature, and records the message; default 'raise' is unchanged."""
+    import pyarrow as pa
+    import pytest
+
+    from nexlt_ray.multimodal import (
+        AudioFeatureExtractor,
+        FrameSampler,
+        ImageFeatureExtractor,
+        encode_wav,
+        synthetic_media_table,
+    )
+
+    tbl = synthetic_media_table(6)
+    bad = tbl["payload"][0].as_py()[:20]  # truncated PNG
+    payloads = [bad] + [tbl["payload"][i].as_py() for i in range(1, 6)]
+    mixed = pa.table(
+        {
+            "item_id": pa.array(range(6), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    with pytest.raises(Exception):
+        ImageFeatureExtractor()(mixed)
+    out = ImageFeatureExtractor(on_error="mark")(mixed)
+    assert out.num_rows == 6
+    assert out["feature"][0].as_py() is None
+    assert out["decode_error"][0].as_py()  # message recorded
+    assert all(
+        out["feature"][i].as_py() is not None
+        and out["decode_error"][i].as_py() is None
+        for i in range(1, 6)
+    )
+
+    # audio: NaN/-1 marker row
+    wav = encode_wav(np.sin(np.linspace(0, 20, 500)).astype(np.float32))
+    audio = pa.table(
+        {
+            "item_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array([b"not a wav", wav], pa.binary()),
+        }
+    )
+    with pytest.raises(Exception):
+        AudioFeatureExtractor()(audio)
+    aout = AudioFeatureExtractor(on_error="mark")(audio)
+    assert aout["n_samples"].to_pylist() == [-1, 500]
+    assert np.isnan(aout["rms"][0].as_py()) and aout["rms"][1].as_py() > 0
+
+    # video: frame_no=-1 marker row, good payloads still sampled
+    from nexlt_ray.multimodal import synthetic_video_table
+
+    vt = synthetic_video_table(2, n_frames=4)
+    vids = pa.table(
+        {
+            "item_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array(
+                [b"YUV4MPEG2 garbage", vt["payload"][1].as_py()], pa.binary()
+            ),
+        }
+    )
+    with pytest.raises(Exception):
+        FrameSampler(stride=2)(vids)
+    vout = FrameSampler(stride=2, on_error="mark")(vids)
+    marker = vout.filter(pa.compute.equal(vout["frame_no"], -1))
+    assert marker.num_rows == 1 and marker["item_id"][0].as_py() == 0
+    assert vout.filter(pa.compute.equal(vout["item_id"], 1)).num_rows == 2
