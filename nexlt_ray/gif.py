@@ -111,8 +111,24 @@ def _deinterlace(idx: np.ndarray, w: int, h: int) -> np.ndarray:
     return out
 
 
+#: dimension sanity cap, same rationale as jpeg.MAX_PIXELS
+MAX_PIXELS = 100_000_000
+
+
 def decode_gif_frames(data: bytes):
-    """Yield (h, w, 3) uint8 RGB arrays, one per image block."""
+    """Yield (h, w, 3) uint8 RGB arrays, one per image block.
+
+    Error contract (pipeline isolation): malformed/truncated streams raise
+    ValueError — parser internals (IndexError/struct.error) never escape."""
+    try:
+        yield from _decode_gif_frames(data)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, OverflowError, struct.error) as e:
+        raise ValueError(f"corrupt GIF stream: {type(e).__name__}: {e}") from e
+
+
+def _decode_gif_frames(data: bytes):
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
@@ -132,6 +148,8 @@ def decode_gif_frames(data: bytes):
             _, pos = _read_blocks(data, pos)
         elif b == 0x2C:  # image descriptor
             _, _, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
+            if w * h > MAX_PIXELS or w == 0 or h == 0:
+                raise ValueError(f"implausible GIF dimensions {w}x{h}")
             pos += 9
             ct = gct
             if iflags & 0x80:

@@ -228,8 +228,30 @@ class _Component:
     __slots__ = ("cid", "h", "v", "tq", "td", "ta", "plane", "pred")
 
 
+#: dimension sanity cap — a corrupt SOF can declare 65535x65535 and OOM the
+#: worker before any entropy data is read (decompression-bomb guard)
+MAX_PIXELS = 100_000_000
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to (h, w, 3) uint8 RGB (grayscale replicated)."""
+    """Decode a baseline JPEG to (h, w, 3) uint8 RGB (grayscale replicated).
+
+    Contract for pipeline error isolation (multimodal on_error='mark'):
+    any malformed/truncated stream raises ValueError — never hangs, never
+    leaks parser internals (IndexError/KeyError/struct.error), never
+    allocates beyond MAX_PIXELS."""
+    try:
+        return _decode_jpeg(data)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, AttributeError, OverflowError,
+            struct.error) as e:
+        raise ValueError(
+            f"corrupt JPEG stream: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -272,6 +294,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 qt[tq_id] = raster.reshape(8, 8)
         elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
             _, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if h * w > MAX_PIXELS or h == 0 or w == 0:
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
             comps = []
             for c in range(ncomp):
                 comp = _Component()

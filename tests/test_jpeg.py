@@ -429,3 +429,62 @@ def test_external_gif_file_decodes():
     err = np.abs(gif.astype(int) - ppm.astype(int))[opaque]
     assert err.max() <= 4
     assert opaque.sum() > 100  # the logo body is opaque
+
+
+# --------------------------------------------------------------------------
+# malformed-stream contract: ValueError or success, never hangs / never
+# leaks parser internals — the guarantee on_error='mark' isolation needs
+# --------------------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(cut=st.integers(0, 2000), flip=st.integers(0, 2**31), seed=st.integers(0, 5))
+def test_jpeg_malformed_streams_raise_valueerror(cut, flip, seed):
+    rng = np.random.default_rng(seed)
+    payload = encode_jpeg(rng.integers(0, 256, (24, 24, 3), np.uint8), quality=85)
+    trunc = payload[: cut % (len(payload) + 1)]
+    for stream in (trunc, _flip(payload, flip)):
+        try:
+            out = decode_jpeg(stream)
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except ValueError:
+            pass  # the whole contract: ValueError or a valid image
+
+
+@settings(max_examples=60, deadline=None)
+@given(cut=st.integers(0, 2000), flip=st.integers(0, 2**31), seed=st.integers(0, 5))
+def test_gif_malformed_streams_raise_valueerror(cut, flip, seed):
+    rng = np.random.default_rng(seed)
+    img = (rng.integers(0, 256, (24, 24, 3), np.uint8) // 64) * 64
+    payload = encode_gif(img)
+    trunc = payload[: cut % (len(payload) + 1)]
+    for stream in (trunc, _flip(payload, flip)):
+        try:
+            out = decode_gif(stream)
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except ValueError:
+            pass
+
+
+def _flip(payload: bytes, token: int) -> bytes:
+    b = bytearray(payload)
+    b[2 + token % (len(b) - 2)] ^= 1 + (token >> 8) % 255
+    return bytes(b)
+
+
+def test_decompression_bomb_guard():
+    """A corrupt SOF/LSD declaring 65535x65535 must be rejected before any
+    allocation, not OOM the worker."""
+    import struct
+
+    bomb = (
+        b"\xFF\xD8\xFF\xC0"
+        + struct.pack(">HBHHB", 11, 8, 65535, 65535, 1)
+        + b"\x01\x11\x00"
+    )
+    with pytest.raises(ValueError, match="implausible"):
+        decode_jpeg(bomb)
+    gbomb = b"GIF87a" + struct.pack("<HHBBB", 9, 9, 0, 0, 0) + b"\x2C" + struct.pack(
+        "<HHHHB", 0, 0, 65535, 65535, 0
+    )
+    with pytest.raises(ValueError, match="implausible|corrupt"):
+        decode_gif(gbomb)
