@@ -48,12 +48,7 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     """
     clear = 1 << min_code_size
     eoi = clear + 1
-    bits = np.unpackbits(
-        np.frombuffer(data, np.uint8)[:, None], axis=1, bitorder="little"
-    ).ravel()
-    pos = 0
-    out = np.empty(n_pixels, np.uint8)
-    n_out = 0
+    out = bytearray()
 
     def reset():
         table = [bytes([i]) for i in range(clear)] + [b"", b""]
@@ -61,13 +56,21 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
 
     table, width, next_code = reset()
     prev: bytes | None = None
-    while n_out < n_pixels:
-        if pos + width > bits.size:
-            raise ValueError("LZW stream exhausted before all pixels decoded")
-        code = 0
-        for i in range(width):
-            code |= int(bits[pos + i]) << i
-        pos += width
+    # LSB-first int accumulator (plain-int ops; no per-bit array reads)
+    acc = nacc = ptr = 0
+    n_data = len(data)
+    while len(out) < n_pixels:
+        while nacc < width:
+            if ptr >= n_data:
+                raise ValueError(
+                    "LZW stream exhausted before all pixels decoded"
+                )
+            acc |= data[ptr] << nacc
+            ptr += 1
+            nacc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
         if code == clear:
             table, width, next_code = reset()
             prev = None
@@ -89,13 +92,11 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
         next_code += 1
         if next_code > (1 << width) and width < 12:
             width += 1
-        arr = np.frombuffer(entry, np.uint8)
-        out[n_out : n_out + arr.size] = arr[: n_pixels - n_out]
-        n_out += min(arr.size, n_pixels - n_out)
+        out += entry
         prev = entry
-    if n_out < n_pixels:
+    if len(out) < n_pixels:
         raise ValueError("LZW stream ended early")
-    return out
+    return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
 
 
 def _deinterlace(idx: np.ndarray, w: int, h: int) -> np.ndarray:

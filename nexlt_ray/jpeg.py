@@ -161,63 +161,84 @@ def huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]
 
 
 class _HuffDecoder:
-    """T.81 F.2.2.3 DECODE: per-length (mincode, maxcode, valptr) tables."""
+    """16-bit-peek LUT decoder: every canonical code of length L fills the
+    2^(16-L) LUT slots sharing its L-bit prefix (the flat equivalent of
+    T.81 F.2.2.3 DECODE — same codes, one lookup instead of a per-bit
+    walk). Unfilled slots mean "invalid prefix"."""
 
     def __init__(self, bits: list[int], vals: list[int]):
-        self.vals = vals
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
+        lut_len = np.zeros(1 << 16, np.uint8)
+        lut_sym = np.zeros(1 << 16, np.uint8)
         code, k = 0, 0
         for length in range(1, 17):
-            if bits[length - 1]:
-                self.valptr[length] = k
-                self.mincode[length] = code
-                code += bits[length - 1]
-                k += bits[length - 1]
-                self.maxcode[length] = code - 1
+            for _ in range(bits[length - 1]):
+                base = code << (16 - length)
+                span = 1 << (16 - length)
+                lut_len[base : base + span] = length
+                lut_sym[base : base + span] = vals[k]
+                code += 1
+                k += 1
             code <<= 1
+        # bytes objects: indexing yields a plain int, the fastest scalar path
+        self.lut_len = lut_len.tobytes()
+        self.lut_sym = lut_sym.tobytes()
 
-    def decode(self, br: "_BitReader") -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.read_bit()
-            if code <= self.maxcode[length]:
-                return self.vals[self.valptr[length] + code - self.mincode[length]]
+def _decode_block_zz(d, nbits, pos, dlen, dsym, alen, asym, pred):
+    """Entropy-decode one block: returns (64-long zigzag coefficient list,
+    new bit position, new DC predictor). Fully inlined plain-int hot loop
+    — LUT lookup (peek 16 bits through the 3-byte zero pad; a hit whose
+    length passes `nbits` means the segment ended mid-symbol), then the
+    T.81 F.2.2.1 EXTEND arithmetic, with no per-symbol function calls."""
+    zz = [0] * 64
+    i = pos >> 3
+    off = pos & 7
+    idx = (((d[i] << 16) | (d[i + 1] << 8) | d[i + 2]) >> (8 - off)) & 0xFFFF
+    ln = dlen[idx]
+    if ln == 0 or pos + ln > nbits:
         raise ValueError("invalid Huffman code in entropy stream")
-
-
-class _BitReader:
-    """MSB-first bit reader over an already-unstuffed byte segment."""
-
-    def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
-        self.pos = 0
-
-    def read_bit(self) -> int:
-        if self.pos >= self.bits.size:
+    pos += ln
+    t = dsym[idx]
+    if t:
+        if pos + t > nbits:
             raise ValueError("entropy segment exhausted mid-symbol")
-        b = int(self.bits[self.pos])
-        self.pos += 1
-        return b
-
-    def read_bits(self, n: int) -> int:
-        if n == 0:
-            return 0
-        if self.pos + n > self.bits.size:
+        i = pos >> 3
+        off = pos & 7
+        chunk = (d[i] << 24) | (d[i + 1] << 16) | (d[i + 2] << 8) | d[i + 3]
+        v = (chunk >> (32 - off - t)) & ((1 << t) - 1)
+        pos += t
+        pred += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        i = pos >> 3
+        off = pos & 7
+        idx = (
+            ((d[i] << 16) | (d[i + 1] << 8) | d[i + 2]) >> (8 - off)
+        ) & 0xFFFF
+        ln = alen[idx]
+        if ln == 0 or pos + ln > nbits:
+            raise ValueError("invalid Huffman code in entropy stream")
+        pos += ln
+        rs = asym[idx]
+        s = rs & 0xF
+        if s == 0:
+            if rs == 0xF0:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += rs >> 4
+        if k > 63:
+            raise ValueError("AC coefficient index out of range")
+        if pos + s > nbits:
             raise ValueError("entropy segment exhausted mid-symbol")
-        v = 0
-        for b in self.bits[self.pos : self.pos + n]:
-            v = (v << 1) | int(b)
-        self.pos += n
-        return v
-
-
-def _extend(v: int, t: int) -> int:
-    """T.81 F.2.2.1 EXTEND: map t received bits to a signed coefficient."""
-    if t == 0:
-        return 0
-    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+        i = pos >> 3
+        off = pos & 7
+        chunk = (d[i] << 24) | (d[i + 1] << 16) | (d[i + 2] << 8) | d[i + 3]
+        v = (chunk >> (32 - off - s)) & ((1 << s) - 1)
+        pos += s
+        zz[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+        k += 1
+    return zz, pos, pred
 
 
 # --------------------------------------------------------------------------
@@ -225,7 +246,10 @@ def _extend(v: int, t: int) -> int:
 # --------------------------------------------------------------------------
 
 class _Component:
-    __slots__ = ("cid", "h", "v", "tq", "td", "ta", "plane", "pred")
+    __slots__ = (
+        "cid", "h", "v", "tq", "td", "ta", "plane", "pred",
+        "rows", "cols", "zz", "gy", "gx",
+    )
 
 
 #: dimension sanity cap — a corrupt SOF can declare 65535x65535 and OOM the
@@ -337,34 +361,49 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     return _planes_to_rgb(comps, w, h)
 
 
+def _split_entropy_segments(data: bytes, pos: int):
+    """Vectorized scan-body slicing: locate every 0xFF, classify its
+    successor (0x00 = stuffing, D0-D7 = restart, else = end of scan),
+    return the unstuffed bytes per restart segment + the scan-end offset."""
+    sub = np.frombuffer(data, np.uint8)[pos:]
+    ff = np.flatnonzero(sub == 0xFF)
+    # a lone trailing 0xFF ends the scan (treat its successor as EOI)
+    nxt = np.where(
+        ff + 1 < sub.size, sub[np.minimum(ff + 1, sub.size - 1)], 0xD9
+    )
+    stuff = nxt == 0x00
+    rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    enders = ff[~(stuff | rst)]
+    end = int(enders[0]) if enders.size else int(sub.size)
+    in_scan = ff < end
+    stuff_at = ff[in_scan & stuff]
+    rst_at = ff[in_scan & rst]
+    segments = []
+    start = 0
+    for r in [int(x) for x in rst_at] + [end]:
+        seg = sub[start:r]
+        drop = stuff_at[(stuff_at >= start) & (stuff_at < r)] + 1 - start
+        if drop.size:
+            seg = np.delete(seg, drop)
+        segments.append(seg.tobytes())
+        start = r + 2  # skip the RST marker itself
+    return segments, pos + end
+
+
 def _decode_scan(data, pos, comps, qt, huff_dc, huff_ac, w, h, ri):
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     for c in comps:
-        c.plane = np.zeros((mcuy * c.v * 8, mcux * c.h * 8), np.float64)
+        c.rows = mcuy * c.v
+        c.cols = mcux * c.h
+        c.zz = []  # per-block zigzag coefficient lists, decode order
+        c.gy = []  # block-grid coordinates matching c.zz
+        c.gx = []
         c.pred = 0
 
-    # split entropy bytes into restart segments, unstuffing FF00
-    segments, cur, i = [], bytearray(), pos
-    while i < len(data):
-        b = data[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        nxt = data[i + 1]
-        if nxt == 0x00:
-            cur.append(0xFF)
-            i += 2
-        elif 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
-            segments.append(bytes(cur))
-            cur = bytearray()
-            i += 2
-        else:  # EOI or next marker: scan over
-            break
-    segments.append(bytes(cur))
+    segments, i = _split_entropy_segments(data, pos)
 
     n_mcu = mcux * mcuy
     per_seg = ri if ri else n_mcu
@@ -372,47 +411,44 @@ def _decode_scan(data, pos, comps, qt, huff_dc, huff_ac, w, h, ri):
     for seg in segments:
         if mcu >= n_mcu:
             break
-        br = _BitReader(seg)
+        d = seg + b"\x00\x00\x00"  # peek pad; overrun guarded via nbits
+        nbits = 8 * len(seg)
+        pos_b = 0
         for c in comps:
             c.pred = 0  # DC predictors reset at each restart
         for _ in range(min(per_seg, n_mcu - mcu)):
             my, mx = divmod(mcu, mcux)
             for c in comps:
-                dq = qt[c.tq]
+                hdc, hac = huff_dc[c.td], huff_ac[c.ta]
                 for by in range(c.v):
                     for bx in range(c.h):
-                        blk = _decode_block(br, huff_dc[c.td], huff_ac[c.ta],
-                                            c, dq)
-                        y0 = (my * c.v + by) * 8
-                        x0 = (mx * c.h + bx) * 8
-                        c.plane[y0 : y0 + 8, x0 : x0 + 8] = blk
+                        zz, pos_b, c.pred = _decode_block_zz(
+                            d, nbits, pos_b,
+                            hdc.lut_len, hdc.lut_sym,
+                            hac.lut_len, hac.lut_sym, c.pred,
+                        )
+                        c.zz.append(zz)
+                        c.gy.append(my * c.v + by)
+                        c.gx.append(mx * c.h + bx)
             mcu += 1
+
+    # batched dequant + de-zigzag + IDCT per component (one einsum for all
+    # blocks, not a tiny matmul per block)
+    for c in comps:
+        if not c.zz:
+            c.plane = np.zeros((c.rows * 8, c.cols * 8))
+            continue
+        zz = np.asarray(c.zz, np.int32)  # (nb, 64) zigzag order
+        raster = np.zeros_like(zz)
+        raster[:, ZZ_RASTER] = zz
+        coef = raster.reshape(-1, 8, 8) * qt[c.tq]
+        blocks = np.einsum("ux,buv,vy->bxy", DCT_M, coef, DCT_M)
+        grid = np.zeros((c.rows, c.cols, 8, 8))
+        grid[np.asarray(c.gy), np.asarray(c.gx)] = blocks
+        c.plane = grid.transpose(0, 2, 1, 3).reshape(c.rows * 8, c.cols * 8)
     return i  # positioned at the 0xFF of the next marker
 
 
-def _decode_block(br, hdc, hac, comp, dq) -> np.ndarray:
-    zz = np.zeros(64, np.int32)
-    t = hdc.decode(br)
-    comp.pred += _extend(br.read_bits(t), t)
-    zz[0] = comp.pred
-    k = 1
-    while k < 64:
-        rs = hac.decode(br)
-        r, s = rs >> 4, rs & 0xF
-        if s == 0:
-            if r == 15:  # ZRL: sixteen zeros
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("AC coefficient index out of range")
-        zz[k] = _extend(br.read_bits(s), s)
-        k += 1
-    raster = np.zeros(64, np.int32)
-    raster[ZZ_RASTER] = zz
-    coef = raster.reshape(8, 8) * dq
-    return DCT_M.T @ coef @ DCT_M  # inverse 2-D DCT (level shift added later)
 
 
 def _planes_to_rgb(comps, w, h) -> np.ndarray:

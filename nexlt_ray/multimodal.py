@@ -89,23 +89,25 @@ def _unfilter_scanlines(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
                 ).astype(np.uint8)
         elif f == 2:  # Up
             row = (row.astype(np.uint16) + prev) .astype(np.uint8)
-        elif f == 3:  # Average
-            r = row.astype(np.int32)
+        elif f == 3:  # Average (plain-int list loop: ~5x over np scalar ops)
+            r = row.tolist()
+            pv = prev.tolist()
             for x in range(stride):
-                a = int(r[x - ch]) if x >= ch else 0
-                r[x] = (r[x] + ((a + int(prev[x])) >> 1)) & 0xFF
-            row = r.astype(np.uint8)
+                a = r[x - ch] if x >= ch else 0
+                r[x] = (r[x] + ((a + pv[x]) >> 1)) & 0xFF
+            row = np.asarray(r, dtype=np.uint8)
         elif f == 4:  # Paeth
-            r = row.astype(np.int32)
+            r = row.tolist()
+            pv = prev.tolist()
             for x in range(stride):
-                a = int(r[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
+                a = r[x - ch] if x >= ch else 0
+                b = pv[x]
+                c = pv[x - ch] if x >= ch else 0
                 p = a + b - c
                 pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
                 r[x] = (r[x] + pred) & 0xFF
-            row = r.astype(np.uint8)
+            row = np.asarray(r, dtype=np.uint8)
         else:
             raise ValueError(f"unknown PNG filter {f}")
         out[y] = row

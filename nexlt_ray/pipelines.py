@@ -3121,7 +3121,9 @@ def media_features(sf_dir: str):
 
     from .multimodal import ImageFeatureExtractor, synthetic_media_table
 
-    ds = ray.data.from_arrow(synthetic_media_table(200))
+    # from_arrow yields ONE block; split it or the whole actor pool serves
+    # from a single actor (same fix as search_batch)
+    ds = ray.data.from_arrow(synthetic_media_table(200)).repartition(8)
     return ds.map_batches(
         ImageFeatureExtractor,
         batch_format="pyarrow",
@@ -3139,7 +3141,7 @@ def frame_samples(sf_dir: str):
 
     from .multimodal import FrameSampler, synthetic_video_table
 
-    ds = ray.data.from_arrow(synthetic_video_table(100))
+    ds = ray.data.from_arrow(synthetic_video_table(100)).repartition(8)
     return ds.map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=16, concurrency=2, num_cpus=1
     )
@@ -3738,7 +3740,7 @@ def audio_features(sf_dir: str):
 
     from .multimodal import AudioFeatureExtractor, synthetic_audio_table
 
-    ds = ray.data.from_arrow(synthetic_audio_table(200))
+    ds = ray.data.from_arrow(synthetic_audio_table(200)).repartition(8)
     return ds.map_batches(
         AudioFeatureExtractor,
         batch_format="pyarrow",
