@@ -2,7 +2,8 @@
 with typed metadata.
 
 Decoding: `StdlibDecodeBackend` (the default) REALLY decodes PNG, PPM,
-baseline JPEG, and GIF images, PCM WAV audio, and Y4M (YUV4MPEG2) video
+baseline JPEG, and GIF images, PCM WAV / AIFF / Sun AU audio (incl.
+G.711 mu-law), and Y4M (YUV4MPEG2) video
 using only the stdlib (zlib, wave, struct) + numpy, implemented from the
 public format specs (PNG: RFC 2083 — IHDR/IDAT/IEND chunks, all five
 scanline filters; JPEG: ITU-T T.81 baseline sequential DCT — see
@@ -56,7 +57,8 @@ class DecodeBackend:
     def decode_audio(self, payload: bytes) -> np.ndarray:  # (n,) float32
         raise NotImplementedError(
             "subclass provides the codec: StdlibDecodeBackend covers PCM "
-            "WAV; MP3/FLAC etc. need a library backend (soundfile)"
+            "WAV, AIFF, and Sun AU (incl. G.711 mu-law); MP3/FLAC etc. "
+            "need a library backend (soundfile)"
         )
 
     def decode_video(self, payload: bytes) -> np.ndarray:  # (n, h, w, 3) uint8
@@ -119,8 +121,8 @@ class StdlibDecodeBackend(DecodeBackend):
     """Real decoders from the public specs, stdlib-only (zlib/wave/struct):
     PNG (8-bit gray/RGB/RGBA, non-interlaced, all five filters), PPM P6,
     baseline JPEG (ITU-T T.81 — see nexlt_ray.jpeg), GIF87a/89a incl.
-    interlace (see nexlt_ray.gif), and PCM WAV (8/16/32-bit, any channel
-    count, averaged to mono)."""
+    interlace (see nexlt_ray.gif), PCM WAV (8/16/32-bit, any channel
+    count, averaged to mono), AIFF, and Sun AU incl. G.711 mu-law."""
 
     def decode_image(self, payload: bytes) -> np.ndarray:
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -199,6 +201,10 @@ class StdlibDecodeBackend(DecodeBackend):
         return np.frombuffer(data, np.uint8, w * h * 3, i).reshape(h, w, 3).copy()
 
     def decode_audio(self, payload: bytes) -> np.ndarray:
+        if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+            return _decode_aiff(payload)
+        if payload[:4] == b".snd":
+            return _decode_au(payload)
         import wave
 
         with wave.open(io.BytesIO(payload)) as wv:
@@ -426,6 +432,128 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
             .tobytes()
         )
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# AIFF (Apple/EA IFF-85 audio, big-endian PCM) and Sun AU (.snd) — both from
+# the public specs; AU covers ITU-T G.711 mu-law, the telephony encoding.
+# ---------------------------------------------------------------------------
+
+def _mulaw_table() -> np.ndarray:
+    """G.711 mu-law byte -> linear int16 (the standard decode expansion:
+    complement, then ((mantissa<<3)+0x84)<<exponent - 0x84, signed)."""
+    b = ~np.arange(256, dtype=np.int32) & 0xFF
+    exp = (b >> 4) & 7
+    mant = b & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(b & 0x80, -mag, mag).astype(np.int16)
+
+
+_MULAW = _mulaw_table()
+
+
+def _decode_aiff(data: bytes) -> np.ndarray:
+    """AIFF/AIFC chunks: COMM (channels, frames, sampleSize) + SSND
+    (offset, blockSize, PCM big-endian signed). AIFC accepted only with
+    compressionType NONE."""
+    is_aifc = data[8:12] == b"AIFC"
+    pos = 12
+    ch = size = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (ln,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"COMM":
+            ch, _nframes, size = struct.unpack(">HIH", body[:8])
+            if is_aifc and body[18:22] not in (b"NONE", b"sowt"):
+                raise ValueError(
+                    "compressed AIFC needs a library backend "
+                    f"(compressionType={body[18:22]!r})"
+                )
+        elif cid == b"SSND":
+            (off, _blk) = struct.unpack(">II", body[:8])
+            raw = body[8 + off :]
+    if ch is None or raw is None:
+        raise ValueError("AIFF missing COMM or SSND chunk")
+    if size == 16:
+        a = np.frombuffer(raw, ">i2").astype(np.float32) / 32768.0
+    elif size == 8:
+        a = np.frombuffer(raw, np.int8).astype(np.float32) / 128.0
+    elif size == 32:
+        a = np.frombuffer(raw, ">i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported AIFF sample size {size}")
+    n = (a.size // ch) * ch
+    return a[:n].reshape(-1, ch).mean(axis=1).astype(np.float32)
+
+
+def _decode_au(data: bytes) -> np.ndarray:
+    """Sun .au/.snd: 24-byte big-endian header, then samples. Encodings:
+    1 = G.711 mu-law, 2/3/5 = signed PCM 8/16/32, 6 = float32."""
+    _, off, _size, enc, _rate, ch = struct.unpack(">4sIIIII", data[:24])
+    raw = data[off:]
+    if enc == 1:
+        a = _MULAW[np.frombuffer(raw, np.uint8)].astype(np.float32) / 32768.0
+    elif enc == 2:
+        a = np.frombuffer(raw, np.int8).astype(np.float32) / 128.0
+    elif enc == 3:
+        a = np.frombuffer(raw, ">i2").astype(np.float32) / 32768.0
+    elif enc == 5:
+        a = np.frombuffer(raw, ">i4").astype(np.float32) / 2147483648.0
+    elif enc == 6:
+        a = np.frombuffer(raw, ">f4").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported AU encoding {enc}")
+    n = (a.size // ch) * ch
+    return a[:n].reshape(-1, ch).mean(axis=1).astype(np.float32)
+
+
+def encode_aiff(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Minimal mono 16-bit AIFF writer (for round-trip tests)."""
+    pcm = (
+        np.clip(np.asarray(samples) * 32767.0, -32768, 32767)
+        .astype(">i2")
+        .tobytes()
+    )
+    # 80-bit extended-float sample rate: exponent 16383+(bits-1), mantissa
+    # left-justified to 64 bits
+    ext = struct.pack(">H", 16383 + rate.bit_length() - 1) + struct.pack(
+        ">Q", rate << (64 - rate.bit_length())
+    )
+    comm = struct.pack(">HIH", 1, len(pcm) // 2, 16) + ext
+    ssnd = struct.pack(">II", 0, 0) + pcm
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def encode_au(samples: np.ndarray, encoding: int = 3, rate: int = 8000) -> bytes:
+    """Minimal mono AU writer: encoding 3 (PCM16) or 1 (mu-law)."""
+    s = np.asarray(samples)
+    if encoding == 3:
+        raw = np.clip(s * 32767.0, -32768, 32767).astype(">i2").tobytes()
+    elif encoding == 1:
+        raw = _linear_to_mulaw(
+            np.clip(s * 32767.0, -32768, 32767).astype(np.int16)
+        ).tobytes()
+    else:
+        raise ValueError("encode_au supports encodings 1 and 3")
+    return struct.pack(">4sIIIII", b".snd", 24, len(raw), encoding, rate, 1) + raw
+
+
+def _linear_to_mulaw(pcm: np.ndarray) -> np.ndarray:
+    """G.711 mu-law compression (the inverse of _mulaw_table), vectorized."""
+    x = pcm.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x) + 0x84, 0x7FFF)
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int32)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
 
 
 class FakeDecodeBackend(DecodeBackend):
