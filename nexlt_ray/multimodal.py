@@ -1,10 +1,10 @@
 """Multimodal column handling: image/audio/video as opaque binary columns
 with typed metadata.
 
-Decoding: `StdlibDecodeBackend` (the default) REALLY decodes PNG, PPM,
-baseline JPEG, and GIF images, PCM WAV / AIFF / Sun AU audio (incl.
-G.711 mu-law), and Y4M (YUV4MPEG2) video
-using only the stdlib (zlib, wave, struct) + numpy, implemented from the
+Decoding: `StdlibDecodeBackend` (the default) REALLY decodes PNG
+(incl. palette), Netpbm P4/P5/P6, baseline JPEG, GIF, and BMP images,
+PCM WAV / AIFF / Sun AU audio (incl. G.711 mu-law), and Y4M (YUV4MPEG2)
+video using only the stdlib (zlib, wave, struct) + numpy, from the
 public format specs (PNG: RFC 2083 — IHDR/IDAT/IEND chunks, all five
 scanline filters; JPEG: ITU-T T.81 baseline sequential DCT — see
 nexlt_ray.jpeg; GIF: the 89a spec's variable-width LZW — see
@@ -51,7 +51,8 @@ class DecodeBackend:
     def decode_image(self, payload: bytes) -> np.ndarray:  # (h, w, 3) uint8
         raise NotImplementedError(
             "subclass provides the codec: StdlibDecodeBackend covers "
-            "PNG/PPM; JPEG etc. need a library backend (PIL/opencv)"
+            "PNG/Netpbm/JPEG/GIF/BMP; WebP etc. need a library backend "
+            "(PIL/opencv)"
         )
 
     def decode_audio(self, payload: bytes) -> np.ndarray:  # (n,) float32
@@ -119,16 +120,17 @@ def _unfilter_scanlines(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
 
 class StdlibDecodeBackend(DecodeBackend):
     """Real decoders from the public specs, stdlib-only (zlib/wave/struct):
-    PNG (8-bit gray/RGB/RGBA, non-interlaced, all five filters), PPM P6,
-    baseline JPEG (ITU-T T.81 — see nexlt_ray.jpeg), GIF87a/89a incl.
-    interlace (see nexlt_ray.gif), PCM WAV (8/16/32-bit, any channel
-    count, averaged to mono), AIFF, and Sun AU incl. G.711 mu-law."""
+    PNG (8-bit gray/RGB/RGBA/palette, non-interlaced, all five filters),
+    Netpbm P4/P5/P6, baseline JPEG (ITU-T T.81 — see nexlt_ray.jpeg),
+    GIF87a/89a incl. interlace (see nexlt_ray.gif), BMP (8/24/32-bit),
+    PCM WAV (8/16/32-bit, any channel count, averaged to mono), AIFF, and
+    Sun AU incl. G.711 mu-law."""
 
     def decode_image(self, payload: bytes) -> np.ndarray:
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             return self._decode_png(payload)
-        if payload[:2] == b"P6":
-            return self._decode_ppm(payload)
+        if payload[:1] == b"P" and payload[1:2] in b"456":
+            return self._decode_pnm(payload)
         if payload[:2] == b"\xFF\xD8":
             from .jpeg import decode_jpeg
 
@@ -137,9 +139,11 @@ class StdlibDecodeBackend(DecodeBackend):
             from .gif import decode_gif
 
             return decode_gif(payload)
+        if payload[:2] == b"BM":
+            return self._decode_bmp(payload)
         raise ValueError(
-            "unsupported image format (expect PNG, PPM P6, baseline JPEG, "
-            "or GIF)"
+            "unsupported image format (expect PNG, Netpbm P4/P5/P6, "
+            "baseline JPEG, GIF, or BMP)"
         )
 
     @staticmethod
@@ -178,11 +182,14 @@ class StdlibDecodeBackend(DecodeBackend):
         return px[:, :, :3]  # RGBA: alpha dropped, (h, w, 3) contract
 
     @staticmethod
-    def _decode_ppm(data: bytes) -> np.ndarray:
-        # P6 <w> <h> <maxval>\n then raw RGB; '#' comments allowed
+    def _decode_pnm(data: bytes) -> np.ndarray:
+        # Netpbm raw formats: P4 (1-bit, 1=black), P5 (gray), P6 (RGB);
+        # header tokens <w> <h> [<maxval>], '#' comments allowed
+        kind = data[1:2]
+        want = 2 if kind == b"4" else 3  # P4 has no maxval token
         toks: list[bytes] = []
         i = 2
-        while len(toks) < 3:
+        while len(toks) < want:
             while i < len(data) and data[i : i + 1].isspace():
                 i += 1
             if data[i : i + 1] == b"#":
@@ -194,11 +201,54 @@ class StdlibDecodeBackend(DecodeBackend):
                 j += 1
             toks.append(data[i:j])
             i = j
-        i += 1  # single whitespace after maxval
-        w, h, maxval = (int(t) for t in toks)
-        if maxval != 255:
-            raise ValueError("PPM maxval != 255 unsupported")
+        i += 1  # single whitespace ends the header
+        w, h = int(toks[0]), int(toks[1])
+        if kind == b"4":
+            stride = (w + 7) // 8
+            rows = np.frombuffer(data, np.uint8, stride * h, i).reshape(h, stride)
+            bits = np.unpackbits(rows, axis=1)[:, :w]
+            g = np.where(bits == 1, 0, 255).astype(np.uint8)  # 1 = black
+            return np.repeat(g[:, :, None], 3, axis=2)
+        if int(toks[2]) != 255:
+            raise ValueError("Netpbm maxval != 255 unsupported")
+        if kind == b"5":
+            g = np.frombuffer(data, np.uint8, w * h, i).reshape(h, w)
+            return np.repeat(g[:, :, None], 3, axis=2).copy()
         return np.frombuffer(data, np.uint8, w * h * 3, i).reshape(h, w, 3).copy()
+
+    @staticmethod
+    def _decode_bmp(data: bytes) -> np.ndarray:
+        """Windows BMP (BITMAPINFOHEADER or later, e.g. V4/V5: the DIB
+        fields we need sit at fixed offsets): bottom-up BGR(A) rows padded
+        to 4 bytes; 8-bit palettized, 24- and 32-bit uncompressed."""
+        (off,) = struct.unpack("<I", data[10:14])
+        (hdr_size,) = struct.unpack("<I", data[14:18])
+        w, h = struct.unpack("<ii", data[18:26])
+        bpp, comp = struct.unpack("<HI", data[28:34])
+        top_down = h < 0
+        h = abs(h)
+        if comp not in (0, 3) or bpp not in (8, 24, 32):
+            raise ValueError(
+                f"unsupported BMP variant (bpp={bpp}, compression={comp})"
+            )
+        if w * h > 100_000_000 or w <= 0 or h == 0:
+            raise ValueError(f"implausible BMP dimensions {w}x{h}")
+        stride = (w * bpp // 8 + 3) & ~3
+        px = np.frombuffer(data, np.uint8, stride * h, off).reshape(h, stride)
+        if not top_down:
+            px = px[::-1]
+        if bpp == 8:
+            # palette (BGRA quads) sits between the DIB header and the
+            # pixel offset; short palettes are zero-padded to 256
+            n_pal = min(256, max(0, (off - 14 - hdr_size) // 4))
+            pal = np.zeros((256, 4), np.uint8)
+            pal[:n_pal] = np.frombuffer(
+                data, np.uint8, 4 * n_pal, 14 + hdr_size
+            ).reshape(n_pal, 4)
+            return pal[:, [2, 1, 0]][px[:, :w]].copy()
+        ch = bpp // 8
+        bgr = px[:, : w * ch].reshape(h, w, ch)
+        return bgr[:, :, [2, 1, 0]].copy()  # BGR(A) -> RGB, alpha dropped
 
     def decode_audio(self, payload: bytes) -> np.ndarray:
         if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
