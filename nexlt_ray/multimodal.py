@@ -141,9 +141,11 @@ class StdlibDecodeBackend(DecodeBackend):
             return decode_gif(payload)
         if payload[:2] == b"BM":
             return self._decode_bmp(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            return self._decode_tiff(payload)
         raise ValueError(
             "unsupported image format (expect PNG, Netpbm P4/P5/P6, "
-            "baseline JPEG, GIF, or BMP)"
+            "baseline JPEG, GIF, BMP, or uncompressed TIFF)"
         )
 
     @staticmethod
@@ -249,6 +251,62 @@ class StdlibDecodeBackend(DecodeBackend):
         ch = bpp // 8
         bgr = px[:, : w * ch].reshape(h, w, ch)
         return bgr[:, :, [2, 1, 0]].copy()  # BGR(A) -> RGB, alpha dropped
+
+    @staticmethod
+    def _decode_tiff(data: bytes) -> np.ndarray:
+        """Baseline uncompressed TIFF 6.0: first IFD, strip-organized,
+        chunky planar; photometric gray (incl. white-is-zero), RGB(A),
+        palette. LZW/JPEG-in-TIFF need a library backend."""
+        bo = "<" if data[:2] == b"II" else ">"
+        (ifd,) = struct.unpack(bo + "I", data[4:8])
+        (n,) = struct.unpack(bo + "H", data[ifd : ifd + 2])
+        tags: dict[int, list[int]] = {}
+        type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+        type_fmt = {1: "B", 3: "H", 4: "I"}
+        for k in range(n):
+            tag, typ, cnt = struct.unpack(
+                bo + "HHI", data[ifd + 2 + 12 * k : ifd + 10 + 12 * k]
+            )
+            if typ not in type_fmt:
+                continue  # RATIONAL/ASCII metadata — not needed
+            nbytes = type_size[typ] * cnt
+            if nbytes <= 4:
+                raw = data[ifd + 10 + 12 * k : ifd + 10 + 12 * k + nbytes]
+            else:
+                (voff,) = struct.unpack(
+                    bo + "I", data[ifd + 10 + 12 * k : ifd + 14 + 12 * k]
+                )
+                raw = data[voff : voff + nbytes]
+            tags[tag] = list(struct.unpack(bo + type_fmt[typ] * cnt, raw))
+        w, h = tags[256][0], tags[257][0]
+        if w * h > 100_000_000 or w == 0 or h == 0:
+            raise ValueError(f"implausible TIFF dimensions {w}x{h}")
+        comp = tags.get(259, [1])[0]
+        if comp != 1:
+            raise ValueError(
+                f"compressed TIFF (compression={comp}) needs a library backend"
+            )
+        photo = tags.get(262, [1])[0]
+        spp = tags.get(277, [1])[0]
+        if any(b != 8 for b in tags.get(258, [8])):
+            raise ValueError("only 8-bit TIFF samples supported")
+        if tags.get(284, [1])[0] != 1:
+            raise ValueError("planar TIFF unsupported (chunky only)")
+        raw = b"".join(
+            data[o : o + c] for o, c in zip(tags[273], tags[279])
+        )
+        px = np.frombuffer(raw, np.uint8, w * h * spp).reshape(h, w, spp)
+        if photo == 3:  # palette: 16-bit colormap, R then G then B planes
+            cm = np.asarray(tags[320], np.uint32).reshape(3, -1)
+            return (cm >> 8).astype(np.uint8).T[px[:, :, 0]]
+        if photo in (0, 1):  # gray; 0 = white-is-zero
+            g = px[:, :, 0]
+            if photo == 0:
+                g = 255 - g
+            return np.repeat(g[:, :, None], 3, axis=2).copy()
+        if photo == 2:
+            return px[:, :, :3].copy()  # RGB(A): alpha dropped
+        raise ValueError(f"unsupported TIFF photometric {photo}")
 
     def decode_audio(self, payload: bytes) -> np.ndarray:
         if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):

@@ -645,3 +645,125 @@ def test_pnm_p5_p4_synthetic():
     p4 = b"P4\n10 5\n" + packed.tobytes()
     dec4 = be.decode_image(p4)
     assert np.array_equal(dec4[:, :, 0], np.where(bits == 1, 0, 255))
+
+
+# --------------------------------------------------------------------------
+# uncompressed TIFF decode
+# --------------------------------------------------------------------------
+
+def _mk_tiff(img: np.ndarray, big_endian: bool = False, photo: int = 2,
+             n_strips: int = 1) -> bytes:
+    """Hand-assembled baseline TIFF (test's independent writer): chunky
+    RGB (photo=2) or gray (photo=0/1), split into n_strips."""
+    import struct
+
+    bo = ">" if big_endian else "<"
+    h, w = img.shape[:2]
+    spp = 3 if photo == 2 else 1
+    raw = img.tobytes()
+    rows_per = -(-h // n_strips)
+    strips = [
+        raw[y * w * spp : min(y + rows_per, h) * w * spp]
+        for y in range(0, h, rows_per)
+    ]
+
+    entries = []  # (tag, typ, cnt, value-bytes or deferred data)
+    deferred = []
+
+    def ent(tag, typ, vals):
+        fmt = {3: "H", 4: "I"}[typ]
+        raw_v = struct.pack(bo + fmt * len(vals), *vals)
+        if len(raw_v) <= 4:
+            entries.append((tag, typ, len(vals), raw_v.ljust(4, b"\x00")))
+        else:
+            entries.append((tag, typ, len(vals), None))
+            deferred.append((len(entries) - 1, raw_v))
+
+    ent(256, 3, [w]); ent(257, 3, [h])
+    ent(258, 3, [8] * spp)
+    ent(259, 3, [1]); ent(262, 3, [photo])
+    ent(277, 3, [spp]); ent(278, 3, [rows_per])
+    strip_off_idx = len(entries)
+    ent(273, 4, [0] * len(strips))   # patched below
+    # drop the placeholder from deferred bookkeeping (re-laid out below)
+    deferred = [dv for dv in deferred if dv[0] != strip_off_idx]
+    ent(279, 4, [len(s) for s in strips])
+    ent(284, 3, [1])
+
+    header = struct.pack(bo + "2sHI", b"MM" if big_endian else b"II", 42, 8)
+    ifd_size = 2 + 12 * len(entries) + 4
+    pos = 8 + ifd_size
+    # lay out deferred arrays then strips
+    deferred_off = {}
+    for idx, raw_v in deferred:
+        deferred_off[idx] = pos
+        pos += len(raw_v)
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    # patch strip offsets entry; if it doesn't fit inline, its array goes
+    # AFTER the strip data (matching `pos`, which already passed the strips)
+    fmt = "I" * len(strips)
+    raw_v = struct.pack(bo + fmt, *strip_offs)
+    tail = b""
+    if len(raw_v) <= 4:
+        entries[strip_off_idx] = (273, 4, len(strips), raw_v.ljust(4, b"\x00"))
+    else:
+        deferred_off[strip_off_idx] = pos
+        entries[strip_off_idx] = (273, 4, len(strips), None)
+        tail = raw_v
+
+    out = bytearray(header)
+    out += struct.pack(bo + "H", len(entries))
+    for i, (tag, typ, cnt, val) in enumerate(entries):
+        out += struct.pack(bo + "HHI", tag, typ, cnt)
+        out += val if val is not None else struct.pack(bo + "I", deferred_off[i])
+    out += b"\x00\x00\x00\x00"  # no next IFD
+    for idx, raw_v in deferred:
+        assert len(out) == deferred_off[idx], (len(out), deferred_off[idx])
+        out += raw_v
+    for s in strips:
+        out += s
+    out += tail
+    return bytes(out)
+
+
+def test_tiff_synthetic_roundtrip():
+    from nexlt_ray.multimodal import StdlibDecodeBackend
+
+    be = StdlibDecodeBackend()
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (11, 7, 3), np.uint8)
+    assert np.array_equal(be.decode_image(_mk_tiff(img)), img)
+    assert np.array_equal(be.decode_image(_mk_tiff(img, big_endian=True)), img)
+    assert np.array_equal(be.decode_image(_mk_tiff(img, n_strips=4)), img)
+    g = rng.integers(0, 256, (9, 5), np.uint8)
+    dec = be.decode_image(_mk_tiff(g[:, :, None], photo=1))
+    assert np.array_equal(dec[:, :, 0], g)
+    inv = be.decode_image(_mk_tiff(g[:, :, None], photo=0))  # white-is-zero
+    assert np.array_equal(inv[:, :, 0], 255 - g)
+
+
+def test_external_tiff_matches_ppm_exactly():
+    """python.tiff (external tool, RGBA chunky, single strip) vs the PPM:
+    bit-identical through independent decode paths."""
+    from nexlt_ray.multimodal import StdlibDecodeBackend
+
+    be = StdlibDecodeBackend()
+    assert np.array_equal(
+        be.decode_image(_load("python.tiff")), be.decode_image(_load("python.ppm"))
+    )
+
+
+def test_tiff_compressed_rejected():
+    from nexlt_ray.multimodal import StdlibDecodeBackend
+
+    rng = np.random.default_rng(24)
+    raw = bytearray(_mk_tiff(rng.integers(0, 256, (4, 4, 3), np.uint8)))
+    # compression tag (259) is entry 3; its value bytes start at
+    # 8 (header) + 2 (count) + 12*3 + 8
+    off = 8 + 2 + 12 * 3 + 8
+    raw[off] = 5  # LZW
+    with pytest.raises(ValueError, match="library backend"):
+        StdlibDecodeBackend().decode_image(bytes(raw))
