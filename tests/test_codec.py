@@ -87,3 +87,48 @@ def test_postings_rejects_unsorted():
         encode_postings(
             np.array([5, 3]), np.array([1, 1]), np.array([0, 0], np.uint8)
         )
+
+
+def test_decode_positions_span_fast_equals_reference():
+    """The one-pass span decoder vs the per-block reference, over random
+    posting lists and every (bi_lo, bi_hi) window."""
+    import numpy as np
+
+    from nexlt_ray.codec import (
+        BLOCK_SIZE,
+        decode_positions_span,
+        decode_positions_span_ref,
+        varint_encode,
+    )
+
+    rng = np.random.default_rng(31)
+    for trial in range(6):
+        n_total = int(rng.integers(1, 5 * BLOCK_SIZE))
+        tfs = rng.integers(0, 6, n_total)  # zero-tf postings allowed
+        # build the blob exactly like the indexer: per block, counts then
+        # per-posting deltas (first absolute, rest deltas)
+        blob = b""
+        offs = []
+        pos_per_posting = [
+            np.sort(rng.choice(10_000, t, replace=False)) for t in tfs
+        ]
+        for b0 in range(0, n_total, BLOCK_SIZE):
+            offs.append(len(blob))
+            cnts = tfs[b0 : b0 + BLOCK_SIZE]
+            blob += varint_encode(cnts.astype(np.uint64))
+            deltas = []
+            for p in pos_per_posting[b0 : b0 + BLOCK_SIZE]:
+                if p.size:
+                    deltas.append(np.concatenate(([p[0]], np.diff(p))))
+            if deltas:
+                blob += varint_encode(
+                    np.concatenate(deltas).astype(np.uint64)
+                )
+        offs = np.asarray(offs, np.int64)
+        nblocks = len(offs)
+        for lo in range(nblocks):
+            for hi in range(lo, nblocks + 2):
+                a = decode_positions_span(blob, offs, lo, hi, n_total)
+                e = decode_positions_span_ref(blob, offs, lo, hi, n_total)
+                assert np.array_equal(a[0], e[0]), (trial, lo, hi)
+                assert np.array_equal(a[1], e[1]), (trial, lo, hi)
