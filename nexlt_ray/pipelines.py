@@ -3062,13 +3062,23 @@ def corpus_mlt_topk(sf_dir: str) -> pa.Table:
 class SearchActor:
     """Actor-pool batch fn for distributed query serving: IndexReader loaded
     once per actor (reference T4 Solr-cache analog), batches of queries in,
-    top-k rows out."""
+    top-k rows out.
 
-    def __init__(self, index_dir: str, k: int = 10):
+    `warm_queries` is the Solr firstSearcher QuerySenderListener analog
+    (reference solrconfig.xml:671-677 declares one warming query): each
+    actor runs them at construction, so its term/postings/norm caches are
+    hot before the first real query lands."""
+
+    def __init__(
+        self, index_dir: str, k: int = 10,
+        warm_queries: list[str] | None = None,
+    ):
         from .query import IndexReader
 
         self.reader = IndexReader(index_dir)
         self.k = k
+        for wq in warm_queries or []:
+            self.reader.search(wq, k=k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
@@ -3088,8 +3098,12 @@ class SearchActor:
         )
 
 
-def search_batch(index_dir: str, queries: list[dict], k: int = 10, concurrency: int = 4):
-    """Distributed top-k for a batch of queries via an IndexReader actor pool."""
+def search_batch(
+    index_dir: str, queries: list[dict], k: int = 10, concurrency: int = 4,
+    warm_queries: list[str] | None = None,
+):
+    """Distributed top-k for a batch of queries via an IndexReader actor
+    pool. `warm_queries` = firstSearcher warming per actor (SearchActor)."""
     import ray.data
 
     ds = ray.data.from_arrow(
@@ -3105,7 +3119,7 @@ def search_batch(index_dir: str, queries: list[dict], k: int = 10, concurrency: 
     ds = ds.repartition(max(concurrency * 4, 8))
     return ds.map_batches(
         SearchActor,
-        fn_constructor_args=(index_dir, k),
+        fn_constructor_args=(index_dir, k, warm_queries),
         batch_format="pyarrow",
         batch_size=None,
         concurrency=concurrency,

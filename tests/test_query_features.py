@@ -672,3 +672,29 @@ def test_search_elevated(built_index):
     deep = all_hits[-1]
     out2 = r.search_elevated(q, elevate=[deep[0]], k=5)
     assert out2[0] == (deep[0], pytest.approx(deep[1]))
+
+
+def test_search_actor_firstsearcher_warming(built_index):
+    """Solr firstSearcher analog (solrconfig.xml QuerySenderListener): a
+    warmed pool returns identical results, and the warm queries' terms are
+    already cached in the actor's reader before the first real query."""
+    from nexlt_ray.pipelines import SearchActor, search_batch
+    import pyarrow as pa
+
+    idx, _ = built_index
+    qs = [{"qid": 0, "query": "import", "k": 10},
+          {"qid": 1, "query": "block merge", "k": 10}]
+    cold = search_batch(idx, qs, k=10, concurrency=2).to_pandas()
+    warm = search_batch(
+        idx, qs, k=10, concurrency=2, warm_queries=["import", "block merge"]
+    ).to_pandas()
+    key = ["qid", "rank", "doc_id"]
+    assert cold.sort_values(key).reset_index(drop=True)[key + ["score"]].equals(
+        warm.sort_values(key).reset_index(drop=True)[key + ["score"]]
+    )
+    # direct actor: warming populates the term cache up front
+    a = SearchActor(idx, k=10, warm_queries=["import"])
+    assert len(a.reader._term_cache) > 0
+    out = a(pa.table({"qid": pa.array([7], pa.int64()),
+                      "query": pa.array(["import"], pa.string())}))
+    assert out.num_rows > 0
