@@ -698,3 +698,34 @@ def test_search_actor_firstsearcher_warming(built_index):
     out = a(pa.table({"qid": pa.array([7], pa.int64()),
                       "query": pa.array(["import"], pa.string())}))
     assert out.num_rows > 0
+
+
+def test_position_bitmap_bits_match_membership():
+    """Property: in the (docs_u, counts, starts, span, words) bitmap, bit
+    starts[u]+p is set iff position p occurs in doc docs_u[u] — checked
+    bit-by-bit against a brute-force set over random doc/position streams."""
+    import numpy as np
+
+    from nexlt_ray.query import _position_bitmap
+
+    rng = np.random.default_rng(41)
+    for trial in range(8):
+        n_docs = int(rng.integers(1, 40))
+        doc_ids = np.sort(rng.choice(1000, n_docs, replace=False))
+        dp_l, pp_l, truth = [], [], set()
+        for d in doc_ids:
+            k = int(rng.integers(1, 12))
+            ps = np.sort(rng.choice(300, k, replace=False))
+            dp_l.append(np.full(k, d, dtype=np.int64))
+            pp_l.append(ps.astype(np.int64))
+            truth.update((int(d), int(p)) for p in ps)
+        dp = np.concatenate(dp_l)
+        pp = np.concatenate(pp_l)
+        docs_u, counts, starts, span, words = _position_bitmap(dp, pp)
+        assert np.array_equal(docs_u, doc_ids)
+        assert int(counts.sum()) == dp.size
+        for u, d in enumerate(docs_u):
+            for p in range(int(span[u])):
+                bit = int(starts[u]) + p
+                set_ = bool((int(words[bit >> 5]) >> (bit & 31)) & 1)
+                assert set_ == ((int(d), p) in truth), (trial, d, p)
