@@ -712,8 +712,10 @@ class IndexReader:
                  wand_range_blocks: int = 64,
                  synonyms: dict[str, list[str]] | None = None):
         self.index_dir = index_dir
+        self._init_args = (cache_terms, wand_range_blocks, synonyms)
         with open(os.path.join(index_dir, "manifest.json")) as f:
-            self.manifest = json.load(f)
+            self._manifest_raw = f.read()
+        self.manifest = json.loads(self._manifest_raw)
         self.cfg = self.manifest["config"]
         self.profile = self.cfg["profile"]
         self.protected = frozenset(self.cfg.get("protected_words", ()))
@@ -764,6 +766,23 @@ class IndexReader:
         # row-group stats via the range filter); cache the result
         self._prefix_cache: OrderedDict[str, list] = OrderedDict()
         self._prefix_cache_cap = 64
+
+    def refresh(self) -> bool:
+        """Re-open at the current commit point (Solr commit/openSearcher
+        analog). Index maintenance (`extend_index` / `delete_docs` /
+        `reindex`) atomically replaces manifest.json; if it changed since
+        this reader loaded, drop every cache and reload. Returns True iff
+        a reload happened. After maintenance rewrites bucket files, a
+        stale reader's caches no longer match its manifest — call this (or
+        construct a new reader) before serving again; Solr likewise swaps
+        in a new searcher on commit."""
+        with open(os.path.join(self.index_dir, "manifest.json")) as f:
+            raw = f.read()
+        if raw == self._manifest_raw:
+            return False
+        cache_terms, wand_range_blocks, synonyms = self._init_args
+        self.__init__(self.index_dir, cache_terms, wand_range_blocks, synonyms)
+        return True
 
     # ------------------------------------------------------------------
     # postings access

@@ -349,3 +349,35 @@ def test_reindex_profile_change(ray_session, corpus_parts, tmp_path):
     assert r.search("running parser", k=5) == IndexReader(direct).search(
         "running parser", k=5
     )
+
+
+def test_reader_refresh_opens_new_commit_point(ray_session, corpus_parts, tmp_path):
+    """Solr commit/openSearcher analog: a reader constructed before
+    extend_index serves its snapshot; refresh() reloads iff the manifest
+    changed, after which new docs are searchable and n_docs reflects the
+    extended corpus."""
+    from nexlt_ray.build import BuildConfig, build_index, extend_index
+    from nexlt_ray.query import IndexReader
+
+    a_dir, b_path, ab_dir = corpus_parts
+    cfg = BuildConfig(id_mode="strided", num_doc_buckets=8, num_term_buckets=4)
+    idx = str(tmp_path / "idx")
+    full = str(tmp_path / "full")
+    build_index(a_dir, idx, cfg)
+    r = IndexReader(idx)
+    n_before = r.n_docs
+    assert r.refresh() is False  # nothing changed yet
+
+    extend_index(b_path, idx)
+    assert r.refresh() is True
+    assert r.refresh() is False  # idempotent
+    assert r.n_docs > n_before
+
+    # the refreshed reader is rank-identical to a fresh reader over the
+    # full (a+b) rebuild for the whole reference query set
+    build_index(ab_dir, full, cfg)
+    fresh = IndexReader(full)
+    from nexlt_ray.corpus import reference_queries
+
+    for q in reference_queries():
+        assert r.search(q["query"], k=10) == fresh.search(q["query"], k=10), q
