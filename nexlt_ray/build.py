@@ -63,7 +63,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .codec import BLOCK_SIZE, encode_postings, small_float_int_to_byte4
+from .codec import BLOCK_SIZE, encoder_for, small_float_int_to_byte4
 from .lineage import Ledger, atomic_write_json, atomic_write_parquet
 from .tokenize import tokenize_batch
 
@@ -94,6 +94,16 @@ class BuildConfig:
     # every other core idles).
     range_bits: int | None = None
     block_size: int = BLOCK_SIZE       # postings per skip block
+    # postings block codec (the Lucene postings_format analog):
+    #   "varint" — LEB128 per value (default; byte-aligned, grep-able)
+    #   "for"    — FOR bit-packed blocks (Lucene PackedInts discipline:
+    #              per-block fixed width = block max bit length). Decodes
+    #              with a branch-free two-word gather and packs dense lists
+    #              well below varint's 1-byte floor. Both codecs produce
+    #              bit-identical decoded postings (tested), so search
+    #              results are codec-invariant; the manifest records the
+    #              codec and readers dispatch per row.
+    postings_codec: str = "varint"
     store_positions: bool = True       # positional index (phrase queries)
     max_content_chars: int | None = None  # drop longer docs (reference: 5000,
                                           # parseJSON.pl:313,321)
@@ -900,7 +910,7 @@ class SegmentWriter:
             pflat = None
             if cfg.store_positions:
                 pflat = s_pos[int(tok_starts[r0]) : int(tok_ends[r1 - 1])]
-            enc = encode_postings(
+            enc = encoder_for(cfg.postings_codec)(
                 docs, tfs, s_norm[lo:hi], pos_flat=pflat,
                 block_size=cfg.block_size,
             )
@@ -1056,7 +1066,7 @@ class SegmentWriter:
             if cfg.store_positions:
                 idx = _expand_slices(s_pstart[lo:hi], tfs.astype(np.int64))
                 pflat = pos_vals[idx]
-            enc = encode_postings(
+            enc = encoder_for(cfg.postings_codec)(
                 docs, tfs, norms, pos_flat=pflat, block_size=cfg.block_size
             )
             term = str(dictionary[g // n_rb])

@@ -259,6 +259,333 @@ def encode_postings(
     }
 
 
+# ---------------------------------------------------------------------------
+# FOR (Frame-of-Reference) bit-packed block codec — the Lucene PackedInts
+# discipline: each 128-posting skip block stores its values at a fixed bit
+# width (the block's max bit length), so decode is a branch-free gather
+# instead of a varint boundary scan. Layout per block:
+#   byte 0: delta bit width (db)      byte 1: tf bit width (tb)
+#   ceil(cnt*db/8) bytes packed deltas, then ceil(cnt*tb/8) bytes packed tfs
+# (positions blob: byte 0 = count width, byte 1 = position-delta width,
+#  packed counts then packed deltas). Bit order is little-endian value-major
+# (bit k of the stream lives at byte k>>3, bit k&7; each value's LSB first).
+# Unlike Lucene's ForDeltaUtil we do not patch exceptions (PFor): a block
+# crossing a strided-docID bucket gap simply gets a wide width — rare (one
+# block per gap) and correctness-neutral. Value streams are identical to the
+# varint codec's (same deltas, same per-posting absolute-first positions), so
+# decode outputs are bit-identical across codecs.
+# ---------------------------------------------------------------------------
+
+
+def _bitlen_u64(v: np.ndarray) -> np.ndarray:
+    """Bit length of each uint64 value (0 for 0), vectorized."""
+    v = np.asarray(v, dtype=np.uint64)
+    out = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = tmp >= (np.uint64(1) << np.uint64(s))
+        out[m] += s
+        tmp[m] >>= np.uint64(s)
+    return np.where(v == 0, 0, out + 1)
+
+
+def _blk_max(arr: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """maximum.reduceat guarded for the empty-array case."""
+    if arr.size == 0:
+        return np.zeros(starts.size, dtype=arr.dtype)
+    return np.maximum.reduceat(arr, starts)
+
+
+def _scatter_bits(
+    bits_out: np.ndarray,
+    values: np.ndarray,
+    widths: np.ndarray,
+    bitpos: np.ndarray,
+) -> None:
+    """Write each value's `widths[i]` low bits (LSB first) at bit offset
+    `bitpos[i]` of the little-endian bit array `bits_out` (uint8 of 0/1)."""
+    total = int(widths.sum())
+    if total == 0:
+        return
+    starts = np.cumsum(widths) - widths
+    j = np.arange(total, dtype=np.int64) - np.repeat(starts, widths)
+    vi = np.repeat(np.arange(values.size, dtype=np.int64), widths)
+    bits_out[np.repeat(bitpos, widths) + j] = (
+        (values[vi] >> j.astype(np.uint64)) & np.uint64(1)
+    ).astype(np.uint8)
+
+
+def _as_words(seg: np.ndarray) -> np.ndarray:
+    """uint64 little-endian view of a byte segment, zero-padded so that
+    words[wi+1] is always readable for any in-range bit position."""
+    padded = np.zeros(((seg.size + 8 + 7) // 8) * 8, dtype=np.uint8)
+    padded[: seg.size] = seg
+    return padded.view("<u8")
+
+
+def _gather_bits(
+    words: np.ndarray, bitpos: np.ndarray, bits: np.ndarray
+) -> np.ndarray:
+    """Read a `bits[i]`-wide little-endian value at bit offset `bitpos[i]`
+    from the padded uint64 word view (branch-free two-word gather)."""
+    wi = (bitpos >> 6).astype(np.int64)
+    s = (bitpos & 63).astype(np.uint64)
+    lo = words[wi] >> s
+    rs = (np.uint64(64) - s) & np.uint64(63)
+    hi = np.where(s == 0, np.uint64(0), words[wi + 1] << rs)
+    bits_u = bits.astype(np.uint64)
+    full = np.uint64(0xFFFFFFFFFFFFFFFF)
+    mask = np.where(
+        bits_u >= 64, full, (np.uint64(1) << np.minimum(bits_u, np.uint64(63))) - np.uint64(1)
+    )
+    return (lo | hi) & mask
+
+
+def encode_postings_for(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+    pos_flat: np.ndarray | None = None,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """`encode_postings` with FOR bit-packed blocks instead of varints.
+
+    Same inputs, same returned dict shape and metadata (block_last/off/
+    max_tf/min_norm, df, cf, ...); only `blob`/`pos_blob` bytes differ.
+    Decode with `decode_span_for` / `decode_positions_span_for`.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norm_bytes = np.asarray(norm_bytes, dtype=np.uint8)
+    n = doc_ids.size
+    assert n > 0
+    if n > 1 and not (np.diff(doc_ids) > 0).all():
+        raise ValueError("doc_ids must be strictly increasing")
+
+    bs = block_size
+    nblocks = (n + bs - 1) // bs
+    blk_lo = bs * np.arange(nblocks, dtype=np.int64)
+    blk_hi = np.minimum(blk_lo + bs, n)
+    cnt = blk_hi - blk_lo
+
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = np.uint64(doc_ids[0])
+    if n > 1:
+        deltas[1:] = np.diff(doc_ids).astype(np.uint64)
+    tfs_u = tfs.astype(np.uint64)
+
+    db = _blk_max(_bitlen_u64(deltas), blk_lo)
+    tb = _blk_max(_bitlen_u64(tfs_u), blk_lo)
+    dbytes = (cnt * db + 7) // 8
+    tbytes = (cnt * tb + 7) // 8
+    sizes = 2 + dbytes + tbytes
+    off64 = np.concatenate(([0], np.cumsum(sizes)))
+    total = int(off64[-1])
+    block_off = off64[:-1].astype(np.int32)
+
+    bits = np.zeros(total * 8, dtype=np.uint8)
+    within = np.arange(n, dtype=np.int64) - np.repeat(blk_lo, cnt)
+    d_base = np.repeat((off64[:-1] + 2) * 8, cnt)
+    _scatter_bits(bits, deltas, np.repeat(db, cnt), d_base + within * np.repeat(db, cnt))
+    t_base = np.repeat((off64[:-1] + 2 + dbytes) * 8, cnt)
+    _scatter_bits(bits, tfs_u, np.repeat(tb, cnt), t_base + within * np.repeat(tb, cnt))
+    blob_arr = np.packbits(bits, bitorder="little")
+    blob_arr[block_off.astype(np.int64)] = db.astype(np.uint8)
+    blob_arr[block_off.astype(np.int64) + 1] = tb.astype(np.uint8)
+    blob = blob_arr.tobytes()
+
+    block_last = doc_ids[blk_hi - 1]
+    block_max_tf = np.maximum.reduceat(tfs, blk_lo).astype(np.int32)
+    block_min_norm = np.minimum.reduceat(norm_bytes, blk_lo).astype(np.uint8)
+
+    pos_blob = b""
+    block_pos_off = np.zeros(nblocks, dtype=np.int32)
+    if pos_flat is not None:
+        cum_tf = np.concatenate(([0], np.cumsum(tfs)))
+        flat = np.asarray(pos_flat, dtype=np.int64)
+        npos = flat.size
+        full = np.empty(npos, dtype=np.int64)
+        if npos:
+            full[0] = flat[0]
+            full[1:] = np.diff(flat)
+            firsts = cum_tf[:-1]
+            full[firsts] = flat[firsts]
+        full_u = full.astype(np.uint64)
+        m = cum_tf[blk_hi] - cum_tf[blk_lo]  # positions per block
+        cb = tb  # counts ARE the tfs
+        if npos:
+            plen = _bitlen_u64(full_u)
+            pstarts = np.minimum(cum_tf[blk_lo], npos - 1)
+            pb = _blk_max(plen, pstarts)
+            pb[m == 0] = 0
+        else:
+            pb = np.zeros(nblocks, dtype=np.int64)
+        cbytes = (cnt * cb + 7) // 8
+        pbytes = (m * pb + 7) // 8
+        psizes = 2 + cbytes + pbytes
+        poff64 = np.concatenate(([0], np.cumsum(psizes)))
+        ptotal = int(poff64[-1])
+        block_pos_off = poff64[:-1].astype(np.int32)
+
+        pbits = np.zeros(ptotal * 8, dtype=np.uint8)
+        c_base = np.repeat((poff64[:-1] + 2) * 8, cnt)
+        _scatter_bits(
+            pbits, tfs_u, np.repeat(cb, cnt), c_base + within * np.repeat(cb, cnt)
+        )
+        if npos:
+            pwithin = np.arange(npos, dtype=np.int64) - np.repeat(cum_tf[blk_lo], m)
+            p_base = np.repeat((poff64[:-1] + 2 + cbytes) * 8, m)
+            _scatter_bits(
+                pbits, full_u, np.repeat(pb, m), p_base + pwithin * np.repeat(pb, m)
+            )
+        pos_arr = np.packbits(pbits, bitorder="little")
+        pos_arr[block_pos_off.astype(np.int64)] = cb.astype(np.uint8)
+        pos_arr[block_pos_off.astype(np.int64) + 1] = pb.astype(np.uint8)
+        pos_blob = pos_arr.tobytes()
+
+    return {
+        "blob": blob,
+        "pos_blob": pos_blob,
+        "block_last": block_last,
+        "block_off": block_off,
+        "block_pos_off": block_pos_off,
+        "block_max_tf": block_max_tf,
+        "block_min_norm": block_min_norm,
+        "df": n,
+        "cf": int(tfs.sum()),
+        "max_tf": int(tfs.max()),
+        "min_norm": int(norm_bytes.min()),
+    }
+
+
+def decode_span_for(
+    blob: bytes | np.ndarray,
+    block_off: np.ndarray,
+    block_last: np.ndarray,
+    bi_lo: int,
+    bi_hi: int,
+    n_total: int,
+    block_size: int = BLOCK_SIZE,
+) -> tuple[np.ndarray, np.ndarray]:
+    """FOR analog of `decode_span`: blocks [bi_lo, bi_hi) in one vectorized
+    two-word gather pass → (doc_ids int64, tfs int64)."""
+    b = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
+    nblocks = len(block_off)
+    bi_hi = min(bi_hi, nblocks)
+    if bi_lo >= bi_hi:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    byte_lo = int(block_off[bi_lo])
+    byte_hi = int(block_off[bi_hi]) if bi_hi < nblocks else b.size
+    words = _as_words(b[byte_lo:byte_hi])
+
+    blk = np.arange(bi_lo, bi_hi, dtype=np.int64)
+    bs = block_size
+    cnt = np.minimum((blk + 1) * bs, n_total) - blk * bs
+    offs = np.asarray(block_off, dtype=np.int64)[blk] - byte_lo
+    db = b[offs + byte_lo].astype(np.int64)
+    tb = b[offs + byte_lo + 1].astype(np.int64)
+    dbytes = (cnt * db + 7) // 8
+
+    n_out = int(cnt.sum())
+    starts = np.cumsum(cnt) - cnt
+    within = np.arange(n_out, dtype=np.int64) - np.repeat(starts, cnt)
+    db_v = np.repeat(db, cnt)
+    tb_v = np.repeat(tb, cnt)
+    d_bitpos = np.repeat((offs + 2) * 8, cnt) + within * db_v
+    t_bitpos = np.repeat((offs + 2 + dbytes) * 8, cnt) + within * tb_v
+    deltas = _gather_bits(words, d_bitpos, db_v).astype(np.int64)
+    tfs = _gather_bits(words, t_bitpos, tb_v).astype(np.int64)
+
+    # segmented cumsum: docs = cumsum(deltas) rebased per block on the
+    # previous block's last docID
+    g = np.cumsum(deltas)
+    prev_last = np.where(blk > 0, np.asarray(block_last, dtype=np.int64)[np.maximum(blk - 1, 0)], 0)
+    base = prev_last - np.where(starts > 0, g[np.maximum(starts - 1, 0)], 0)
+    docs = g + np.repeat(base, cnt)
+    return docs, tfs
+
+
+def decode_positions_span_for(
+    pos_blob: bytes | np.ndarray,
+    block_pos_off: np.ndarray,
+    bi_lo: int,
+    bi_hi: int,
+    n_total: int,
+    block_size: int = BLOCK_SIZE,
+) -> tuple[np.ndarray, np.ndarray]:
+    """FOR analog of `decode_positions_span` → (counts, absolute positions)."""
+    b = (
+        np.frombuffer(pos_blob, dtype=np.uint8)
+        if not isinstance(pos_blob, np.ndarray)
+        else pos_blob
+    )
+    nblocks = len(block_pos_off)
+    bi_hi = min(bi_hi, nblocks)
+    if bi_hi <= bi_lo:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    byte_lo = int(block_pos_off[bi_lo])
+    byte_hi = int(block_pos_off[bi_hi]) if bi_hi < nblocks else b.size
+    words = _as_words(b[byte_lo:byte_hi])
+
+    blk = np.arange(bi_lo, bi_hi, dtype=np.int64)
+    bs = block_size
+    cnt = np.minimum((blk + 1) * bs, n_total) - blk * bs
+    offs = np.asarray(block_pos_off, dtype=np.int64)[blk] - byte_lo
+    cb = b[offs + byte_lo].astype(np.int64)
+    pb = b[offs + byte_lo + 1].astype(np.int64)
+    cbytes = (cnt * cb + 7) // 8
+
+    n_cnt = int(cnt.sum())
+    cstarts = np.cumsum(cnt) - cnt
+    within = np.arange(n_cnt, dtype=np.int64) - np.repeat(cstarts, cnt)
+    cb_v = np.repeat(cb, cnt)
+    c_bitpos = np.repeat((offs + 2) * 8, cnt) + within * cb_v
+    counts = _gather_bits(words, c_bitpos, cb_v).astype(np.int64)
+
+    # positions per block from the decoded counts
+    m = np.add.reduceat(counts, cstarts) if n_cnt else np.zeros(blk.size, np.int64)
+    npos = int(m.sum())
+    if npos == 0:
+        return counts, np.empty(0, np.int64)
+    mstarts = np.cumsum(m) - m
+    pwithin = np.arange(npos, dtype=np.int64) - np.repeat(mstarts, m)
+    pb_v = np.repeat(pb, m)
+    p_bitpos = np.repeat((offs + 2 + cbytes) * 8, m) + pwithin * pb_v
+    d = _gather_bits(words, p_bitpos, pb_v).astype(np.int64)
+
+    # per-posting segmented cumsum (first value absolute per posting)
+    g = np.cumsum(d)
+    pstarts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    nz = counts > 0
+    seg_of = np.repeat(np.arange(counts.size)[nz], counts[nz])
+    before = np.where(pstarts > 0, g[np.maximum(pstarts - 1, 0)], 0)
+    return counts, g - before[seg_of]
+
+
+def first_block_deltas(
+    blob: bytes | np.ndarray, block_off: np.ndarray, codec: str = "varint"
+) -> np.ndarray:
+    """First delta value of every block (uint64), for exact skip pointers:
+    first docID of block bi = block_last[bi-1] + first_delta[bi]."""
+    b = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
+    offs = np.asarray(block_off, dtype=np.int64)
+    if codec == "for":
+        db = b[offs].astype(np.int64)
+        words = _as_words(b)
+        return _gather_bits(words, (offs + 2) * 8, db)
+    # varint: decode just the first LEB128 value of each block
+    delta = np.zeros(offs.size, dtype=np.uint64)
+    active = np.ones(offs.size, dtype=bool)
+    for k in range(10):
+        idx = np.minimum(offs + k, b.size - 1)
+        byte = b[idx]
+        delta[active] |= (byte[active].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * k)
+        active = active & ((byte & 0x80) != 0)
+        if not active.any():
+            break
+    return delta
+
+
 def decode_block(
     blob: bytes | np.ndarray,
     block_off: np.ndarray,
@@ -479,3 +806,24 @@ def decode_block_positions(
         out.append(np.cumsum(d) if c else d)
         p += int(c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# codec dispatch: name -> (encode_postings, decode_span, decode_positions_span)
+# ---------------------------------------------------------------------------
+CODECS = {
+    "varint": (encode_postings, decode_span, decode_positions_span),
+    "for": (encode_postings_for, decode_span_for, decode_positions_span_for),
+}
+
+
+def encoder_for(codec: str):
+    return CODECS[codec][0]
+
+
+def span_decoder_for(codec: str):
+    return CODECS[codec][1]
+
+
+def positions_decoder_for(codec: str):
+    return CODECS[codec][2]

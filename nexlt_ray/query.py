@@ -47,7 +47,7 @@ import pyarrow.parquet as pq
 
 from . import bm25
 from .build import _expand_slices, term_bucket_of
-from .codec import decode_positions_span, decode_span
+from .codec import first_block_deltas, positions_decoder_for, span_decoder_for
 
 # query complexity cap (reference maxBooleanClauses, solrconfig.xml:500)
 MAX_BOOLEAN_CLAUSES = 1024
@@ -140,24 +140,15 @@ class TermPostings:
         self.blk_max_tf = np.concatenate(mtfs).astype(np.int32)
         self.blk_min_norm = np.concatenate(mnorms).astype(np.uint8)
         self.blk_cnt = np.concatenate(cnts)
-        # first docID per block, decoded from just the first varint of each
-        # block (vectorized): exact skip pointers for jumping doc-space gaps
-        # (strided ids leave ~2^40-wide holes between doc buckets)
+        # first docID per block, decoded from just the first delta value of
+        # each block (vectorized, codec-dispatched): exact skip pointers for
+        # jumping doc-space gaps (strided ids leave ~2^40-wide holes between
+        # doc buckets)
         firsts = []
         for r in self.rows:
-            b = np.frombuffer(r["blob"], dtype=np.uint8)
-            offs = np.asarray(r["block_off"], dtype=np.int64)
-            delta = np.zeros(offs.size, dtype=np.uint64)
-            active = np.ones(offs.size, dtype=bool)
-            for k in range(10):
-                idx = np.minimum(offs + k, b.size - 1)
-                byte = b[idx]
-                delta[active] |= (
-                    byte[active].astype(np.uint64) & np.uint64(0x7F)
-                ) << np.uint64(7 * k)
-                active = active & ((byte & 0x80) != 0)
-                if not active.any():
-                    break
+            delta = first_block_deltas(
+                r["blob"], r["block_off"], codec=r.get("codec", "varint")
+            )
             lasts = np.asarray(r["block_last"], dtype=np.int64)
             prev = np.concatenate(([0], lasts[:-1]))
             firsts.append(prev + delta.astype(np.int64))
@@ -188,7 +179,7 @@ class TermPostings:
             while j2 < j_hi and int(self.blk_row[j2]) == ri:
                 j2 += 1
             hi = lo + (j2 - j)
-            d, t = decode_span(
+            d, t = span_decoder_for(r.get("codec", "varint"))(
                 r["blob"], r["block_off"], r["block_last"], lo, hi, r["df"],
                 r["block_size"],
             )
@@ -256,7 +247,7 @@ class TermPostings:
             docs, _ = self.decode_all()
             counts_l, pos_l = [], []
             for r in self.rows:
-                c, p = decode_positions_span(
+                c, p = positions_decoder_for(r.get("codec", "varint"))(
                     r["pos_blob"], r["block_pos_off"], 0, len(r["block_pos_off"]),
                     r["df"], r["block_size"],
                 )
@@ -278,7 +269,7 @@ class TermPostings:
             j2 = j
             while j2 < j_hi and int(self.blk_row[j2]) == ri:
                 j2 += 1
-            counts, pos = decode_positions_span(
+            counts, pos = positions_decoder_for(r.get("codec", "varint"))(
                 r["pos_blob"], r["block_pos_off"], lo, lo + (j2 - j), r["df"],
                 r["block_size"],
             )
@@ -807,6 +798,7 @@ class IndexReader:
                         r["block_min_norm"], dtype=np.uint8
                     )
                     r["block_size"] = self.cfg["block_size"]
+                    r["codec"] = self.cfg.get("postings_codec", "varint")
                     rows.append(r)
                 rows.sort(key=lambda r: r["range_bucket"])
                 tp = TermPostings(

@@ -89,6 +89,123 @@ def test_postings_rejects_unsorted():
         )
 
 
+def _random_postings(rng, n, doc_space=10**7, max_tf=30, pos_space=5000):
+    docs = np.sort(rng.choice(doc_space, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, max_tf, size=n).astype(np.int64)
+    norms = rng.integers(0, 256, size=n).astype(np.uint8)
+    pos_flat = np.concatenate(
+        [np.sort(rng.choice(pos_space, size=int(t), replace=False)) for t in tfs]
+    ).astype(np.int64)
+    return docs, tfs, norms, pos_flat
+
+
+@pytest.mark.parametrize("n", [1, 3, 127, 128, 129, 1000])
+def test_for_codec_matches_varint(n):
+    """FOR bit-packed blocks decode to EXACTLY what the varint codec decodes:
+    same docs/tfs/positions, same block metadata — only the blob bytes differ."""
+    from nexlt_ray.codec import (
+        decode_positions_span,
+        decode_positions_span_for,
+        decode_span,
+        decode_span_for,
+        encode_postings_for,
+        first_block_deltas,
+    )
+
+    rng = np.random.default_rng(1000 + n)
+    docs, tfs, norms, pos_flat = _random_postings(rng, n)
+    ev = encode_postings(docs, tfs, norms, pos_flat=pos_flat)
+    ef = encode_postings_for(docs, tfs, norms, pos_flat=pos_flat)
+
+    # metadata identical across codecs
+    for k in ("df", "cf", "max_tf", "min_norm"):
+        assert ev[k] == ef[k]
+    for k in ("block_last", "block_max_tf", "block_min_norm"):
+        assert np.array_equal(ev[k], ef[k]), k
+
+    nblocks = len(ef["block_off"])
+    for lo in range(nblocks):
+        for hi in range(lo, nblocks + 2):
+            dv, tv = decode_span(ev["blob"], ev["block_off"], ev["block_last"], lo, hi, n)
+            df_, tf_ = decode_span_for(
+                ef["blob"], ef["block_off"], ef["block_last"], lo, hi, n
+            )
+            assert np.array_equal(dv, df_), (lo, hi)
+            assert np.array_equal(tv, tf_), (lo, hi)
+            cv, pv = decode_positions_span(ev["pos_blob"], ev["block_pos_off"], lo, hi, n)
+            cf_, pf_ = decode_positions_span_for(
+                ef["pos_blob"], ef["block_pos_off"], lo, hi, n
+            )
+            assert np.array_equal(cv, cf_), (lo, hi)
+            assert np.array_equal(pv, pf_), (lo, hi)
+
+    # exact skip pointers: first docID of block bi via first_block_deltas
+    fv = first_block_deltas(ev["blob"], ev["block_off"], codec="varint")
+    ff = first_block_deltas(ef["blob"], ef["block_off"], codec="for")
+    assert np.array_equal(fv, ff)
+    firsts = docs[128 * np.arange(nblocks)]
+    prev_last = np.concatenate(([0], ev["block_last"][:-1]))
+    assert np.array_equal(prev_last + ff.astype(np.int64), firsts)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            st.integers(min_value=1, max_value=70),
+        ),
+        min_size=1,
+        max_size=300,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=0, max_value=2**32),
+)
+@settings(max_examples=60, deadline=None)
+def test_for_codec_fuzz(pairs, seed):
+    """Hypothesis fuzz: arbitrary doc gaps (incl. huge strided-ID gaps) and
+    tf spreads round-trip bit-identically through the FOR codec."""
+    from nexlt_ray.codec import (
+        decode_positions_span_for,
+        decode_span_for,
+        encode_postings_for,
+    )
+
+    pairs.sort()
+    docs = np.array([p[0] for p in pairs], dtype=np.int64)
+    tfs = np.array([p[1] for p in pairs], dtype=np.int64)
+    n = docs.size
+    rng = np.random.default_rng(seed)
+    norms = rng.integers(0, 256, size=n).astype(np.uint8)
+    starts = rng.integers(0, 2**30, size=n)
+    pos_flat = np.concatenate(
+        [s + np.cumsum(rng.integers(1, 1000, size=int(t))) for s, t in zip(starts, tfs)]
+    ).astype(np.int64)
+    enc = encode_postings_for(docs, tfs, norms, pos_flat=pos_flat)
+    d, t = decode_span_for(
+        enc["blob"], enc["block_off"], enc["block_last"], 0, len(enc["block_off"]), n
+    )
+    assert np.array_equal(d, docs) and np.array_equal(t, tfs)
+    c, p = decode_positions_span_for(
+        enc["pos_blob"], enc["block_pos_off"], 0, len(enc["block_pos_off"]), n
+    )
+    assert np.array_equal(c, tfs) and np.array_equal(p, pos_flat)
+
+
+def test_for_codec_smaller_than_varint_on_dense_lists():
+    """The point of FOR: dense postings (small deltas) pack below varint's
+    1-byte-per-value floor."""
+    from nexlt_ray.codec import encode_postings_for
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    docs = np.cumsum(rng.integers(1, 4, size=n)).astype(np.int64)  # ~2-bit deltas
+    tfs = rng.integers(1, 4, size=n).astype(np.int64)
+    norms = rng.integers(0, 256, size=n).astype(np.uint8)
+    ev = encode_postings(docs, tfs, norms)
+    ef = encode_postings_for(docs, tfs, norms)
+    assert len(ef["blob"]) < 0.6 * len(ev["blob"])
+
+
 def test_decode_positions_span_fast_equals_reference():
     """The one-pass span decoder vs the per-block reference, over random
     posting lists and every (bi_lo, bi_hi) window."""
