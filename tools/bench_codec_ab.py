@@ -16,6 +16,8 @@ import shutil
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def one_leg(codec: str, path: str, n: int, reps: int) -> dict:
     import numpy as np
