@@ -95,15 +95,21 @@ class BuildConfig:
     range_bits: int | None = None
     block_size: int = BLOCK_SIZE       # postings per skip block
     # postings block codec (the Lucene postings_format analog):
-    #   "varint" — LEB128 per value (default; byte-aligned, grep-able)
-    #   "for"    — FOR bit-packed blocks (Lucene PackedInts discipline:
-    #              per-block fixed width = block max bit length). Decodes
-    #              with a branch-free two-word gather and packs dense lists
-    #              well below varint's 1-byte floor. Both codecs produce
-    #              bit-identical decoded postings (tested), so search
-    #              results are codec-invariant; the manifest records the
-    #              codec and readers dispatch per row.
-    postings_codec: str = "varint"
+    #   "for"    — FOR bit-packed blocks (default; Lucene PackedInts
+    #              discipline: per-block fixed width = block max bit
+    #              length). Encode is a two-word scatter-OR (O(values)),
+    #              decode a branch-free two-word gather; packs dense lists
+    #              well below varint's 1-byte floor (−47% postings bytes,
+    #              −16% position bytes on the synthetic corpus at build-time
+    #              parity — BENCH/round4_codec_ab_50k.json).
+    #   "varint" — LEB128 per value (byte-aligned; the pre-knob format,
+    #              still read/written for old indexes).
+    # Both codecs produce bit-identical decoded postings (tested), so
+    # search results are codec-invariant; the manifest records the codec
+    # and readers dispatch per row. Manifests written before this knob
+    # existed are pinned to varint by extend/delete (setdefault above those
+    # BuildConfig(**cfgd) calls) so one index never mixes codecs.
+    postings_codec: str = "for"
     store_positions: bool = True       # positional index (phrase queries)
     max_content_chars: int | None = None  # drop longer docs (reference: 5000,
                                           # parseJSON.pl:313,321)
@@ -1582,6 +1588,9 @@ def extend_index(
     with open(manifest_path) as f:
         old = json.load(f)
     cfgd = {k: v for k, v in old["config"].items() if k != "record_hook"}
+    # manifests written before the codec knob existed are varint-encoded;
+    # pin that so untouched buckets and re-encoded buckets stay one codec
+    cfgd.setdefault("postings_codec", "varint")
     cfg = BuildConfig(**cfgd)  # range_bits already resolved to an int
     if cfg.id_mode != "strided":
         raise ValueError(
@@ -1833,6 +1842,7 @@ def delete_docs(index_dir: str, shas: list[str]) -> dict:
     with open(manifest_path) as f:
         old = json.load(f)
     cfgd = {k: v for k, v in old["config"].items() if k != "record_hook"}
+    cfgd.setdefault("postings_codec", "varint")  # pre-knob manifests are varint
     cfg = BuildConfig(**cfgd)
     if cfg.id_mode != "strided":
         raise ValueError(

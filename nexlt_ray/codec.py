@@ -297,22 +297,26 @@ def _blk_max(arr: np.ndarray, starts: np.ndarray) -> np.ndarray:
 
 
 def _scatter_bits(
-    bits_out: np.ndarray,
+    words_out: np.ndarray,
     values: np.ndarray,
-    widths: np.ndarray,
     bitpos: np.ndarray,
 ) -> None:
-    """Write each value's `widths[i]` low bits (LSB first) at bit offset
-    `bitpos[i]` of the little-endian bit array `bits_out` (uint8 of 0/1)."""
-    total = int(widths.sum())
-    if total == 0:
+    """OR each value's bits (LSB first) into the little-endian uint64 word
+    array `words_out` at bit offset `bitpos[i]`. Each value touches at most
+    two words (unbuffered `bitwise_or.at` handles colliding indices), so the
+    cost is O(values), not O(total bits). Values must already fit their
+    block width (true by construction: width = block max bit length)."""
+    if values.size == 0:
         return
-    starts = np.cumsum(widths) - widths
-    j = np.arange(total, dtype=np.int64) - np.repeat(starts, widths)
-    vi = np.repeat(np.arange(values.size, dtype=np.int64), widths)
-    bits_out[np.repeat(bitpos, widths) + j] = (
-        (values[vi] >> j.astype(np.uint64)) & np.uint64(1)
-    ).astype(np.uint8)
+    v = values.astype(np.uint64, copy=False)
+    wi = (bitpos >> 6).astype(np.int64)
+    s = (bitpos & 63).astype(np.uint64)
+    np.bitwise_or.at(words_out, wi, v << s)  # low word (overflow bits drop)
+    rs = (np.uint64(64) - s) & np.uint64(63)
+    hi = np.where(s == 0, np.uint64(0), v >> rs)
+    nz = hi != 0
+    if nz.any():
+        np.bitwise_or.at(words_out, wi[nz] + 1, hi[nz])
 
 
 def _as_words(seg: np.ndarray) -> np.ndarray:
@@ -383,13 +387,13 @@ def encode_postings_for(
     total = int(off64[-1])
     block_off = off64[:-1].astype(np.int32)
 
-    bits = np.zeros(total * 8, dtype=np.uint8)
+    words = np.zeros((total + 7) // 8 + 1, dtype="<u8")
     within = np.arange(n, dtype=np.int64) - np.repeat(blk_lo, cnt)
     d_base = np.repeat((off64[:-1] + 2) * 8, cnt)
-    _scatter_bits(bits, deltas, np.repeat(db, cnt), d_base + within * np.repeat(db, cnt))
+    _scatter_bits(words, deltas, d_base + within * np.repeat(db, cnt))
     t_base = np.repeat((off64[:-1] + 2 + dbytes) * 8, cnt)
-    _scatter_bits(bits, tfs_u, np.repeat(tb, cnt), t_base + within * np.repeat(tb, cnt))
-    blob_arr = np.packbits(bits, bitorder="little")
+    _scatter_bits(words, tfs_u, t_base + within * np.repeat(tb, cnt))
+    blob_arr = words.view(np.uint8)[:total].copy()
     blob_arr[block_off.astype(np.int64)] = db.astype(np.uint8)
     blob_arr[block_off.astype(np.int64) + 1] = tb.astype(np.uint8)
     blob = blob_arr.tobytes()
@@ -427,18 +431,14 @@ def encode_postings_for(
         ptotal = int(poff64[-1])
         block_pos_off = poff64[:-1].astype(np.int32)
 
-        pbits = np.zeros(ptotal * 8, dtype=np.uint8)
+        pwords = np.zeros((ptotal + 7) // 8 + 1, dtype="<u8")
         c_base = np.repeat((poff64[:-1] + 2) * 8, cnt)
-        _scatter_bits(
-            pbits, tfs_u, np.repeat(cb, cnt), c_base + within * np.repeat(cb, cnt)
-        )
+        _scatter_bits(pwords, tfs_u, c_base + within * np.repeat(cb, cnt))
         if npos:
             pwithin = np.arange(npos, dtype=np.int64) - np.repeat(cum_tf[blk_lo], m)
             p_base = np.repeat((poff64[:-1] + 2 + cbytes) * 8, m)
-            _scatter_bits(
-                pbits, full_u, np.repeat(pb, m), p_base + pwithin * np.repeat(pb, m)
-            )
-        pos_arr = np.packbits(pbits, bitorder="little")
+            _scatter_bits(pwords, full_u, p_base + pwithin * np.repeat(pb, m))
+        pos_arr = pwords.view(np.uint8)[:ptotal].copy()
         pos_arr[block_pos_off.astype(np.int64)] = cb.astype(np.uint8)
         pos_arr[block_pos_off.astype(np.int64) + 1] = pb.astype(np.uint8)
         pos_blob = pos_arr.tobytes()

@@ -32,12 +32,15 @@ def test_rank_identity_all_reference_queries(built_index, oracle_index):
 
 
 @pytest.fixture(scope="module")
-def for_codec_index(ray_session_ref, small_corpus_path, tmp_path_factory):
-    """Same corpus, postings_codec='for' (FOR bit-packed blocks)."""
+def varint_codec_index(ray_session_ref, small_corpus_path, tmp_path_factory):
+    """Same corpus, postings_codec='varint' (the non-default codec; the
+    session `built_index` uses the default FOR bit-packed codec)."""
     from nexlt_ray.build import BuildConfig, build_index
 
-    idx = str(tmp_path_factory.mktemp("index_for") / "idx")
-    cfg = BuildConfig(num_doc_buckets=16, num_term_buckets=8, postings_codec="for")
+    idx = str(tmp_path_factory.mktemp("index_varint") / "idx")
+    cfg = BuildConfig(
+        num_doc_buckets=16, num_term_buckets=8, postings_codec="varint"
+    )
     manifest = build_index(small_corpus_path, idx, cfg)
     return idx, manifest
 
@@ -47,15 +50,16 @@ def ray_session_ref(ray_session):
     return ray_session
 
 
-def test_for_codec_search_identity(built_index, for_codec_index, oracle_index):
-    """Search results are codec-invariant: the FOR-packed index returns
-    bit-identical hits/scores/counts to the varint index and the oracle,
-    across ranked (WAND + exhaustive), phrase, and count queries."""
+def test_codec_search_identity(built_index, varint_codec_index, oracle_index):
+    """Search results are codec-invariant: the default FOR-packed index and
+    a varint index return bit-identical hits/scores/counts to each other and
+    the oracle, across ranked (WAND + exhaustive), phrase, and count queries."""
     from nexlt_ray.query import IndexReader
 
-    assert for_codec_index[1]["config"]["postings_codec"] == "for"
-    rv = IndexReader(built_index[0])
-    rf = IndexReader(for_codec_index[0])
+    assert built_index[1]["config"]["postings_codec"] == "for"
+    assert varint_codec_index[1]["config"]["postings_codec"] == "varint"
+    rf = IndexReader(built_index[0])
+    rv = IndexReader(varint_codec_index[0])
     for q in reference_queries():
         fw = rf.search(q["query"], k=q["k"], algorithm="wand")
         fe = rf.search(q["query"], k=q["k"], algorithm="exhaustive")
@@ -68,16 +72,16 @@ def test_for_codec_search_identity(built_index, for_codec_index, oracle_index):
         assert rf.match_count(q["query"]) == rv.match_count(q["query"])
 
 
-def test_for_codec_segments_not_larger(built_index, for_codec_index):
-    """On this corpus the FOR segments' posting blobs pack tighter than
-    varint (dense doc-id deltas beat the 1-byte-per-value floor)."""
+def test_for_codec_segments_smaller(built_index, varint_codec_index):
+    """The point of the FOR default: posting blobs pack tighter than varint
+    (dense doc-id deltas beat the 1-byte-per-value floor)."""
     def blob_bytes(idx):
         t = pq.read_table(os.path.join(idx, "segments"), columns=["blob"])
         import pyarrow.compute as pc
 
         return int(pc.sum(pc.binary_length(t["blob"])).as_py())
 
-    assert blob_bytes(for_codec_index[0]) < blob_bytes(built_index[0])
+    assert blob_bytes(built_index[0]) < blob_bytes(varint_codec_index[0])
 
 
 def test_match_count_vs_oracle(built_index, oracle_index):
