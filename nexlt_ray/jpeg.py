@@ -1,11 +1,13 @@
-"""Baseline JPEG codec (ITU-T T.81, public spec), stdlib + numpy only.
+"""Baseline + progressive JPEG codec (ITU-T T.81, public spec), stdlib +
+numpy only.
 
-Decoder: baseline sequential DCT (SOF0), 8-bit samples, 1 or 3
-components, any sampling factors up to 4, restart intervals, byte
-stuffing — the profile every camera/web "jpg" uses. Markers handled:
-SOI/EOI, APPn/COM (skipped), DQT (8- and 16-bit tables), SOF0 (SOF1
-accepted — same entropy coding), DHT, DRI, SOS, RSTn. Progressive
-(SOF2) and arithmetic coding raise a clear error.
+Decoder: baseline sequential DCT (SOF0) AND progressive DCT (SOF2, the
+web's other common profile — T.81 Annex G: spectral selection bands,
+successive approximation with DC/AC first + refinement scans, EOB
+runs), 8-bit samples, 1 or 3 components, any sampling factors up to 4,
+restart intervals, byte stuffing. Markers handled: SOI/EOI, APPn/COM
+(skipped), DQT (8- and 16-bit tables), SOF0/SOF1/SOF2, DHT, DRI, SOS,
+RSTn. Lossless/hierarchical and arithmetic coding raise a clear error.
 
 Encoder: baseline 4:4:4 or 4:2:0, Annex K quantization tables scaled by
 the IJG quality formula, Annex K standard Huffman tables, optional
@@ -248,7 +250,7 @@ def _decode_block_zz(d, nbits, pos, dlen, dsym, alen, asym, pred):
 class _Component:
     __slots__ = (
         "cid", "h", "v", "tq", "td", "ta", "plane", "pred",
-        "rows", "cols", "zz", "gy", "gx",
+        "rows", "cols", "zz", "gy", "gx", "blocks",
     )
 
 
@@ -285,6 +287,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[_Component] = []
     w = h = 0
     restart_interval = 0
+    progressive = False
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -316,7 +319,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 raster = np.empty(64, np.int32)
                 raster[ZZ_RASTER] = tbl
                 qt[tq_id] = raster.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 prog.
+            progressive = marker == 0xC2
             _, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if h * w > MAX_PIXELS or h == 0 or w == 0:
                 raise ValueError(f"implausible JPEG dimensions {w}x{h}")
@@ -327,12 +331,14 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 comp.h = seg[7 + 3 * c] >> 4
                 comp.v = seg[7 + 3 * c] & 0xF
                 comp.tq = seg[8 + 3 * c]
+                comp.blocks = None
                 comps.append(comp)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG process (marker 0xFF{marker:02X}); this "
-                "decoder covers baseline sequential DCT (SOF0/SOF1)"
+                "decoder covers sequential (SOF0/SOF1) and progressive "
+                "(SOF2) DCT"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -348,16 +354,30 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
             sel = {seg[1 + 2 * j]: seg[2 + 2 * j] for j in range(ns)}
-            for comp in comps:
-                if comp.cid in sel:
-                    comp.td = sel[comp.cid] >> 4
-                    comp.ta = sel[comp.cid] & 0xF
-            pos = _decode_scan(data, pos, comps, qt, huff_dc, huff_ac,
-                               w, h, restart_interval)
+            by_cid = {comp.cid: comp for comp in comps}
+            scan_comps = []
+            for j in range(ns):
+                comp = by_cid.get(seg[1 + 2 * j])
+                if comp is None:
+                    raise ValueError("SOS selects a component not in SOF")
+                comp.td = sel[comp.cid] >> 4
+                comp.ta = sel[comp.cid] & 0xF
+                scan_comps.append(comp)
+            if progressive:
+                ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+                pos = _decode_scan_progressive(
+                    data, pos, comps, scan_comps, ss, se, a >> 4, a & 0xF,
+                    huff_dc, huff_ac, w, h, restart_interval,
+                )
+            else:
+                pos = _decode_scan(data, pos, comps, qt, huff_dc, huff_ac,
+                                   w, h, restart_interval)
         # APPn / COM / others: skipped via seg_len
 
     if not comps:
         raise ValueError("no SOF frame found")
+    if progressive:
+        _idct_progressive(comps, qt)
     return _planes_to_rgb(comps, w, h)
 
 
@@ -449,6 +469,239 @@ def _decode_scan(data, pos, comps, qt, huff_dc, huff_ac, w, h, ri):
     return i  # positioned at the 0xFF of the next marker
 
 
+
+
+# --------------------------------------------------------------------------
+# progressive scans (T.81 Annex G.1.2 / G.2 decode control)
+#
+# Coefficients accumulate across scans in per-component dense block grids
+# (zigzag order), then one batched dequant+IDCT runs at EOI. The scan
+# kernels below are per-symbol Python like the baseline hot loop — the
+# right trade for bounded per-payload work in an actor-pool decode stage.
+# --------------------------------------------------------------------------
+
+def _hdecode(d, nbits, pos, hlen, hsym):
+    """One Huffman symbol via the 16-bit-peek LUT (same discipline as the
+    baseline loop)."""
+    i = pos >> 3
+    off = pos & 7
+    idx = (((d[i] << 16) | (d[i + 1] << 8) | d[i + 2]) >> (8 - off)) & 0xFFFF
+    ln = hlen[idx]
+    if ln == 0 or pos + ln > nbits:
+        raise ValueError("invalid Huffman code in entropy stream")
+    return hsym[idx], pos + ln
+
+
+def _receive(d, nbits, pos, n):
+    """n raw bits (n <= 16), MSB first — T.81 F.2.2.4 RECEIVE."""
+    if n == 0:
+        return 0, pos
+    if pos + n > nbits:
+        raise ValueError("entropy segment exhausted mid-symbol")
+    i = pos >> 3
+    off = pos & 7
+    chunk = (d[i] << 24) | (d[i + 1] << 16) | (d[i + 2] << 8) | d[i + 3]
+    return (chunk >> (32 - off - n)) & ((1 << n) - 1), pos + n
+
+
+def _alloc_blocks(comps, w, h):
+    """Dense MCU-padded coefficient grids (one 64-list per block, zigzag)."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        if c.blocks is None:
+            c.rows = mcuy * c.v
+            c.cols = mcux * c.h
+            c.blocks = [[0] * 64 for _ in range(c.rows * c.cols)]
+    return mcux, mcuy, hmax, vmax
+
+
+def _decode_scan_progressive(data, pos, comps, scan, ss, se, ah, al,
+                             huff_dc, huff_ac, w, h, ri):
+    mcux, mcuy, hmax, vmax = _alloc_blocks(comps, w, h)
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if not dc_scan and len(scan) != 1:
+        raise ValueError("progressive AC scans are non-interleaved")
+    if not (0 <= ss <= se <= 63):
+        raise ValueError("invalid spectral band")
+
+    interleaved = len(scan) > 1
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        # non-interleaved scans cover the component's own complete-block
+        # grid (T.81 A.2.2), not the MCU-padded grid
+        c0 = scan[0]
+        cw = -(-(w * c0.h) // hmax)
+        ch = -(-(h * c0.v) // vmax)
+        bw = -(-cw // 8)
+        bh = -(-ch // 8)
+        n_units = bw * bh
+
+    segments, end = _split_entropy_segments(data, pos)
+    per_seg = ri if ri else n_units
+    unit = 0
+    for seg in segments:
+        if unit >= n_units:
+            break
+        d = seg + b"\x00\x00\x00"
+        nbits = 8 * len(seg)
+        p = 0
+        eobrun = 0
+        for c in scan:
+            c.pred = 0
+        for _ in range(min(per_seg, n_units - unit)):
+            if dc_scan:
+                if interleaved:
+                    my, mx = divmod(unit, mcux)
+                    for c in scan:
+                        hdc = huff_dc[c.td] if ah == 0 else None
+                        for by in range(c.v):
+                            for bx in range(c.h):
+                                blk = c.blocks[
+                                    (my * c.v + by) * c.cols + (mx * c.h + bx)
+                                ]
+                                p = _dc_unit(d, nbits, p, blk, c, hdc, ah, al)
+                else:
+                    c = scan[0]
+                    by, bx = divmod(unit, bw)
+                    blk = c.blocks[by * c.cols + bx]
+                    hdc = huff_dc[c.td] if ah == 0 else None
+                    p = _dc_unit(d, nbits, p, blk, c, hdc, ah, al)
+            else:
+                c = scan[0]
+                by, bx = divmod(unit, bw)
+                blk = c.blocks[by * c.cols + bx]
+                hac = huff_ac[c.ta]
+                if ah == 0:
+                    p, eobrun = _ac_first(
+                        d, nbits, p, blk, hac, ss, se, al, eobrun
+                    )
+                else:
+                    p, eobrun = _ac_refine(
+                        d, nbits, p, blk, hac, ss, se, al, eobrun
+                    )
+            unit += 1
+    return end
+
+
+def _dc_unit(d, nbits, pos, blk, c, hdc, ah, al):
+    """One block's DC contribution: first scan decodes a diff at the
+    current approximation (G.1.2.1); a refinement scan appends one
+    magnitude bit."""
+    if ah == 0:
+        t, pos = _hdecode(d, nbits, pos, hdc.lut_len, hdc.lut_sym)
+        if t > 15:
+            raise ValueError("invalid DC size category")
+        v, pos = _receive(d, nbits, pos, t)
+        if t:
+            c.pred += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+        blk[0] = c.pred << al
+    else:
+        bit, pos = _receive(d, nbits, pos, 1)
+        if bit:
+            blk[0] |= 1 << al
+    return pos
+
+
+def _ac_first(d, nbits, pos, blk, hac, ss, se, al, eobrun):
+    """First scan of an AC band (G.1.2.2): run/size symbols plus EOBn
+    end-of-band run lengths that skip whole blocks."""
+    if eobrun > 0:
+        return pos, eobrun - 1
+    alen, asym = hac.lut_len, hac.lut_sym
+    k = ss
+    while k <= se:
+        rs, pos = _hdecode(d, nbits, pos, alen, asym)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                extra, pos = _receive(d, nbits, pos, r)
+                eobrun = (1 << r) + extra - 1  # this block ends the run's 1st
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient index out of band")
+        v, pos = _receive(d, nbits, pos, s)
+        blk[k] = (v if v >= (1 << (s - 1)) else v - (1 << s) + 1) << al
+        k += 1
+    return pos, eobrun
+
+
+def _ac_refine(d, nbits, pos, blk, hac, ss, se, al, eobrun):
+    """Refinement scan of an AC band (G.1.2.3): one correction bit per
+    already-nonzero coefficient crossed, new coefficients appear as
+    +/-2^Al; EOB runs carry correction bits for the blocks they span."""
+    p1 = 1 << al
+    m1 = -1 << al
+    alen, asym = hac.lut_len, hac.lut_sym
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs, pos = _hdecode(d, nbits, pos, alen, asym)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    extra, pos = _receive(d, nbits, pos, r)
+                    eobrun = (1 << r) + extra
+                    break
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement symbol must have size 1")
+                bit, pos = _receive(d, nbits, pos, 1)
+                newval = p1 if bit else m1
+            while k <= se:
+                cv = blk[k]
+                if cv != 0:
+                    bit, pos = _receive(d, nbits, pos, 1)
+                    if bit and not (cv & p1):
+                        blk[k] = cv + (p1 if cv >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            cv = blk[k]
+            if cv != 0:
+                bit, pos = _receive(d, nbits, pos, 1)
+                if bit and not (cv & p1):
+                    blk[k] = cv + (p1 if cv >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return pos, eobrun
+
+
+def _idct_progressive(comps, qt):
+    """Batched dequant + de-zigzag + IDCT over each component's full grid
+    (same einsum discipline as the baseline path)."""
+    for c in comps:
+        if c.blocks is None:
+            raise ValueError("progressive JPEG has no scan data")
+        if c.tq not in qt:
+            raise ValueError("missing quantization table")
+        zz = np.asarray(c.blocks, np.int32)
+        raster = np.zeros_like(zz)
+        raster[:, ZZ_RASTER] = zz
+        coef = raster.reshape(-1, 8, 8) * qt[c.tq]
+        blocks = np.einsum("ux,buv,vy->bxy", DCT_M, coef, DCT_M)
+        c.plane = (
+            blocks.reshape(c.rows, c.cols, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c.rows * 8, c.cols * 8)
+        )
 
 
 def _planes_to_rgb(comps, w, h) -> np.ndarray:
@@ -550,11 +803,9 @@ def _pad_edge(plane: np.ndarray, mult: int) -> np.ndarray:
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
-def encode_jpeg(
-    img: np.ndarray, quality: int = 85, subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode (h, w, 3) or (h, w) uint8 to a baseline JPEG byte stream."""
+def _prepare_coefs(img: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front end: color convert, pad, subsample, FDCT +
+    quantize. Returns (coefs, samp, qsel, gray, ql, qc, h, w)."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -590,15 +841,21 @@ def encode_jpeg(
     coefs = [
         _fdct_quant(p, ql if qs == 0 else qc) for p, qs in zip(planes, qsel)
     ]
+    return coefs, samp, qsel, gray, ql, qc, h, w
 
-    out = bytearray(b"\xFF\xD8")  # SOI
+
+def _emit_frame_headers(out, h, w, gray, ql, qc, samp, qsel, sof_marker,
+                        restart_interval):
+    """SOI through DRI — everything before the first SOS."""
     out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
         + struct.pack(">HHBB", 1, 1, 0, 0)  # APP0, no thumbnail
     for tq_id, tbl in ((0, ql), (1, qc)) if not gray else ((0, ql),):
         zz = tbl.reshape(-1)[ZZ_RASTER].astype(np.uint8)
         out += b"\xFF\xDB" + struct.pack(">HB", 67, tq_id) + zz.tobytes()
     ncomp = 1 if gray else 3
-    out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    out += bytes([0xFF, sof_marker]) + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp
+    )
     for ci in range(ncomp):
         out += struct.pack(
             "BBB", ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]
@@ -613,6 +870,20 @@ def encode_jpeg(
         out += bytes(bits) + bytes(vals)
     if restart_interval:
         out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 85, subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (h, w, 3) or (h, w) uint8 to a baseline JPEG byte stream."""
+    coefs, samp, qsel, gray, ql, qc, h, w = _prepare_coefs(
+        img, quality, subsampling
+    )
+    ncomp = 1 if gray else 3
+    out = bytearray(b"\xFF\xD8")  # SOI
+    _emit_frame_headers(out, h, w, gray, ql, qc, samp, qsel, 0xC0,
+                        restart_interval)
     out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
         # DC/AC table selectors: luma 0/0, chroma 1/1
@@ -655,6 +926,285 @@ def encode_jpeg(
     bw.flush()
     out += bw.out
     out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G.1.1; scan script in encode_jpeg_progressive)
+# --------------------------------------------------------------------------
+
+# Progressive AC scans need EOBn symbols (r<<4, r=1..14) that the Annex K
+# sequential tables do not define (their code space is full) — real
+# progressive files carry custom DHTs. This flat 8-bit table covers every
+# legal AC run/size symbol (EOB0..EOB14, ZRL, all (r,s) with s=1..10):
+# 176 codes of length 8, Kraft 176/256 < 1, trivially canonical.
+AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+AC_PROG_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+
+
+class _ScanWriter:
+    """Entropy writer for one progressive scan: owns the BitWriter, the
+    EOB-run counter, the correction bits pending behind the next EOBn
+    symbol, and restart emission. Restart boundaries flush the run, the
+    pending bits and the bit buffer, then emit RSTn (numbering restarts
+    at D0 each scan per T.81 B.2.1)."""
+
+    def __init__(self, out: bytearray, ac_codes=None):
+        self.out = out
+        self.bw = _BitWriter()
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []
+        self.rst = 0
+
+    def flush_eobrun(self):
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.ac[r << 4]
+            self.bw.write(code, ln)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+            for b in self.pending:
+                self.bw.write(b, 1)
+            self.pending.clear()
+
+    def add_eob_block(self, tail_bits=()):
+        self.eobrun += 1
+        self.pending.extend(tail_bits)
+        # EOBn's run length field is capped at 14 extension bits
+        if self.eobrun == 0x7FFF or len(self.pending) > 900:
+            self.flush_eobrun()
+
+    def restart(self):
+        self.flush_eobrun()
+        self.bw.flush()
+        self.out += self.bw.out
+        self.out += bytes([0xFF, 0xD0 + (self.rst & 7)])
+        self.rst += 1
+        self.bw = _BitWriter()
+
+    def finish(self):
+        self.flush_eobrun()
+        self.bw.flush()
+        self.out += self.bw.out
+
+
+def _sos_header(out, scan_sel, ss, se, ah, al):
+    out += b"\xFF\xDA" + struct.pack(
+        ">HB", 6 + 2 * len(scan_sel), len(scan_sel)
+    )
+    for cid, tsel in scan_sel:
+        out += struct.pack("BB", cid, tsel)
+    out += struct.pack("BBB", ss, se, (ah << 4) | al)
+
+
+def _comp_block_grid(coefs_ci, samp_ci, samp, h, w):
+    """Non-interleaved scans cover ceil(comp_size/8) complete blocks —
+    a sub-grid of the MCU-padded FDCT grid."""
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    cw = -(-(w * samp_ci[0]) // hmax)
+    ch = -(-(h * samp_ci[1]) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _enc_dc_scan(out, coefs, samp, dc_codes, al, ri, first, prev_al=0):
+    """DC scan, all components interleaved in MCU order. First scan
+    (Ah=0) difference-codes the point-transformed values; a refinement
+    scan emits one raw bit per block."""
+    ncomp = len(coefs)
+    mcuy = coefs[0].shape[0] // samp[0][1]
+    mcux = coefs[0].shape[1] // samp[0][0]
+    sw = _ScanWriter(out)
+    preds = [0] * ncomp
+    n = 0
+    for mcu in range(mcux * mcuy):
+        if ri and n == ri:
+            sw.restart()
+            preds = [0] * ncomp
+            n = 0
+        my, mx = divmod(mcu, mcux)
+        for ci in range(ncomp):
+            sh, sv = samp[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    v = int(coefs[ci][my * sv + by, mx * sh + bx, 0])
+                    if first:
+                        pt = v >> al
+                        diff = pt - preds[ci]
+                        preds[ci] = pt
+                        t = int(diff and abs(diff).bit_length())
+                        code, ln = dc_codes[ci][t]
+                        sw.bw.write(code, ln)
+                        if t:
+                            sw.bw.write(
+                                diff if diff >= 0 else diff + (1 << t) - 1, t
+                            )
+                    else:
+                        sw.bw.write((v >> al) & 1, 1)
+        n += 1
+    sw.finish()
+
+
+def _enc_ac_first(out, coef_ci, bh, bw_, cols_stride, ac_codes, ss, se, al,
+                  ri):
+    """First scan of an AC band for one component (non-interleaved)."""
+    sw = _ScanWriter(out, ac_codes)
+    n = 0
+    flat = coef_ci.reshape(-1, 64)
+    for u in range(bh * bw_):
+        if ri and n == ri:
+            sw.restart()
+            n = 0
+        n += 1
+        by, bx = divmod(u, bw_)
+        blk = flat[by * cols_stride + bx]
+        r = 0
+        emitted = False
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            v = (v >> al) if v >= 0 else -((-v) >> al)  # toward zero
+            if v == 0:
+                r += 1
+                continue
+            sw.flush_eobrun()
+            emitted = True
+            while r > 15:
+                code, ln = ac_codes[0xF0]
+                sw.bw.write(code, ln)
+                r -= 16
+            s = abs(v).bit_length()
+            code, ln = ac_codes[(r << 4) | s]
+            sw.bw.write(code, ln)
+            sw.bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            r = 0
+        if r > 0 or not emitted:
+            sw.add_eob_block()
+    sw.finish()
+
+
+def _enc_ac_refine(out, coef_ci, bh, bw_, cols_stride, ac_codes, ss, se, al,
+                   ri):
+    """Refinement scan of an AC band: emits exactly the stream the
+    decoder's crossing loop reads — each ZRL / (r,1) symbol is followed
+    by the correction bits of the already-nonzero coefficients its span
+    crosses; the post-EOB tail's correction bits queue behind the next
+    EOBn symbol (G.1.2.3 run structure, encoded by direct simulation of
+    the decode loop)."""
+    sw = _ScanWriter(out, ac_codes)
+    n = 0
+    flat = coef_ci.reshape(-1, 64)
+    for u in range(bh * bw_):
+        if ri and n == ri:
+            sw.restart()
+            n = 0
+        n += 1
+        by, bx = divmod(u, bw_)
+        blk = flat[by * cols_stride + bx]
+        # history magnitude at this approximation: >0 means already
+        # nonzero; ==1 exactly means newly nonzero THIS scan
+        mags = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        news = [i for i, m in enumerate(mags) if m == 1]
+        k = 0  # index into the band
+        for np_i in news:
+            # zero-history coefficients between k and the new coef
+            z = sum(1 for i in range(k, np_i) if mags[i] == 0)
+            while z > 15:
+                sw.flush_eobrun()
+                code, ln = ac_codes[0xF0]
+                sw.bw.write(code, ln)
+                # span: crosses exactly 16 zero-history coefs, emitting
+                # correction bits of nonzero-history coefs passed
+                crossed = 0
+                while crossed < 16:
+                    if mags[k] == 0:
+                        crossed += 1
+                    else:
+                        sw.bw.write(mags[k] & 1, 1)
+                    k += 1
+                z -= 16
+            sw.flush_eobrun()
+            code, ln = ac_codes[(z << 4) | 1]
+            sw.bw.write(code, ln)
+            sw.bw.write(1 if int(blk[ss + np_i]) > 0 else 0, 1)
+            while k < np_i:
+                if mags[k] > 1:
+                    sw.bw.write(mags[k] & 1, 1)
+                k += 1
+            k = np_i + 1
+        if k <= se - ss:
+            # tail joins an EOB run; its correction bits ride behind EOBn
+            sw.add_eob_block(
+                [mags[i] & 1 for i in range(k, se - ss + 1) if mags[i] > 1]
+            )
+    sw.finish()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsampling: str = "444",
+    restart_interval: int = 0, dc_shift: int = 1, ac_shift: int = 1,
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Encode (h, w, 3) or (h, w) uint8 to a progressive (SOF2) JPEG.
+
+    Scan script: interleaved DC first scan at Al=dc_shift, per-component
+    AC band first scans at Al=ac_shift (spectral selection per `bands`),
+    then DC and AC refinement scans down to Al=0 — exercising every
+    progressive coding mode. The quantized coefficients equal the
+    baseline encoder's for the same (quality, subsampling), so decoded
+    pixels are bit-identical to the baseline stream's."""
+    coefs, samp, qsel, gray, ql, qc, h, w = _prepare_coefs(
+        img, quality, subsampling
+    )
+    ncomp = 1 if gray else 3
+    if bands and (bands[0][0] != 1 or bands[-1][1] != 63):
+        raise ValueError("bands must cover 1..63")
+    out = bytearray(b"\xFF\xD8")
+    _emit_frame_headers(out, h, w, gray, ql, qc, samp, qsel, 0xC2,
+                        restart_interval)
+    ri = restart_interval
+    dc_codes = [huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS)] + [
+        huffman_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ] * (ncomp - 1)
+    # override the AC table ids with the EOBn-capable progressive table
+    for tid in ([0x10] if gray else [0x10, 0x11]):
+        out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(AC_PROG_VALS), tid)
+        out += bytes(AC_PROG_BITS) + bytes(AC_PROG_VALS)
+    prog_ac = huffman_codes(AC_PROG_BITS, AC_PROG_VALS)
+    ac_codes = [prog_ac] * ncomp
+    all_sel = [(ci + 1, 0x00 if ci == 0 else 0x10) for ci in range(ncomp)]
+
+    # 1. DC first scan (interleaved)
+    _sos_header(out, all_sel, 0, 0, 0, dc_shift)
+    _enc_dc_scan(out, coefs, samp, dc_codes, dc_shift, ri, first=True)
+
+    # 2. AC band first scans, per component
+    for ci in range(ncomp):
+        bh, bw_ = _comp_block_grid(coefs[ci], samp[ci], samp, h, w)
+        stride = coefs[ci].shape[1]
+        ta = 0 if ci == 0 else 1
+        for bs, be in bands:
+            _sos_header(out, [(ci + 1, ta)], bs, be, 0, ac_shift)
+            _enc_ac_first(out, coefs[ci], bh, bw_, stride, ac_codes[ci],
+                          bs, be, ac_shift, ri)
+
+    # 3. DC refinement scans (interleaved, raw bits)
+    for al in range(dc_shift - 1, -1, -1):
+        _sos_header(out, [(cid, 0) for cid, _ in all_sel], 0, 0, al + 1, al)
+        _enc_dc_scan(out, coefs, samp, dc_codes, al, ri, first=False)
+
+    # 4. AC refinement scans, per component, full band
+    for al in range(ac_shift - 1, -1, -1):
+        for ci in range(ncomp):
+            bh, bw_ = _comp_block_grid(coefs[ci], samp[ci], samp, h, w)
+            stride = coefs[ci].shape[1]
+            ta = 0 if ci == 0 else 1
+            _sos_header(out, [(ci + 1, ta)], 1, 63, al + 1, al)
+            _enc_ac_refine(out, coefs[ci], bh, bw_, stride, ac_codes[ci],
+                           1, 63, al, ri)
+
+    out += b"\xFF\xD9"
     return bytes(out)
 
 

@@ -2,12 +2,12 @@
 with typed metadata.
 
 Decoding: `StdlibDecodeBackend` (the default) REALLY decodes PNG
-(incl. palette), Netpbm P4/P5/P6, baseline JPEG, GIF, and BMP images,
-PCM WAV / AIFF / Sun AU audio (incl. G.711 mu-law), and Y4M (YUV4MPEG2)
-video using only the stdlib (zlib, wave, struct) + numpy, from the
-public format specs (PNG: RFC 2083 — IHDR/IDAT/IEND chunks, all five
-scanline filters; JPEG: ITU-T T.81 baseline sequential DCT — see
-nexlt_ray.jpeg; GIF: the 89a spec's variable-width LZW — see
+(incl. palette), Netpbm P4/P5/P6, baseline AND progressive JPEG, GIF,
+and BMP images, PCM WAV / AIFF / Sun AU audio (incl. G.711 mu-law),
+and Y4M (YUV4MPEG2) video using only the stdlib (zlib, wave, struct) +
+numpy, from the public format specs (PNG: RFC 2083 — IHDR/IDAT/IEND
+chunks, all five scanline filters; JPEG: ITU-T T.81 sequential +
+progressive DCT — see nexlt_ray.jpeg; GIF: the 89a spec's variable-width LZW — see
 nexlt_ray.gif; WAV: RIFF PCM; Y4M: the mjpegtools YUV4MPEG2 stream
 format — textual `YUV4MPEG2 W.. H.. F..` header, per-frame `FRAME`
 markers, raw planar YUV in C420/C422/C444/Cmono). No codec *libraries*
@@ -836,16 +836,16 @@ class AudioFeatureExtractor:
 def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic media corpus in IMAGE_SCHEMA shape: REAL 16x16
     payloads rotating over every stdlib decoder path — PNG (all five
-    scanline filters), baseline JPEG (4:4:4, 4:2:0, grayscale;
+    scanline filters), JPEG (4:4:4, 4:2:0, grayscale, progressive;
     nexlt_ray.jpeg), and GIF87a LZW (nexlt_ray.gif)."""
     from .gif import encode_gif
-    from .jpeg import encode_jpeg
+    from .jpeg import encode_jpeg, encode_jpeg_progressive
 
     rng = np.random.default_rng(seed)
     payloads, types = [], []
     for i in range(n):
         img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
-        v = i % 9
+        v = i % 10
         if v < 5:
             payloads.append(encode_png(img, filter_type=v))
             types.append("image/png")
@@ -857,6 +857,9 @@ def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:
             types.append("image/jpeg")
         elif v == 7:
             payloads.append(encode_jpeg(img[:, :, 0], quality=90))
+            types.append("image/jpeg")
+        elif v == 8:
+            payloads.append(encode_jpeg_progressive(img, quality=90))
             types.append("image/jpeg")
         else:
             # GIF needs <=256 distinct colors: quantize to a 27-color cube

@@ -24,6 +24,7 @@ from nexlt_ray.jpeg import (
     ZZ_RASTER,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
     huffman_codes,
     idct2d_reference,
 )
@@ -169,16 +170,26 @@ def test_jpeg_noise_error_bounded():
     assert psnr(noise, dec100) > 45  # q100: quant table is nearly all ones
 
 
-def test_jpeg_rejects_progressive_and_garbage():
+def test_jpeg_rejects_lossless_and_garbage():
     import struct
 
+    sof3 = (  # lossless sequential — still out of scope
+        b"\xFF\xD8"
+        + b"\xFF\xC3"
+        + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        + b"\x01\x11\x00"
+    )
+    with pytest.raises(ValueError, match="unsupported JPEG process"):
+        decode_jpeg(sof3)
+    # progressive frame header with no scan data at all
     sof2 = (
         b"\xFF\xD8"
         + b"\xFF\xC2"
         + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
         + b"\x01\x11\x00"
+        + b"\xFF\xD9"
     )
-    with pytest.raises(ValueError, match="unsupported JPEG process"):
+    with pytest.raises(ValueError, match="no scan data"):
         decode_jpeg(sof2)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01\x02")
@@ -199,7 +210,10 @@ def test_jpeg_roundtrip_property(h, w, quality, seed):
     img = rng.integers(0, 256, (h, w, 3), np.uint8)
     dec = decode_jpeg(encode_jpeg(img, quality=quality))
     assert dec.shape == (h, w, 3) and dec.dtype == np.uint8
-    assert float(np.mean(np.abs(dec.astype(int) - img.astype(int)))) < 40.0
+    # tiny images of full-range noise at low quality reach a mean error in
+    # the mid-40s (single block, coarse chroma quant steps up to 99);
+    # 64 still cleanly separates "lossy but correct" from "garbage"
+    assert float(np.mean(np.abs(dec.astype(int) - img.astype(int)))) < 64.0
 
 
 # --------------------------------------------------------------------------
@@ -429,6 +443,96 @@ def test_external_gif_file_decodes():
     err = np.abs(gif.astype(int) - ppm.astype(int))[opaque]
     assert err.max() <= 4
     assert opaque.sum() > 100  # the logo body is opaque
+
+
+# --------------------------------------------------------------------------
+# progressive (SOF2): every coding mode must reconstruct the exact same
+# quantized coefficients as the baseline stream, so decoded pixels are
+# bit-identical to the baseline encoding at the same (quality, subsampling)
+# --------------------------------------------------------------------------
+
+def _prog_equals_baseline(img, prog_kwargs):
+    base_kwargs = {
+        k: v for k, v in prog_kwargs.items()
+        if k in ("quality", "subsampling", "restart_interval")
+    }
+    base = decode_jpeg(encode_jpeg(img, **base_kwargs))
+    prog = decode_jpeg(encode_jpeg_progressive(img, **prog_kwargs))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_matches_baseline_exactly():
+    rng = np.random.default_rng(11)
+    _prog_equals_baseline(
+        rng.integers(0, 256, (37, 29, 3), np.uint8), dict(quality=80)
+    )
+    # spectral selection only (no successive approximation)
+    _prog_equals_baseline(
+        rng.integers(0, 256, (24, 24, 3), np.uint8),
+        dict(quality=85, dc_shift=0, ac_shift=0),
+    )
+    # deep successive approximation + restarts + chroma subsampling
+    _prog_equals_baseline(
+        rng.integers(0, 256, (64, 48, 3), np.uint8),
+        dict(quality=60, subsampling="420", restart_interval=3,
+             dc_shift=2, ac_shift=2),
+    )
+    # grayscale, odd size, fine-grained bands
+    _prog_equals_baseline(
+        rng.integers(0, 256, (33, 41), np.uint8),
+        dict(quality=70, bands=((1, 1), (2, 9), (10, 63))),
+    )
+
+
+def test_progressive_sparse_blocks_exercise_eob_runs():
+    # constant image: every AC band is empty -> multi-block EOBn runs
+    img = np.full((48, 40, 3), 77, np.uint8)
+    _prog_equals_baseline(img, dict(quality=85))
+    # near-constant: isolated nonzero blocks between long EOB runs, which
+    # in refinement scans carry correction bits behind the EOBn symbol
+    img2 = img.copy()
+    img2[13, 21] = [255, 0, 128]
+    img2[40, 5] = [0, 255, 3]
+    _prog_equals_baseline(img2, dict(quality=85, ac_shift=2))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    quality=st.integers(30, 98),
+    seed=st.integers(0, 2**31),
+    sub=st.sampled_from(["444", "420"]),
+    dc_shift=st.integers(0, 2),
+    ac_shift=st.integers(0, 2),
+    ri=st.sampled_from([0, 0, 2, 5]),
+)
+def test_progressive_roundtrip_property(h, w, quality, seed, sub, dc_shift,
+                                        ac_shift, ri):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    _prog_equals_baseline(
+        img,
+        dict(quality=quality, subsampling=sub, restart_interval=ri,
+             dc_shift=dc_shift, ac_shift=ac_shift),
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(cut=st.integers(0, 4000), flip=st.integers(0, 2**31),
+       seed=st.integers(0, 5))
+def test_progressive_malformed_streams_raise_valueerror(cut, flip, seed):
+    rng = np.random.default_rng(seed)
+    payload = encode_jpeg_progressive(
+        rng.integers(0, 256, (24, 24, 3), np.uint8), quality=85
+    )
+    trunc = payload[: cut % (len(payload) + 1)]
+    for stream in (trunc, _flip(payload, flip)):
+        try:
+            out = decode_jpeg(stream)
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except ValueError:
+            pass  # the contract: ValueError or a valid (partial) image
 
 
 # --------------------------------------------------------------------------
