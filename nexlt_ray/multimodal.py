@@ -145,7 +145,7 @@ class StdlibDecodeBackend(DecodeBackend):
             return self._decode_tiff(payload)
         raise ValueError(
             "unsupported image format (expect PNG, Netpbm P4/P5/P6, "
-            "baseline JPEG, GIF, BMP, or uncompressed TIFF)"
+            "JPEG, GIF, BMP, or TIFF)"
         )
 
     @staticmethod
@@ -254,9 +254,12 @@ class StdlibDecodeBackend(DecodeBackend):
 
     @staticmethod
     def _decode_tiff(data: bytes) -> np.ndarray:
-        """Baseline uncompressed TIFF 6.0: first IFD, strip-organized,
-        chunky planar; photometric gray (incl. white-is-zero), RGB(A),
-        palette. LZW/JPEG-in-TIFF need a library backend."""
+        """TIFF 6.0: first IFD, strip-organized, chunky planar;
+        photometric gray (incl. white-is-zero), RGB(A), palette;
+        compression none / LZW (early-change width discipline, §13) /
+        Deflate (8 and legacy 32946) / PackBits (32773), with the
+        horizontal-differencing predictor (tag 317). JPEG-in-TIFF needs
+        a library backend."""
         bo = "<" if data[:2] == b"II" else ">"
         (ifd,) = struct.unpack(bo + "I", data[4:8])
         (n,) = struct.unpack(bo + "H", data[ifd : ifd + 2])
@@ -282,20 +285,42 @@ class StdlibDecodeBackend(DecodeBackend):
         if w * h > 100_000_000 or w == 0 or h == 0:
             raise ValueError(f"implausible TIFF dimensions {w}x{h}")
         comp = tags.get(259, [1])[0]
-        if comp != 1:
-            raise ValueError(
-                f"compressed TIFF (compression={comp}) needs a library backend"
-            )
         photo = tags.get(262, [1])[0]
         spp = tags.get(277, [1])[0]
         if any(b != 8 for b in tags.get(258, [8])):
             raise ValueError("only 8-bit TIFF samples supported")
         if tags.get(284, [1])[0] != 1:
             raise ValueError("planar TIFF unsupported (chunky only)")
-        raw = b"".join(
-            data[o : o + c] for o, c in zip(tags[273], tags[279])
-        )
+        rps = tags.get(278, [h])[0] or h
+        strips = [data[o : o + c] for o, c in zip(tags[273], tags[279])]
+        row_bytes = w * spp
+        if comp == 1:
+            raw = b"".join(strips)
+        elif comp == 5:
+            raw = b"".join(
+                _tiff_lzw_decode(s, min(rps, h - i * rps) * row_bytes)
+                for i, s in enumerate(strips)
+            )
+        elif comp in (8, 32946):  # Adobe Deflate / legacy Deflate
+            import zlib
+
+            try:
+                raw = b"".join(zlib.decompress(s) for s in strips)
+            except zlib.error as e:
+                raise ValueError(f"corrupt TIFF Deflate strip: {e}") from e
+        elif comp == 32773:
+            raw = b"".join(_packbits_decode(s) for s in strips)
+        else:
+            raise ValueError(
+                f"TIFF compression {comp} needs a library backend"
+            )
+        if len(raw) < w * h * spp:
+            raise ValueError("TIFF strip data shorter than declared size")
         px = np.frombuffer(raw, np.uint8, w * h * spp).reshape(h, w, spp)
+        if tags.get(317, [1])[0] == 2:  # horizontal differencing predictor
+            px = (
+                np.cumsum(px.astype(np.int32), axis=1) & 0xFF
+            ).astype(np.uint8)
         if photo == 3:  # palette: 16-bit colormap, R then G then B planes
             cm = np.asarray(tags[320], np.uint32).reshape(3, -1)
             return (cm >> 8).astype(np.uint8).T[px[:, :, 0]]
@@ -332,6 +357,276 @@ class StdlibDecodeBackend(DecodeBackend):
         """Y4M (YUV4MPEG2) → (n_frames, h, w, 3) uint8 RGB (BT.601)."""
         planes, w, h, _ = decode_y4m_planes(payload)
         return np.stack([_yuv_to_rgb(y, u, v) for y, u, v in planes])
+
+
+# ---------------------------------------------------------------------------
+# TIFF strip codecs (TIFF 6.0 spec §13 LZW, §9 PackBits — public spec).
+#
+# TIFF LZW: MSB-first bit packing, 9->12 bit variable width, Clear=256,
+# EOI=257, first dynamic entry 258. The width bump is the spec's famous
+# "early change": the DECODER switches one code earlier than GIF-style
+# LZW would — when its next-free entry id reaches 2^width - 1 (511,
+# 1023, 2047). The encoder mirrors the decoder's table size (which lags
+# the encoder's own inserts by one code) so both switch at the same
+# stream position; tests pin the 511 boundary with a hand-packed stream.
+# ---------------------------------------------------------------------------
+
+def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    next_code = 258
+    prev: bytes | None = None
+    acc = nacc = ptr = 0
+    n = len(data)
+    while True:
+        while nacc < width:
+            if ptr >= n:
+                raise ValueError("TIFF LZW strip ended without EOI")
+            acc = (acc << 8) | data[ptr]
+            ptr += 1
+            nacc += 8
+        code = (acc >> (nacc - width)) & ((1 << width) - 1)
+        nacc -= width
+        acc &= (1 << nacc) - 1
+        if code == 257:  # EOI
+            break
+        if code == 256:  # Clear
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            next_code = 258
+            prev = None
+            continue
+        if prev is None:
+            if code > 255 or not table:
+                raise ValueError("TIFF LZW code before Clear/literal")
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("corrupt TIFF LZW stream (code beyond table)")
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1  # early change
+        out += entry
+        prev = entry
+        if len(out) > max_out:
+            raise ValueError("TIFF LZW output exceeds strip size")
+    return bytes(out)
+
+
+def _tiff_lzw_encode(raw: bytes) -> bytes:
+    """Fixture encoder, kept in lock-step with the decoder: the width /
+    clear decisions run on the DECODER's table size (one behind this
+    encoder's own inserts)."""
+    out = bytearray()
+    acc = nacc = 0
+
+    def put(code: int, w: int):
+        nonlocal acc, nacc
+        acc = (acc << w) | code
+        nacc += w
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+            acc &= (1 << nacc) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    n_codes = 0  # data codes since the last Clear
+    dec_size = 258  # decoder's next-free entry id at this stream point
+    put(256, width)
+
+    def after_emit():
+        # the decoder inserts one entry per data code read except the
+        # first after a Clear; mirror its width bumps exactly
+        nonlocal n_codes, dec_size, width
+        n_codes += 1
+        if n_codes >= 2 and dec_size < 4096:
+            dec_size += 1
+            if dec_size == (1 << width) - 1 and width < 12:
+                width += 1
+
+    w_str = b""
+    for i in range(len(raw)):
+        k = raw[i : i + 1]
+        if w_str + k in table:
+            w_str += k
+            continue
+        put(table[w_str], width)
+        after_emit()
+        table[w_str + k] = next_code
+        next_code += 1
+        w_str = k
+        if dec_size >= 4093:  # leave headroom, per §13
+            put(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+            n_codes = 0
+            dec_size = 258
+    if w_str:
+        put(table[w_str], width)
+        after_emit()
+    put(257, width)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b < 128:  # literal run of b+1 bytes
+            if i + b + 1 > n:
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + b + 1]
+            i += b + 1
+        elif b > 128:  # repeat next byte 257-b times
+            if i >= n:
+                raise ValueError("truncated PackBits repeat run")
+            out += data[i : i + 1] * (257 - b)
+            i += 1
+        # b == 128: no-op per spec
+    return bytes(out)
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(row[i])
+            i += run
+            continue
+        lit = i
+        while (
+            i < n
+            and i - lit < 128
+            and not (i + 2 < n and row[i] == row[i + 1] == row[i + 2])
+        ):
+            i += 1
+        out.append(i - lit - 1)
+        out += row[lit:i]
+    return bytes(out)
+
+
+def encode_tiff(
+    img: np.ndarray,
+    compression: str = "none",
+    predictor: int = 1,
+    rows_per_strip: int = 0,
+) -> bytes:
+    """Little-endian TIFF 6.0 writer (fixture/test generator): gray or
+    RGB 8-bit chunky, strip-organized, compression none/lzw/deflate/
+    packbits, optional horizontal-differencing predictor."""
+    img = np.asarray(img, np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    spp = 1 if gray else img.shape[2]
+    px = img.reshape(h, w, spp)
+    if predictor == 2:
+        px = np.empty_like(img.reshape(h, w, spp))
+        px[:, 0] = img.reshape(h, w, spp)[:, 0]
+        px[:, 1:] = (
+            img.reshape(h, w, spp)[:, 1:].astype(np.int32)
+            - img.reshape(h, w, spp)[:, :-1].astype(np.int32)
+        ).astype(np.uint8)
+    elif predictor != 1:
+        raise ValueError("predictor must be 1 or 2")
+    rps = rows_per_strip or h
+    comp_id = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[
+        compression
+    ]
+    strips = []
+    for y0 in range(0, h, rps):
+        chunk = px[y0 : y0 + rps].tobytes()
+        if compression == "none":
+            strips.append(chunk)
+        elif compression == "lzw":
+            strips.append(_tiff_lzw_encode(chunk))
+        elif compression == "deflate":
+            import zlib
+
+            strips.append(zlib.compress(chunk))
+        else:
+            strips.append(
+                b"".join(
+                    _packbits_encode(chunk[r : r + w * spp])
+                    for r in range(0, len(chunk), w * spp)
+                )
+            )
+    # layout: header(8) | IFD | tag value arrays | strip data
+    entries = [
+        (256, 3, 1, w),  # ImageWidth
+        (257, 3, 1, h),  # ImageLength
+        (258, 3, spp, [8] * spp),  # BitsPerSample
+        (259, 3, 1, comp_id),
+        (262, 3, 1, 1 if gray else 2),  # photometric
+        (273, 4, len(strips), None),  # StripOffsets (patched below)
+        (277, 3, 1, spp),
+        (278, 3, 1, rps),
+        (279, 4, len(strips), [len(s) for s in strips]),
+        (284, 3, 1, 1),
+        (317, 3, 1, predictor),
+    ]
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    extra = bytearray()
+    extra_base = ifd_off + ifd_size
+    type_size = {3: 2, 4: 4}
+    type_fmt = {3: "H", 4: "I"}
+
+    def value_bytes(typ, cnt, vals):
+        return struct.pack("<" + type_fmt[typ] * cnt, *vals)
+
+    # first pass: sizes of out-of-line arrays to find strip data offset
+    for tag, typ, cnt, vals in entries:
+        if cnt * type_size[typ] > 4 and tag != 273:
+            extra += value_bytes(typ, cnt, vals if isinstance(vals, list) else [vals])
+    strip_area = extra_base + len(extra) + (
+        4 * len(strips) if len(strips) > 1 else 0
+    )
+    offs = []
+    o = strip_area
+    for s in strips:
+        offs.append(o)
+        o += len(s)
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", len(entries))
+    extra = bytearray()
+    epos = extra_base
+    for tag, typ, cnt, vals in entries:
+        if tag == 273:
+            vals = offs
+        if not isinstance(vals, list):
+            vals = [vals]
+        vb = value_bytes(typ, cnt, vals)
+        if len(vb) <= 4:
+            out += struct.pack("<HHI", tag, typ, cnt) + vb.ljust(4, b"\0")
+        else:
+            out += struct.pack("<HHII", tag, typ, cnt, epos)
+            extra += vb
+            epos += len(vb)
+    out += struct.pack("<I", 0)  # next IFD
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

@@ -860,7 +860,7 @@ def test_external_tiff_matches_ppm_exactly():
     )
 
 
-def test_tiff_compressed_rejected():
+def test_tiff_unknown_compression_rejected():
     from nexlt_ray.multimodal import StdlibDecodeBackend
 
     rng = np.random.default_rng(24)
@@ -868,6 +868,90 @@ def test_tiff_compressed_rejected():
     # compression tag (259) is entry 3; its value bytes start at
     # 8 (header) + 2 (count) + 12*3 + 8
     off = 8 + 2 + 12 * 3 + 8
-    raw[off] = 5  # LZW
+    raw[off] = 7  # JPEG-in-TIFF
     with pytest.raises(ValueError, match="library backend"):
         StdlibDecodeBackend().decode_image(bytes(raw))
+
+
+def test_tiff_compression_matrix():
+    """none/LZW/Deflate/PackBits x predictor x strip layout x gray/RGB:
+    every combination decodes back to the exact source pixels."""
+    from nexlt_ray.multimodal import StdlibDecodeBackend, encode_tiff
+
+    be = StdlibDecodeBackend()
+    rng = np.random.default_rng(31)
+    for comp in ("none", "lzw", "deflate", "packbits"):
+        for pred in (1, 2):
+            for shape in ((16, 16, 3), (15, 17), (5, 33, 3)):
+                for rps in (0, 4):
+                    img = rng.integers(0, 256, shape, np.uint8)
+                    t = encode_tiff(img, compression=comp, predictor=pred,
+                                    rows_per_strip=rps)
+                    exp = (img if img.ndim == 3
+                           else np.repeat(img[:, :, None], 3, axis=2))
+                    assert np.array_equal(be.decode_image(t), exp), (
+                        comp, pred, shape, rps)
+
+
+def test_tiff_lzw_early_change_boundary_hand_packed():
+    """Pin the TIFF LZW width discipline (spec 13's 'early change') with
+    an independently hand-packed stream: 300 literal codes after Clear.
+    The decoder's table hits 511 entries after reading literal #254
+    (next-free = 257 + j), so codes 255.. must be read at 10 bits."""
+    from nexlt_ray.multimodal import _tiff_lzw_decode
+
+    bits = ""
+
+    def put(code, width):
+        nonlocal bits
+        bits += format(code, f"0{width}b")
+
+    put(256, 9)  # Clear
+    for j in range(1, 301):
+        put((j - 1) % 256, 9 if j <= 254 else 10)
+    put(257, 10)  # EOI
+    bits += "0" * (-len(bits) % 8)
+    data = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    out = _tiff_lzw_decode(data, 300)
+    assert out == bytes((j - 1) % 256 for j in range(1, 301))
+
+
+def test_tiff_lzw_roundtrip_stress():
+    """Random + repetitive byte streams through encode->decode, crossing
+    the 511/1023/2047 width boundaries and table-full Clear resets."""
+    from nexlt_ray.multimodal import _tiff_lzw_decode, _tiff_lzw_encode
+
+    for seed in range(4):
+        r = np.random.default_rng(seed)
+        data = r.integers(0, 256, int(r.integers(1, 30000)), np.uint8).tobytes()
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+    rep = (b"abcabd" * 4000) + bytes(range(256)) * 40
+    assert _tiff_lzw_decode(_tiff_lzw_encode(rep), len(rep)) == rep
+
+
+def test_packbits_spec_example():
+    """The worked example from the PackBits spec (TIFF 6.0 section 9 /
+    Apple TN1023): the canonical 24-byte unpacked stream."""
+    from nexlt_ray.multimodal import _packbits_decode, _packbits_encode
+
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    unpacked = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22" + "AA" * 10)
+    assert _packbits_decode(packed) == unpacked
+    # our encoder need not byte-match the spec's packing, but must round-trip
+    assert _packbits_decode(_packbits_encode(unpacked)) == unpacked
+
+
+def test_tiff_malformed_compressed_streams_raise_valueerror():
+    from nexlt_ray.multimodal import StdlibDecodeBackend, encode_tiff
+
+    be = StdlibDecodeBackend()
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (12, 9, 3), np.uint8)
+    for comp in ("lzw", "deflate", "packbits"):
+        payload = encode_tiff(img, compression=comp)
+        for cut in (len(payload) - 3, len(payload) // 2):
+            try:
+                out = be.decode_image(payload[:cut])
+                assert out.dtype == np.uint8
+            except ValueError:
+                pass
