@@ -143,9 +143,13 @@ class StdlibDecodeBackend(DecodeBackend):
             return self._decode_bmp(payload)
         if payload[:4] in (b"II*\x00", b"MM\x00*"):
             return self._decode_tiff(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from .webp import decode_webp
+
+            return decode_webp(payload)
         raise ValueError(
             "unsupported image format (expect PNG, Netpbm P4/P5/P6, "
-            "JPEG, GIF, BMP, or TIFF)"
+            "JPEG, GIF, BMP, TIFF, or lossless WebP)"
         )
 
     @staticmethod
@@ -1132,15 +1136,17 @@ def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic media corpus in IMAGE_SCHEMA shape: REAL 16x16
     payloads rotating over every stdlib decoder path — PNG (all five
     scanline filters), JPEG (4:4:4, 4:2:0, grayscale, progressive;
-    nexlt_ray.jpeg), and GIF87a LZW (nexlt_ray.gif)."""
+    nexlt_ray.jpeg), lossless WebP (nexlt_ray.webp), and GIF87a LZW
+    (nexlt_ray.gif)."""
     from .gif import encode_gif
     from .jpeg import encode_jpeg, encode_jpeg_progressive
+    from .webp import encode_webp
 
     rng = np.random.default_rng(seed)
     payloads, types = [], []
     for i in range(n):
         img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
-        v = i % 10
+        v = i % 11
         if v < 5:
             payloads.append(encode_png(img, filter_type=v))
             types.append("image/png")
@@ -1156,6 +1162,12 @@ def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:
         elif v == 8:
             payloads.append(encode_jpeg_progressive(img, quality=90))
             types.append("image/jpeg")
+        elif v == 9:
+            payloads.append(
+                encode_webp(img, subtract_green=True, predictor=7,
+                            cache_bits=4)
+            )
+            types.append("image/webp")
         else:
             # GIF needs <=256 distinct colors: quantize to a 27-color cube
             payloads.append(encode_gif((img // 86) * 86))

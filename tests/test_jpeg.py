@@ -361,15 +361,16 @@ def test_media_table_mixes_all_image_codecs():
         synthetic_media_table,
     )
 
-    tbl = synthetic_media_table(18)
+    tbl = synthetic_media_table(22)
     assert set(tbl["media_type"].to_pylist()) == {
         "image/png",
         "image/jpeg",
+        "image/webp",
         "image/gif",
     }
     out = ImageFeatureExtractor()(tbl)
     be = StdlibDecodeBackend()
-    for i in range(18):
+    for i in range(22):
         img = be.decode_image(tbl["payload"][i].as_py())
         exp = np.concatenate(
             [img.mean(axis=(0, 1)), img.std(axis=(0, 1))]
