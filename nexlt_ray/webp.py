@@ -166,13 +166,15 @@ class _HuffDec:
         # Kraft completeness check: an over/under-subscribed code is corrupt
         if sum(1 << (width - l) for l, _ in nz) != (1 << width):
             raise ValueError("VP8L Huffman code is not complete")
-        lut_sym = np.zeros(1 << width, np.int32)
-        lut_len = np.zeros(1 << width, np.int32)
+        # plain lists: scalar indexing is several times faster than numpy
+        lut_sym = [0] * (1 << width)
+        lut_len = [0] * (1 << width)
         for s, (c, l) in codes.items():
             base = _rev(c, l)
             step = 1 << l
-            lut_sym[base::step] = s
-            lut_len[base::step] = l
+            for j in range(base, 1 << width, step):
+                lut_sym[j] = s
+                lut_len[j] = l
         self.lut = (lut_sym, lut_len)
         self.width = width
 
@@ -186,12 +188,11 @@ class _HuffDec:
         d = br.d
         acc = (d[i] | (d[i + 1] << 8) | (d[i + 2] << 16)) >> (p & 7)
         idx = acc & ((1 << self.width) - 1)
-        sym = int(self.lut[0][idx])
-        ln = int(self.lut[1][idx])
+        ln = self.lut[1][idx]
         if ln == 0 or p + ln > br.nbits:
             raise ValueError("invalid VP8L Huffman code")
         br.pos = p + ln
-        return sym
+        return self.lut[0][idx]
 
 
 # ---------------------------------------------------------------------------
@@ -305,26 +306,25 @@ def _read_entropy_image(br: _Bits, w: int, h: int, is_main: bool):
         d = _read_code(br, 40)
         groups.append((g, r, b, a, d))
     cache = [0] * cache_size
-    out = np.zeros(w * h, np.int64)
+    out = [0] * (w * h)  # plain list: per-pixel writes beat numpy scalars
     pos = 0
     n = w * h
     cur_group = groups[0]
+    cshift = 32 - cache_bits if cache_bits else 0
     while pos < n:
         if meta is not None:
             y, x = divmod(pos, w)
             cur_group = groups[int(meta[y >> meta_bits, x >> meta_bits])]
         gc, rc, bc, ac, dc = cur_group
         s = gc.next(br)
-        if s < 256:  # literal
-            green = s
+        if s < 256:  # literal (stream order: green sym, red, blue, alpha)
             red = rc.next(br)
             blue = bc.next(br)
-            alpha = ac.next(br)
-            px = (alpha << 24) | (red << 16) | (green << 8) | blue
+            px = (ac.next(br) << 24) | (red << 16) | (s << 8) | blue
             out[pos] = px
             pos += 1
             if cache_size:
-                cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+                cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> cshift] = px
         elif s < 256 + 24:  # backward reference
             length = _prefix_value(s - 256, br)
             dist_code = _prefix_value(dc.next(br), br)
@@ -337,19 +337,25 @@ def _read_entropy_image(br: _Bits, w: int, h: int, is_main: bool):
                     dist = 1
             if dist > pos or pos + length > n:
                 raise ValueError("VP8L backward reference out of range")
-            for i in range(length):
-                px = int(out[pos - dist])
-                out[pos] = px
-                pos += 1
-                if cache_size:
-                    cache[(0x1E35A7BD * px & 0xFFFFFFFF)
-                          >> (32 - cache_bits)] = px
+            if cache_size:
+                for _ in range(length):
+                    px = out[pos - dist]
+                    out[pos] = px
+                    pos += 1
+                    cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> cshift] = px
+            elif dist >= length:
+                out[pos : pos + length] = out[pos - dist : pos - dist + length]
+                pos += length
+            else:
+                for _ in range(length):
+                    out[pos] = out[pos - dist]
+                    pos += 1
         else:  # color cache hit
             if s - 256 - 24 >= cache_size:
                 raise ValueError("VP8L cache index out of range")
             out[pos] = cache[s - 256 - 24]
             pos += 1
-    return out.reshape(h, w)
+    return np.asarray(out, np.int64).reshape(h, w)
 
 
 # ---------------------------------------------------------------------------
@@ -366,10 +372,8 @@ def _px_join(a, r, g, b):
 
 
 def _avg2(p1, p2):
-    a1, r1, g1, b1 = _px_split_scalar(p1)
-    a2, r2, g2, b2 = _px_split_scalar(p2)
-    return _join_scalar((a1 + a2) // 2, (r1 + r2) // 2,
-                        (g1 + g2) // 2, (b1 + b2) // 2)
+    # SWAR per-lane floor average: (a & b) + (((a ^ b) >> 1) & 0x7f lanes)
+    return (p1 & p2) + (((p1 ^ p2) >> 1) & 0x7F7F7F7F)
 
 
 def _px_split_scalar(p):
@@ -437,33 +441,39 @@ def _predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
 
 def _inv_predictor(img: np.ndarray, modes: np.ndarray, size_bits: int):
     h, w = img.shape
-    out = img.copy()
+    res = img.tolist()  # plain ints: the serial loop is 3-4x faster
+    mode_rows = modes.tolist()
+    out = [[0] * w for _ in range(h)]
+    prev = None
     for y in range(h):
+        row = out[y]
+        rrow = res[y]
+        mrow = mode_rows[y >> size_bits]
         for x in range(w):
             if x == 0 and y == 0:
                 pred = 0xFF000000
             elif y == 0:
-                pred = int(out[0, x - 1])  # mode forced to L on first row
+                pred = row[x - 1]  # mode forced to L on first row
             elif x == 0:
-                pred = int(out[y - 1, 0])  # mode forced to T on first col
+                pred = prev[0]  # mode forced to T on first col
             else:
-                mode = int(modes[y >> size_bits, x >> size_bits])
-                left = int(out[y, x - 1])
-                top = int(out[y - 1, x])
-                tl = int(out[y - 1, x - 1])
+                mode = mrow[x >> size_bits]
+                left = row[x - 1]
+                top = prev[x]
+                tl = prev[x - 1]
                 # top-right at the right edge: use top (reconstructed rule;
                 # see module docstring)
-                tr = int(out[y - 1, x + 1]) if x + 1 < w else int(out[y - 1, x])
+                tr = prev[x + 1] if x + 1 < w else top
                 pred = _predict(mode, left, top, tl, tr)
-            out[y, x] = _add_px(int(img[y, x]), pred)
-    return out
+            row[x] = _add_px(rrow[x], pred)
+        prev = row
+    return np.asarray(out, np.int64)
 
 
 def _add_px(residual: int, pred: int) -> int:
-    out = 0
-    for sh in (24, 16, 8, 0):
-        out |= ((((residual >> sh) & 0xFF) + ((pred >> sh) & 0xFF)) & 0xFF) << sh
-    return out
+    # SWAR per-lane mod-256 add: low 7 bits carry-free, top bit via xor
+    t = (residual & 0x7F7F7F7F) + (pred & 0x7F7F7F7F)
+    return t ^ ((residual ^ pred) & 0x80808080)
 
 
 def _sub_px(px: int, pred: int) -> int:
@@ -480,22 +490,37 @@ def _ct_delta(t: int, c: int) -> int:
     return (t8 * c8) >> 5
 
 
+def _s8(v: np.ndarray) -> np.ndarray:
+    return np.where(v >= 128, v - 256, v)
+
+
 def _inv_color_transform(img: np.ndarray, cts: np.ndarray, size_bits: int):
+    """Per block (the multipliers are block-constant), fully vectorized:
+    delta(t, c) = (int8(t) * int8(c)) >> 5 (arithmetic shift)."""
     h, w = img.shape
     a, r, g, b = _px_split(img)
     r = r.astype(np.int64)
     b = b.astype(np.int64)
-    for y in range(h):
-        for x in range(w):
-            ct = int(cts[y >> size_bits, x >> size_bits])
-            g2r = (ct >> 16) & 0xFF  # stored in red channel
-            g2b = (ct >> 8) & 0xFF   # stored in green channel
-            r2b = ct & 0xFF          # stored in blue channel
-            gg = int(g[y, x])
-            rr = (int(r[y, x]) + _ct_delta(g2r, gg)) & 0xFF
-            bb = (int(b[y, x]) + _ct_delta(g2b, gg) + _ct_delta(r2b, rr)) & 0xFF
-            r[y, x] = rr
-            b[y, x] = bb
+    bs = 1 << size_bits
+    for by in range(cts.shape[0]):
+        for bx in range(cts.shape[1]):
+            ct = int(cts[by, bx])
+            g2r = ct >> 16 & 0xFF
+            g2b = ct >> 8 & 0xFF
+            r2b = ct & 0xFF
+            if g2r >= 128:
+                g2r -= 256
+            if g2b >= 128:
+                g2b -= 256
+            if r2b >= 128:
+                r2b -= 256
+            ys = slice(by * bs, min((by + 1) * bs, h))
+            xs = slice(bx * bs, min((bx + 1) * bs, w))
+            gg = _s8(g[ys, xs])
+            rr = (r[ys, xs] + ((g2r * gg) >> 5)) & 0xFF
+            bb = (b[ys, xs] + ((g2b * gg) >> 5) + ((r2b * _s8(rr)) >> 5)) & 0xFF
+            r[ys, xs] = rr
+            b[ys, xs] = bb
     return _px_join(a, r, g.astype(np.int64), b)
 
 
