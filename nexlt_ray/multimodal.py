@@ -268,8 +268,8 @@ class StdlibDecodeBackend(DecodeBackend):
         (ifd,) = struct.unpack(bo + "I", data[4:8])
         (n,) = struct.unpack(bo + "H", data[ifd : ifd + 2])
         tags: dict[int, list[int]] = {}
-        type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
-        type_fmt = {1: "B", 3: "H", 4: "I"}
+        type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
+        type_fmt = {1: "B", 3: "H", 4: "I", 7: "B"}
         for k in range(n):
             tag, typ, cnt = struct.unpack(
                 bo + "HHI", data[ifd + 2 + 12 * k : ifd + 10 + 12 * k]
@@ -298,6 +298,28 @@ class StdlibDecodeBackend(DecodeBackend):
         rps = tags.get(278, [h])[0] or h
         strips = [data[o : o + c] for o, c in zip(tags[273], tags[279])]
         row_bytes = w * spp
+        if comp == 7:  # new-style JPEG-in-TIFF: each strip a JPEG stream
+            from .jpeg import decode_jpeg
+
+            jt = tags.get(347)  # JPEGTables: abbreviated tables stream
+            prefix = b""
+            if jt is not None:
+                tbl_bytes = bytes(jt)
+                # strip the tables stream's SOI/EOI, keep the segments
+                if tbl_bytes[:2] == b"\xFF\xD8":
+                    tbl_bytes = tbl_bytes[2:]
+                if tbl_bytes[-2:] == b"\xFF\xD9":
+                    tbl_bytes = tbl_bytes[:-2]
+                prefix = tbl_bytes
+            rows = []
+            for s in strips:
+                if s[:2] != b"\xFF\xD8":
+                    raise ValueError("JPEG-in-TIFF strip missing SOI")
+                rows.append(decode_jpeg(b"\xFF\xD8" + prefix + s[2:]))
+            full = np.concatenate(rows, axis=0)[:h, :w]
+            if photo == 1 and spp == 1:
+                return full  # decode_jpeg already replicated gray
+            return full
         if comp == 1:
             raw = b"".join(strips)
         elif comp == 5:
@@ -529,15 +551,40 @@ def _packbits_encode(row: bytes) -> bytes:
     return bytes(out)
 
 
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a JPEG stream into (table segments, stream without them) —
+    the TIFF JPEGTables (tag 347) abbreviated-stream layout."""
+    tables = bytearray()
+    rest = bytearray(stream[:2])  # SOI
+    pos = 2
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            break
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data to EOI stays in the strip
+            rest += stream[pos:]
+            break
+        (seg_len,) = struct.unpack(">H", stream[pos + 2 : pos + 4])
+        seg = stream[pos : pos + 2 + seg_len]
+        if marker in (0xDB, 0xC4):  # DQT / DHT
+            tables += seg
+        else:
+            rest += seg
+        pos += 2 + seg_len
+    return bytes(tables), bytes(rest)
+
+
 def encode_tiff(
     img: np.ndarray,
     compression: str = "none",
     predictor: int = 1,
     rows_per_strip: int = 0,
+    shared_jpeg_tables: bool = False,
 ) -> bytes:
     """Little-endian TIFF 6.0 writer (fixture/test generator): gray or
     RGB 8-bit chunky, strip-organized, compression none/lzw/deflate/
-    packbits, optional horizontal-differencing predictor."""
+    packbits/jpeg (new-style, optionally with the shared JPEGTables
+    tag), optional horizontal-differencing predictor."""
     img = np.asarray(img, np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -553,11 +600,26 @@ def encode_tiff(
     elif predictor != 1:
         raise ValueError("predictor must be 1 or 2")
     rps = rows_per_strip or h
-    comp_id = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[
-        compression
-    ]
+    comp_id = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773,
+               "jpeg": 7}[compression]
+    if compression == "jpeg" and predictor != 1:
+        raise ValueError("predictor does not apply to JPEG-in-TIFF")
+    jpeg_tables = None
     strips = []
     for y0 in range(0, h, rps):
+        if compression == "jpeg":
+            from .jpeg import encode_jpeg
+
+            band = img.reshape(h, w, spp)[y0 : y0 + rps]
+            stream = encode_jpeg(band[:, :, 0] if gray else band, quality=92)
+            if shared_jpeg_tables:
+                tables, stripped = _split_jpeg_tables(stream)
+                if jpeg_tables is None:
+                    jpeg_tables = b"\xFF\xD8" + tables + b"\xFF\xD9"
+                strips.append(stripped)
+            else:
+                strips.append(stream)
+            continue
         chunk = px[y0 : y0 + rps].tobytes()
         if compression == "none":
             strips.append(chunk)
@@ -588,12 +650,14 @@ def encode_tiff(
         (284, 3, 1, 1),
         (317, 3, 1, predictor),
     ]
+    if jpeg_tables is not None:
+        entries.append((347, 7, len(jpeg_tables), list(jpeg_tables)))
     ifd_off = 8
     ifd_size = 2 + 12 * len(entries) + 4
     extra = bytearray()
     extra_base = ifd_off + ifd_size
-    type_size = {3: 2, 4: 4}
-    type_fmt = {3: "H", 4: "I"}
+    type_size = {3: 2, 4: 4, 7: 1}
+    type_fmt = {3: "H", 4: "I", 7: "B"}
 
     def value_bytes(typ, cnt, vals):
         return struct.pack("<" + type_fmt[typ] * cnt, *vals)

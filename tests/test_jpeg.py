@@ -869,7 +869,7 @@ def test_tiff_unknown_compression_rejected():
     # compression tag (259) is entry 3; its value bytes start at
     # 8 (header) + 2 (count) + 12*3 + 8
     off = 8 + 2 + 12 * 3 + 8
-    raw[off] = 7  # JPEG-in-TIFF
+    raw[off] = 6  # old-style JPEG-in-TIFF (deprecated since TIFF TN2)
     with pytest.raises(ValueError, match="library backend"):
         StdlibDecodeBackend().decode_image(bytes(raw))
 
@@ -940,6 +940,33 @@ def test_packbits_spec_example():
     assert _packbits_decode(packed) == unpacked
     # our encoder need not byte-match the spec's packing, but must round-trip
     assert _packbits_decode(_packbits_encode(unpacked)) == unpacked
+
+
+def test_tiff_jpeg_compression_roundtrip():
+    """New-style JPEG-in-TIFF (compression 7): per-strip JPEG streams,
+    with and without the shared JPEGTables (tag 347) abbreviated
+    layout — decoded pixels bit-match decoding each strip's JPEG
+    standalone."""
+    from nexlt_ray.jpeg import decode_jpeg, encode_jpeg
+    from nexlt_ray.multimodal import StdlibDecodeBackend, encode_tiff
+
+    be = StdlibDecodeBackend()
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (37, 29, 3), np.uint8)
+    for rps in (0, 16):
+        for shared in (False, True):
+            t = encode_tiff(img, compression="jpeg", rows_per_strip=rps,
+                            shared_jpeg_tables=shared)
+            rp = rps or 37
+            exp = np.concatenate(
+                [decode_jpeg(encode_jpeg(img[y : y + rp], quality=92))
+                 for y in range(0, 37, rp)], axis=0)
+            assert np.array_equal(be.decode_image(t), exp), (rps, shared)
+    g = rng.integers(0, 256, (20, 15), np.uint8)
+    t = encode_tiff(g, compression="jpeg", shared_jpeg_tables=True)
+    assert np.array_equal(
+        be.decode_image(t), decode_jpeg(encode_jpeg(g, quality=92))
+    )
 
 
 def test_tiff_malformed_compressed_streams_raise_valueerror():
