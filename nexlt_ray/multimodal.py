@@ -127,6 +127,20 @@ class StdlibDecodeBackend(DecodeBackend):
     Sun AU incl. G.711 mu-law."""
 
     def decode_image(self, payload: bytes) -> np.ndarray:
+        """Contract for pipeline error isolation (on_error='mark'): any
+        malformed/truncated stream raises ValueError — never leaks parser
+        internals (IndexError/KeyError/struct.error/zlib.error)."""
+        try:
+            return self._decode_image(payload)
+        except ValueError:
+            raise
+        except (IndexError, KeyError, AttributeError, OverflowError,
+                TypeError, struct.error, zlib.error, EOFError) as e:
+            raise ValueError(
+                f"corrupt image stream: {type(e).__name__}: {e}"
+            ) from e
+
+    def _decode_image(self, payload: bytes) -> np.ndarray:
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             return self._decode_png(payload)
         if payload[:1] == b"P" and payload[1:2] in b"456":
@@ -360,6 +374,19 @@ class StdlibDecodeBackend(DecodeBackend):
         raise ValueError(f"unsupported TIFF photometric {photo}")
 
     def decode_audio(self, payload: bytes) -> np.ndarray:
+        import wave
+
+        try:
+            return self._decode_audio(payload)
+        except ValueError:
+            raise
+        except (IndexError, KeyError, AttributeError, OverflowError,
+                TypeError, struct.error, EOFError, wave.Error) as e:
+            raise ValueError(
+                f"corrupt audio stream: {type(e).__name__}: {e}"
+            ) from e
+
+    def _decode_audio(self, payload: bytes) -> np.ndarray:
         if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
             return _decode_aiff(payload)
         if payload[:4] == b".snd":
@@ -381,8 +408,16 @@ class StdlibDecodeBackend(DecodeBackend):
 
     def decode_video(self, payload: bytes) -> np.ndarray:
         """Y4M (YUV4MPEG2) → (n_frames, h, w, 3) uint8 RGB (BT.601)."""
-        planes, w, h, _ = decode_y4m_planes(payload)
-        return np.stack([_yuv_to_rgb(y, u, v) for y, u, v in planes])
+        try:
+            planes, w, h, _ = decode_y4m_planes(payload)
+            return np.stack([_yuv_to_rgb(y, u, v) for y, u, v in planes])
+        except ValueError:
+            raise
+        except (IndexError, KeyError, AttributeError, OverflowError,
+                TypeError, struct.error, EOFError) as e:
+            raise ValueError(
+                f"corrupt video stream: {type(e).__name__}: {e}"
+            ) from e
 
 
 # ---------------------------------------------------------------------------

@@ -975,7 +975,7 @@ def test_tiff_malformed_compressed_streams_raise_valueerror():
     be = StdlibDecodeBackend()
     rng = np.random.default_rng(5)
     img = rng.integers(0, 256, (12, 9, 3), np.uint8)
-    for comp in ("lzw", "deflate", "packbits"):
+    for comp in ("lzw", "deflate", "packbits", "jpeg"):
         payload = encode_tiff(img, compression=comp)
         for cut in (len(payload) - 3, len(payload) // 2):
             try:
@@ -983,3 +983,29 @@ def test_tiff_malformed_compressed_streams_raise_valueerror():
                 assert out.dtype == np.uint8
             except ValueError:
                 pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(cut=st.integers(0, 4000), flip=st.integers(0, 2**31),
+       comp=st.sampled_from(["none", "lzw", "deflate", "packbits", "jpeg"]),
+       seed=st.integers(0, 3))
+def test_backend_malformed_images_raise_valueerror(cut, flip, comp, seed):
+    """The backend-wide contract: decode_image is ValueError-only on any
+    malformed stream, across every TIFF compression (and transitively
+    the PNG/JPEG/GIF/WebP dispatch)."""
+    from nexlt_ray.multimodal import StdlibDecodeBackend, encode_tiff
+
+    be = StdlibDecodeBackend()
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (12, 9, 3), np.uint8)
+    payload = encode_tiff(img, compression=comp,
+                          predictor=2 if comp in ("lzw", "deflate") else 1)
+    trunc = payload[: cut % (len(payload) + 1)]
+    b = bytearray(payload)
+    b[flip % len(b)] ^= 1 + (flip >> 8) % 255
+    for stream in (trunc, bytes(b)):
+        try:
+            out = be.decode_image(stream)
+            assert out.dtype == np.uint8
+        except ValueError:
+            pass
