@@ -177,6 +177,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": P.audio_features,
         # NeXLT translation-unit golden pipeline (reference tools/test.sh shape)
         "tu_golden": _tu_golden,
+        # bigram conditional-LM quality scores (the CCNet-style n-gram
+        # signal; partitioned-join shape — vocabulary never broadcast)
+        "bigram_lm_logprob": P.bigram_lm_docs,
     }
 
 
@@ -1768,5 +1771,31 @@ FROM tok JOIN documents d USING (doc_id)
 GROUP BY d.lang, tok.term
 QUALIFY row_number() OVER (PARTITION BY d.lang
     ORDER BY count(*) DESC, tok.term) <= 5
+""",
+        # add-one-smoothed conditional bigram LM, fit on the corpus itself;
+        # per-pair contribution floor(ln((c12+1)/(c1+V)) * 1e4 + 0.5) is an
+        # int64, so per-doc sums are order-independent and DuckDB-exact
+        "bigram_lm_logprob": """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS toks
+  FROM documents),
+p AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i])) AS w1,
+    unnest(list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i + 1])) AS w2
+  FROM t WHERE len(toks) >= 2),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM p GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM p GROUP BY 1),
+v AS (SELECT count(DISTINCT w2)::BIGINT AS v FROM p)
+SELECT p.doc_id,
+       count(*)::BIGINT AS n_pairs,
+       sum(floor(ln((c12.c12 + 1.0) / (c1.c1 + v.v)) * 10000 + 0.5)::BIGINT
+          )::BIGINT AS logprob_sum_e4
+FROM p JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY p.doc_id
 """,
     }

@@ -1817,6 +1817,13 @@ def lm_quality_docs(sf_dir: str, vocab_size: int = 20):
     )
 
 
+def bigram_lm_docs(sf_dir: str):
+    """Bigram conditional-LM quality scores over `documents` — the
+    CCNet-style n-gram statistical signal; counts flow back onto pair
+    rows via partitioned hash joins (textstats.bigram_lm_scores)."""
+    return ts_ops.bigram_lm_scores(_documents(sf_dir, ["doc_id", "text"]))
+
+
 def fingerprint_docs(sf_dir: str):
     return _documents(sf_dir, ["doc_id", "text"]).map_batches(
         ts_ops.fingerprint_batch, batch_format="pyarrow"

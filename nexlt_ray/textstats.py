@@ -423,6 +423,155 @@ def _simple_tokens_encoded(text_col):
     )
 
 
+def bigram_pair_rows(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch pre-aggregated adjacent-token pair rows:
+    (doc_id, bigram "w1 w2", w1, w2, k). Integer-coded throughout — the
+    unique() runs over composite int64 keys, never unicode arrays."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "bigram": pa.array([], pa.string()),
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            "k": pa.array([], pa.int64()),
+        }
+    )
+    dictionary, codes, doc_of = _simple_tokens_encoded(batch[text_col])
+    if codes.size < 2:
+        return empty
+    adj = np.flatnonzero(doc_of[1:] == doc_of[:-1])
+    if adj.size == 0:
+        return empty
+    nd = np.int64(len(dictionary))
+    key = (doc_of[adj] * nd + codes[adj]) * nd + codes[adj + 1]
+    uk, counts = np.unique(key, return_counts=True)
+    kd = uk // (nd * nd)
+    rem = uk % (nd * nd)
+    k1 = pa.array(rem // nd)
+    k2 = pa.array(rem % nd)
+    w1 = dictionary.take(k1)
+    w2 = dictionary.take(k2)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(batch["doc_id"])[kd], pa.int64()),
+            "bigram": pc.binary_join_element_wise(w1, w2, " "),
+            "w1": w1,
+            "w2": w2,
+            "k": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def bigram_lm_scores(docs, text_col: str = "text", scale: int = 10_000):
+    """Corpus-fit BIGRAM-LM quality scoring — the conditional-transition
+    complement to `unigram_lm_scores` (the CCNet/Wenzek-et-al shape:
+    score text by an n-gram LM; here the LM is the corpus itself, so low
+    scores flag documents whose token TRANSITIONS are atypical). Model:
+    add-one-smoothed conditional p(w2|w1) = (c12 + 1) / (c1 + V) with
+    c12 = corpus count of the pair, c1 = corpus count of w1 as a pair
+    context, V = number of distinct second-tokens.
+
+    Fixed-point contract: each pair contributes
+    floor(ln((c12+1)/(c1+V)) * scale + 0.5) as int64 — both oracle sides
+    evaluate one ln on the same exact rational, and the e4 grid leaves
+    ~5e-5 headroom to any last-ulp difference between numpy's vectorized
+    log and libm's, so the floor cannot flip; per-doc results are int64
+    SUMS — order- and partitioning-independent.
+
+    Distributed shape (100-TB discipline): one tokenize pass emits
+    per-batch pre-aggregated pair rows (materialized once for its three
+    consumers); c12/c1 are Sum groupbys (vocabulary-sized, NEVER
+    broadcast — unlike the unigram scorer's top-V cap, the full bigram
+    table can exceed worker memory, so counts flow back onto the pair
+    rows via two string-keyed partitioned hash_joins); V derives from
+    the already-shuffled c12 table; the per-doc reduce is one groupby.
+    Docs with fewer than two tokens have no pairs and are absent.
+
+    Returns a Dataset of (doc_id, n_pairs, logprob_sum_e4)."""
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import hash_join, join_out_schema
+
+    rows_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("bigram", pa.string()),
+            ("w1", pa.string()),
+            ("w2", pa.string()),
+            ("k", pa.int64()),
+        ]
+    )
+    rows = docs.map_batches(
+        lambda b: bigram_pair_rows(b, text_col=text_col),
+        batch_format="pyarrow",
+    ).materialize()  # three consumers: c12 groupby, c1 groupby, join left
+
+    def proj(cols):
+        return lambda b: b.select(cols)
+
+    c12 = (
+        rows.map_batches(proj(["bigram", "k"]), batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("k", alias_name="c12"))
+        .materialize()  # two consumers: the join and the V derivation
+    )
+    c1 = (
+        rows.map_batches(proj(["w1", "k"]), batch_format="pyarrow")
+        .groupby("w1")
+        .aggregate(Sum("k", alias_name="c1"))
+    )
+
+    def w2_of(batch: pa.Table) -> pa.Table:
+        big = batch["bigram"]
+        if isinstance(big, pa.ChunkedArray):
+            big = big.combine_chunks()
+        w2 = pc.list_element(pc.split_pattern(big, " "), 1)
+        u = pc.unique(w2)
+        return pa.table({"w2": u})
+
+    n_v = (
+        c12.map_batches(w2_of, batch_format="pyarrow")
+        .groupby("w2")
+        .aggregate(Count(alias_name="n"))
+        .count()
+    )
+
+    c12_schema = pa.schema([("bigram", pa.string()), ("c12", pa.int64())])
+    j1 = hash_join(
+        rows, c12, "bigram", "bigram",
+        left_schema=rows_schema, right_schema=c12_schema,
+    )
+    j2 = hash_join(
+        j1, c1, "w1", "w1",
+        left_schema=join_out_schema(rows_schema, c12_schema, "bigram", "bigram"),
+        right_schema=pa.schema([("w1", pa.string()), ("c1", pa.int64())]),
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        kk = np.asarray(batch["k"], dtype=np.int64)
+        cc12 = np.asarray(batch["c12"], dtype=np.float64)
+        cc1 = np.asarray(batch["c1"], dtype=np.float64)
+        ilog = np.floor(
+            np.log((cc12 + 1.0) / (cc1 + float(n_v))) * scale + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_p": pa.array(kk),
+                "lp": pa.array(kk * ilog),
+            }
+        )
+
+    return (
+        j2.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_p", alias_name="n_pairs"),
+            Sum("lp", alias_name="logprob_sum_e4"),
+        )
+    )
+
+
 def unigram_lm_scores(
     docs,
     vocab_size: int = 10_000,
