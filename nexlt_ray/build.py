@@ -32,7 +32,10 @@ Ray-Data sort-based groupby kept as `shuffle="sort"`, byte-identical output):
                 single-term encode was the merge straggler), delta+varint
                 encode with block-max metadata -> per-bucket assembly
                 concatenates the encoded pieces into
-                segments/bucket=N.parquet (I/O only) + lineage record.
+                segments/bucket=N.parquet — or, with
+                segment_range_groups > 1, one bucket=N/rg=G.parquet per
+                doc-range group so maintenance I/O localizes —
+                (I/O only) + lineage record.
   stage 4  driver: atomic manifest.json (the "commit"; analog of the
            reference's lastrefresh swap, tr2solr.sh:58,83).
 
@@ -111,6 +114,23 @@ class BuildConfig:
     # BuildConfig(**cfgd) calls) so one index never mixes codecs.
     postings_codec: str = "for"
     store_positions: bool = True       # positional index (phrase queries)
+    # segment file sharding by doc-range group (the Lucene many-segments
+    # analog, applied along the DOC axis instead of the commit axis):
+    #   1  — one parquet per term bucket (segments/bucket=TB.parquet); a
+    #        maintenance op (extend/delete) rewrites every segment file
+    #        whole even when it re-encodes only the touched doc ranges —
+    #        file I/O proportional to INDEX size, not update size.
+    #   G  — each term bucket splits into G files keyed by a contiguous
+    #        doc-bucket group (segments/bucket=TB/rg=GG.parquet); extend/
+    #        delete rewrite only the groups holding touched doc buckets,
+    #        so maintenance I/O scales with the UPDATE (at 100 TB: a 1k-doc
+    #        hotfix touches ~|shard|/G of each term bucket's bytes). Cost:
+    #        a cold term read fans out to <=G small reads per bucket (same
+    #        trade Lucene makes across segments); keep G modest (8-64).
+    # Rows are assigned by doc bucket (strided ids: contiguous groups of
+    # doc buckets; dense ids: range_bucket mod G), a pure function of the
+    # row key — so extend==rebuild byte-identity holds PER FILE.
+    segment_range_groups: int = 1
     max_content_chars: int | None = None  # drop longer docs (reference: 5000,
                                           # parseJSON.pl:313,321)
     index_batch_size: int = 1024       # docs per posting-combiner slice
@@ -190,6 +210,33 @@ def _resolve_range_bits(
     while n_docs > 0 and ((n_docs - 1) >> bits) + 1 > target_ranges:
         bits += 1
     return bits
+
+
+def _range_group_of(rb, cfg: BuildConfig):
+    """range_bucket -> segment range group (segment_range_groups > 1).
+
+    Strided ids embed the doc bucket in the range bucket
+    (rb >> (bucket_capacity_bits - range_bits) == doc_bucket), so groups
+    are CONTIGUOUS runs of doc buckets — a maintenance op touching doc
+    bucket b rewrites exactly group (b*G)//num_doc_buckets of each term
+    bucket. Dense ids have no doc-bucket structure (and no maintenance
+    path), so plain modulo balances file sizes. Works on scalars and
+    int64 numpy arrays."""
+    G = cfg.segment_range_groups
+    if cfg.id_mode == "strided":
+        db = rb >> (cfg.bucket_capacity_bits - cfg.range_bits)
+        return (db * G) // cfg.num_doc_buckets
+    return rb % G
+
+
+def _doc_bucket_group(db: int, cfg: BuildConfig) -> int:
+    """Doc bucket -> range group (strided layout; see _range_group_of)."""
+    return (db * cfg.segment_range_groups) // cfg.num_doc_buckets
+
+
+def _as_chunks(col) -> list[pa.Array]:
+    """Table column -> list of plain Arrays (pyarrow version-agnostic)."""
+    return list(col.chunks) if isinstance(col, pa.ChunkedArray) else [col]
 
 
 def _token_vectors_to_batch(batch: pa.Table):
@@ -789,27 +836,93 @@ class SegmentWriter:
             }
         )
 
+    # ---- segment file layout (see BuildConfig.segment_range_groups) ----
+    def _single_path(self, tb: int) -> str:
+        return os.path.join(self.index_dir, "segments", f"bucket={tb:05d}.parquet")
+
+    def _bucket_dir(self, tb: int) -> str:
+        return os.path.join(self.index_dir, "segments", f"bucket={tb:05d}")
+
+    def _rg_path(self, tb: int, rg: int) -> str:
+        return os.path.join(self._bucket_dir(tb), f"rg={int(rg):05d}.parquet")
+
+    def rec_outputs_exist(self, rec: dict) -> bool:
+        outs = rec.get("outputs") or [rec["output"]]
+        return all(
+            os.path.exists(os.path.join(self.index_dir, p)) for p in outs
+        )
+
+    def completed(self, tb: int, ledger: Ledger | None = None) -> dict | None:
+        """Ledger record for a finished bucket whose output file(s) all
+        still exist (multi-file layouts can't use Ledger.get's single-path
+        check), else None."""
+        ledger = ledger or Ledger(self.index_dir, "segments")
+        rec = ledger.get(tb)
+        if rec is not None and self.rec_outputs_exist(rec):
+            return rec
+        return None
+
+    def _write_bucket(
+        self, tb: int, seg: pa.Table, n_terms: int, n_postings: int,
+        ledger: Ledger,
+    ) -> pa.Table:
+        """Write one term bucket's sorted segment rows under the configured
+        layout (single file, or one file per doc-range group) + ledger
+        commit. Physical layout is normalized to single-chunk columns so
+        disk- and sort-shuffle builds stay byte-identical (parquet encodes
+        logical content + chunking only; the cast renames list children
+        back to Arrow's "item" after any parquet round-trip renamed them
+        "element")."""
+        seg = seg.combine_chunks().cast(segment_schema())
+        G = self.cfg.segment_range_groups
+        if G <= 1:
+            out_path = self._single_path(tb)
+            atomic_write_parquet(out_path, seg)
+            outputs = [os.path.relpath(out_path, self.index_dir)]
+        else:
+            bdir = self._bucket_dir(tb)
+            os.makedirs(bdir, exist_ok=True)
+            rgs = np.asarray(
+                _range_group_of(
+                    np.asarray(seg["range_bucket"], dtype=np.int64), self.cfg
+                )
+            )
+            outputs, written = [], set()
+            for rg in np.unique(rgs):
+                sub = seg.filter(pa.array(rgs == rg)).combine_chunks()
+                path = self._rg_path(tb, int(rg))
+                atomic_write_parquet(path, sub)
+                written.add(os.path.basename(path))
+                outputs.append(os.path.relpath(path, self.index_dir))
+            for name in os.listdir(bdir):  # stale groups from a prior run
+                if (
+                    name.startswith("rg=")
+                    and name.endswith(".parquet")
+                    and name not in written
+                ):
+                    os.remove(os.path.join(bdir, name))
+        rec = {
+            "partition_id": tb,
+            "n_terms": n_terms,
+            "n_rows": seg.num_rows,
+            "n_postings": n_postings,
+            "output": outputs[0],
+            "outputs": outputs,
+        }
+        ledger.put(tb, rec)
+        return self._summary_table(rec)
+
     def __call__(self, group: pa.Table) -> pa.Table:
         bucket = int(group["term_bucket"][0].as_py())
-        out_path = os.path.join(self.index_dir, "segments", f"bucket={bucket:05d}.parquet")
         ledger = Ledger(self.index_dir, "segments")
-        rec = ledger.get(bucket, out_path)
+        rec = self.completed(bucket, ledger)
         if rec is not None:
             return self._summary_table(rec)
         rows, n_postings_total = self.merge_rows(group)
         rows.sort(key=lambda r: (r["term"], r["range_bucket"]))
         seg = pa.Table.from_pylist(rows, schema=segment_schema())
-        atomic_write_parquet(out_path, seg)
         n_terms = len({r["term"] for r in rows})
-        rec = {
-            "partition_id": bucket,
-            "n_terms": n_terms,
-            "n_rows": len(rows),
-            "n_postings": n_postings_total,
-            "output": os.path.relpath(out_path, self.index_dir),
-        }
-        ledger.put(bucket, rec)
-        return self._summary_table(rec)
+        return self._write_bucket(bucket, seg, n_terms, n_postings_total, ledger)
 
     def merge_dir_to_piece(self, partials_dir: str, name: str, pieces_dir: str) -> None:
         """Merge one (term_bucket, range_bucket) partials dir into an encoded
@@ -948,16 +1061,16 @@ class SegmentWriter:
         force: bool = False,
     ) -> pa.Table | None:
         """Concat + sort a bucket's piece files (plus optional retained rows
-        from an existing segment) into the final segment file; ledger commit.
-        Returns the summary table, or None when the bucket has no rows."""
+        from an existing segment) into the final segment file(s); ledger
+        commit. Returns the summary table, or None when the bucket has no
+        rows. (The from_pylist/to_pylist round-trip this path replaced
+        burned a Python loop over every segment row's posting blobs — the
+        stage-3 assembly straggler at 1M docs.)"""
         import pyarrow.parquet as _pq
 
-        out_path = os.path.join(
-            self.index_dir, "segments", f"bucket={tb:05d}.parquet"
-        )
         ledger = Ledger(self.index_dir, "segments")
         if not force:
-            rec = ledger.get(tb, out_path)
+            rec = self.completed(tb, ledger)
             if rec is not None:
                 return self._summary_table(rec)
         piece_files = sorted(
@@ -970,25 +1083,113 @@ class SegmentWriter:
             tables.append(extra_rows)
         tables = [t for t in tables if t.num_rows]
         if not tables:
+            if force:
+                # maintenance emptied the whole term bucket (every surviving
+                # doc lacks terms hashing here): drop the stale file, else a
+                # reader would keep serving deleted docs' postings from it
+                out_path = self._single_path(tb)
+                if os.path.exists(out_path):
+                    os.remove(out_path)
+                ledger.remove(tb)
             return None
         seg = pa.concat_tables(tables).combine_chunks()
         seg = seg.sort_by([("term", "ascending"), ("range_bucket", "ascending")])
-        # normalize physical layout to single-chunk columns so the file is
-        # byte-identical to the sort-shuffle mode's from_pylist path (parquet
-        # encodes logical content + chunking only, and both paths are
-        # single-chunk; the old to_pylist/from_pylist round-trip burned a
-        # Python loop over every segment row's posting blobs — the stage-3
-        # assembly straggler at 1M docs). The cast renames list children back
-        # to Arrow's "item" (the parquet round-trip renames them "element",
-        # which would leak into the footer's ARROW:schema blob).
-        seg = seg.combine_chunks().cast(segment_schema())
-        atomic_write_parquet(out_path, seg)
+        return self._write_bucket(
+            tb,
+            seg,
+            len(pc.unique(seg["term"])),
+            int(pc.sum(seg["df"]).as_py() or 0),
+            ledger,
+        )
+
+    def assemble_maintenance(
+        self, tb: int, pieces_dir: str, touched_db: np.ndarray
+    ) -> pa.Table | None:
+        """extend/delete assembly for the sharded layout
+        (segment_range_groups > 1): rewrite ONLY the range groups holding
+        touched doc buckets — untouched group files are left in place and
+        opened just for a column-pruned (term, df) summary read, so
+        maintenance file I/O scales with the update, not the index. Row
+        content and order within each file are pure functions of the row
+        keys, so each file stays byte-identical to a full rebuild's.
+        `touched_db` is the int64 array of touched doc buckets. Returns the
+        summary table, or None when the bucket ends empty."""
+        import pyarrow.parquet as _pq
+
+        cfg = self.cfg
+        ledger = Ledger(self.index_dir, "segments")
+        shift = np.int64(cfg.bucket_capacity_bits - cfg.range_bits)
+        bdir = self._bucket_dir(tb)
+        prefix = f"bucket={tb:05d}-r"
+        # pieces exist only for touched doc buckets; group them by rg
+        piece_by_rg: dict[int, list[str]] = {}
+        for name in sorted(os.listdir(pieces_dir)):
+            if not (name.startswith(prefix) and name.endswith(".parquet")):
+                continue
+            rb = int(name[len(prefix):-len(".parquet")])
+            rg = int(_range_group_of(np.int64(rb), cfg))
+            piece_by_rg.setdefault(rg, []).append(
+                os.path.join(pieces_dir, name)
+            )
+        touched_rgs = {_doc_bucket_group(int(b), cfg) for b in touched_db}
+        touched_rgs |= set(piece_by_rg)
+        term_chunks: list[pa.Array] = []
+        n_rows = 0
+        n_postings = 0
+        outputs: list[str] = []
+        for rg in range(cfg.segment_range_groups):
+            path = self._rg_path(tb, rg)
+            exists = os.path.exists(path)
+            if rg not in touched_rgs:
+                if exists:  # carried over verbatim; summary read only
+                    t = _pq.ParquetFile(path).read(
+                        columns=["term", "df"], use_threads=False
+                    )
+                    term_chunks.extend(_as_chunks(t["term"]))
+                    n_rows += t.num_rows
+                    n_postings += int(pc.sum(t["df"]).as_py() or 0)
+                    outputs.append(os.path.relpath(path, self.index_dir))
+                continue
+            tables = []
+            if exists:
+                old = _pq.ParquetFile(path).read(use_threads=False)
+                rb_arr = np.asarray(old["range_bucket"], dtype=np.int64)
+                keep = ~np.isin(rb_arr >> shift, touched_db)
+                retained = old.filter(pa.array(keep))
+                if retained.num_rows:
+                    tables.append(retained)
+            for p in piece_by_rg.get(rg, ()):
+                t = _pq.ParquetFile(p).read(use_threads=False)
+                if t.num_rows:
+                    tables.append(t)
+            if not tables:
+                if exists:
+                    os.remove(path)
+                continue
+            sub = pa.concat_tables(tables).combine_chunks()
+            sub = sub.sort_by(
+                [("term", "ascending"), ("range_bucket", "ascending")]
+            )
+            sub = sub.combine_chunks().cast(segment_schema())
+            os.makedirs(bdir, exist_ok=True)
+            atomic_write_parquet(path, sub)
+            term_chunks.extend(_as_chunks(sub["term"]))
+            n_rows += sub.num_rows
+            n_postings += int(pc.sum(sub["df"]).as_py() or 0)
+            outputs.append(os.path.relpath(path, self.index_dir))
+        if not outputs:
+            if os.path.isdir(bdir) and not os.listdir(bdir):
+                os.rmdir(bdir)
+            ledger.remove(tb)
+            return None
+        n_terms = len(pc.unique(pa.chunked_array(term_chunks)))
         rec = {
             "partition_id": tb,
-            "n_terms": len(pc.unique(seg["term"])),
-            "n_rows": seg.num_rows,
-            "n_postings": int(pc.sum(seg["df"]).as_py() or 0),
-            "output": os.path.relpath(out_path, self.index_dir),
+            "n_terms": n_terms,
+            "n_rows": n_rows,
+            "n_postings": n_postings,
+            "output": outputs[0],
+            "outputs": outputs,
         }
         ledger.put(tb, rec)
         return self._summary_table(rec)
@@ -1391,9 +1592,6 @@ def build_index(
         os.makedirs(pieces_dir, exist_ok=True)
         seg_ledger = Ledger(index_dir, "segments")
 
-        def _seg_path(tb: int) -> str:
-            return os.path.join(index_dir, "segments", f"bucket={tb:05d}.parquet")
-
         def group_tb(name: str) -> int:
             return int(name[len("bucket=") : len("bucket=") + 5])
 
@@ -1402,7 +1600,7 @@ def build_index(
             if not name.startswith("bucket="):
                 continue
             tb = group_tb(name)
-            if seg_ledger.get(tb, _seg_path(tb)) is not None:
+            if segment_writer.completed(tb, seg_ledger) is not None:
                 continue  # bucket fully assembled in a previous run
             d = os.path.join(partials_dir, name)
             size = sum(os.path.getsize(os.path.join(d, f)) for f in os.listdir(d))
@@ -1571,11 +1769,13 @@ def extend_index(
     shard (at 100 TB, 2^16 buckets make a 1k-doc hotfix touch <=1.5% of the
     index). Byte-identity with a rebuild is a STRONGER contract than
     Lucene's append-a-segment upsert — the cost is touched-bucket re-encode
-    instead of background segment merges. Segment FILES are rewritten whole
-    (I/O proportional to index size, encode only to touched ranges); at
-    100 TB you would additionally shard segment files by range group so
-    file I/O localizes too — the merge/assembly structure already supports
-    it.
+    instead of background segment merges. With the default single-file
+    layout, segment FILES are rewritten whole (I/O proportional to index
+    size, encode only to touched ranges); build with
+    segment_range_groups > 1 to shard each term bucket's segment by
+    doc-range group, so extend/delete rewrite ONLY the group files holding
+    touched doc buckets and file I/O localizes to the update too (each
+    group file stays byte-identical to a full rebuild's — tested).
     """
     import shutil
     import time
@@ -1751,11 +1951,22 @@ def extend_index(
 
     # retained old rows = ranges of UNTOUCHED doc buckets
     shift = np.int64(cfg.bucket_capacity_bits - cfg.range_bits)
+    touched_arr = np.fromiter(
+        touched_set, dtype=np.int64, count=len(touched_set)
+    )
 
     def assemble_ext(batch: pa.Table) -> pa.Table:
         outs = []
         for tb in batch["term_bucket"].to_pylist():
             tb = int(tb)
+            if cfg.segment_range_groups > 1:
+                # sharded layout: rewrite only touched range groups
+                s = segment_writer.assemble_maintenance(
+                    tb, pieces_dir, touched_arr
+                )
+                if s is not None:
+                    outs.append(s)
+                continue
             seg_path = os.path.join(
                 index_dir, "segments", f"bucket={tb:05d}.parquet"
             )
@@ -1763,9 +1974,7 @@ def extend_index(
             if os.path.exists(seg_path):
                 old_seg = pqt.read_table(seg_path)
                 rb = np.asarray(old_seg["range_bucket"], dtype=np.int64)
-                keep = ~np.isin(rb >> shift, np.fromiter(
-                    touched_set, dtype=np.int64, count=len(touched_set)
-                ))
+                keep = ~np.isin(rb >> shift, touched_arr)
                 extra = old_seg.filter(pa.array(keep))
             s = segment_writer.assemble(tb, pieces_dir, extra_rows=extra,
                                         force=True)
@@ -1982,11 +2191,21 @@ def delete_docs(index_dir: str, shas: list[str]) -> dict:
         ).count()
 
     shift = np.int64(cfg.bucket_capacity_bits - cfg.range_bits)
+    touched_arr = np.fromiter(
+        touched_set, dtype=np.int64, count=len(touched_set)
+    )
 
     def assemble_del(batch: pa.Table) -> pa.Table:
         outs = []
         for tb in batch["term_bucket"].to_pylist():
             tb = int(tb)
+            if cfg.segment_range_groups > 1:
+                s = segment_writer.assemble_maintenance(
+                    tb, pieces_dir, touched_arr
+                )
+                if s is not None:
+                    outs.append(s)
+                continue
             seg_path = os.path.join(
                 index_dir, "segments", f"bucket={tb:05d}.parquet"
             )
@@ -1994,9 +2213,7 @@ def delete_docs(index_dir: str, shas: list[str]) -> dict:
             if os.path.exists(seg_path):
                 old_seg = pqt.read_table(seg_path)
                 rb = np.asarray(old_seg["range_bucket"], dtype=np.int64)
-                keep = ~np.isin(rb >> shift, np.fromiter(
-                    touched_set, dtype=np.int64, count=len(touched_set)
-                ))
+                keep = ~np.isin(rb >> shift, touched_arr)
                 extra = old_seg.filter(pa.array(keep))
             s = segment_writer.assemble(tb, pieces_dir, extra_rows=extra,
                                         force=True)

@@ -722,13 +722,26 @@ class IndexReader:
         self._term_cache: OrderedDict[str, TermPostings | None] = OrderedDict()
         self._cache_cap = cache_terms
         self._range_width = self.cfg["block_size"] * wand_range_blocks
-        self._seg_files: dict[int, str] = {}
+        # bucket -> ordered segment file list. Two layouts (see
+        # BuildConfig.segment_range_groups): one parquet per term bucket, or
+        # a bucket=NNNNN/ dir of per-doc-range-group files (rg order ==
+        # ascending doc ranges, preserved so per-term rows concatenate in
+        # range order).
+        self._seg_files: dict[int, list[str]] = {}
         seg_dir = os.path.join(index_dir, "segments")
         if os.path.isdir(seg_dir):
             for name in os.listdir(seg_dir):
+                path = os.path.join(seg_dir, name)
                 if name.startswith("bucket=") and name.endswith(".parquet"):
                     b = int(name[len("bucket=") : -len(".parquet")])
-                    self._seg_files[b] = os.path.join(seg_dir, name)
+                    self._seg_files[b] = [path]
+                elif name.startswith("bucket=") and os.path.isdir(path):
+                    b = int(name[len("bucket=") :])
+                    self._seg_files[b] = [
+                        os.path.join(path, f)
+                        for f in sorted(os.listdir(path))
+                        if f.startswith("rg=") and f.endswith(".parquet")
+                    ]
         self._doc_offsets = np.asarray(self.manifest["doc_offsets"], dtype=np.int64)
         self._doc_counts = np.asarray(self.manifest["doc_counts"], dtype=np.int64)
         # doc-range-sharded serving state: norms and doc-meta columns load
@@ -783,10 +796,14 @@ class IndexReader:
             self._term_cache.move_to_end(term)
             return self._term_cache[term]
         bucket = term_bucket_of(term, self.cfg["num_term_buckets"])
-        path = self._seg_files.get(bucket)
+        paths = self._seg_files.get(bucket)
         tp: TermPostings | None = None
-        if path is not None:
-            tbl = pq.read_table(path, filters=[("term", "==", term)])
+        if paths:
+            tbls = [
+                pq.read_table(p, filters=[("term", "==", term)])
+                for p in paths
+            ]
+            tbl = tbls[0] if len(tbls) == 1 else pa.concat_tables(tbls)
             if tbl.num_rows:
                 rows = []
                 for r in tbl.to_pylist():
@@ -844,7 +861,7 @@ class IndexReader:
         if hi is not None:
             flt.append(("term", "<", hi))
         counts: dict[str, int] = {}
-        for path in self._seg_files.values():
+        for path in (p for ps in self._seg_files.values() for p in ps):
             tbl = pq.read_table(path, columns=["term", "df"], filters=flt)
             for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
                 if t.startswith(prefix):  # exactness beyond the range prune
