@@ -122,11 +122,16 @@ class BuildConfig:
     #        file I/O proportional to INDEX size, not update size.
     #   G  — each term bucket splits into G files keyed by a contiguous
     #        doc-bucket group (segments/bucket=TB/rg=GG.parquet); extend/
-    #        delete rewrite only the groups holding touched doc buckets,
-    #        so maintenance I/O scales with the UPDATE (at 100 TB: a 1k-doc
-    #        hotfix touches ~|shard|/G of each term bucket's bytes). Cost:
-    #        a cold term read fans out to <=G small reads per bucket (same
-    #        trade Lucene makes across segments); keep G modest (8-64).
+    #        delete rewrite only the groups holding touched doc buckets.
+    #        The decisive 100 TB win is BOUNDED FILE SIZE (a term bucket's
+    #        single parquet grows with corpus/num_term_buckets — unbounded
+    #        at scale) + per-group parallel assembly I/O. Rewrite locality
+    #        helps only bucket-concentrated updates: sha-uniform shards
+    #        touch buckets uniformly, so rewrite_frac ~ 1-(1-1/G)^touched
+    #        (measured: BENCH/round4_rg_ab.json). Cost: a cold term read
+    #        fans out to <=G filtered reads per bucket (same trade Lucene
+    #        makes across segments). Keep 1 single-node; size G so each
+    #        group file lands at 2-4 GB at scale.
     # Rows are assigned by doc bucket (strided ids: contiguous groups of
     # doc buckets; dense ids: range_bucket mod G), a pure function of the
     # row key — so extend==rebuild byte-identity holds PER FILE.
