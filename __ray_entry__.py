@@ -180,6 +180,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bigram conditional-LM quality scores (the CCNet-style n-gram
         # signal; partitioned-join shape — vocabulary never broadcast)
         "bigram_lm_logprob": P.bigram_lm_docs,
+        # CheckIndex analog: full structural + decoded-postings integrity
+        # pass over the flagship index (rows-only; corruption-detection
+        # oracle in tests/test_check_index.py)
+        "index_selfcheck": P.index_selfcheck,
     }
 
 

@@ -2959,6 +2959,30 @@ def _corpus_index(sf_dir: str) -> str:
     return index_dir
 
 
+def index_selfcheck(sf_dir: str) -> pa.Table:
+    """Full integrity check of the flagship corpus index (the Lucene
+    CheckIndex analog, nexlt_ray/check.py): structure, decoded-postings
+    invariants, block-max metadata, docstore sha identity, manifest totals.
+    Rows-only driver entry — the corruption-detection oracle (each injected
+    fault class caught) lives in tests/test_check_index.py."""
+    from .check import check_index
+
+    idx = _corpus_index(sf_dir)
+    rep = check_index(idx)
+    if not rep["ok"]:  # surface the first findings instead of a bare flag
+        raise AssertionError(f"index integrity: {rep['errors'][:3]}")
+    s = rep["stats"]
+    return pa.table(
+        {
+            "ok": pa.array([True]),
+            "n_docs": pa.array([s["n_docs"]], pa.int64()),
+            "n_terms": pa.array([s["n_terms"]], pa.int64()),
+            "n_postings": pa.array([s["n_postings"]], pa.int64()),
+            "n_segment_files": pa.array([s["n_segment_files"]], pa.int64()),
+        }
+    )
+
+
 def corpus_doc_meta(sf_dir: str) -> pa.Table:
     """Doc-meta table of the built index (FIXTURES.md F4): the per-row
     sha256 invariant surface."""
