@@ -184,6 +184,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pass over the flagship index (rows-only; corruption-detection
         # oracle in tests/test_check_index.py)
         "index_selfcheck": P.index_selfcheck,
+        # CCNet-style quality classifier: distributed full-batch logistic
+        # regression over hashed bag-of-tokens, int64 fixed-point gradient
+        # partials => weights bit-identical under any partitioning
+        # (rows-only; bit-exact training oracle in tests/test_classifier.py)
+        "quality_classifier": P.quality_classifier_docs,
     }
 
 

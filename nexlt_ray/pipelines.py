@@ -2959,6 +2959,55 @@ def _corpus_index(sf_dir: str) -> str:
     return index_dir
 
 
+def quality_classifier_docs(sf_dir: str) -> pa.Table:
+    """Train the CCNet-style quality classifier (weak labels: lang == 'en',
+    the wiki-vs-crawl shape) on the documents table, score every doc, and
+    report the per-lang confusion surface (n, n_pred_pos, sum_prob_e6) —
+    all-integer outputs, deterministic under any partitioning because
+    training uses int64 fixed-point gradient partials and scores round to
+    int per doc BEFORE aggregation. Rows-only driver entry: the bit-exact
+    training oracle (distributed == single-machine numpy replay, any
+    block count) lives in tests/test_classifier.py; sigmoid/exp is not
+    reproducible expression-identically in DuckDB."""
+    from .classifier import score_logreg, train_logreg
+
+    ds = _documents(sf_dir, ["doc_id", "text", "lang"])
+
+    def with_label(batch: pa.Table) -> pa.Table:
+        y = pc.equal(batch["lang"], "en")
+        return batch.append_column("label", pc.cast(y, pa.int64()))
+
+    labeled = ds.map_batches(with_label, batch_format="pyarrow")
+    w = train_logreg(labeled, dim=1 << 14, iters=30, lr=2.0)
+    scored = score_logreg(labeled, w)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch["prob_e6"], dtype=np.int64)
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "n": pa.array(np.ones(len(batch), np.int64)),
+                "n_pred_pos": pa.array((p >= 500_000).astype(np.int64)),
+                "sum_prob_e6": pa.array(p),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        scored.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_pred_pos", alias_name="n_pred_pos"),
+            Sum("sum_prob_e6", alias_name="sum_prob_e6"),
+        )
+        .to_pandas()
+        .sort_values("lang", ignore_index=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def index_selfcheck(sf_dir: str) -> pa.Table:
     """Full integrity check of the flagship corpus index (the Lucene
     CheckIndex analog, nexlt_ray/check.py): structure, decoded-postings
