@@ -180,6 +180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bigram conditional-LM quality scores (the CCNet-style n-gram
         # signal; partitioned-join shape — vocabulary never broadcast)
         "bigram_lm_logprob": P.bigram_lm_docs,
+        # IR evaluation harness: MRR@10/recall@10/P@10 of the BM25
+        # ranking vs conjunctive qrels (DuckDB-oracled end to end)
+        "ir_eval_metrics": P.ir_eval_metrics,
         # CheckIndex analog: full structural + decoded-postings integrity
         # pass over the flagship index (rows-only; corruption-detection
         # oracle in tests/test_check_index.py)
@@ -267,6 +270,68 @@ scores AS (
 SELECT qid, doc_id, round(score, 4) AS score_r
 FROM scores
 QUALIFY row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, doc_id) <= 10
+"""
+
+
+def _ir_eval_sql() -> str:
+    """MRR@10 / recall@10 / P@10 of the SQL-parity BM25 ranking against
+    conjunctive qrels (doc relevant iff it contains EVERY query term).
+    floor(x + 0.5) fixed point matches the Ray side expression-identically
+    (DuckDB round() is half-away, numpy rint is banker's — floor dodges
+    both)."""
+    return f"""
+{_TOK},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+{_qterms_values()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY term),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 4) DESC, doc_id) AS rnk
+  FROM scores
+  QUALIFY rnk <= 10
+),
+qn AS (SELECT qid, count(DISTINCT term) AS nt FROM q GROUP BY qid),
+rel AS (
+  SELECT q.qid, tok.doc_id
+  FROM q JOIN tok ON tok.term = q.term
+  JOIN qn ON qn.qid = q.qid
+  GROUP BY q.qid, tok.doc_id
+  HAVING count(DISTINCT tok.term) = min(qn.nt)
+),
+nrel AS (SELECT qid, count(*)::BIGINT AS num_rel FROM rel GROUP BY qid),
+hits AS (SELECT r.qid, r.rnk FROM ranked r
+         JOIN rel ON rel.qid = r.qid AND rel.doc_id = r.doc_id),
+per AS (SELECT qid, count(*)::BIGINT AS hits_at_10,
+               min(rnk) AS first_rank FROM hits GROUP BY qid)
+SELECT qn.qid::BIGINT AS qid,
+       coalesce(nrel.num_rel, 0)::BIGINT AS num_rel,
+       coalesce(per.hits_at_10, 0)::BIGINT AS hits_at_10,
+       CASE WHEN per.first_rank IS NULL THEN 0
+            ELSE floor(1000000.0 / per.first_rank + 0.5) END::BIGINT AS mrr_e6,
+       CASE WHEN coalesce(nrel.num_rel, 0) = 0 THEN 0
+            ELSE floor(1000000.0 * coalesce(per.hits_at_10, 0)
+                       / nrel.num_rel + 0.5) END::BIGINT AS recall_e6,
+       (coalesce(per.hits_at_10, 0) * 100000)::BIGINT AS p_at_10_e6
+FROM qn
+LEFT JOIN nrel ON nrel.qid = qn.qid
+LEFT JOIN per ON per.qid = qn.qid
 """
 
 
@@ -1003,6 +1068,7 @@ FROM tok GROUP BY term
 ORDER BY df DESC, term LIMIT 100
 """,
         "bm25_topk_docs": _bm25_sql(),
+        "ir_eval_metrics": _ir_eval_sql(),
         "filtered_search_topk": _filtered_sql(),
         "fq_phrase_search_topk": _fq_phrase_sql(),
         "range_filtered_topk": _range_fq_sql(),

@@ -2959,6 +2959,102 @@ def _corpus_index(sf_dir: str) -> str:
     return index_dir
 
 
+def ir_eval_metrics(sf_dir: str) -> pa.Table:
+    """Retrieval-quality evaluation harness (the trec_eval / Solr A/B
+    tooling every search migration needs): MRR@10, recall@10 and P@10 of
+    the SQL-parity BM25 ranking against deterministic qrels (a doc is
+    relevant to a query iff it contains EVERY query term — conjunctive
+    relevance, recomputable in SQL).
+
+    Shape: the ranking is the bounded top-10 table (already streaming /
+    oracled via bm25_topk_docs); relevance sweeps the corpus ONCE with a
+    per-batch partial ((qid, n_rel, rank-bitmask-over-top-10)) — each doc
+    lives in exactly one batch, so Sum doubles as bitwise-OR for the
+    bitmask and the groupby stays one tiny row per qid. Fixed-point
+    metrics use floor(x + 0.5) so the DuckDB oracle is expression-
+    identical (round() half-away vs numpy banker's rounding never enters).
+    DuckDB-oracled end to end (`ir_eval_metrics`)."""
+    top = _bm25_topk_impl(sf_dir, None)
+    if isinstance(top, pa.Table):
+        top = top.to_pandas()
+    tdf = top.sort_values(
+        ["qid", "score_r", "doc_id"], ascending=[True, False, True]
+    )
+    tdf["rank"] = tdf.groupby("qid").cumcount() + 1
+    top_by_qid = {
+        int(qid): (g["doc_id"].to_numpy(np.int64), g["rank"].to_numpy(np.int64))
+        for qid, g in tdf.groupby("qid")
+    }
+    need: dict[int, list[str]] = {}
+    for qid, t in doc_query_terms():
+        need.setdefault(qid, []).append(t)
+    qids = sorted(need)
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    def rel_partial(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["text"], profile="simple")
+        n = len(batch)
+        doc_ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        terms_u = tb.terms.astype("U") if tb.terms.size else None
+        out_q, out_n, out_bm = [], [], []
+        for qid in qids:
+            mask = np.ones(n, dtype=bool)
+            for t in need[qid]:
+                has = np.zeros(n, dtype=bool)
+                if terms_u is not None:
+                    has[tb.doc_idx[terms_u == t]] = True
+                mask &= has
+            rel = doc_ids[mask]
+            bm = 0
+            tdocs, tranks = top_by_qid.get(qid, (None, None))
+            if tdocs is not None and rel.size:
+                order = np.argsort(tdocs)
+                pos = np.searchsorted(tdocs[order], rel)
+                pos = np.clip(pos, 0, tdocs.size - 1)
+                hit = tdocs[order][pos] == rel
+                for r in tranks[order][pos[hit]]:
+                    bm |= 1 << (int(r) - 1)
+            out_q.append(qid)
+            out_n.append(int(mask.sum()))
+            out_bm.append(bm)
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "n_rel": pa.array(out_n, pa.int64()),
+                "bitmask": pa.array(out_bm, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(rel_partial, batch_format="pyarrow")
+        .groupby("qid")
+        .aggregate(Sum("n_rel", alias_name="n_rel"),
+                   Sum("bitmask", alias_name="bitmask"))
+        .to_pandas()
+        .set_index("qid")
+    )
+    rows = {"qid": [], "num_rel": [], "hits_at_10": [], "mrr_e6": [],
+            "recall_e6": [], "p_at_10_e6": []}
+    for qid in qids:
+        n_rel = int(agg["n_rel"].get(qid, 0))
+        bm = int(agg["bitmask"].get(qid, 0))
+        hits = bin(bm).count("1")
+        first = (bm & -bm).bit_length() if bm else 0
+        rows["qid"].append(qid)
+        rows["num_rel"].append(n_rel)
+        rows["hits_at_10"].append(hits)
+        rows["mrr_e6"].append(
+            int(np.floor(1_000_000.0 / first + 0.5)) if first else 0
+        )
+        rows["recall_e6"].append(
+            int(np.floor(1_000_000.0 * hits / n_rel + 0.5)) if n_rel else 0
+        )
+        rows["p_at_10_e6"].append(hits * 100_000)
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
 def quality_classifier_docs(sf_dir: str) -> pa.Table:
     """Train the CCNet-style quality classifier (weak labels: lang == 'en',
     the wiki-vs-crawl shape) on the documents table, score every doc, and
