@@ -331,12 +331,24 @@ def _gather_bits(
     words: np.ndarray, bitpos: np.ndarray, bits: np.ndarray
 ) -> np.ndarray:
     """Read a `bits[i]`-wide little-endian value at bit offset `bitpos[i]`
-    from the padded uint64 word view (branch-free two-word gather)."""
-    wi = (bitpos >> 6).astype(np.int64)
+    from the padded uint64 word view (branch-free two-word gather).
+
+    Word indices are clamped to the view: a WIDTH-0 value may sit exactly
+    at the buffer end (a lone 0 position delta packs to zero bits, so its
+    start offset equals the data end — found by check_index on a 1M-doc
+    index, where the full-span positions decode of such a row raised
+    IndexError while per-block decode, whose per-slice re-pad absorbed it,
+    worked). Any value with width > 0 ends inside the buffer, so the
+    clamped words only ever feed bits the mask discards."""
+    wi = np.minimum((bitpos >> 6).astype(np.int64), words.size - 1)
     s = (bitpos & 63).astype(np.uint64)
     lo = words[wi] >> s
     rs = (np.uint64(64) - s) & np.uint64(63)
-    hi = np.where(s == 0, np.uint64(0), words[wi + 1] << rs)
+    hi = np.where(
+        s == 0,
+        np.uint64(0),
+        words[np.minimum(wi + 1, words.size - 1)] << rs,
+    )
     bits_u = bits.astype(np.uint64)
     full = np.uint64(0xFFFFFFFFFFFFFFFF)
     mask = np.where(

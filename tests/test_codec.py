@@ -249,3 +249,41 @@ def test_decode_positions_span_fast_equals_reference():
                 e = decode_positions_span_ref(blob, offs, lo, hi, n_total)
                 assert np.array_equal(a[0], e[0]), (trial, lo, hi)
                 assert np.array_equal(a[1], e[1]), (trial, lo, hi)
+
+
+def test_for_positions_width_zero_at_blob_end():
+    """Regression (found by check_index on a 1M-doc index): a trailing
+    block whose position stream packs to WIDTH 0 (single posting, single
+    position 0) puts the value's bit offset exactly at the blob end; the
+    full-span two-word gather then indexed one word past the padded view
+    and raised IndexError, while per-block decode (per-slice re-pad)
+    worked. _gather_bits now clamps — width-0 values read only masked
+    bits."""
+    from nexlt_ray.codec import (
+        decode_positions_span_for,
+        encode_postings_for,
+    )
+
+    n = 129  # two blocks: 128 + 1 — the trailing block has one posting
+    docs = np.arange(1, n + 1, dtype=np.int64)
+    tfs = np.ones(n, dtype=np.int64)
+    norms = np.full(n, 100, dtype=np.uint8)
+    pos_flat = np.arange(n, dtype=np.int64)
+    pos_flat[-1] = 0  # last block's only position: 0 -> width-0 packing
+    enc = encode_postings_for(docs, tfs, norms, pos_flat=pos_flat)
+    nblocks = len(enc["block_pos_off"])
+    c, p = decode_positions_span_for(
+        enc["pos_blob"], enc["block_pos_off"], 0, nblocks, n
+    )
+    assert np.array_equal(c, tfs)
+    assert np.array_equal(p, pos_flat)
+    # per-block decode agrees (it always did; keep them pinned together)
+    cs, ps = [], []
+    for b in range(nblocks):
+        cb, pb = decode_positions_span_for(
+            enc["pos_blob"], enc["block_pos_off"], b, b + 1, n
+        )
+        cs.append(cb)
+        ps.append(pb)
+    assert np.array_equal(np.concatenate(cs), tfs)
+    assert np.array_equal(np.concatenate(ps), pos_flat)
