@@ -177,8 +177,15 @@ def test_for_codec_fuzz(pairs, seed):
     rng = np.random.default_rng(seed)
     norms = rng.integers(0, 256, size=n).astype(np.uint8)
     starts = rng.integers(0, 2**30, size=n)
+    starts[rng.random(n) < 0.2] = 0  # absolute position 0 -> width-0 blocks
+    # first position is the start itself (delta 0 reachable): a single
+    # position 0 in a trailing block packs to ZERO bits and sits exactly at
+    # the blob end — the regression class below
     pos_flat = np.concatenate(
-        [s + np.cumsum(rng.integers(1, 1000, size=int(t))) for s, t in zip(starts, tfs)]
+        [
+            s + np.concatenate(([0], np.cumsum(rng.integers(1, 1000, size=int(t) - 1))))
+            for s, t in zip(starts, tfs)
+        ]
     ).astype(np.int64)
     enc = encode_postings_for(docs, tfs, norms, pos_flat=pos_flat)
     d, t = decode_span_for(
@@ -287,3 +294,36 @@ def test_for_positions_width_zero_at_blob_end():
         ps.append(pb)
     assert np.array_equal(np.concatenate(cs), tfs)
     assert np.array_equal(np.concatenate(ps), pos_flat)
+    # the crash additionally needs the blob end WORD-ALIGNED (the eager
+    # words[wi+1] gather only leaves the padded view then): replay a
+    # deterministic search over mixed-tf shapes and check every aligned
+    # blob against the per-block reference — trial 6 of this exact seed
+    # raised IndexError before the clamp
+    rng = np.random.default_rng(0)
+    n_aligned = 0
+    for _ in range(40):
+        tfs2 = rng.integers(1, 4, size=n).astype(np.int64)
+        tfs2[-1] = 1
+        pos2 = []
+        for j, t in enumerate(tfs2):
+            if j == n - 1:
+                pos2.append(np.array([0], dtype=np.int64))
+            else:
+                start = int(rng.integers(0, 1000))
+                pos2.append(start + np.concatenate(
+                    ([0], np.cumsum(rng.integers(1, 50, size=int(t) - 1)))
+                ).astype(np.int64))
+        pf2 = np.concatenate(pos2)
+        e2 = encode_postings_for(
+            np.arange(1, n + 1, dtype=np.int64), tfs2,
+            np.full(n, 100, dtype=np.uint8), pos_flat=pf2,
+        )
+        if len(e2["pos_blob"]) % 8:
+            continue
+        n_aligned += 1
+        nb2 = len(e2["block_pos_off"])
+        c2, p2 = decode_positions_span_for(
+            e2["pos_blob"], e2["block_pos_off"], 0, nb2, n
+        )
+        assert np.array_equal(c2, tfs2) and np.array_equal(p2, pf2)
+    assert n_aligned >= 1  # the search must actually exercise aligned blobs
