@@ -161,3 +161,24 @@ def test_detects_manifest_total_drift(ray_session, built, tmp_path):
     assert not rep["ok"]
     assert any("n_postings" in e for e in rep["errors"])
     assert any("n_terms" in e for e in rep["errors"])
+
+
+def test_clean_after_maintenance(ray_session, built, tmp_path):
+    """extend + delete on the sharded layout keep the index check-clean —
+    guards the assemble_maintenance ledger/outputs bookkeeping (every
+    group file claimed by a record, no orphans, totals consistent)."""
+    import pyarrow as pa
+
+    from nexlt_ray.build import delete_by_query, extend_index
+    from nexlt_ray.check import check_index
+
+    src, idx0 = built
+    idx = _copy(idx0, tmp_path, "maint")
+    extra = tmp_path / "extra.parquet"
+    pq.write_table(generate_corpus(430, seed=41).slice(400, 30), extra)
+    extend_index(str(extra), idx)
+    rep = check_index(idx)
+    assert rep["ok"], rep["errors"][:5]
+    delete_by_query(idx, "parse")
+    rep = check_index(idx)
+    assert rep["ok"], rep["errors"][:5]
