@@ -152,20 +152,32 @@ def _check_segment_file(
             out[m] = norm_cache[int(bb)][local[m]]
         return out
 
+    # one columnar extraction up front — the per-row loop is inherent (each
+    # row owns its blobs), but per-row chained .as_py() costs ~10x the
+    # numpy work at real vocabulary sizes
+    col_df = tbl["df"].to_pylist()
+    col_cf = tbl["cf"].to_pylist()
+    col_max_tf = tbl["max_tf"].to_pylist()
+    col_min_norm = tbl["min_norm"].to_pylist()
+    col_blob = tbl["blob"].to_pylist()
+    col_bl = tbl["block_last"].to_pylist()
+    col_bo = tbl["block_off"].to_pylist()
+    col_btf = tbl["block_max_tf"].to_pylist()
+    col_bmn = tbl["block_min_norm"].to_pylist()
+    col_pblob = tbl["pos_blob"].to_pylist() if store_positions else None
+    col_bpo = tbl["block_pos_off"].to_pylist() if store_positions else None
     n_postings = 0
     for i in range(tbl.num_rows):
         term = terms[i]
         rb = int(rbs[i])
-        df = int(tbl["df"][i].as_py())
-        cf = int(tbl["cf"][i].as_py())
-        max_tf = int(tbl["max_tf"][i].as_py())
-        blob = tbl["blob"][i].as_py()
-        block_last = np.asarray(tbl["block_last"][i].as_py(), dtype=np.int64)
-        block_off = np.asarray(tbl["block_off"][i].as_py(), dtype=np.int32)
-        block_max_tf = np.asarray(tbl["block_max_tf"][i].as_py(),
-                                  dtype=np.int32)
-        block_min_norm = np.asarray(tbl["block_min_norm"][i].as_py(),
-                                    dtype=np.uint8)
+        df = int(col_df[i])
+        cf = int(col_cf[i])
+        max_tf = int(col_max_tf[i])
+        blob = col_blob[i]
+        block_last = np.asarray(col_bl[i], dtype=np.int64)
+        block_off = np.asarray(col_bo[i], dtype=np.int32)
+        block_max_tf = np.asarray(col_btf[i], dtype=np.int32)
+        block_min_norm = np.asarray(col_bmn[i], dtype=np.uint8)
         if term_bucket_of(term, cfg["num_term_buckets"]) != tb_num:
             _err(errors, f"{rel} row {i} ({term!r}): wrong term bucket")
             continue
@@ -222,12 +234,12 @@ def _check_segment_file(
             if not np.array_equal(want_bmn, block_min_norm):
                 _err(errors, f"{rel} row {i} ({term!r}): block_min_norm "
                              "mismatch")
-            if int(tbl["min_norm"][i].as_py()) != int(norms.min()):
+            if int(col_min_norm[i]) != int(norms.min()):
                 _err(errors,
                      f"{rel} row {i} ({term!r}): row min_norm mismatch")
         if store_positions:
-            pos_blob = tbl["pos_blob"][i].as_py()
-            block_pos_off = np.asarray(tbl["block_pos_off"][i].as_py(),
+            pos_blob = col_pblob[i]
+            block_pos_off = np.asarray(col_bpo[i],
                                        dtype=np.int32)
             try:
                 pcounts, ppos = pos_dec(pos_blob, block_pos_off, 0, nblocks,
