@@ -56,7 +56,8 @@ def _hash_terms(vocab: np.ndarray, dim: int, seed: int) -> np.ndarray:
 
 
 def featurize_batch(
-    texts, dim: int, seed: int = 0, profile: str = "simple"
+    texts, dim: int, seed: int = 0, profile: str = "simple",
+    word_ngrams: int = 1,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Hashed L2-ish-normalized bag-of-tokens: returns CSR-ish
     (indptr, col_idx, values, n_docs), each occurrence valued
@@ -70,12 +71,27 @@ def featurize_batch(
     tb = tokenize_batch(texts, profile=profile)
     n = tb.n_docs
     counts = np.bincount(tb.doc_idx, minlength=n).astype(np.int64)
-    indptr = np.concatenate(([0], np.cumsum(counts)))
     if tb.terms.size == 0:
+        indptr = np.concatenate(([0], np.cumsum(counts)))
         return indptr, np.empty(0, np.int64), np.empty(0, np.float64), n
-    # doc-major order for contiguous per-doc slices
+    # doc-major order for contiguous per-doc slices (stable: within-doc
+    # positional order is preserved, which the bigram pairing relies on)
     order = np.argsort(tb.doc_idx, kind="stable")
-    denc = pa.array(tb.terms[order].astype("U")).dictionary_encode()
+    feats = tb.terms[order].astype("U")
+    doc_of = tb.doc_idx[order].astype(np.int64)
+    if word_ngrams >= 2 and feats.size > 1:
+        # fastText word-ngrams: adjacent within-doc token pairs, hashed as
+        # one feature string (the \x1f joiner cannot occur in tokens)
+        same = doc_of[1:] == doc_of[:-1]
+        bigrams = np.char.add(np.char.add(feats[:-1], "\x1f"), feats[1:])[same]
+        bdoc = doc_of[1:][same]
+        feats = np.concatenate((feats, bigrams))
+        doc_of = np.concatenate((doc_of, bdoc))
+        order2 = np.argsort(doc_of, kind="stable")
+        feats = feats[order2]
+        counts = np.bincount(doc_of, minlength=n).astype(np.int64)
+    indptr = np.concatenate(([0], np.cumsum(counts)))
+    denc = pa.array(feats).dictionary_encode()
     col = _hash_terms(
         denc.dictionary.to_numpy(zero_copy_only=False), dim, seed
     )[np.asarray(denc.indices, dtype=np.int64)]
@@ -141,6 +157,7 @@ def train_logreg(
     l2: float = 1e-6,
     seed: int = 0,
     profile: str = "simple",
+    word_ngrams: int = 1,
 ) -> np.ndarray:
     """Full-batch logistic regression over a Ray Dataset; returns the
     (dim+1) weight vector (last entry = bias). Bit-identical under any
@@ -162,7 +179,7 @@ def train_logreg(
         def partial(batch: pa.Table, _wref=wref) -> pa.Table:
             wv = ray.get(_wref)
             indptr, col, vals, _ = featurize_batch(
-                batch[text_col], dim, seed, profile
+                batch[text_col], dim, seed, profile, word_ngrams
             )
             labels = np.asarray(batch[label_col], dtype=np.int64)
             g = _grad_partial_int(wv, labels, indptr, col, vals, dim)
@@ -189,11 +206,12 @@ def train_logreg_local(
     l2: float = 1e-6,
     seed: int = 0,
     profile: str = "simple",
+    word_ngrams: int = 1,
 ) -> np.ndarray:
     """Single-machine reference with the identical fixed-point discipline —
     the pytest oracle for train_logreg (must match BIT-EXACTLY)."""
     indptr, col, vals, n = featurize_batch(pa.array(texts), dim, seed,
-                                           profile)
+                                           profile, word_ngrams)
     labels = np.asarray(labels, dtype=np.int64)
     w = np.zeros(dim + 1, dtype=np.float64)
     w[-1] = _prior_bias(int(labels.sum()), n)
@@ -213,6 +231,7 @@ def score_logreg(
     seed: int = 0,
     profile: str = "simple",
     out_col: str = "prob_e6",
+    word_ngrams: int = 1,
 ):
     """Broadcast-score: adds an int64 fixed-point probability column
     (round(sigmoid(w·x) * 1e6) — per-doc deterministic, so downstream
@@ -225,7 +244,7 @@ def score_logreg(
     def score(batch: pa.Table) -> pa.Table:
         wv = ray.get(wref)
         indptr, col, vals, _ = featurize_batch(batch[text_col], dim, seed,
-                                               profile)
+                                               profile, word_ngrams)
         m = _doc_margins(wv, indptr, col, vals)
         p = 1.0 / (1.0 + np.exp(-m))
         e6 = np.rint(p * PROB_SCALE).astype(np.int64)

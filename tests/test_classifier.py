@@ -102,3 +102,48 @@ def test_empty_dataset_raises(ray_session):
                     "label": pa.array([], pa.int64())})
     with pytest.raises(ValueError):
         train_logreg(ray.data.from_arrow(tbl))
+
+
+def test_word_ngrams_capture_order(ray_session):
+    """fastText-style word bigrams: docs with IDENTICAL unigram multisets
+    ('alpha beta ...' vs 'beta alpha ...') are chance-level for the unigram
+    model but separable with word_ngrams=2 — and the bigram model keeps the
+    bit-exact distributed == local contract."""
+    import ray
+
+    from nexlt_ray.classifier import (
+        featurize_batch,
+        train_logreg,
+        train_logreg_local,
+        _doc_margins,
+    )
+
+    rng = np.random.default_rng(5)
+    filler = [f"w{i}" for i in range(50)]
+    texts, labels = [], []
+    for _ in range(600):
+        y = int(rng.random() < 0.5)
+        pair = ["alpha", "beta"] if y else ["beta", "alpha"]
+        toks = list(rng.choice(filler, size=int(rng.integers(4, 12))))
+        k = int(rng.integers(0, len(toks) + 1))
+        toks[k:k] = pair  # the pair stays adjacent; position varies
+        texts.append(" ".join(toks))
+        labels.append(y)
+    labels = np.array(labels, dtype=np.int64)
+
+    def acc(w, ng):
+        indptr, col, vals, _ = featurize_batch(
+            pa.array(texts), DIM, word_ngrams=ng
+        )
+        m = _doc_margins(w, indptr, col, vals)
+        return (((m > 0).astype(int)) == labels).mean()
+
+    w1 = train_logreg_local(texts, labels, dim=DIM, iters=ITERS)
+    w2 = train_logreg_local(texts, labels, dim=DIM, iters=ITERS,
+                            word_ngrams=2)
+    assert acc(w1, 1) < 0.7          # unigrams cannot see order
+    assert acc(w2, 2) > 0.95         # bigrams separate it
+    tbl = pa.table({"text": pa.array(texts), "label": pa.array(labels)})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    wd = train_logreg(ds, dim=DIM, iters=ITERS, word_ngrams=2)
+    assert np.array_equal(wd, w2)
