@@ -157,6 +157,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_weights": P.dedup_weights,
         "heavy_hitters_by_lang": P.heavy_hitters_by_lang,
         "cooccur_triangles": P.cooccur_triangles,
+        # distributed (4-shard) engine path — SolrCloud analog
+        # (nexlt_ray/cluster.py): REAL sharded engine with two-phase exact
+        # global stats, DuckDB-oracled; monolith-vs-cluster bit-identity
+        # additionally pytest-verified in tests/test_cluster.py
+        "cluster_match_counts": P.cluster_match_counts,
+        "cluster_suggest_terms": P.cluster_suggest_terms,
+        "cluster_facet_lang_counts": P.cluster_facet_lang_counts,
         # --- rows-only (each pytest-oracled; see module docstring) ---
         "approx_vocab_by_lang": P.approx_vocab_by_lang,
         "approx_value_percentiles": P.approx_value_percentiles,
@@ -437,6 +444,13 @@ def _prefix_values() -> str:
 
     vals = ", ".join(f"('{p}')" for p in DOC_PREFIXES)
     return f"p(prefix) AS (VALUES {vals})"
+
+
+def _suggest_prefix_values() -> str:
+    from nexlt_ray.pipelines import DOC_PREFIXES
+
+    vals = ", ".join(f"({i}, '{p}')" for i, p in enumerate(DOC_PREFIXES))
+    return f"p(pid, prefix) AS (VALUES {vals})"
 
 
 def _not_values() -> str:
@@ -1872,5 +1886,60 @@ SELECT p.doc_id,
           )::BIGINT AS logprob_sum_e4
 FROM p JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
 GROUP BY p.doc_id
+""",
+        # distributed (sharded) engine path: the index dedups by content
+        # sha, so doc identity in SQL is DISTINCT text; `dtok` is the
+        # deduped (text, term) relation
+        "cluster_match_counts": f"""
+WITH dd AS (SELECT DISTINCT text FROM documents),
+dtok AS (
+  SELECT DISTINCT text, term FROM (
+    SELECT text,
+      unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+    FROM dd) WHERE term <> ''),
+{_qterms_values()},
+qids AS (SELECT DISTINCT qid FROM q)
+SELECT qids.qid, count(DISTINCT dtok.text)::BIGINT AS num_found
+FROM qids
+LEFT JOIN q ON q.qid = qids.qid
+LEFT JOIN dtok ON dtok.term = q.term
+GROUP BY qids.qid
+""",
+        "cluster_suggest_terms": f"""
+WITH dd AS (SELECT DISTINCT text FROM documents),
+dtok AS (
+  SELECT DISTINCT text, term FROM (
+    SELECT text,
+      unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+    FROM dd) WHERE term <> ''),
+{_suggest_prefix_values()},
+df AS (
+  SELECT p.pid, dtok.term, count(DISTINCT dtok.text)::BIGINT AS df
+  FROM p JOIN dtok ON starts_with(dtok.term, p.prefix)
+  GROUP BY p.pid, dtok.term)
+SELECT pid, term, df FROM df
+QUALIFY row_number() OVER (PARTITION BY pid ORDER BY df DESC, term) <= 10
+""",
+        # the surviving (faceted) lang of a deduped doc is the
+        # lexicographically-first (repo=source, path=CAST(doc_id AS
+        # VARCHAR)) input row's — BucketWriter's total-order survivor rule
+        "cluster_facet_lang_counts": f"""
+WITH surv AS (
+  SELECT text, lang FROM (
+    SELECT text, lang,
+      row_number() OVER (PARTITION BY text
+        ORDER BY source, CAST(doc_id AS VARCHAR)) AS rn
+    FROM documents) WHERE rn = 1),
+dtok AS (
+  SELECT DISTINCT text, term FROM (
+    SELECT text,
+      unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+    FROM (SELECT DISTINCT text FROM documents)) WHERE term <> ''),
+{_qterms_values()},
+hits AS (SELECT DISTINCT q.qid, dtok.text FROM q
+         JOIN dtok ON dtok.term = q.term)
+SELECT h.qid, s.lang, count(*)::BIGINT AS cnt
+FROM hits h JOIN surv s ON s.text = h.text
+GROUP BY h.qid, s.lang
 """,
     }

@@ -1,0 +1,685 @@
+"""Doc-partitioned distributed search over per-shard indexes — the
+SolrCloud analog for this engine.
+
+The reference runs one Solr core (solr/NeXLT/solr/collection1/conf/
+solrconfig.xml) whose scale path in the Solr ecosystem is SolrCloud:
+hash-route documents on the uniqueKey into shards, fan each query out to
+every shard, and merge. The reference's uniqueKey is the content hash
+(schema.xml:1030-1033), which is exactly what this module routes on.
+
+Design (all public Solr/Lucene semantics, re-expressed for Ray):
+
+* **Router** — range partition of the 32-bit sha prefix, the SAME function
+  the monolithic build uses for doc buckets (build._sha_and_bucket). Two
+  consequences: (a) duplicate contents land in one shard, so per-shard
+  dedup IS global dedup; (b) shard order is sha order, so the monolithic
+  dense docID (= global sha rank) equals `doc_base[shard] + local docID` —
+  the cluster serves the SAME doc ids as a monolithic index over the union
+  corpus (Lucene's MultiReader docBase discipline).
+* **Exact distributed scoring** — Solr's ExactStatsCache two-phase query:
+  phase 1 collects each shard's local df per scoring term plus corpus
+  (N, total_len); the coordinator sums and pushes global stats
+  (IndexReader.set_global_stats), so every shard scores with the SAME
+  float32 (idf, k-table) a monolithic index would use. Phase 2 runs the
+  normal per-shard top-k; the merge is (score desc, global doc id asc) —
+  bit-identical results to the monolith, by test (tests/test_cluster.py).
+  Stats pushes are memoized per (query, lang): repeat queries skip phase 1
+  entirely (df cannot drift between commits — NRT deletes keep df/N like
+  Lucene liveDocs), keeping per-shard queryResultCaches hot.
+* **Counts/facets merge by sum** — numFound adds; facet counts add per
+  value (shards return full value lists, so the merge is EXACT — no
+  Solr-style refinement pass needed; facet fields are low-cardinality
+  metadata by the same assumption the reader's facets() makes).
+* **Suggest/spellcheck merge on (term, summed df)** — shards return their
+  full prefix slice (bounded by prefix selectivity, the same artifact the
+  monolithic reader scans), so distributed top-n is exact, not the
+  per-shard-top-n approximation.
+* **RealTimeGet / deletes route by sha** — only the owning shard is
+  touched. Deletes are NRT tombstones (IndexReader.set_deleted): masked
+  from every match/filter path immediately, expunged from df/N only by
+  index maintenance (build.delete_docs), exactly Lucene's liveDocs.
+
+Scale notes (256-node / 100 TB): one ShardWorker actor per shard (pin with
+`actor_options={"num_cpus": ...}`); coordinator work is O(shards · k) per
+query — merge of top-k lists and tiny df dicts, never doc data. Shard
+builds are full build_index() pipelines (each internally parallel and
+resumable); the routing spill is the same storage-partitioned exchange the
+monolithic build uses (fragment-direct reads, atomic dir publish, no
+object-store all-to-all).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .build import BuildConfig, build_index, _list_fragments, _fragment_dataset
+from .query import IndexReader
+
+CLUSTER_MANIFEST = "cluster.json"
+
+
+def shard_of_sha(sha_hex: str, num_shards: int) -> int:
+    """compositeId-router analog: range partition of the uniform 32-bit sha
+    prefix — the same function the docstore uses for doc buckets, so shard
+    order == sha order == monolithic docID order."""
+    return (int(sha_hex[:8], 16) * num_shards) >> 32
+
+
+def _shard_dir(cluster_dir: str, s: int) -> str:
+    return os.path.join(cluster_dir, f"shard={s:03d}")
+
+
+def _route_input(
+    input_path: str | list[str],
+    dest_dir: str,
+    num_shards: int,
+    hook=None,
+) -> None:
+    """Routing spill: partition the input into per-shard parquet staging by
+    sha-range (the compositeId exchange). Storage-direct fragment tasks
+    (one read per row group, no object-store all-to-all); the whole dest
+    dir publishes atomically (tmp + rename), so a crashed run restarts
+    clean and a finished run is never re-spilled. Task retries rewrite the
+    same deterministic per-fragment filenames."""
+    if os.path.isdir(dest_dir):
+        return
+    tmp = dest_dir + ".tmp"
+    if os.path.isdir(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    for s in range(num_shards):
+        os.makedirs(os.path.join(tmp, f"shard={s:03d}"), exist_ok=True)
+    nsh = num_shards
+
+    def route_and_spill(spec: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        n_out = 0
+        for path, rg in zip(spec["path"].to_pylist(), spec["rg"].to_pylist()):
+            tbl = _pq.ParquetFile(path).read_row_group(int(rg))
+            if hook is not None:
+                tbl = hook(tbl)
+            # rows build_index would drop (null identity fields) are
+            # dropped here too — they have no routable identity
+            valid = _pc.is_valid(tbl["content"])
+            for col in ("repo", "path", "commit"):
+                if col in tbl.column_names:
+                    valid = _pc.and_(valid, _pc.is_valid(tbl[col]))
+            tbl = tbl.filter(valid)
+            pre = np.array(
+                [
+                    int(hashlib.sha256(c.encode("utf-8")).hexdigest()[:8], 16)
+                    for c in tbl["content"].to_pylist()
+                ],
+                dtype=np.int64,
+            )
+            shards = (pre * nsh) >> 32
+            token = hashlib.sha256(f"{path}:{int(rg)}".encode()).hexdigest()[
+                :16
+            ]
+            for s in np.unique(shards).tolist():
+                part = tbl.filter(pa.array(shards == s))
+                _pq.write_table(
+                    part,
+                    os.path.join(
+                        tmp, f"shard={int(s):03d}", f"{token}.parquet"
+                    ),
+                    compression="zstd",
+                )
+                n_out += part.num_rows
+        return pa.table({"n": pa.array([n_out], pa.int64())})
+
+    _fragment_dataset(_list_fragments(input_path)).map_batches(
+        route_and_spill, batch_format="pyarrow", batch_size=1, num_cpus=1
+    ).count()
+    os.rename(tmp, dest_dir)
+
+
+def _write_cluster_manifest(
+    cluster_dir: str, num_shards: int, id_mode: str
+) -> dict:
+    """(Re)derive cluster.json from the per-shard manifests — the atomic
+    cluster-level commit point (per-shard manifests are each shard's own)."""
+    n_docs, total_len = [], []
+    for s in range(num_shards):
+        with open(os.path.join(_shard_dir(cluster_dir, s), "manifest.json")) as f:
+            m = json.load(f)
+        n_docs.append(int(m["n_docs"]))
+        total_len.append(int(m["total_len"]))
+    manifest = {
+        "num_shards": num_shards,
+        "router": "sha32-range",
+        "id_mode": id_mode,
+        "shards": [f"shard={s:03d}" for s in range(num_shards)],
+        "n_docs": n_docs,
+        "total_len": total_len,
+    }
+    man_path = os.path.join(cluster_dir, CLUSTER_MANIFEST)
+    tmp_man = man_path + ".tmp"
+    with open(tmp_man, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp_man, man_path)
+    return manifest
+
+
+def build_sharded_index(
+    input_path: str | list[str],
+    cluster_dir: str,
+    num_shards: int,
+    cfg: BuildConfig | None = None,
+) -> dict:
+    """Route the corpus into `num_shards` sha-range shards and build one
+    index per shard. Returns the cluster manifest. Resumable end to end:
+    the routing spill publishes atomically (tmp dir + rename), and each
+    shard build is build_index() with its own ledger.
+
+    If `cfg.record_hook` is set it runs HERE (it defines document identity,
+    so the router must hash hooked content) and is stripped from the
+    per-shard config — shard builds index the already-hooked rows.
+
+    Shards build serially: each build_index() saturates the whole Ray
+    cluster internally. On a real multi-tenant cluster, run them as
+    concurrent jobs over resource subsets instead; results are identical
+    (every stage is deterministic in its inputs)."""
+    import ray  # noqa: F401  (build_index needs an initialised Ray)
+
+    cfg = cfg or BuildConfig()
+    os.makedirs(cluster_dir, exist_ok=True)
+    man_path = os.path.join(cluster_dir, CLUSTER_MANIFEST)
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            return json.load(f)
+
+    routed = os.path.join(cluster_dir, "routed")
+    _route_input(input_path, routed, num_shards, cfg.record_hook)
+
+    shard_cfg = cfg
+    if cfg.record_hook is not None:
+        from dataclasses import replace
+
+        shard_cfg = replace(cfg, record_hook=None)
+    for s in range(num_shards):
+        build_index(
+            os.path.join(routed, f"shard={s:03d}"),
+            _shard_dir(cluster_dir, s),
+            shard_cfg,
+        )
+    return _write_cluster_manifest(cluster_dir, num_shards, cfg.id_mode)
+
+
+def extend_sharded_index(
+    input_path: str | list[str],
+    cluster_dir: str,
+    record_hook=None,
+) -> dict:
+    """Merge a new input shard into an EXISTING cluster — the distributed
+    form of build.extend_index (continuous uniqueKey upsert). New rows
+    route by the SAME sha-range function that placed the base corpus, so
+    upserts land on the shard holding their uniqueKey; each touched shard
+    then runs its own incremental extend (touched-doc-bucket re-dedup +
+    re-encode; byte-identical to a per-shard rebuild over the union, by
+    build.extend_index's own contract). Shards that receive no rows are
+    untouched. Requires the cluster's shards to be id_mode='strided'
+    (extend_index's precondition). Returns the updated cluster manifest —
+    the atomic commit; call DistributedSearcher.refresh() to serve it."""
+    from .build import extend_index
+
+    with open(os.path.join(cluster_dir, CLUSTER_MANIFEST)) as f:
+        manifest = json.load(f)
+    num_shards = int(manifest["num_shards"])
+    token = hashlib.sha256(
+        json.dumps(
+            {"extend": input_path, "cluster": os.path.abspath(cluster_dir)},
+            sort_keys=True,
+            default=str,
+        ).encode()
+    ).hexdigest()[:16]
+    routed = os.path.join(cluster_dir, f"routed_ext_{token}")
+    _route_input(input_path, routed, num_shards, record_hook)
+    for s in range(num_shards):
+        shard_in = os.path.join(routed, f"shard={s:03d}")
+        if not any(f.endswith(".parquet") for f in os.listdir(shard_in)):
+            continue  # no upserts routed here — shard untouched
+        extend_index(shard_in, _shard_dir(cluster_dir, s))
+    return _write_cluster_manifest(
+        cluster_dir, num_shards, manifest.get("id_mode", "dense")
+    )
+
+
+def delete_docs_sharded(cluster_dir: str, shas: list[str]) -> dict:
+    """Expunge docs by uniqueKey from the index files themselves — the
+    distributed form of build.delete_docs (the merge that makes NRT
+    tombstones permanent: df/N shrink, segments rewrite). Routed to owning
+    shards only. Returns the updated cluster manifest."""
+    from .build import delete_docs
+
+    with open(os.path.join(cluster_dir, CLUSTER_MANIFEST)) as f:
+        manifest = json.load(f)
+    num_shards = int(manifest["num_shards"])
+    by: dict[int, list[str]] = {}
+    for s in shas:
+        by.setdefault(shard_of_sha(s, num_shards), []).append(s)
+    for s, part in sorted(by.items()):
+        delete_docs(_shard_dir(cluster_dir, s), part)
+    return _write_cluster_manifest(
+        cluster_dir, num_shards, manifest.get("id_mode", "dense")
+    )
+
+
+class ShardWorker:
+    """One shard's serving state: an IndexReader plus the global docID
+    base. Runs as a Ray actor in DistributedSearcher (instantiable inline
+    for single-process debugging — it is a plain class).
+
+    All doc ids crossing the actor boundary are GLOBAL (doc_base + local):
+    the coordinator never sees shard-local ids, so its merge logic is
+    exactly a monolithic reader's tie-break."""
+
+    def __init__(self, shard_dir: str, doc_base: int, **reader_kwargs):
+        self.reader = IndexReader(shard_dir, **reader_kwargs)
+        self.doc_base = int(doc_base)
+        self._deleted_shas: list[str] = []  # survives refresh re-resolution
+
+    # ---- phase 1: stats ------------------------------------------------
+    def shard_stats(self) -> dict:
+        return {
+            "n_docs": int(self.reader.n_docs_local),
+            "total_len": int(self.reader.manifest["total_len"]),
+        }
+
+    def term_dfs(self, query: str, lang: str | None = None) -> dict:
+        return self.reader.term_dfs(query, lang)
+
+    def set_global_stats(
+        self, n_docs: int, avgdl: float, df_by_term: dict
+    ) -> None:
+        self.reader.set_global_stats(n_docs, avgdl, df_by_term)
+
+    def set_doc_base(self, doc_base: int) -> None:
+        self.doc_base = int(doc_base)
+
+    # ---- phase 2: query ------------------------------------------------
+    def search(self, query: str, k: int = 10, **kw) -> list:
+        return [
+            (self.doc_base + d, s) for d, s in self.reader.search(query, k, **kw)
+        ]
+
+    def match_count(self, query: str, **kw) -> int:
+        # the *:* fast path must count LOCAL docs (reader.n_docs is the
+        # cluster-global N after set_global_stats)
+        if IndexReader.parse(query)[0] == "all" and not kw.get("filters"):
+            dead = (
+                0
+                if self.reader.deleted_docs is None
+                else int(self.reader.deleted_docs.size)
+            )
+            return int(self.reader.n_docs_local) - dead
+        return int(self.reader.match_count(query, **kw))
+
+    def facets(self, query: str, fields: list[str], **kw) -> dict:
+        return self.reader.facets(query, fields, **kw)
+
+    def facet_pivot(self, query: str, fields: tuple, **kw) -> list:
+        return self.reader.facet_pivot(query, fields, **kw)
+
+    def prefix_term_rows(self, prefix: str) -> list:
+        return self.reader._prefix_term_rows(prefix)
+
+    def get(self, shas: list[str], columns: list[str] | None = None):
+        tbl = self.reader.get(shas, columns)
+        return self._globalize(tbl)
+
+    def doc_fields(
+        self, global_ids: list[int], columns: list[str] | None = None
+    ):
+        tbl = self.reader.doc_fields(
+            [g - self.doc_base for g in global_ids], columns
+        )
+        return self._globalize(tbl)
+
+    def _globalize(self, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0 or "doc_id" not in tbl.column_names:
+            return tbl
+        gid = pa.array(
+            np.asarray(tbl["doc_id"], dtype=np.int64) + self.doc_base,
+            pa.int64(),
+        )
+        return tbl.set_column(tbl.schema.get_field_index("doc_id"), "doc_id", gid)
+
+    # ---- NRT deletes / commit ------------------------------------------
+    def delete(self, shas: list[str]) -> int:
+        """Tombstone docs by uniqueKey. Returns how many NEW docs died."""
+        before = (
+            0
+            if self.reader.deleted_docs is None
+            else int(self.reader.deleted_docs.size)
+        )
+        self._deleted_shas.extend(shas)
+        self._apply_tombstones()
+        after = (
+            0
+            if self.reader.deleted_docs is None
+            else int(self.reader.deleted_docs.size)
+        )
+        return after - before
+
+    def _apply_tombstones(self) -> None:
+        if not self._deleted_shas:
+            self.reader.set_deleted(None)
+            return
+        tbl = self.reader.get(
+            self._deleted_shas, columns=["content_sha256"]
+        )
+        ids = (
+            np.asarray(tbl["doc_id"], dtype=np.int64)
+            if tbl.num_rows
+            else np.empty(0, np.int64)
+        )
+        self.reader.set_deleted(ids)
+
+    def deleted_count(self) -> int:
+        return (
+            0
+            if self.reader.deleted_docs is None
+            else int(self.reader.deleted_docs.size)
+        )
+
+    def refresh(self) -> dict:
+        """Re-open at the current commit point; tombstones re-resolve from
+        their shas (maintenance may have shifted local doc ids, or expunged
+        the docs entirely). Returns fresh shard stats + reload flag."""
+        reloaded = self.reader.refresh()
+        if reloaded:
+            self._apply_tombstones()
+        return {"reloaded": bool(reloaded), **self.shard_stats()}
+
+
+class DistributedSearcher:
+    """Coordinator over a built shard cluster. Query surface mirrors
+    IndexReader's; every result is bit-identical to a monolithic index over
+    the union corpus (scores float32-exact via pushed global stats, doc ids
+    via sha-range doc bases, tie-breaks via (score desc, doc_id asc) merge).
+    """
+
+    def __init__(
+        self,
+        cluster_dir: str,
+        actor_options: dict | None = None,
+        **reader_kwargs,
+    ):
+        import ray
+
+        self.cluster_dir = cluster_dir
+        with open(os.path.join(cluster_dir, CLUSTER_MANIFEST)) as f:
+            self.manifest = json.load(f)
+        self.num_shards = int(self.manifest["num_shards"])
+        Worker = ray.remote(**(actor_options or {"num_cpus": 1}))(ShardWorker)
+        self.id_mode = self.manifest.get("id_mode", "dense")
+        shard_n = [int(x) for x in self.manifest["n_docs"]]
+        self._doc_bases = self._bases(shard_n)
+        self.workers = [
+            Worker.remote(
+                _shard_dir(cluster_dir, s),
+                int(self._doc_bases[s]),
+                **reader_kwargs,
+            )
+            for s in range(self.num_shards)
+        ]
+        self._refresh_globals(shard_n, [int(x) for x in self.manifest["total_len"]])
+        # (query, lang) pairs whose global dfs are already pushed — repeat
+        # queries skip phase 1 and hit warm per-shard result caches
+        self._stats_pushed: set = set()
+
+    def _bases(self, shard_n: list[int]) -> np.ndarray:
+        """Global docID base per shard. Dense shards: cumulative counts —
+        shard order is sha order, so `base + local` EQUALS the monolithic
+        dense docID (tested identity). Strided shards: local ids are
+        already sparse (bucket << capacity_bits, < 2^56 at <= 2^16
+        buckets), so bases are `shard << 58` — monotonic in (shard, local),
+        which is still global sha order, so ranking tie-breaks stay
+        monolith-identical; the ids themselves are cluster-serving ids
+        (Lucene MultiReader docBase discipline), not the monolith's."""
+        if self.id_mode == "strided":
+            return (np.arange(self.num_shards, dtype=np.int64) << 58)
+        return np.concatenate(([0], np.cumsum(shard_n[:-1]))).astype(np.int64)
+
+    def _refresh_globals(self, shard_n: list[int], shard_len: list[int]) -> None:
+        import ray
+
+        self.n_docs = int(sum(shard_n))
+        total_len = int(sum(shard_len))
+        self.avgdl = (total_len / self.n_docs) if self.n_docs else 0.0
+        # base push: global N/avgdl with no df overrides — constant-score
+        # and phrase paths are correct immediately; scoring queries add
+        # their term dfs in phase 1
+        ray.get(
+            [
+                w.set_global_stats.remote(self.n_docs, self.avgdl, {})
+                for w in self.workers
+            ]
+        )
+
+    # ---- two-phase distributed query ------------------------------------
+    def _ensure_stats(self, query: str, lang: str | None) -> None:
+        import ray
+
+        key = (query, lang)
+        if key in self._stats_pushed:
+            return
+        per_shard = ray.get(
+            [w.term_dfs.remote(query, lang) for w in self.workers]
+        )
+        total: dict[str, int] = {}
+        for dfs in per_shard:
+            for t, d in dfs.items():
+                total[t] = total.get(t, 0) + int(d)
+        if total:
+            ray.get(
+                [
+                    w.set_global_stats.remote(self.n_docs, self.avgdl, total)
+                    for w in self.workers
+                ]
+            )
+        self._stats_pushed.add(key)
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "OR",
+        algorithm: str = "wand",
+        lang: str | None = None,
+        filters: dict | None = None,
+        min_should_match: int = 0,
+    ) -> list[tuple[int, float]]:
+        import ray
+
+        self._ensure_stats(query, lang)
+        parts = ray.get(
+            [
+                w.search.remote(
+                    query,
+                    k,
+                    mode=mode,
+                    algorithm=algorithm,
+                    lang=lang,
+                    filters=filters,
+                    min_should_match=min_should_match,
+                )
+                for w in self.workers
+            ]
+        )
+        merged = [hit for p in parts for hit in p]
+        merged.sort(key=lambda ds: (-ds[1], ds[0]))
+        return merged[: max(k, 0)]
+
+    def match_count(self, query: str, **kw) -> int:
+        import ray
+
+        self._ensure_stats(query, kw.get("lang"))
+        return sum(
+            ray.get([w.match_count.remote(query, **kw) for w in self.workers])
+        )
+
+    def facets(
+        self, query: str, fields: list[str], **kw
+    ) -> dict[str, list[tuple[str, int]]]:
+        import ray
+
+        self._ensure_stats(query, kw.get("lang"))
+        parts = ray.get(
+            [w.facets.remote(query, fields, **kw) for w in self.workers]
+        )
+        out: dict[str, list[tuple[str, int]]] = {}
+        for f in fields:
+            acc: dict[str, int] = {}
+            for p in parts:
+                for v, c in p.get(f, []):
+                    acc[v] = acc.get(v, 0) + int(c)
+            out[f] = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        return out
+
+    def facet_pivot(self, query: str, fields: tuple, **kw) -> list:
+        import ray
+
+        self._ensure_stats(query, kw.get("lang"))
+        parts = ray.get(
+            [w.facet_pivot.remote(query, fields, **kw) for w in self.workers]
+        )
+        acc: dict[tuple[str, str], int] = {}
+        for p in parts:
+            for v1, v2, c in p:
+                acc[(v1, v2)] = acc.get((v1, v2), 0) + int(c)
+        return [
+            (v1, v2, c)
+            for (v1, v2), c in sorted(
+                acc.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+        ]
+
+    # ---- dictionary surface ---------------------------------------------
+    def _merged_prefix_rows(self, prefix: str) -> list[tuple[str, int]]:
+        import ray
+
+        parts = ray.get(
+            [w.prefix_term_rows.remote(prefix) for w in self.workers]
+        )
+        acc: dict[str, int] = {}
+        for p in parts:
+            for t, d in p:
+                acc[t] = acc.get(t, 0) + int(d)
+        return sorted(acc.items())
+
+    def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
+        """Distributed terms component: EXACT global top-n — shards return
+        their whole prefix slice, so no refinement pass is needed."""
+        rows = self._merged_prefix_rows(prefix)
+        return sorted(rows, key=lambda r: (-r[1], r[0]))[:n]
+
+    def spellcheck(self, term: str, n: int = 1) -> list[tuple[str, int]]:
+        from .query import _lev1_hits
+
+        rows = self._merged_prefix_rows("")
+        uniq = np.array([t for t, _ in rows], dtype="U")
+        dfs = np.array([d for _, d in rows], dtype=np.int64)
+        hit = _lev1_hits(term, uniq)
+        hit &= uniq != term
+        idx = np.flatnonzero(hit)
+        order = np.lexsort((uniq[idx], -dfs[idx]))[:n]
+        return [(str(uniq[idx[o]]), int(dfs[idx[o]])) for o in order]
+
+    # ---- sha-routed point ops --------------------------------------------
+    def _route(self, shas: list[str]) -> dict[int, list[str]]:
+        by: dict[int, list[str]] = {}
+        for s in shas:
+            by.setdefault(shard_of_sha(s, self.num_shards), []).append(s)
+        return by
+
+    def get(
+        self, shas: list[str], columns: list[str] | None = None
+    ) -> pa.Table:
+        import ray
+
+        futs = [
+            self.workers[w].get.remote(part, columns)
+            for w, part in sorted(self._route(shas).items())
+        ]
+        tbls = [t for t in ray.get(futs) if t.num_rows]
+        if not tbls:
+            return pa.table({})
+        out = pa.concat_tables(tbls)
+        return out.take(
+            pa.array(np.argsort(np.asarray(out["doc_id"], dtype=np.int64)))
+        )
+
+    def doc_fields(
+        self, global_ids: list[int], columns: list[str] | None = None
+    ) -> pa.Table:
+        import ray
+
+        by: dict[int, list[int]] = {}
+        for g in global_ids:
+            s = int(np.searchsorted(self._doc_bases, g, side="right") - 1)
+            by.setdefault(s, []).append(int(g))
+        futs = [
+            self.workers[w].doc_fields.remote(part, columns)
+            for w, part in sorted(by.items())
+        ]
+        tbls = [t for t in ray.get(futs) if t.num_rows]
+        if not tbls:
+            return pa.table({})
+        out = pa.concat_tables(tbls)
+        return out.take(
+            pa.array(np.argsort(np.asarray(out["doc_id"], dtype=np.int64)))
+        )
+
+    def delete(self, shas: list[str]) -> int:
+        """NRT delete-by-uniqueKey: routed to owning shards, effective on
+        the next query (no commit wait). Returns docs newly tombstoned."""
+        import ray
+
+        futs = [
+            self.workers[w].delete.remote(part)
+            for w, part in sorted(self._route(shas).items())
+        ]
+        return int(sum(ray.get(futs)))
+
+    def refresh(self) -> bool:
+        """Re-open every shard at its current commit point and recompute
+        global stats. Returns True if any shard reloaded (stats pushes are
+        re-memoized from scratch either way — cheap, and always safe)."""
+        import ray
+
+        with open(os.path.join(self.cluster_dir, CLUSTER_MANIFEST)) as f:
+            self.manifest = json.load(f)
+        self.id_mode = self.manifest.get("id_mode", "dense")
+        stats = ray.get([w.refresh.remote() for w in self.workers])
+        shard_n = [s["n_docs"] for s in stats]
+        self._doc_bases = self._bases(shard_n)
+        changed = any(s["reloaded"] for s in stats)
+        ray.get(
+            [
+                w.set_doc_base.remote(int(b))
+                for w, b in zip(self.workers, self._doc_bases)
+            ]
+        )
+        self._refresh_globals(shard_n, [s["total_len"] for s in stats])
+        self._stats_pushed = set()
+        return changed
+
+    def shutdown(self) -> None:
+        """Release the shard actors (and their reserved CPUs) immediately
+        instead of waiting for handle GC — call when done serving."""
+        import ray
+
+        for w in self.workers:
+            ray.kill(w)
+        self.workers = []

@@ -5469,3 +5469,136 @@ def cooccur_triangles(sf_dir: str, fast_path_max_edges: int = 2_000_000):
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed (sharded) engine-path queries — the SolrCloud analog
+# (nexlt_ray/cluster.py). These run the REAL engine, doc-partitioned over
+# CLUSTER_SHARDS shards with two-phase exact global stats, against the sf
+# `documents` table mapped to the corpus schema — and are DuckDB-oracled,
+# so the driver checks the distributed path end to end (the monolith-vs-
+# cluster bit-identity contract is additionally pytest-verified in
+# tests/test_cluster.py).
+# ---------------------------------------------------------------------------
+CLUSTER_SHARDS = 4
+
+
+def _docs_cluster(sf_dir: str) -> str:
+    """Build (once, /tmp-cached per corpus size) a CLUSTER_SHARDS-shard
+    index cluster over `documents` in corpus schema (content=text,
+    repo=source, path=str(doc_id), commit=''); profile 'simple' matches the
+    oracle SQL tokenizer. Staging streams through Ray Data (no driver
+    materialization); the shard build is cluster.build_sharded_index
+    (routing spill + per-shard build_index, all resumable)."""
+    import shutil
+
+    import ray.data
+
+    from .build import BuildConfig
+    from .cluster import build_sharded_index
+
+    n = n_docs_for_sf(sf_dir)
+    root = f"/tmp/nexlt_cluster/n{n}"
+    staged = os.path.join(root, "corpus")
+    if not os.path.isdir(staged):
+        os.makedirs(root, exist_ok=True)
+        tmp = staged + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        def to_corpus(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "repo": b["source"],
+                    "path": pc.cast(b["doc_id"], pa.string()),
+                    "commit": pa.array([""] * len(b), pa.string()),
+                    "lang": b["lang"],
+                    "content": b["text"],
+                }
+            )
+
+        _documents(sf_dir, ["doc_id", "text", "lang", "source"]).map_batches(
+            to_corpus, batch_format="pyarrow"
+        ).write_parquet(tmp)
+        os.rename(tmp, staged)
+    cdir = os.path.join(root, "cluster")
+    build_sharded_index(
+        staged,
+        cdir,
+        CLUSTER_SHARDS,
+        BuildConfig(profile="simple", num_doc_buckets=16, num_term_buckets=8),
+    )
+    return cdir
+
+
+def cluster_match_counts(sf_dir: str) -> pa.Table:
+    """Distributed numFound per DOC_QUERIES query (OR semantics): every
+    count is a fan-out to CLUSTER_SHARDS ShardWorkers summed by the
+    coordinator. The index dedups by content sha, so the oracle counts
+    DISTINCT text."""
+    from .cluster import DistributedSearcher
+
+    s = DistributedSearcher(_docs_cluster(sf_dir))
+    try:
+        counts = [int(s.match_count(q)) for q in DOC_QUERIES]
+    finally:
+        s.shutdown()
+    return pa.table(
+        {
+            "qid": pa.array(range(len(DOC_QUERIES)), pa.int64()),
+            "num_found": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def cluster_suggest_terms(sf_dir: str) -> pa.Table:
+    """Distributed terms-component suggest: per DOC_PREFIXES prefix, the
+    EXACT global top-10 (term, summed df) — shards contribute their whole
+    prefix slice, the coordinator merges (no Solr refinement
+    approximation). df counts deduped docs (distinct texts)."""
+    from .cluster import DistributedSearcher
+
+    s = DistributedSearcher(_docs_cluster(sf_dir))
+    pid, term, df = [], [], []
+    try:
+        for i, p in enumerate(DOC_PREFIXES):
+            for t, d in s.suggest(p, n=10):
+                pid.append(i)
+                term.append(t)
+                df.append(int(d))
+    finally:
+        s.shutdown()
+    return pa.table(
+        {
+            "pid": pa.array(pid, pa.int64()),
+            "term": pa.array(term, pa.string()),
+            "df": pa.array(df, pa.int64()),
+        }
+    )
+
+
+def cluster_facet_lang_counts(sf_dir: str) -> pa.Table:
+    """Distributed facet merge: per DOC_QUERIES query, (lang, count) over
+    all matching docs — per-shard facet dicts summed by the coordinator
+    (exact: shards return full value lists). The surviving lang of a
+    deduped doc is the lexicographically-first (repo, path, commit) row's
+    (BucketWriter discipline), which the oracle reproduces with a window
+    rank over (source, CAST(doc_id AS VARCHAR))."""
+    from .cluster import DistributedSearcher
+
+    s = DistributedSearcher(_docs_cluster(sf_dir))
+    qid, lang, cnt = [], [], []
+    try:
+        for i, q in enumerate(DOC_QUERIES):
+            for v, c in s.facets(q, ["lang"])["lang"]:
+                qid.append(i)
+                lang.append(v)
+                cnt.append(int(c))
+    finally:
+        s.shutdown()
+    return pa.table(
+        {
+            "qid": pa.array(qid, pa.int64()),
+            "lang": pa.array(lang, pa.string()),
+            "cnt": pa.array(cnt, pa.int64()),
+        }
+    )

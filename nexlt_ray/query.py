@@ -716,6 +716,7 @@ class IndexReader:
         # (phrases keep exact positional semantics).
         self.synonyms = {k: list(v) for k, v in (synonyms or {}).items()}
         self.n_docs = self.manifest["n_docs"]
+        self.n_docs_local = self.manifest["n_docs"]  # pre-override (cluster)
         self.avgdl = float(self.manifest["avgdl"])
         self.params = bm25.BM25Params()
         self._k_table = bm25.norm_k_table(self.avgdl, self.params)
@@ -770,6 +771,14 @@ class IndexReader:
         # row-group stats via the range filter); cache the result
         self._prefix_cache: OrderedDict[str, list] = OrderedDict()
         self._prefix_cache_cap = 64
+        # distributed-search seams (cluster.ShardWorker): per-term global-df
+        # override (Solr ExactStatsCache analog — idf computed from
+        # cluster-wide stats so per-shard scores equal the monolithic
+        # index's) and a tombstone doc set (NRT deletes: masked from every
+        # match/filter path, but — like Lucene — still counted in df/N
+        # until a merge expunges them)
+        self._df_override: dict[str, int] = {}
+        self.deleted_docs: np.ndarray | None = None
 
     def refresh(self) -> bool:
         """Re-open at the current commit point (Solr commit/openSearcher
@@ -791,10 +800,59 @@ class IndexReader:
     # ------------------------------------------------------------------
     # postings access
     # ------------------------------------------------------------------
+    def _apply_df_override(self, term: str, tp: TermPostings | None):
+        """Swap in the cluster-global df for scoring (set_global_stats).
+        The shard-local df survives as ``df_local`` (term_dfs reports it);
+        structural uses of df are per-row (``r["df"]`` in __post_init__),
+        so mutating the merged top-level df only changes idf — exactly the
+        ExactStatsCache contract. Memoized upper bounds reset."""
+        g = self._df_override.get(term)
+        if g is not None and tp is not None and tp.df != g:
+            if not hasattr(tp, "df_local"):
+                tp.df_local = tp.df
+            tp.df = g
+            tp._ubs = None
+        return tp
+
+    def set_global_stats(
+        self, n_docs: int, avgdl: float, df_by_term: dict[str, int]
+    ) -> None:
+        """Serve with CLUSTER-global BM25 statistics (distributed search,
+        cluster.DistributedSearcher): overrides N, avgdl and — per term in
+        `df_by_term` — df, so this shard's float32 scores are identical to
+        a single monolithic index over the union corpus. Score-dependent
+        caches drop; postings/filter caches stay (contents unaffected)."""
+        self.n_docs = int(n_docs)
+        self.avgdl = float(avgdl)
+        self._k_table = bm25.norm_k_table(self.avgdl, self.params)
+        self._df_override.update(df_by_term)
+        self._result_cache.clear()
+        for term, tp in self._term_cache.items():
+            if tp is None:  # negative cache entry (term absent locally)
+                continue
+            # block-max upper bounds depend on (df, N, avgdl) and memoize
+            # without keying on them — drop ALL of them, not just the
+            # overridden terms' (a term whose global df equals its local df
+            # still needs new-N/avgdl bounds, else WAND may skip blocks)
+            tp._ubs = None
+            self._apply_df_override(term, tp)
+
+    def set_deleted(self, doc_ids: np.ndarray | None) -> None:
+        """Install the tombstone doc set (sorted int64; None clears).
+        Deleted docs stop matching every query/filter/facet path but keep
+        contributing to df/N until a merge rewrites the segments — the
+        Lucene liveDocs discipline."""
+        if doc_ids is None or len(doc_ids) == 0:
+            self.deleted_docs = None
+        else:
+            arr = np.unique(np.asarray(doc_ids, dtype=np.int64))
+            self.deleted_docs = arr
+        self._result_cache.clear()
+
     def postings(self, term: str) -> TermPostings | None:
         if term in self._term_cache:
             self._term_cache.move_to_end(term)
-            return self._term_cache[term]
+            return self._apply_df_override(term, self._term_cache[term])
         bucket = term_bucket_of(term, self.cfg["num_term_buckets"])
         paths = self._seg_files.get(bucket)
         tp: TermPostings | None = None
@@ -829,7 +887,7 @@ class IndexReader:
         self._term_cache[term] = tp
         if len(self._term_cache) > self._cache_cap:
             self._term_cache.popitem(last=False)
-        return tp
+        return self._apply_df_override(term, tp)
 
     # ------------------------------------------------------------------
     # prefix expansion (Lucene PrefixQuery / Solr terms component)
@@ -1292,7 +1350,15 @@ class IndexReader:
         reference UI's target-text fq, solrTestLib_v2.js:50-53); their doc
         set is materialized once and cached (exactly Solr's fq bitset),
         intersected with the meta filters when both are present. fq never
-        re-weights: BM25 statistics stay corpus-global."""
+        re-weights: BM25 statistics stay corpus-global. NRT tombstones
+        (set_deleted) compose here as a final AND-NOT, so every caller —
+        search, match_count, facets, sorts — masks deleted docs."""
+        base = self._filter_docs_inner(filters, lang)
+        if self.deleted_docs is not None:
+            return NotFilterSet(self, base, self.deleted_docs)
+        return base
+
+    def _filter_docs_inner(self, filters: dict | None, lang: str | None = None):
         if not filters:
             return None
         meta = {f: v for f, v in filters.items() if f != "content"}
@@ -1685,6 +1751,53 @@ class IndexReader:
             out.append((d, s))
         return out[:k]
 
+    def query_scoring_terms(self, query: str, lang: str | None = None) -> list[str]:
+        """The concrete analyzed terms whose df enters this query's BM25
+        scores — the distributed-search phase-1 contract (each shard
+        reports local df per scoring term; the coordinator sums them into
+        the global df map). Mirrors _search_impl's routing exactly:
+        constant-score kinds (*:*, prefix/wildcard/fuzzy) score no terms;
+        prohibited clauses never score; boolean bodies contribute each
+        clause's analyzed terms; synonym expansion matches search()'s."""
+        from .tokenize import tokenize_query
+
+        kind, body = self.parse(query)
+        if kind in ("all", "prefix", "wildcard", "fuzzy"):
+            return []
+        if kind == "terms":
+            body, _neg = self._split_prohibited(body)
+            if not body.strip():
+                return []
+            clauses = self._parse_boolean_clauses(body)
+            if clauses is not None:
+                return [t for t, _, _ in self._boolean_tokens(clauses, lang)]
+        if kind == "phrase":
+            body, _slop = _split_phrase_slop(body)
+        terms = tokenize_query(
+            body, profile=self._query_profile(lang), protected=self.protected
+        )
+        if kind != "phrase" and self.synonyms:
+            expanded: list[str] = []
+            for t in terms:
+                expanded.append(t)
+                expanded.extend(self.synonyms.get(t, []))
+            terms = expanded
+        return terms
+
+    def term_dfs(self, query: str, lang: str | None = None) -> dict[str, int]:
+        """Shard-LOCAL df per scoring term of `query` (distributed-search
+        phase 1). Reads through the postings cache — the postings phase 2
+        scores with are already warm afterwards. df_local survives any
+        earlier global-df override."""
+        out: dict[str, int] = {}
+        for t in self.query_scoring_terms(query, lang):
+            if t in out:
+                continue
+            tp = self.postings(t)
+            if tp is not None:
+                out[t] = int(getattr(tp, "df_local", tp.df))
+        return out
+
     def _search_impl(
         self,
         query: str,
@@ -1773,7 +1886,10 @@ class IndexReader:
         """numFound analog (reference G3, corpus.cgi:409)."""
         if self.parse(query)[0] == "all":
             if not filters:
-                return int(self.n_docs)  # no doc-array materialization
+                # no doc-array materialization; tombstones subtract (each
+                # deleted id names an existing doc by construction)
+                dead = 0 if self.deleted_docs is None else self.deleted_docs.size
+                return int(self.n_docs) - dead
             # filtered match-all: count bucket-by-bucket (O(bucket) peak)
             return self._filter_docs(filters, lang).count()
         return int(
