@@ -333,6 +333,72 @@ class ShardWorker:
     def prefix_term_rows(self, prefix: str) -> list:
         return self.reader._prefix_term_rows(prefix)
 
+    def sorted_candidates(
+        self,
+        query: str,
+        sort_fields: list[str],
+        asc: list[bool],
+        need: int,
+        mode: str = "OR",
+        lang: str | None = None,
+        filters: dict | None = None,
+        cursor: tuple | None = None,
+    ):
+        """Field-sort phase 1: this shard's top-`need` (global ids, key
+        columns, local numFound). id_offset makes the cursor's doc-id
+        tie-break compare in the global id space."""
+        return self.reader.sorted_candidates(
+            query, sort_fields, asc, need, mode, lang, filters, cursor,
+            id_offset=self.doc_base,
+        )
+
+    def highlight_docs(
+        self,
+        query: str,
+        global_ids: list[int],
+        context: int = 2,
+        lang: str | None = None,
+    ) -> pa.Table:
+        tbl = self.reader.highlight_for_docs(
+            query,
+            [int(g) - self.doc_base for g in global_ids],
+            context=context,
+            lang=lang,
+        )
+        return self._globalize(tbl)
+
+    def mlt_source_terms(
+        self, global_id: int, lang: str | None = None, min_tf: int = 2
+    ) -> list:
+        return self.reader.mlt_source_terms(
+            int(global_id) - self.doc_base, lang=lang, min_tf=min_tf
+        )
+
+    def raw_term_dfs(self, terms: list[str]) -> dict:
+        """Local df for the GIVEN terms (MLT phase 1 — term selection
+        needs cluster-global df before any query string exists)."""
+        out: dict[str, int] = {}
+        for t in terms:
+            tp = self.reader.postings(t)
+            if tp is not None:
+                out[t] = int(getattr(tp, "df_local", tp.df))
+        return out
+
+    def search_analyzed(
+        self,
+        qterms: list[str],
+        k: int,
+        exclude_local: tuple = (),
+        lang: str | None = None,
+        filters: dict | None = None,
+    ) -> list:
+        return [
+            (self.doc_base + d, s)
+            for d, s in self.reader.search_analyzed_terms(
+                qterms, k, exclude=exclude_local, lang=lang, filters=filters
+            )
+        ]
+
     def get(self, shas: list[str], columns: list[str] | None = None):
         tbl = self.reader.get(shas, columns)
         return self._globalize(tbl)
@@ -564,6 +630,185 @@ class DistributedSearcher:
                 acc.items(), key=lambda kv: (-kv[1], kv[0])
             )
         ]
+
+    def search_sorted(
+        self,
+        query: str,
+        sort_by: str | list[str],
+        ascending: bool | list[bool] = True,
+        start: int = 0,
+        rows: int = 10,
+        mode: str = "OR",
+        lang: str | None = None,
+        filters: dict | None = None,
+        cursor: tuple | None = None,
+    ) -> pa.Table:
+        """Distributed field sort with (start, rows) paging and cursorMark
+        deep paging — IndexReader.search_sorted's contract, fanned out:
+        each shard returns its top-(start+rows) candidates WITH sort keys
+        (bounded: O(shards × page) rows reach the coordinator, never match
+        sets), the merge re-sorts by the same subset-invariant lex order,
+        and only the final page's stored fields are fetched. Matching is
+        df-independent, so no stats push is needed."""
+        import ray
+
+        from .query import _lex_order
+
+        sort_fields = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        asc = (
+            [ascending] * len(sort_fields)
+            if isinstance(ascending, bool)
+            else list(ascending)
+        )
+        if len(asc) != len(sort_fields):
+            raise ValueError("ascending must match sort_by length")
+        if cursor is not None and start:
+            raise ValueError("cursor and start are mutually exclusive")
+        parts = ray.get(
+            [
+                w.sorted_candidates.remote(
+                    query, sort_fields, asc, start + rows, mode, lang,
+                    filters, cursor,
+                )
+                for w in self.workers
+            ]
+        )
+        num_found = sum(nf for _, _, nf in parts)
+        if num_found == 0:
+            return pa.table({}).replace_schema_metadata({b"num_found": b"0"})
+        docs = np.concatenate([d for d, _, _ in parts])
+        keys = [
+            np.concatenate([p[1][i].astype("U") for p in parts])
+            for i in range(len(sort_fields))
+        ]
+        order = _lex_order(docs, keys, asc)
+        sel = order[start : start + rows]
+        page = docs[sel]
+        meta = {b"num_found": str(num_found).encode()}
+        if sel.size:
+            import json as _json
+
+            nc = [str(ks[sel[-1]]) for ks in keys] + [int(docs[sel[-1]])]
+            meta[b"next_cursor"] = _json.dumps(nc).encode()
+        fields = self.doc_fields([int(d) for d in page])
+        if fields.num_rows == 0:
+            return fields.replace_schema_metadata(meta)
+        pos = {int(d): i for i, d in enumerate(fields["doc_id"].to_pylist())}
+        out = fields.take(pa.array([pos[int(d)] for d in page]))
+        return out.replace_schema_metadata(meta)
+
+    def highlight(
+        self,
+        query: str,
+        k: int = 10,
+        context: int = 2,
+        lang: str | None = None,
+        filters: dict | None = None,
+    ) -> pa.Table:
+        """Distributed highlighting: the exact global top-k first (two-phase
+        scoring), then each shard snippets ONLY its own hits from its own
+        positional postings + stored fields — snippet work and doc content
+        never cross shards."""
+        import ray
+
+        top = self.search(query, k=k, lang=lang, filters=filters)
+        by: dict[int, list[int]] = {}
+        for g, _ in top:
+            s = int(np.searchsorted(self._doc_bases, g, side="right") - 1)
+            by.setdefault(s, []).append(int(g))
+        futs = [
+            self.workers[s].highlight_docs.remote(query, part, context, lang)
+            for s, part in sorted(by.items())
+        ]
+        tbls = [t for t in ray.get(futs) if t.num_rows]
+        if not tbls:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "first_pos": pa.array([], pa.int64()),
+                    "snippet": pa.array([], pa.string()),
+                }
+            )
+        out = pa.concat_tables(tbls)
+        order = np.lexsort(
+            (
+                np.asarray(out["term"].to_pylist(), dtype="U"),
+                np.asarray(out["doc_id"], dtype=np.int64),
+            )
+        )
+        return out.take(pa.array(order))
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_tf: int = 2,
+        min_df: int = 2,
+        lang: str | None = None,
+        filters: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        """Distributed MoreLikeThis, monolith-exact: phase 0 pulls the
+        source doc's candidate (term, tf) pairs from its OWNING shard;
+        phase 1 sums each candidate's df across shards so tf·idf term
+        selection uses CLUSTER-global statistics; phase 2 pushes those
+        global dfs and fans out the analyzed-term query (source doc
+        excluded on its owner only)."""
+        import ray
+
+        from . import bm25
+
+        owner = int(
+            np.searchsorted(self._doc_bases, int(doc_id), side="right") - 1
+        )
+        pairs = ray.get(
+            self.workers[owner].mlt_source_terms.remote(
+                int(doc_id), lang, min_tf
+            )
+        )
+        if not pairs:
+            return []
+        terms = [t for t, _ in pairs]
+        df_parts = ray.get(
+            [w.raw_term_dfs.remote(terms) for w in self.workers]
+        )
+        df_global: dict[str, int] = {}
+        for p in df_parts:
+            for t, d in p.items():
+                df_global[t] = df_global.get(t, 0) + int(d)
+        cands = [
+            (float(tf) * bm25.idf(df_global[t], self.n_docs), t)
+            for t, tf in pairs
+            if df_global.get(t, 0) >= min_df
+        ]
+        cands.sort(key=lambda x: (-x[0], x[1]))
+        qterms = [t for _, t in cands[:max_query_terms]]
+        if not qterms or k <= 0:
+            return []
+        ray.get(
+            [
+                w.set_global_stats.remote(
+                    self.n_docs, self.avgdl,
+                    {t: df_global[t] for t in qterms},
+                )
+                for w in self.workers
+            ]
+        )
+        base = int(self._doc_bases[owner])
+        futs = [
+            w.search_analyzed.remote(
+                qterms,
+                k,
+                (int(doc_id) - base,) if s == owner else (),
+                lang,
+                filters,
+            )
+            for s, w in enumerate(self.workers)
+        ]
+        merged = [hit for p in ray.get(futs) for hit in p]
+        merged.sort(key=lambda ds: (-ds[1], ds[0]))
+        return merged[: max(k, 0)]
 
     # ---- dictionary surface ---------------------------------------------
     def _merged_prefix_rows(self, prefix: str) -> list[tuple[str, int]]:

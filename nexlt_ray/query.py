@@ -410,6 +410,20 @@ def _lev1_hits(base: str, uniq: np.ndarray, lens: np.ndarray | None = None) -> n
     return out
 
 
+def _lex_order(
+    docs_a: np.ndarray, keys_a: list[np.ndarray], asc: list[bool]
+) -> np.ndarray:
+    """Sort permutation by (key_1, ..., key_n, doc_id). np.lexsort: LAST
+    key is primary -> (doc_id, key_n, ..., key_1); descending via negated
+    dense rank — ranks over any subset give the same comparative order as
+    over the full set, so per-bucket / per-shard partial top-k then a
+    merged re-sort is exact."""
+    lex: list[np.ndarray] = [docs_a]
+    for kb, a in zip(reversed(keys_a), reversed(asc)):
+        lex.append(kb if a else -np.unique(kb, return_inverse=True)[1])
+    return np.lexsort(tuple(lex))
+
+
 def _parse_range(v) -> tuple[str, str] | None:
     """Solr range-literal fq value `[lo TO hi]` -> (lo, hi); None if the
     value is a plain term. `*` is an open end."""
@@ -1146,6 +1160,20 @@ class IndexReader:
         Returns (doc_id, term, first_pos, snippet), doc-ascending then
         term-ascending."""
         top = self.search(query, k=k, lang=lang, filters=filters)
+        return self.highlight_for_docs(
+            query, [d for d, _ in top], context=context, lang=lang
+        )
+
+    def highlight_for_docs(
+        self,
+        query: str,
+        doc_ids: list[int],
+        context: int = 2,
+        lang: str | None = None,
+    ) -> pa.Table:
+        """highlight()'s snippet kernel over a GIVEN doc set — the
+        distributed-search seam (cluster.DistributedSearcher runs the exact
+        global top-k first, then each shard snippets only its own hits)."""
         empty = pa.table(
             {
                 "doc_id": pa.array([], pa.int64()),
@@ -1154,9 +1182,9 @@ class IndexReader:
                 "snippet": pa.array([], pa.string()),
             }
         )
-        if not top:
+        if not doc_ids:
             return empty
-        top_docs = np.array(sorted(d for d, _ in top), dtype=np.int64)
+        top_docs = np.array(sorted(doc_ids), dtype=np.int64)
         qterms = sorted({t for t, _ in self.analyze(query, lang=lang,
                                                     query_time=True)})
         firsts: dict[tuple[int, str], int] = {}
@@ -1225,6 +1253,26 @@ class IndexReader:
         selection and scoring agree), then run them as an OR query with the
         usual BM25/WAND machinery, excluding the source doc. Deterministic:
         term ties break ascending. Composes with fq like any search."""
+        pairs = self.mlt_source_terms(int(doc_id), lang=lang, min_tf=min_tf)
+        cands: list[tuple[float, str]] = []
+        for term, tf in pairs:
+            tp = self.postings(term)
+            if tp is None or tp.df < min_df:
+                continue
+            cands.append((float(tf) * bm25.idf(tp.df, self.n_docs), term))
+        cands.sort(key=lambda x: (-x[0], x[1]))
+        qterms = [term for _, term in cands[:max_query_terms]]
+        return self.search_analyzed_terms(
+            qterms, k, exclude=(int(doc_id),), lang=lang, filters=filters
+        )
+
+    def mlt_source_terms(
+        self, doc_id: int, lang: str | None = None, min_tf: int = 2
+    ) -> list[tuple[str, int]]:
+        """MLT phase 0: the source doc's unique analyzed terms with
+        tf >= min_tf, term-ascending — the distributed-search seam (the
+        coordinator fetches these from the OWNING shard, then ranks them by
+        CLUSTER-global idf before the fan-out query)."""
         t = self.doc_fields([int(doc_id)], columns=["content", "lang"])
         if t.num_rows == 0:
             return []
@@ -1240,23 +1288,29 @@ class IndexReader:
         if tb.terms.size == 0:
             return []
         terms_u, tfs = np.unique(tb.terms.astype("U"), return_counts=True)
-        cands: list[tuple[float, str]] = []
-        for term, tf in zip(terms_u, tfs):
-            if tf < min_tf:
-                continue
-            tp = self.postings(str(term))
-            if tp is None or tp.df < min_df:
-                continue
-            cands.append(
-                (float(tf) * bm25.idf(tp.df, self.n_docs), str(term))
-            )
-        cands.sort(key=lambda x: (-x[0], x[1]))
-        qterms = [term for _, term in cands[:max_query_terms]]
+        return [
+            (str(term), int(tf))
+            for term, tf in zip(terms_u, tfs)
+            if tf >= min_tf
+        ]
+
+    def search_analyzed_terms(
+        self,
+        qterms: list[str],
+        k: int,
+        exclude: tuple = (),
+        lang: str | None = None,
+        filters: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        """Top-k OR query over ALREADY-ANALYZED terms (no re-tokenization —
+        MLT and the distributed MLT fan-out must score the selected terms
+        verbatim), minus `exclude` doc ids."""
         if not qterms or k <= 0:
             return []
         fset = self._filter_docs(filters, lang)
-        res = self._search_wand(qterms, k + 1, fset)
-        return [(d, s) for d, s in res if d != int(doc_id)][:k]
+        res = self._search_wand(qterms, k + len(exclude), fset)
+        drop = {int(d) for d in exclude}
+        return [(d, s) for d, s in res if d not in drop][:k]
 
     # ------------------------------------------------------------------
     # scoring helpers
@@ -2084,6 +2138,66 @@ class IndexReader:
     # solrTestLib_v2.js:83-96; O3 start/rows windows, PagerWidget.js +
     # queryResultWindowSize, solrconfig.xml:637-643)
     # ------------------------------------------------------------------
+    def sorted_candidates(
+        self,
+        query: str,
+        sort_fields: list[str],
+        asc: list[bool],
+        need: int,
+        mode: str = "OR",
+        lang: str | None = None,
+        filters: dict | None = None,
+        cursor: tuple | None = None,
+        id_offset: int = 0,
+    ) -> tuple[np.ndarray, list[np.ndarray], int]:
+        """The field-sort kernel: top-`need` matching docs in
+        (sort keys, doc_id) order plus their key columns and the total match
+        count. Streams one doc bucket at a time — each bucket contributes
+        only its partial top-`need` (exact: a doc outside its bucket's
+        top-`need` can't be in the global top-`need`), so a match-all browse
+        never allocates an O(n_docs) array. `id_offset` shifts returned doc
+        ids into a global id space (distributed search: the cursor doc-id
+        tie-break and the keyset predicate must compare GLOBAL ids, so the
+        shift happens before the cursor filter — cluster.ShardWorker)."""
+        num_found = 0
+        cand_docs: list[np.ndarray] = []
+        cand_keys: list[list[np.ndarray]] = [[] for _ in sort_fields]
+        for b, docs_b in self._match_buckets(query, mode, lang, filters):
+            num_found += int(docs_b.size)
+            local = docs_b - self._doc_offsets[b]
+            keys_b = [
+                self._meta_shard(f, b)[local].astype("U") for f in sort_fields
+            ]
+            docs_b = docs_b + id_offset
+            if cursor is not None:
+                # keyset predicate: (keys, doc_id) strictly after the cursor
+                # in the (per-key-direction) total order — vectorized
+                # lexicographic compare, applied BEFORE the partial top-k
+                after = np.zeros(docs_b.size, dtype=bool)
+                eq = np.ones(docs_b.size, dtype=bool)
+                for kb, a, cv in zip(keys_b, asc, cursor[:-1]):
+                    gt = (kb > str(cv)) if a else (kb < str(cv))
+                    after |= eq & gt
+                    eq &= kb == str(cv)
+                after |= eq & (docs_b > int(cursor[-1]))
+                docs_b = docs_b[after]
+                keys_b = [kb[after] for kb in keys_b]
+            if docs_b.size > need:
+                order_b = _lex_order(docs_b, keys_b, asc)[:need]
+                docs_b = docs_b[order_b]
+                keys_b = [kb[order_b] for kb in keys_b]
+            cand_docs.append(docs_b)
+            for i, kb in enumerate(keys_b):
+                cand_keys[i].append(kb)
+        if num_found == 0:
+            return np.empty(0, np.int64), [
+                np.empty(0, "U1") for _ in sort_fields
+            ], 0
+        docs = np.concatenate(cand_docs)
+        keys = [np.concatenate(ks) for ks in cand_keys]
+        order = _lex_order(docs, keys, asc)[: max(need, 0)]
+        return docs[order], [k[order] for k in keys], num_found
+
     def search_sorted(
         self,
         query: str,
@@ -2131,58 +2245,18 @@ class IndexReader:
                 raise ValueError("cursor and start are mutually exclusive")
             if len(cursor) != len(sort_fields) + 1:
                 raise ValueError("cursor must hold one value per sort key + doc_id")
-
-        def lex_order(docs_a: np.ndarray, keys_a: list[np.ndarray]) -> np.ndarray:
-            # np.lexsort: LAST key is primary -> (doc_id, key_n, ..., key_1);
-            # descending via negated dense rank — ranks over any subset give
-            # the same comparative order as over the full set
-            lex: list[np.ndarray] = [docs_a]
-            for kb, a in zip(reversed(keys_a), reversed(asc)):
-                lex.append(kb if a else -np.unique(kb, return_inverse=True)[1])
-            return np.lexsort(tuple(lex))
-
-        need = start + rows
-        num_found = 0
-        cand_docs: list[np.ndarray] = []
-        cand_keys: list[list[np.ndarray]] = [[] for _ in sort_fields]
-        for b, docs_b in self._match_buckets(query, mode, lang, filters):
-            num_found += int(docs_b.size)
-            local = docs_b - self._doc_offsets[b]
-            keys_b = [
-                self._meta_shard(f, b)[local].astype("U") for f in sort_fields
-            ]
-            if cursor is not None:
-                # keyset predicate: (keys, doc_id) strictly after the cursor
-                # in the (per-key-direction) total order — vectorized
-                # lexicographic compare, applied BEFORE the partial top-k
-                after = np.zeros(docs_b.size, dtype=bool)
-                eq = np.ones(docs_b.size, dtype=bool)
-                for kb, a, cv in zip(keys_b, asc, cursor[:-1]):
-                    gt = (kb > str(cv)) if a else (kb < str(cv))
-                    after |= eq & gt
-                    eq &= kb == str(cv)
-                after |= eq & (docs_b > int(cursor[-1]))
-                docs_b = docs_b[after]
-                keys_b = [kb[after] for kb in keys_b]
-            if docs_b.size > need:
-                order_b = lex_order(docs_b, keys_b)[:need]
-                docs_b = docs_b[order_b]
-                keys_b = [kb[order_b] for kb in keys_b]
-            cand_docs.append(docs_b)
-            for i, kb in enumerate(keys_b):
-                cand_keys[i].append(kb)
+        docs, keys, num_found = self.sorted_candidates(
+            query, sort_fields, asc, start + rows, mode, lang, filters, cursor
+        )
         if num_found == 0:
             return pa.table({}).replace_schema_metadata({b"num_found": b"0"})
-        docs = np.concatenate(cand_docs)
-        keys = [np.concatenate(ks) for ks in cand_keys]
-        order = lex_order(docs, keys)
-        sel = order[start : start + rows]
-        page = docs[sel]
+        page = docs[start : start + rows]
         meta = {b"num_found": str(num_found).encode()}
-        if sel.size:
+        if page.size:
             import json
 
-            nc = [str(ks[sel[-1]]) for ks in keys] + [int(docs[sel[-1]])]
+            last = start + page.size - 1
+            nc = [str(ks[last]) for ks in keys] + [int(docs[last])]
             meta[b"next_cursor"] = json.dumps(nc).encode()
         fields = self.doc_fields([int(d) for d in page])
         if fields.num_rows == 0:

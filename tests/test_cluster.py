@@ -145,6 +145,67 @@ def test_dictionary_identity(searcher, mono_reader):
     )
 
 
+def _no_meta(t):
+    return t.replace_schema_metadata(None)
+
+
+def test_search_sorted_identity(searcher, mono_reader):
+    """Distributed field sort + paging: pages, numFound and cursors all
+    match the monolith (dense shards serve the monolith's exact doc ids,
+    so stored-field pages are table-equal)."""
+    cases = [
+        ("value", "lang", True),
+        ("*:*", ["lang", "repo"], [True, False]),
+        ("table scan", "repo", False),
+    ]
+    for q, sort_by, asc in cases:
+        for start in (0, 5):
+            a = mono_reader.search_sorted(q, sort_by, asc, start=start, rows=7)
+            b = searcher.search_sorted(q, sort_by, asc, start=start, rows=7)
+            assert (
+                a.schema.metadata[b"num_found"]
+                == b.schema.metadata[b"num_found"]
+            )
+            assert a.schema.metadata.get(b"next_cursor") == b.schema.metadata.get(
+                b"next_cursor"
+            )
+            assert _no_meta(a).equals(_no_meta(b)), (q, sort_by, start)
+
+
+def test_cursor_paging_identity(searcher, mono_reader):
+    """cursorMark deep paging walks identically page by page."""
+    import json
+
+    cur_a = cur_b = None
+    for _ in range(4):
+        a = mono_reader.search_sorted(
+            "*:*", "lang", True, rows=5, cursor=cur_a
+        )
+        b = searcher.search_sorted("*:*", "lang", True, rows=5, cursor=cur_b)
+        assert _no_meta(a).equals(_no_meta(b))
+        nc_a = a.schema.metadata.get(b"next_cursor")
+        nc_b = b.schema.metadata.get(b"next_cursor")
+        assert nc_a == nc_b
+        if nc_a is None:
+            break
+        cur_a = cur_b = tuple(json.loads(nc_a))
+
+
+def test_highlight_identity(searcher, mono_reader):
+    for q in ["value table", "spark the"]:
+        a = mono_reader.highlight(q, k=8)
+        b = searcher.highlight(q, k=8)
+        assert _no_meta(a).equals(_no_meta(b)), q
+
+
+def test_more_like_this_identity(searcher, mono_reader):
+    seeds = [d for d, _ in mono_reader.search("value table", k=3)]
+    for d in seeds:
+        assert searcher.more_like_this(d, k=8) == mono_reader.more_like_this(
+            d, k=8
+        )
+
+
 def test_nrt_delete_identity(ray_session, cluster_dir, built_index):
     """Tombstoned docs vanish from every distributed path, and the cluster
     stays identical to a monolith carrying the same tombstones."""
