@@ -473,36 +473,142 @@ class DistributedSearcher:
     IndexReader's; every result is bit-identical to a monolithic index over
     the union corpus (scores float32-exact via pushed global stats, doc ids
     via sha-range doc bases, tie-breaks via (score desc, doc_id asc) merge).
-    """
+
+    Replication/HA (the SolrCloud replica analog): `replication_factor=R`
+    spawns R ShardWorkers per shard. Fan-out reads rotate round-robin
+    across replicas (load spreading); a dead replica (RayActorError) fails
+    over to the next one and is respawned in place with its FULL serving
+    state replayed — the coordinator keeps the replay log: the accumulated
+    global-df map (every term ever pushed) and each shard's tombstoned
+    uniqueKeys — so a restarted replica can never silently serve
+    shard-local statistics or resurrect deleted docs. Writes that mutate
+    replica state (stats pushes, NRT deletes, refresh) broadcast to ALL
+    replicas of the target shard(s)."""
 
     def __init__(
         self,
         cluster_dir: str,
         actor_options: dict | None = None,
+        replication_factor: int = 1,
         **reader_kwargs,
     ):
-        import ray
-
         self.cluster_dir = cluster_dir
         with open(os.path.join(cluster_dir, CLUSTER_MANIFEST)) as f:
             self.manifest = json.load(f)
         self.num_shards = int(self.manifest["num_shards"])
-        Worker = ray.remote(**(actor_options or {"num_cpus": 1}))(ShardWorker)
+        self._actor_options = actor_options or {"num_cpus": 1}
+        self._reader_kwargs = reader_kwargs
         self.id_mode = self.manifest.get("id_mode", "dense")
         shard_n = [int(x) for x in self.manifest["n_docs"]]
         self._doc_bases = self._bases(shard_n)
-        self.workers = [
-            Worker.remote(
-                _shard_dir(cluster_dir, s),
-                int(self._doc_bases[s]),
-                **reader_kwargs,
-            )
+        # replay log for respawned replicas
+        self._df_cache: dict[str, int] = {}
+        self._deleted: list[list[str]] = [[] for _ in range(self.num_shards)]
+        self._rr = 0  # round-robin cursor (advances once per fan-out)
+        self._pool: list[list] = [
+            [self._spawn(s) for _ in range(max(1, replication_factor))]
             for s in range(self.num_shards)
         ]
         self._refresh_globals(shard_n, [int(x) for x in self.manifest["total_len"]])
         # (query, lang) pairs whose global dfs are already pushed — repeat
         # queries skip phase 1 and hit warm per-shard result caches
         self._stats_pushed: set = set()
+
+    # ---- replica pool ----------------------------------------------------
+    def _spawn(self, s: int):
+        import ray
+
+        Worker = ray.remote(**self._actor_options)(ShardWorker)
+        return Worker.remote(
+            _shard_dir(self.cluster_dir, s),
+            int(self._doc_bases[s]),
+            **self._reader_kwargs,
+        )
+
+    def _respawn(self, s: int, idx: int):
+        """Replace a dead replica and replay its serving state: cluster
+        stats with the full accumulated df map, then the shard's NRT
+        tombstones. After this the fresh replica is indistinguishable from
+        one that lived through every push."""
+        import ray
+
+        w = self._spawn(s)
+        ray.get(
+            w.set_global_stats.remote(
+                self.n_docs, self.avgdl, dict(self._df_cache)
+            )
+        )
+        if self._deleted[s]:
+            ray.get(w.delete.remote(list(self._deleted[s])))
+        self._pool[s][idx] = w
+        return w
+
+    def _gather(self, calls: list[tuple]) -> list:
+        """Submit one call per (shard, method, args, kwargs) to the current
+        round-robin replica, gather with failover: a dead replica is
+        respawned in place (state replayed) and the call retries on the
+        next replica, wrapping around to the fresh one."""
+        import ray
+
+        rr = self._rr
+        self._rr += 1
+        futs = []
+        for s, method, args, kwargs in calls:
+            idx = rr % len(self._pool[s])
+            futs.append(
+                (s, idx, method, args, kwargs,
+                 getattr(self._pool[s][idx], method).remote(
+                     *args, **(kwargs or {})
+                 ))
+            )
+        out = []
+        for s, idx, method, args, kwargs, f in futs:
+            for attempt in range(len(self._pool[s]) + 1):
+                try:
+                    out.append(ray.get(f))
+                    break
+                except ray.exceptions.RayActorError:
+                    self._respawn(s, idx)
+                    idx = (idx + 1) % len(self._pool[s])
+                    f = getattr(self._pool[s][idx], method).remote(
+                        *args, **(kwargs or {})
+                    )
+            else:
+                raise RuntimeError(f"shard {s}: every replica failing")
+        return out
+
+    def _fanout(self, method: str, *args, **kwargs) -> list:
+        return self._gather(
+            [(s, method, args, kwargs) for s in range(self.num_shards)]
+        )
+
+    def _shard_call(self, s: int, method: str, *args, **kwargs):
+        return self._gather([(s, method, args, kwargs)])[0]
+
+    def _broadcast(self, method: str, *args, shards=None, **kwargs) -> list:
+        """Invoke on EVERY replica of the target shards (state-mutating
+        calls: stats pushes, deletes, refresh). A replica that died gets
+        respawned — the respawn replay already carries the new state, since
+        callers update the replay log BEFORE broadcasting — and the method
+        re-invokes on it for its return value."""
+        import ray
+
+        target = range(self.num_shards) if shards is None else shards
+        futs = [
+            (s, i, getattr(w, method).remote(*args, **kwargs))
+            for s in target
+            for i, w in enumerate(self._pool[s])
+        ]
+        out = []
+        for s, i, f in futs:
+            try:
+                out.append(ray.get(f))
+            except ray.exceptions.RayActorError:
+                w = self._respawn(s, i)
+                out.append(
+                    ray.get(getattr(w, method).remote(*args, **kwargs))
+                )
+        return out
 
     def _bases(self, shard_n: list[int]) -> np.ndarray:
         """Global docID base per shard. Dense shards: cumulative counts —
@@ -518,42 +624,27 @@ class DistributedSearcher:
         return np.concatenate(([0], np.cumsum(shard_n[:-1]))).astype(np.int64)
 
     def _refresh_globals(self, shard_n: list[int], shard_len: list[int]) -> None:
-        import ray
-
         self.n_docs = int(sum(shard_n))
         total_len = int(sum(shard_len))
         self.avgdl = (total_len / self.n_docs) if self.n_docs else 0.0
         # base push: global N/avgdl with no df overrides — constant-score
         # and phrase paths are correct immediately; scoring queries add
         # their term dfs in phase 1
-        ray.get(
-            [
-                w.set_global_stats.remote(self.n_docs, self.avgdl, {})
-                for w in self.workers
-            ]
-        )
+        self._broadcast("set_global_stats", self.n_docs, self.avgdl, {})
 
     # ---- two-phase distributed query ------------------------------------
     def _ensure_stats(self, query: str, lang: str | None) -> None:
-        import ray
-
         key = (query, lang)
         if key in self._stats_pushed:
             return
-        per_shard = ray.get(
-            [w.term_dfs.remote(query, lang) for w in self.workers]
-        )
+        per_shard = self._fanout("term_dfs", query, lang)
         total: dict[str, int] = {}
         for dfs in per_shard:
             for t, d in dfs.items():
                 total[t] = total.get(t, 0) + int(d)
         if total:
-            ray.get(
-                [
-                    w.set_global_stats.remote(self.n_docs, self.avgdl, total)
-                    for w in self.workers
-                ]
-            )
+            self._df_cache.update(total)  # replay log first (see _broadcast)
+            self._broadcast("set_global_stats", self.n_docs, self.avgdl, total)
         self._stats_pushed.add(key)
 
     def search(
@@ -566,44 +657,30 @@ class DistributedSearcher:
         filters: dict | None = None,
         min_should_match: int = 0,
     ) -> list[tuple[int, float]]:
-        import ray
-
         self._ensure_stats(query, lang)
-        parts = ray.get(
-            [
-                w.search.remote(
-                    query,
-                    k,
-                    mode=mode,
-                    algorithm=algorithm,
-                    lang=lang,
-                    filters=filters,
-                    min_should_match=min_should_match,
-                )
-                for w in self.workers
-            ]
+        parts = self._fanout(
+            "search",
+            query,
+            k,
+            mode=mode,
+            algorithm=algorithm,
+            lang=lang,
+            filters=filters,
+            min_should_match=min_should_match,
         )
         merged = [hit for p in parts for hit in p]
         merged.sort(key=lambda ds: (-ds[1], ds[0]))
         return merged[: max(k, 0)]
 
     def match_count(self, query: str, **kw) -> int:
-        import ray
-
         self._ensure_stats(query, kw.get("lang"))
-        return sum(
-            ray.get([w.match_count.remote(query, **kw) for w in self.workers])
-        )
+        return sum(self._fanout("match_count", query, **kw))
 
     def facets(
         self, query: str, fields: list[str], **kw
     ) -> dict[str, list[tuple[str, int]]]:
-        import ray
-
         self._ensure_stats(query, kw.get("lang"))
-        parts = ray.get(
-            [w.facets.remote(query, fields, **kw) for w in self.workers]
-        )
+        parts = self._fanout("facets", query, fields, **kw)
         out: dict[str, list[tuple[str, int]]] = {}
         for f in fields:
             acc: dict[str, int] = {}
@@ -614,12 +691,8 @@ class DistributedSearcher:
         return out
 
     def facet_pivot(self, query: str, fields: tuple, **kw) -> list:
-        import ray
-
         self._ensure_stats(query, kw.get("lang"))
-        parts = ray.get(
-            [w.facet_pivot.remote(query, fields, **kw) for w in self.workers]
-        )
+        parts = self._fanout("facet_pivot", query, fields, **kw)
         acc: dict[tuple[str, str], int] = {}
         for p in parts:
             for v1, v2, c in p:
@@ -650,8 +723,6 @@ class DistributedSearcher:
         sets), the merge re-sorts by the same subset-invariant lex order,
         and only the final page's stored fields are fetched. Matching is
         df-independent, so no stats push is needed."""
-        import ray
-
         from .query import _lex_order
 
         sort_fields = [sort_by] if isinstance(sort_by, str) else list(sort_by)
@@ -664,14 +735,9 @@ class DistributedSearcher:
             raise ValueError("ascending must match sort_by length")
         if cursor is not None and start:
             raise ValueError("cursor and start are mutually exclusive")
-        parts = ray.get(
-            [
-                w.sorted_candidates.remote(
-                    query, sort_fields, asc, start + rows, mode, lang,
-                    filters, cursor,
-                )
-                for w in self.workers
-            ]
+        parts = self._fanout(
+            "sorted_candidates", query, sort_fields, asc, start + rows,
+            mode, lang, filters, cursor,
         )
         num_found = sum(nf for _, _, nf in parts)
         if num_found == 0:
@@ -709,18 +775,18 @@ class DistributedSearcher:
         scoring), then each shard snippets ONLY its own hits from its own
         positional postings + stored fields — snippet work and doc content
         never cross shards."""
-        import ray
-
         top = self.search(query, k=k, lang=lang, filters=filters)
         by: dict[int, list[int]] = {}
         for g, _ in top:
             s = int(np.searchsorted(self._doc_bases, g, side="right") - 1)
             by.setdefault(s, []).append(int(g))
-        futs = [
-            self.workers[s].highlight_docs.remote(query, part, context, lang)
-            for s, part in sorted(by.items())
-        ]
-        tbls = [t for t in ray.get(futs) if t.num_rows]
+        results = self._gather(
+            [
+                (s, "highlight_docs", (query, part, context, lang), None)
+                for s, part in sorted(by.items())
+            ]
+        )
+        tbls = [t for t in results if t.num_rows]
         if not tbls:
             return pa.table(
                 {
@@ -755,24 +821,18 @@ class DistributedSearcher:
         selection uses CLUSTER-global statistics; phase 2 pushes those
         global dfs and fans out the analyzed-term query (source doc
         excluded on its owner only)."""
-        import ray
-
         from . import bm25
 
         owner = int(
             np.searchsorted(self._doc_bases, int(doc_id), side="right") - 1
         )
-        pairs = ray.get(
-            self.workers[owner].mlt_source_terms.remote(
-                int(doc_id), lang, min_tf
-            )
+        pairs = self._shard_call(
+            owner, "mlt_source_terms", int(doc_id), lang, min_tf
         )
         if not pairs:
             return []
         terms = [t for t, _ in pairs]
-        df_parts = ray.get(
-            [w.raw_term_dfs.remote(terms) for w in self.workers]
-        )
+        df_parts = self._fanout("raw_term_dfs", terms)
         df_global: dict[str, int] = {}
         for p in df_parts:
             for t, d in p.items():
@@ -786,37 +846,34 @@ class DistributedSearcher:
         qterms = [t for _, t in cands[:max_query_terms]]
         if not qterms or k <= 0:
             return []
-        ray.get(
+        push = {t: df_global[t] for t in qterms}
+        self._df_cache.update(push)  # replay log first (see _broadcast)
+        self._broadcast("set_global_stats", self.n_docs, self.avgdl, push)
+        base = int(self._doc_bases[owner])
+        parts = self._gather(
             [
-                w.set_global_stats.remote(
-                    self.n_docs, self.avgdl,
-                    {t: df_global[t] for t in qterms},
+                (
+                    s,
+                    "search_analyzed",
+                    (
+                        qterms,
+                        k,
+                        (int(doc_id) - base,) if s == owner else (),
+                        lang,
+                        filters,
+                    ),
+                    None,
                 )
-                for w in self.workers
+                for s in range(self.num_shards)
             ]
         )
-        base = int(self._doc_bases[owner])
-        futs = [
-            w.search_analyzed.remote(
-                qterms,
-                k,
-                (int(doc_id) - base,) if s == owner else (),
-                lang,
-                filters,
-            )
-            for s, w in enumerate(self.workers)
-        ]
-        merged = [hit for p in ray.get(futs) for hit in p]
+        merged = [hit for p in parts for hit in p]
         merged.sort(key=lambda ds: (-ds[1], ds[0]))
         return merged[: max(k, 0)]
 
     # ---- dictionary surface ---------------------------------------------
     def _merged_prefix_rows(self, prefix: str) -> list[tuple[str, int]]:
-        import ray
-
-        parts = ray.get(
-            [w.prefix_term_rows.remote(prefix) for w in self.workers]
-        )
+        parts = self._fanout("prefix_term_rows", prefix)
         acc: dict[str, int] = {}
         for p in parts:
             for t, d in p:
@@ -851,13 +908,13 @@ class DistributedSearcher:
     def get(
         self, shas: list[str], columns: list[str] | None = None
     ) -> pa.Table:
-        import ray
-
-        futs = [
-            self.workers[w].get.remote(part, columns)
-            for w, part in sorted(self._route(shas).items())
-        ]
-        tbls = [t for t in ray.get(futs) if t.num_rows]
+        tbls = self._gather(
+            [
+                (s, "get", (part, columns), None)
+                for s, part in sorted(self._route(shas).items())
+            ]
+        )
+        tbls = [t for t in tbls if t.num_rows]
         if not tbls:
             return pa.table({})
         out = pa.concat_tables(tbls)
@@ -868,17 +925,17 @@ class DistributedSearcher:
     def doc_fields(
         self, global_ids: list[int], columns: list[str] | None = None
     ) -> pa.Table:
-        import ray
-
         by: dict[int, list[int]] = {}
         for g in global_ids:
             s = int(np.searchsorted(self._doc_bases, g, side="right") - 1)
             by.setdefault(s, []).append(int(g))
-        futs = [
-            self.workers[w].doc_fields.remote(part, columns)
-            for w, part in sorted(by.items())
-        ]
-        tbls = [t for t in ray.get(futs) if t.num_rows]
+        tbls = self._gather(
+            [
+                (s, "doc_fields", (part, columns), None)
+                for s, part in sorted(by.items())
+            ]
+        )
+        tbls = [t for t in tbls if t.num_rows]
         if not tbls:
             return pa.table({})
         out = pa.concat_tables(tbls)
@@ -887,37 +944,46 @@ class DistributedSearcher:
         )
 
     def delete(self, shas: list[str]) -> int:
-        """NRT delete-by-uniqueKey: routed to owning shards, effective on
+        """NRT delete-by-uniqueKey: routed to owning shards (broadcast to
+        ALL their replicas — tombstones are replica state), effective on
         the next query (no commit wait). Returns docs newly tombstoned."""
-        import ray
-
-        futs = [
-            self.workers[w].delete.remote(part)
-            for w, part in sorted(self._route(shas).items())
-        ]
-        return int(sum(ray.get(futs)))
+        total = 0
+        for s, part in sorted(self._route(shas).items()):
+            self._deleted[s].extend(part)  # replay log first
+            counts = self._broadcast("delete", part, shards=[s])
+            # live replicas agree on the newly-dead count; a replica
+            # respawned mid-broadcast already got the tombstones in its
+            # replay and reports 0 — take the max, not an arbitrary one
+            total += int(max(counts))
+        return total
 
     def refresh(self) -> bool:
-        """Re-open every shard at its current commit point and recompute
-        global stats. Returns True if any shard reloaded (stats pushes are
-        re-memoized from scratch either way — cheap, and always safe)."""
-        import ray
-
+        """Re-open every shard replica at its current commit point and
+        recompute global stats. Returns True if any replica reloaded. The
+        accumulated df replay log resets — a new commit may change any
+        term's df, so the next query of each (query, lang) re-runs
+        phase 1."""
         with open(os.path.join(self.cluster_dir, CLUSTER_MANIFEST)) as f:
             self.manifest = json.load(f)
         self.id_mode = self.manifest.get("id_mode", "dense")
-        stats = ray.get([w.refresh.remote() for w in self.workers])
-        shard_n = [s["n_docs"] for s in stats]
+        self._df_cache = {}
+        self._stats_pushed = set()
+        stats = self._broadcast("refresh")
+        # one row per (shard, replica), shard-major order; replicas of one
+        # shard read the same manifest, so take each shard's first row
+        per_shard = []
+        i = 0
+        for s in range(self.num_shards):
+            per_shard.append(stats[i])
+            i += len(self._pool[s])
+        shard_n = [s["n_docs"] for s in per_shard]
         self._doc_bases = self._bases(shard_n)
         changed = any(s["reloaded"] for s in stats)
-        ray.get(
-            [
-                w.set_doc_base.remote(int(b))
-                for w, b in zip(self.workers, self._doc_bases)
-            ]
-        )
-        self._refresh_globals(shard_n, [s["total_len"] for s in stats])
-        self._stats_pushed = set()
+        for s in range(self.num_shards):
+            self._broadcast(
+                "set_doc_base", int(self._doc_bases[s]), shards=[s]
+            )
+        self._refresh_globals(shard_n, [s["total_len"] for s in per_shard])
         return changed
 
     def shutdown(self) -> None:
@@ -925,6 +991,7 @@ class DistributedSearcher:
         instead of waiting for handle GC — call when done serving."""
         import ray
 
-        for w in self.workers:
-            ray.kill(w)
-        self.workers = []
+        for pool in self._pool:
+            for w in pool:
+                ray.kill(w)
+        self._pool = [[] for _ in range(self.num_shards)]
