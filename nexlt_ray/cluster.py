@@ -254,6 +254,55 @@ def extend_sharded_index(
     )
 
 
+def reshard_cluster(
+    src_cluster_dir: str,
+    dst_cluster_dir: str,
+    new_num_shards: int,
+    cfg: BuildConfig | None = None,
+) -> dict:
+    """Change a cluster's shard count — the SolrCloud SPLITSHARD /
+    collection-reshape analog. The source shards' docstores are the input
+    (stored fields are the source of truth, build.reindex's discipline
+    applied cluster-wide): every row re-routes by the same sha-range
+    function, so the result is IDENTICAL — byte-for-byte per shard — to
+    building the new shard count from the original corpus (tested). The
+    source cluster stays untouched and servable throughout; cut over by
+    opening a DistributedSearcher on the destination. By default the
+    destination inherits the source's build config with `range_bits`
+    re-resolved adaptively for the new shard sizes (exactly what a fresh
+    build would pick). NRT tombstones are replica state, not files — make
+    deletes permanent first (delete_docs_sharded) if they must survive the
+    reshard."""
+    with open(os.path.join(src_cluster_dir, CLUSTER_MANIFEST)) as f:
+        src = json.load(f)
+    files = []
+    for s in range(int(src["num_shards"])):
+        d = os.path.join(_shard_dir(src_cluster_dir, s), "docstore")
+        files.extend(
+            os.path.join(d, f)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        )
+    if not files:
+        raise ValueError(f"no docstore parquet under {src_cluster_dir}")
+    if cfg is None:
+        with open(
+            os.path.join(_shard_dir(src_cluster_dir, 0), "manifest.json")
+        ) as f:
+            cfgd = {
+                k: v
+                for k, v in json.load(f)["config"].items()
+                if k != "record_hook"
+            }
+        cfgd.setdefault("postings_codec", "varint")  # pre-knob manifests
+        cfgd["range_bits"] = None  # re-resolve for the new shard sizes
+        for k in ("protected_words", "multivalue_fields"):
+            if k in cfgd and cfgd[k] is not None:
+                cfgd[k] = tuple(cfgd[k])
+        cfg = BuildConfig(**cfgd)
+    return build_sharded_index(files, dst_cluster_dir, new_num_shards, cfg)
+
+
 def delete_docs_sharded(cluster_dir: str, shas: list[str]) -> dict:
     """Expunge docs by uniqueKey from the index files themselves — the
     distributed form of build.delete_docs (the merge that makes NRT

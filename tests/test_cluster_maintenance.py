@@ -206,3 +206,45 @@ def test_delete_docs_sharded_expunges(
             assert r.match_count("*:*") == int(man["n_docs"][s])
     finally:
         searcher.shutdown()
+
+
+def test_reshard_equals_fresh_build(
+    ray_session, corpus_parts, rebuilt_cluster, union_monolith, tmp_path_factory
+):
+    """reshard 2→3 from the shards' own docstores == a fresh 3-shard build
+    over the original corpus, byte-identical per shard; the resharded
+    cluster serves identically to the union monolith."""
+    from nexlt_ray.cluster import (
+        DistributedSearcher,
+        build_sharded_index,
+        reshard_cluster,
+    )
+
+    _, _, ab_dir = corpus_parts
+    src = rebuilt_cluster[0]
+    dst = str(tmp_path_factory.mktemp("cm_reshard") / "c")
+    man = reshard_cluster(src, dst, 3)
+    fresh = str(tmp_path_factory.mktemp("cm_fresh3") / "c")
+    fman = build_sharded_index(ab_dir, fresh, 3, _strided_cfg())
+    assert man["n_docs"] == fman["n_docs"]
+    assert man["total_len"] == fman["total_len"]
+    assert man["id_mode"] == "strided"
+    for s in range(3):
+        for sub in ("docstore", "segments"):
+            ta = _tree_bytes(os.path.join(dst, f"shard={s:03d}"), sub)
+            tb = _tree_bytes(os.path.join(fresh, f"shard={s:03d}"), sub)
+            assert ta.keys() == tb.keys(), (s, sub)
+            for name in ta:
+                assert ta[name] == tb[name], f"shard {s} {sub}/{name}"
+    searcher = DistributedSearcher(dst, **_OPTS)
+    mono = union_monolith
+    try:
+        assert searcher.n_docs == mono.n_docs
+        for q in reference_queries()[:8]:
+            dist = _by_sha(
+                searcher.search(q["query"], k=q["k"]), searcher.doc_fields
+            )
+            exp = _by_sha(mono.search(q["query"], k=q["k"]), mono.doc_fields)
+            assert dist == exp, f"post-reshard rank mismatch {q['query']!r}"
+    finally:
+        searcher.shutdown()
