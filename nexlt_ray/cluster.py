@@ -423,6 +423,19 @@ class ShardWorker:
             int(global_id) - self.doc_base, lang=lang, min_tf=min_tf
         )
 
+    def explain(
+        self, query: str, global_id: int, lang: str | None = None
+    ) -> list:
+        """Per-term score breakdown in GLOBAL statistics (the df the
+        coordinator pushed — identical to the monolith's explain)."""
+        return self.reader.explain(
+            query, int(global_id) - self.doc_base, lang=lang
+        )
+
+    def analyze(self, text: str, lang: str | None = None,
+                query_time: bool = False) -> list:
+        return self.reader.analyze(text, lang=lang, query_time=query_time)
+
     def raw_term_dfs(self, terms: list[str]) -> dict:
         """Local df for the GIVEN terms (MLT phase 1 — term selection
         needs cluster-global df before any query string exists)."""
@@ -919,6 +932,63 @@ class DistributedSearcher:
         merged = [hit for p in parts for hit in p]
         merged.sort(key=lambda ds: (-ds[1], ds[0]))
         return merged[: max(k, 0)]
+
+    def explain(
+        self, query: str, doc_id: int, lang: str | None = None
+    ) -> list[dict]:
+        """Distributed debugQuery: routed to the doc's owning shard, scored
+        with the pushed cluster-global stats — term dfs and float32
+        contributions identical to a monolithic explain."""
+        self._ensure_stats(query, lang)
+        owner = int(
+            np.searchsorted(self._doc_bases, int(doc_id), side="right") - 1
+        )
+        return self._shard_call(owner, "explain", query, int(doc_id), lang)
+
+    def analyze(
+        self, text: str, lang: str | None = None, query_time: bool = False
+    ) -> list:
+        """Analyzer passthrough (any shard — the chain is config, not
+        data)."""
+        return self._shard_call(0, "analyze", text, lang, query_time)
+
+    def search_elevated(
+        self,
+        query: str,
+        elevate: list[int],
+        exclude: list[int] | tuple = (),
+        k: int = 10,
+        mode: str = "OR",
+        lang: str | None = None,
+        filters: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        """Distributed QueryElevationComponent: pinned docs first in
+        editorial order (a pin outside the organic top-k gets its EXACT
+        score from the owner's explain under global stats), excludes
+        removed, remainder by the normal distributed order — the same
+        composition as IndexReader.search_elevated."""
+        pins = [int(d) for d in elevate]
+        drop = set(pins) | {int(d) for d in exclude}
+        hits = self.search(
+            query, k=k + len(drop), mode=mode, lang=lang, filters=filters
+        )
+        smap = dict(hits)
+        out: list[tuple[int, float]] = []
+        for pid in pins:
+            s = smap.get(pid)
+            if s is None:
+                acc = np.float32(0.0)
+                for e in self.explain(query, pid, lang=lang):
+                    acc = np.float32(acc + np.float32(e["contribution"]))
+                s = float(acc)
+            out.append((pid, s))
+        for d, s in hits:
+            if len(out) >= k:
+                break
+            if d in drop:
+                continue
+            out.append((d, s))
+        return out[:k]
 
     # ---- dictionary surface ---------------------------------------------
     def _merged_prefix_rows(self, prefix: str) -> list[tuple[str, int]]:

@@ -198,6 +198,26 @@ def test_highlight_identity(searcher, mono_reader):
         assert _no_meta(a).equals(_no_meta(b)), q
 
 
+def test_explain_and_elevation_identity(searcher, mono_reader):
+    """Distributed explain reports monolith-identical (tf, df,
+    contribution) triples, and query elevation composes identically —
+    including a pinned doc OUTSIDE the organic top-k (exact score via the
+    owner's explain under global stats)."""
+    q = "value table"
+    hits = mono_reader.search(q, k=12)
+    for d, _ in hits[:3]:
+        assert searcher.explain(q, d) == mono_reader.explain(q, d)
+    pin_outside = hits[-1][0]
+    pins = [pin_outside, hits[0][0]]
+    excl = [hits[1][0]]
+    assert searcher.search_elevated(
+        q, pins, exclude=excl, k=5
+    ) == mono_reader.search_elevated(q, pins, exclude=excl, k=5)
+    assert searcher.analyze("Fast Table-Scan") == mono_reader.analyze(
+        "Fast Table-Scan"
+    )
+
+
 def test_more_like_this_identity(searcher, mono_reader):
     seeds = [d for d, _ in mono_reader.search("value table", k=3)]
     for d in seeds:
