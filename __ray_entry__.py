@@ -81,7 +81,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminated_docs": P.decontaminated_docs,
         "minhash_pairs_corpus": P.minhash_pairs_corpus,
         "simhash_docs": P.simhash_docs,
-        "simhash_pairs": P.simhash_pairs_docs,
+        # round-4 flagship: the REAL sharded engine (4-shard SolrCloud
+        # analog, two-phase exact global stats) over `documents`,
+        # DuckDB-oracled; promoted into the window in place of
+        # simhash_pairs (slots 51+; its sibling simhash_docs stays)
+        "cluster_match_counts": P.cluster_match_counts,
         "packed_sequences": P.packed_sequences,
         "stratified_sample": P.stratified_sample_docs,
         # normalization / text analysis
@@ -161,9 +165,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (nexlt_ray/cluster.py): REAL sharded engine with two-phase exact
         # global stats, DuckDB-oracled; monolith-vs-cluster bit-identity
         # additionally pytest-verified in tests/test_cluster.py
-        "cluster_match_counts": P.cluster_match_counts,
+        # (cluster_match_counts is promoted into the visible window above)
         "cluster_suggest_terms": P.cluster_suggest_terms,
         "cluster_facet_lang_counts": P.cluster_facet_lang_counts,
+        "simhash_pairs": P.simhash_pairs_docs,
         # --- rows-only (each pytest-oracled; see module docstring) ---
         "approx_vocab_by_lang": P.approx_vocab_by_lang,
         "approx_value_percentiles": P.approx_value_percentiles,

@@ -575,6 +575,14 @@ class DistributedSearcher:
         # (query, lang) pairs whose global dfs are already pushed — repeat
         # queries skip phase 1 and hit warm per-shard result caches
         self._stats_pushed: set = set()
+        # coordinator queryResultCache: repeat queries skip even the
+        # phase-2 actor round trips (the distributed warm floor, ~3.4 ms
+        # measured — BENCH/round4_cluster_overhead.json). Invalidated by
+        # refresh() and delete(); bounded LRU like the reader's.
+        from collections import OrderedDict
+
+        self._result_cache: "OrderedDict[tuple, list]" = OrderedDict()
+        self._result_cache_cap = 512
 
     # ---- replica pool ----------------------------------------------------
     def _spawn(self, s: int):
@@ -719,6 +727,19 @@ class DistributedSearcher:
         filters: dict | None = None,
         min_should_match: int = 0,
     ) -> list[tuple[int, float]]:
+        fk = (
+            tuple(
+                (f, tuple(sorted([v] if isinstance(v, str) else v)))
+                for f, v in sorted(filters.items())
+            )
+            if filters
+            else None
+        )
+        ckey = (query, k, mode, algorithm, lang, fk, min_should_match)
+        hit = self._result_cache.get(ckey)
+        if hit is not None:
+            self._result_cache.move_to_end(ckey)
+            return list(hit)
         self._ensure_stats(query, lang)
         parts = self._fanout(
             "search",
@@ -732,7 +753,11 @@ class DistributedSearcher:
         )
         merged = [hit for p in parts for hit in p]
         merged.sort(key=lambda ds: (-ds[1], ds[0]))
-        return merged[: max(k, 0)]
+        out = merged[: max(k, 0)]
+        self._result_cache[ckey] = out
+        if len(self._result_cache) > self._result_cache_cap:
+            self._result_cache.popitem(last=False)
+        return list(out)
 
     def match_count(self, query: str, **kw) -> int:
         self._ensure_stats(query, kw.get("lang"))
@@ -1067,6 +1092,7 @@ class DistributedSearcher:
         ALL their replicas — tombstones are replica state), effective on
         the next query (no commit wait). Returns docs newly tombstoned."""
         total = 0
+        self._result_cache.clear()  # tombstones change every result set
         for s, part in sorted(self._route(shas).items()):
             self._deleted[s].extend(part)  # replay log first
             counts = self._broadcast("delete", part, shards=[s])
@@ -1087,6 +1113,7 @@ class DistributedSearcher:
         self.id_mode = self.manifest.get("id_mode", "dense")
         self._df_cache = {}
         self._stats_pushed = set()
+        self._result_cache.clear()
         stats = self._broadcast("refresh")
         # one row per (shard, replica), shard-major order; replicas of one
         # shard read the same manifest, so take each shard's first row
