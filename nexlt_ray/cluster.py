@@ -323,6 +323,120 @@ def delete_docs_sharded(cluster_dir: str, shas: list[str]) -> dict:
     )
 
 
+def check_cluster(
+    cluster_dir: str, *, verify_shas: bool = True, deep: bool = False
+) -> dict:
+    """Cluster-level CheckIndex (check.check_index per shard, plus the
+    invariants no single shard can see):
+
+      * per-shard integrity — the full structural / decoded-postings /
+        block-max / sha check runs inside every shard (distributed, one
+        Ray task per file);
+      * router placement — EVERY doc's content sha must route to the
+        shard holding it (a misplaced doc silently breaks global dedup,
+        RealTimeGet and delete routing; checked storage-direct, one task
+        per docstore file, only counters cross the wire);
+      * manifest consistency — cluster.json's per-shard n_docs/total_len
+        must equal the shard manifests' own.
+
+    Returns {"ok", "errors", "stats"}."""
+    import ray.data
+
+    from .check import check_index
+
+    errors: list[str] = []
+    man_path = os.path.join(cluster_dir, CLUSTER_MANIFEST)
+    if not os.path.exists(man_path):
+        return {"ok": False, "errors": ["cluster.json missing"], "stats": {}}
+    with open(man_path) as f:
+        manifest = json.load(f)
+    nsh = int(manifest["num_shards"])
+    stats = {"num_shards": nsh, "n_docs": 0, "files_routed": 0}
+
+    route_specs: list[tuple[str, int]] = []
+    for s in range(nsh):
+        sd = _shard_dir(cluster_dir, s)
+        res = check_index(sd, verify_shas=verify_shas, deep=deep)
+        errors.extend(f"shard {s}: {e}" for e in res["errors"])
+        if res["stats"]:
+            stats["n_docs"] += int(res["stats"].get("n_docs", 0))
+        try:
+            with open(os.path.join(sd, "manifest.json")) as f:
+                m = json.load(f)
+            for key in ("n_docs", "total_len"):
+                if int(m[key]) != int(manifest[key][s]):
+                    errors.append(
+                        f"shard {s}: cluster.json {key}={manifest[key][s]} "
+                        f"!= shard manifest {m[key]}"
+                    )
+        except FileNotFoundError:
+            errors.append(f"shard {s}: manifest.json missing")
+            continue
+        ds_dir = os.path.join(sd, "docstore")
+        if os.path.isdir(ds_dir):
+            route_specs.extend(
+                (os.path.join(ds_dir, f), s)
+                for f in sorted(os.listdir(ds_dir))
+                if f.endswith(".parquet")
+            )
+
+    if route_specs:
+        spec_t = pa.table(
+            {
+                "path": pa.array([p for p, _ in route_specs], pa.string()),
+                "shard": pa.array([s for _, s in route_specs], pa.int32()),
+            }
+        )
+
+        def check_route(spec: pa.Table) -> pa.Table:
+            import pyarrow.parquet as _pq
+
+            bad, n, example = 0, 0, ""
+            for path, s in zip(
+                spec["path"].to_pylist(), spec["shard"].to_pylist()
+            ):
+                col = _pq.read_table(path, columns=["content_sha256"])[
+                    "content_sha256"
+                ].to_pylist()
+                pre = np.array(
+                    [int(x[:8], 16) for x in col], dtype=np.int64
+                )
+                owner = (pre * nsh) >> 32
+                m = owner != int(s)
+                if m.any() and not example:
+                    example = (
+                        f"{os.path.basename(path)}: sha {col[int(np.argmax(m))]}"
+                        f" belongs to shard {int(owner[np.argmax(m)])}"
+                    )
+                bad += int(m.sum())
+                n += len(col)
+            return pa.table(
+                {
+                    "bad": pa.array([bad], pa.int64()),
+                    "n": pa.array([n], pa.int64()),
+                    "example": pa.array([example], pa.string()),
+                }
+            )
+
+        parts = (
+            ray.data.from_arrow(spec_t)
+            .repartition(len(route_specs))
+            .map_batches(
+                check_route, batch_format="pyarrow", batch_size=1, num_cpus=1
+            )
+            .take_all()
+        )
+        bad = sum(int(r["bad"]) for r in parts)
+        stats["files_routed"] = len(route_specs)
+        if bad:
+            ex = next((r["example"] for r in parts if r["example"]), "")
+            errors.append(
+                f"router violation: {bad} doc(s) stored on the wrong shard"
+                + (f" (first: {ex})" if ex else "")
+            )
+    return {"ok": not errors, "errors": errors, "stats": stats}
+
+
 class ShardWorker:
     """One shard's serving state: an IndexReader plus the global docID
     base. Runs as a Ray actor in DistributedSearcher (instantiable inline

@@ -248,3 +248,43 @@ def test_reshard_equals_fresh_build(
             assert dist == exp, f"post-reshard rank mismatch {q['query']!r}"
     finally:
         searcher.shutdown()
+
+
+def test_check_cluster_clean_and_faulted(
+    ray_session, rebuilt_cluster, tmp_path_factory
+):
+    """check_cluster passes a healthy cluster; detects a router violation
+    (shard dirs swapped) and a cluster-manifest mismatch."""
+    import json
+    import shutil
+
+    from nexlt_ray.cluster import check_cluster
+
+    src = rebuilt_cluster[0]
+    res = check_cluster(src)
+    assert res["ok"], res["errors"]
+    assert res["stats"]["n_docs"] == sum(rebuilt_cluster[1]["n_docs"])
+
+    # fault 1: swap the two shard directories — every doc now lives on
+    # the wrong shard (the per-shard indexes are each still internally
+    # valid, so only the cluster-level router check can see it)
+    bad = str(tmp_path_factory.mktemp("cm_badroute") / "c")
+    shutil.copytree(src, bad)
+    os.rename(os.path.join(bad, "shard=000"), os.path.join(bad, "tmp"))
+    os.rename(os.path.join(bad, "shard=001"), os.path.join(bad, "shard=000"))
+    os.rename(os.path.join(bad, "tmp"), os.path.join(bad, "shard=001"))
+    res = check_cluster(bad)
+    assert not res["ok"]
+    assert any("router violation" in e for e in res["errors"])
+
+    # fault 2: tampered cluster.json totals
+    bad2 = str(tmp_path_factory.mktemp("cm_badman") / "c")
+    shutil.copytree(src, bad2)
+    with open(os.path.join(bad2, "cluster.json")) as f:
+        man = json.load(f)
+    man["n_docs"][0] += 7
+    with open(os.path.join(bad2, "cluster.json"), "w") as f:
+        json.dump(man, f)
+    res = check_cluster(bad2)
+    assert not res["ok"]
+    assert any("cluster.json n_docs" in e for e in res["errors"])
