@@ -834,22 +834,47 @@ class IndexReader:
         """Serve with CLUSTER-global BM25 statistics (distributed search,
         cluster.DistributedSearcher): overrides N, avgdl and — per term in
         `df_by_term` — df, so this shard's float32 scores are identical to
-        a single monolithic index over the union corpus. Score-dependent
-        caches drop; postings/filter caches stay (contents unaffected)."""
-        self.n_docs = int(n_docs)
-        self.avgdl = float(avgdl)
-        self._k_table = bm25.norm_k_table(self.avgdl, self.params)
-        self._df_override.update(df_by_term)
-        self._result_cache.clear()
-        for term, tp in self._term_cache.items():
-            if tp is None:  # negative cache entry (term absent locally)
+        a single monolithic index over the union corpus.
+
+        Change-aware: score-dependent caches (results, block-max bounds)
+        drop only when something that enters a score actually changed —
+        (N, avgdl) or a df override VALUE. The coordinator pushes before
+        the first scoring use of every term (phase 1 precedes phase 2), so
+        a brand-new override can only have been scored under its own value
+        never a stale one; re-pushing the same stats for each new query —
+        the steady serving pattern — therefore keeps shard result caches
+        warm. Postings/filter caches always stay (contents unaffected)."""
+        dims_changed = int(n_docs) != self.n_docs or float(avgdl) != self.avgdl
+        if dims_changed:
+            self.n_docs = int(n_docs)
+            self.avgdl = float(avgdl)
+            self._k_table = bm25.norm_k_table(self.avgdl, self.params)
+        df_changed = False
+        for t, g in df_by_term.items():
+            g = int(g)
+            prev = self._df_override.get(t)
+            if prev == g:
                 continue
-            # block-max upper bounds depend on (df, N, avgdl) and memoize
-            # without keying on them — drop ALL of them, not just the
-            # overridden terms' (a term whose global df equals its local df
-            # still needs new-N/avgdl bounds, else WAND may skip blocks)
-            tp._ubs = None
-            self._apply_df_override(term, tp)
+            if prev is not None:
+                # a previously-pushed value changed (refresh between
+                # pushes) — cached results scored under it are stale
+                df_changed = True
+            self._df_override[t] = g
+            tp = self._term_cache.get(t)
+            if tp is not None:
+                self._apply_df_override(t, tp)
+        if dims_changed or df_changed:
+            self._result_cache.clear()
+        if dims_changed:
+            # block-max upper bounds depend on (N, avgdl) and memoize
+            # without keying on them — drop every cached term's (a term
+            # whose global df equals its local df still needs new-N/avgdl
+            # bounds, else WAND may skip blocks)
+            for term, tp in self._term_cache.items():
+                if tp is None:  # negative cache entry (term absent locally)
+                    continue
+                tp._ubs = None
+                self._apply_df_override(term, tp)
 
     def set_deleted(self, doc_ids: np.ndarray | None) -> None:
         """Install the tombstone doc set (sorted int64; None clears).

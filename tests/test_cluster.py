@@ -260,6 +260,35 @@ def test_nrt_delete_identity(ray_session, cluster_dir, built_index):
     searcher.shutdown()
 
 
+def test_stats_push_is_change_aware(built_index):
+    """set_global_stats drops score-dependent caches ONLY when (N, avgdl)
+    or an override VALUE changes — the steady serving pattern (a fresh df
+    push per distinct query, same dims) keeps shard result caches warm."""
+    from nexlt_ray.query import IndexReader
+
+    r = IndexReader(built_index[0])
+    n, avgdl = r.n_docs, r.avgdl
+    r.set_global_stats(n, avgdl, {"value": 123})
+    a = r.search("value table", k=10)
+    assert len(r._result_cache) == 1
+    # disjoint-term push, same dims: cache survives, results stable
+    r.set_global_stats(n, avgdl, {"spark": 7})
+    assert len(r._result_cache) == 1
+    assert r.search("value table", k=10) == a
+    # re-push of identical values: still warm
+    r.set_global_stats(n, avgdl, {"value": 123, "spark": 7})
+    assert len(r._result_cache) == 1
+    # an override VALUE changes: caches drop, scores actually move
+    r.set_global_stats(n, avgdl, {"value": 999})
+    assert len(r._result_cache) == 0
+    b = r.search("value table", k=10)
+    assert dict(b) != dict(a) or [d for d, _ in b] != [d for d, _ in a]
+    # dims change: caches drop and k-table recomputes
+    r.set_global_stats(n + 50, avgdl * 1.5, {})
+    assert len(r._result_cache) == 0
+    assert r.n_docs == n + 50
+
+
 def test_build_is_resumable(ray_session, small_corpus_path, tmp_path_factory):
     """Second build_sharded_index call over the same dir returns the
     manifest without rebuilding (cluster.json short-circuit)."""
