@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (cluster_match_counts is promoted into the visible window above)
         "cluster_suggest_terms": P.cluster_suggest_terms,
         "cluster_facet_lang_counts": P.cluster_facet_lang_counts,
+        "cluster_sort_page": P.cluster_sort_page,
         "simhash_pairs": P.simhash_pairs_docs,
         # --- rows-only (each pytest-oracled; see module docstring) ---
         "approx_vocab_by_lang": P.approx_vocab_by_lang,
@@ -1946,5 +1947,23 @@ hits AS (SELECT DISTINCT q.qid, dtok.text FROM q
 SELECT h.qid, s.lang, count(*)::BIGINT AS cnt
 FROM hits h JOIN surv s ON s.text = h.text
 GROUP BY h.qid, s.lang
+""",
+        # distributed match-all browse page: global order is (lang asc,
+        # global docID asc); the cluster's dense docID is the global
+        # content-sha rank (cluster.py module doc), so the tie-break in
+        # SQL is sha256(text); survivor fields per the BucketWriter rule
+        "cluster_sort_page": """
+WITH surv AS (
+  SELECT text, lang, path FROM (
+    SELECT text, lang, CAST(doc_id AS VARCHAR) AS path,
+      row_number() OVER (PARTITION BY text
+        ORDER BY source, CAST(doc_id AS VARCHAR)) AS rn
+    FROM documents) WHERE rn = 1),
+ordered AS (
+  SELECT path, lang,
+    row_number() OVER (ORDER BY lang, sha256(text)) - 1 AS rank
+  FROM surv)
+SELECT rank::BIGINT AS rank, path, lang FROM ordered
+WHERE rank BETWEEN 10 AND 34
 """,
     }

@@ -5602,3 +5602,29 @@ def cluster_facet_lang_counts(sf_dir: str) -> pa.Table:
             "cnt": pa.array(cnt, pa.int64()),
         }
     )
+
+
+def cluster_sort_page(sf_dir: str) -> pa.Table:
+    """Distributed match-all browse page (the reference UI's default view:
+    q=*:* + a meta-field sort, solrTestLib_v2.js:83-96), through the
+    4-shard engine: DistributedSearcher.search_sorted(sort=lang asc,
+    start=10, rows=25) — each shard contributes a bounded sorted-candidate
+    page, the coordinator merges. Returns (rank, path, lang); `path`
+    (= the original doc_id string) identifies the dedup survivor, and the
+    doc-id tie-break equals sha order, which the oracle reproduces with
+    ORDER BY lang, sha256(text)."""
+    from .cluster import DistributedSearcher
+
+    s = DistributedSearcher(_docs_cluster(sf_dir))
+    try:
+        page = s.search_sorted("*:*", "lang", True, start=10, rows=25)
+    finally:
+        s.shutdown()
+    n = page.num_rows
+    return pa.table(
+        {
+            "rank": pa.array(range(10, 10 + n), pa.int64()),
+            "path": page["path"],
+            "lang": page["lang"],
+        }
+    )
