@@ -61,7 +61,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_search_topk": P.grouped_search_topk,
         "field_stats": P.field_stats,
         "match_count_or": P.match_count_or,
-        "phrase_match_count": P.phrase_match_count,
         "highlight_topk": P.highlight_topk,
         # round-4 flagship operators (promoted into the visible window;
         # the displaced match-count/suggest variants moved to slots 51+,
@@ -90,6 +89,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": P.stratified_sample_docs,
         # normalization / text analysis
         "normalize_text": P.normalize_text_docs,
+        # PII scrub (emails/phones/IPv4 -> typed placeholders) — promoted
+        # into the window in place of phrase_match_count (slots 51+; its
+        # positional-postings machinery stays visible via
+        # fq_phrase_search_topk)
+        "pii_redact_docs": P.pii_redact_docs,
         "quality_stats": P.quality_stats_docs,
         "repetition_stats": P.repetition_stats_docs,
         "langid_docs": P.langid_docs,
@@ -169,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_suggest_terms": P.cluster_suggest_terms,
         "cluster_facet_lang_counts": P.cluster_facet_lang_counts,
         "cluster_sort_page": P.cluster_sort_page,
+        "phrase_match_count": P.phrase_match_count,
         "simhash_pairs": P.simhash_pairs_docs,
         # --- rows-only (each pytest-oracled; see module docstring) ---
         "approx_vocab_by_lang": P.approx_vocab_by_lang,
@@ -1309,6 +1314,33 @@ SELECT doc_id,
     '&([^& '|| chr(9) || chr(10) || chr(13) || '])', '\1', 'g'),
     '[ ' || chr(9) || chr(10) || chr(13) || ']+', ' ', 'g')) AS norm_text
 FROM documents
+""",
+        # PII redaction: re-derive the deterministic injection, then replay
+        # the SAME RE2 patterns (normalize.PII_PATTERNS) — pyarrow and
+        # DuckDB both run RE2, so replace/count semantics are identical
+        "pii_redact_docs": r"""
+WITH aug AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 3 = 0
+      THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0
+      THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0
+      THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+           CAST((doc_id // 256) % 256 AS VARCHAR) ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(t,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted_text,
+  len(regexp_extract_all(t,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+  len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phone,
+  len(regexp_extract_all(t,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip
+FROM aug
 """,
         "quality_stats": _quality_sql(),
         "repetition_stats": f"""

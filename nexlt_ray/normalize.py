@@ -157,3 +157,43 @@ def normalize_documents_batch(batch: pa.Table) -> pa.Table:
     out = pc.replace_substring_regex(out, pattern="[ \t\n\r]+", replacement=" ")
     out = pc.utf8_trim_whitespace(out)
     return pa.table({"doc_id": batch["doc_id"], "norm_text": out})
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the standard training-data scrubbing pass (emails, phone
+# numbers, IPv4 addresses -> typed placeholders). Patterns are the common
+# public forms (e.g. the C4/Dolma-style regex scrubbers); both pyarrow and
+# DuckDB execute RE2, so the oracle SQL replays the identical patterns.
+# ---------------------------------------------------------------------------
+PII_PATTERNS = (
+    # (name, RE2 pattern, placeholder) — applied in order; counts are
+    # measured on the pre-redaction text (the patterns are disjoint by
+    # construction: an email has no 3-3-4 dash group, a dotted quad has
+    # no '@', a phone has no '.')
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized PII scrub over a (doc_id, text) table: one
+    count_substring_regex + one replace_substring_regex pass per pattern
+    (no Python row loop). Emits the redacted text plus a per-type match
+    count so downstream accounting (how much PII did this shard contain?)
+    needs no second pass."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    cols: dict[str, pa.Array] = {"doc_id": batch["doc_id"]}
+    counts = {
+        name: pc.cast(pc.count_substring_regex(text, pattern=pat), pa.int64())
+        for name, pat, _ in PII_PATTERNS
+    }
+    out = text
+    for _, pat, placeholder in PII_PATTERNS:
+        out = pc.replace_substring_regex(out, pattern=pat, replacement=placeholder)
+    cols["redacted_text"] = out
+    for name, _, _ in PII_PATTERNS:
+        cols[f"n_{name}"] = counts[name]
+    return pa.table(cols)

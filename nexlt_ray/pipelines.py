@@ -1824,6 +1824,57 @@ def bigram_lm_docs(sf_dir: str):
     return ts_ops.bigram_lm_scores(_documents(sf_dir, ["doc_id", "text"]))
 
 
+def pii_redact_docs(sf_dir: str):
+    """PII redaction over `documents` — the standard training-data
+    scrubbing pass (emails / phone numbers / IPv4 -> typed placeholders,
+    normalize.pii_redact_batch). The synthetic corpus is PII-free word
+    soup, so PII spans are first INJECTED deterministically from doc_id
+    (same device as corpus_snapshot_diff: the oracle re-derives the
+    augmented text in SQL, so the redaction kernel is verified end to end
+    on non-vacuous input — at sf0.001 ~1/3 of docs gain an email, 1/5 a
+    phone, 1/7 a dotted quad). Pure map: one vectorized count + replace
+    pass per pattern, nothing shuffles."""
+
+    def inject_and_redact(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        id_s = ids.astype("U")
+        email = np.where(
+            ids % 3 == 0,
+            np.char.add(np.char.add(" contact user", id_s), "@example.com"),
+            "",
+        )
+        phone = np.where(
+            ids % 5 == 0,
+            np.char.add(
+                " call 415-555-", np.char.zfill((ids % 10000).astype("U"), 4)
+            ),
+            "",
+        )
+        ip = np.where(
+            ids % 7 == 0,
+            np.char.add(
+                np.char.add(
+                    np.char.add(" from 192.168.", (ids % 256).astype("U")), "."
+                ),
+                ((ids // 256) % 256).astype("U"),
+            ),
+            "",
+        )
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        aug = pc.binary_join_element_wise(
+            text, pa.array(email), pa.array(phone), pa.array(ip), ""
+        )
+        return norm_ops.pii_redact_batch(
+            pa.table({"doc_id": batch["doc_id"], "text": aug})
+        )
+
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        inject_and_redact, batch_format="pyarrow"
+    )
+
+
 def fingerprint_docs(sf_dir: str):
     return _documents(sf_dir, ["doc_id", "text"]).map_batches(
         ts_ops.fingerprint_batch, batch_format="pyarrow"
