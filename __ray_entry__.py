@@ -95,7 +95,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fq_phrase_search_topk)
         "pii_redact_docs": P.pii_redact_docs,
         "quality_stats": P.quality_stats_docs,
-        "repetition_stats": P.repetition_stats_docs,
+        # inter-document line-level boilerplate removal (RefinedWeb line
+        # dedup / CCNet paragraph dedup) — promoted into the window in
+        # place of repetition_stats (slots 51+; its Gopher-stats sibling
+        # quality_stats stays)
+        "line_dedup_docs": P.line_dedup_docs,
         "langid_docs": P.langid_docs,
         "top_terms_per_doc": P.top_terms_docs,
         "fingerprint_docs": P.fingerprint_docs,
@@ -119,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dup_pairs": P.cosine_dup_pairs,
         # --- slots 51+: oracled variants of in-window operators ---
         "dup_clusters": P.dup_clusters_docs,
+        "repetition_stats": P.repetition_stats_docs,
         "stratified_take_n": P.stratified_take_docs,
         "dedup_collect_sources": P.dedup_collect_sources,
         "hopping_window_events": P.hopping_window_events,
@@ -1343,6 +1348,38 @@ SELECT doc_id,
 FROM aug
 """,
         "quality_stats": _quality_sql(),
+        # line-level boilerplate removal: the SQL re-derives the injected
+        # line structure (12-token reflow + header/footer from doc_id, see
+        # pipelines._inject_lines), recomputes per-line doc frequency, and
+        # reassembles surviving lines in order — the whole operator
+        # (explode, df groupby, anti join, ordered reassembly) is
+        # value-checked end to end
+        "line_dedup_docs": r"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+      THEN ['copyright example corp all rights reserved']
+      ELSE CAST([] AS VARCHAR[]) END
+    || list_transform(range(0, CAST(ceil(len(toks) / 12.0) AS BIGINT)),
+         g -> array_to_string(list_slice(toks, g*12 + 1, g*12 + 12), ' '))
+    || CASE WHEN doc_id % 4 = 0
+      THEN ['generated by nexlt export tool']
+      ELSE CAST([] AS VARCHAR[]) END AS lines
+  FROM base),
+lines AS (SELECT doc_id, unnest(lines) AS line,
+                 unnest(range(0, len(lines))) AS idx FROM aug),
+boiler AS (SELECT line FROM lines GROUP BY line
+           HAVING count(DISTINCT doc_id) >= 10),
+kept AS (SELECT l.doc_id, l.idx, l.line FROM lines l
+         ANTI JOIN boiler b ON b.line = l.line),
+reasm AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+                 count(*)::BIGINT AS n_kept FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, len(lines)::BIGINT AS n_lines FROM aug)
+SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, t.n_lines,
+       (t.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+FROM tot t LEFT JOIN reasm r ON r.doc_id = t.doc_id
+""",
         "repetition_stats": f"""
 {_TOK},
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),

@@ -1483,3 +1483,191 @@ def contamination_overlap_counts(
         return pa.table({"doc_id": pa.array(ids), "n_overlaps": pa.array(counts)})
 
     return docs.map_batches(count, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# inter-document line-level boilerplate removal (RefinedWeb / CCNet line dedup)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    ds,
+    min_docs: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+):
+    """Line-level boilerplate removal across documents: every line whose
+    document frequency (number of DISTINCT docs containing it) reaches
+    `min_docs` is dropped from every document, and each document's text is
+    reassembled from its surviving lines in original order. This is the
+    inter-document line/paragraph dedup pass of the public web-curation
+    pipelines (CCNet paragraph-hash dedup, RefinedWeb line-level dedup) —
+    the step that strips navigation bars, cookie banners and license
+    headers repeated across a crawl.
+
+    Returns a Dataset of (doc_id, clean_text, n_lines, n_removed) with one
+    row per input document (a fully-boilerplate doc keeps its row with
+    clean_text='' and n_removed = n_lines).
+
+    Scale shape (100 TB honest): the line-frequency table is corpus-sized,
+    so it is NEVER broadcast and never touches the driver — the boilerplate
+    decision meets the exploded line rows in ONE partitioned `left anti`
+    hash_join keyed by the line string (the right side ships only its key
+    column). Reassembly is a doc-bucket groupby whose groups are processed
+    as whole buckets with vectorized numpy/Arrow kernels (lexsort + offset
+    scan + pc.binary_join), never per-row Python. Three shuffles total
+    (line-df groupby, anti-join exchange, doc-bucket regroup), each keyed
+    to bound skew: the df groupby pre-aggregates per batch so a hot
+    boilerplate line contributes one partial row per batch, not one row
+    per occurrence."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        lines = pc.split_pattern(txt, "\n")
+        offs = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        doc_rep = np.repeat(ids, counts)
+        idx = np.arange(offs[-1] - offs[0], dtype=np.int64) - np.repeat(
+            offs[:-1] - offs[0], counts
+        )
+        flat = lines.values.slice(offs[0], int(offs[-1] - offs[0]))
+        return pa.table(
+            {
+                id_col: pa.array(doc_rep),
+                "idx": pa.array(idx),
+                "line": flat,
+            }
+        )
+
+    lines = ds.map_batches(explode, batch_format="pyarrow")
+    lines_schema = pa.schema(
+        [(id_col, pa.int64()), ("idx", pa.int64()), ("line", pa.string())]
+    )
+
+    # per-doc line totals: each source row lives in exactly one batch, so
+    # this is a pure map (no groupby) — one row per doc
+    def totals(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        n = pc.add(pc.count_substring(txt, "\n"), 1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_lines": pc.cast(n, pa.int64()),
+            }
+        )
+
+    tot = ds.map_batches(totals, batch_format="pyarrow")
+
+    # line document frequency: DISTINCT (line, doc) partials computed in
+    # the SAME pass as explode — a document is one source row, so it can
+    # never straddle a map_batches batch here, making the per-batch
+    # distinct-doc counts disjoint across batches and their Sum the exact
+    # global distinct-doc count. (Deriving partials from the re-batched
+    # `lines` Dataset instead would split a doc's lines across batches and
+    # overcount.)
+    def df_partial(batch: pa.Table) -> pa.Table:
+        ex = explode(batch)
+        g = pa.TableGroupBy(
+            ex.select(["line", id_col]), ["line", id_col]
+        ).aggregate([([], "count_all")])
+        g2 = pa.TableGroupBy(g.select(["line"]), "line").aggregate(
+            [([], "count_all")]
+        )
+        return g2.rename_columns(["line", "df_p"])
+
+    df = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("line")
+        .aggregate(Sum("df_p", alias_name="df"))
+    )
+
+    def boiler_only(batch: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(batch["df"], min_docs)
+        return batch.filter(mask).select(["line"])
+
+    boiler = df.map_batches(boiler_only, batch_format="pyarrow")
+
+    kept = hash_join(
+        lines,
+        boiler,
+        "line",
+        "line",
+        how="left anti",
+        num_buckets=num_buckets,
+        left_schema=lines_schema,
+        right_schema=pa.schema([("line", pa.string())]),
+    )
+
+    # reassembly: doc-bucket groupby, whole-bucket vectorized kernel
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        b = (ids * 0x9E3779B97F4A7C15 % (1 << 63)) % num_buckets
+        return batch.append_column("__bucket", pa.array(b.astype(np.int64)))
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        idx = np.asarray(group["idx"], dtype=np.int64)
+        order = np.lexsort((idx, ids))
+        ids_s = ids[order]
+        lines_s = group["line"].combine_chunks().take(pa.array(order))
+        starts = np.flatnonzero(np.r_[True, ids_s[1:] != ids_s[:-1]])
+        offsets = np.r_[starts, ids_s.size].astype(np.int32)
+        la = pa.ListArray.from_arrays(pa.array(offsets), lines_s)
+        joined = pc.binary_join(la, "\n")
+        n_kept = np.diff(offsets).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids_s[starts]),
+                "clean_text": joined,
+                "n_kept": pa.array(n_kept),
+            }
+        )
+
+    reasm = (
+        kept.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(reassemble, batch_format="pyarrow")
+    )
+
+    out = hash_join(
+        tot,
+        reasm,
+        id_col,
+        id_col,
+        how="left outer",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([(id_col, pa.int64()), ("n_lines", pa.int64())]),
+        right_schema=pa.schema(
+            [
+                (id_col, pa.int64()),
+                ("clean_text", pa.string()),
+                ("n_kept", pa.int64()),
+            ]
+        ),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_lines = np.asarray(batch["n_lines"], dtype=np.int64)
+        n_kept = np.asarray(
+            pc.fill_null(batch["n_kept"], 0), dtype=np.int64
+        )
+        clean = pc.fill_null(batch["clean_text"], "")
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "clean_text": clean,
+                "n_lines": pa.array(n_lines),
+                "n_removed": pa.array(n_lines - n_kept),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -5679,3 +5679,65 @@ def cluster_sort_page(sf_dir: str) -> pa.Table:
             "lang": page["lang"],
         }
     )
+
+
+LINE_DEDUP_HEADER = "copyright example corp all rights reserved"
+LINE_DEDUP_FOOTER = "generated by nexlt export tool"
+LINE_DEDUP_WRAP = 12
+LINE_DEDUP_MIN_DOCS = 10
+
+
+def _inject_lines(batch: pa.Table) -> pa.Table:
+    """Deterministic line structure for `line_dedup_docs` (the synthetic
+    corpus is single-line word soup): reflow each doc's body into
+    LINE_DEDUP_WRAP-token lines and attach a boilerplate header to every
+    doc_id % 3 == 0 and a footer to every doc_id % 4 == 0 — same device as
+    pii_redact_docs (the oracle re-derives the augmented text in SQL, so
+    the operator is verified on non-vacuous input). Fully vectorized: the
+    reflow is one flat token pass — separator per token ('\n' at every
+    WRAP boundary, '' at doc end) + one pc.binary_join over the doc-offset
+    list layout; no per-row Python."""
+    ids = np.asarray(batch["doc_id"], dtype=np.int64)
+    txt = batch["text"]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    toks = pc.split_pattern(txt, " ")
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offs)
+    flat = toks.values.slice(int(offs[0]), int(offs[-1] - offs[0]))
+    n_tok = int(offs[-1] - offs[0])
+    pos = np.arange(n_tok, dtype=np.int64) - np.repeat(offs[:-1] - offs[0], counts)
+    sep = np.where((pos + 1) % LINE_DEDUP_WRAP == 0, "\n", " ").astype(object)
+    last = (offs[1:] - offs[0] - 1)[counts > 0]
+    sep[last] = ""
+    glued = pc.binary_join_element_wise(
+        flat, pa.array(sep, pa.string()), pa.array([""] * n_tok, pa.string())
+    )
+    la = pa.ListArray.from_arrays(
+        pa.array((offs - offs[0]).astype(np.int32)), glued
+    )
+    body = pc.binary_join(la, "")
+    header = np.where(ids % 3 == 0, LINE_DEDUP_HEADER + "\n", "").astype(object)
+    footer = np.where(ids % 4 == 0, "\n" + LINE_DEDUP_FOOTER, "").astype(object)
+    aug = pc.binary_join_element_wise(
+        pa.array(header, pa.string()), body, pa.array(footer, pa.string()), ""
+    )
+    return pa.table({"doc_id": batch["doc_id"], "text": aug})
+
+
+def line_dedup_docs(sf_dir: str):
+    """Inter-document line-level boilerplate removal over `documents`
+    (RefinedWeb line dedup / CCNet paragraph dedup): lines appearing in
+    >= LINE_DEDUP_MIN_DOCS distinct docs are stripped from all docs and
+    the text reassembled in order (dedup.line_dedup — line-df groupby +
+    partitioned anti join + bucket-vectorized reassembly; the line
+    frequency table is corpus-sized and never broadcast or driver-held).
+    Boilerplate lines are injected deterministically from doc_id so the
+    pass is non-vacuous (~1/3 of docs gain a header, 1/4 a footer) and the
+    DuckDB oracle re-derives the identical input."""
+    from .dedup import line_dedup
+
+    ds = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _inject_lines, batch_format="pyarrow"
+    )
+    return line_dedup(ds, min_docs=LINE_DEDUP_MIN_DOCS)

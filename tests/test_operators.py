@@ -1730,3 +1730,88 @@ def test_media_on_error_mark_isolates_bad_payloads():
     marker = vout.filter(pa.compute.equal(vout["frame_no"], -1))
     assert marker.num_rows == 1 and marker["item_id"][0].as_py() == 0
     assert vout.filter(pa.compute.equal(vout["item_id"], 1)).num_rows == 2
+
+
+# ---------------------------------------------------------------------------
+# inter-document line-level boilerplate removal
+# ---------------------------------------------------------------------------
+def test_line_dedup_semantics(ray_session):
+    """Hand-computable case: df counts DISTINCT docs (a line repeated
+    inside one doc counts once toward df but every occurrence is removed);
+    fully-boilerplate docs keep their row with empty text; order of
+    surviving lines is preserved."""
+    import ray.data
+
+    docs = [
+        (0, "keep one\nBOILER\nkeep two"),
+        (1, "BOILER\nunique a"),
+        (2, "unique b\nBOILER"),
+        (3, "BOILER"),
+        (4, "solo doc line\nanother"),
+        (5, "BOILER\nBOILER\nx"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([s for _, s in docs]),
+        }
+    )
+    # BOILER df = 5 distinct docs (doc 5's repeat counts once) >= 4
+    out = (
+        D.line_dedup(ray.data.from_arrow(t), min_docs=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["clean_text"].tolist() == [
+        "keep one\nkeep two", "unique a", "unique b", "", 
+        "solo doc line\nanother", "x",
+    ]
+    assert out["n_lines"].tolist() == [3, 2, 2, 1, 2, 3]
+    assert out["n_removed"].tolist() == [1, 1, 1, 1, 0, 2]
+    # threshold just above the df: nothing is removed, texts round-trip
+    out2 = (
+        D.line_dedup(ray.data.from_arrow(t), min_docs=6)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out2["clean_text"].tolist() == [s for _, s in docs]
+    assert int(out2["n_removed"].sum()) == 0
+
+
+def test_line_dedup_partitioning_invariant(ray_session):
+    """Same result at any block count (the df partial-sum argument relies
+    on doc atomicity within a batch, never on block layout)."""
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    texts = []
+    for i in range(60):
+        body = [
+            " ".join(
+                str(x) for x in rng.integers(0, 9, size=4)
+            )
+            for _ in range(rng.integers(1, 5))
+        ]
+        if i % 2 == 0:
+            body.insert(0, "shared header line")
+        texts.append("\n".join(body))
+    t = pa.table(
+        {"doc_id": pa.array(range(60), pa.int64()), "text": pa.array(texts)}
+    )
+
+    def run(nb):
+        ds = ray.data.from_arrow(t).repartition(nb)
+        return (
+            D.line_dedup(ds, min_docs=10)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    a, b = run(1), run(13)
+    pd.testing.assert_frame_equal(a, b)
+    assert not a[a.doc_id % 2 == 0]["clean_text"].str.contains(
+        "shared header line"
+    ).any()
