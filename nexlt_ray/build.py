@@ -361,7 +361,13 @@ def _list_fragments(input_path: str | list[str]) -> list[tuple[str, int]]:
     through the object store — pure memory-bandwidth cost at high CPU counts.
     Reading fragments INSIDE the map task leaves only tiny acks on the
     object store. (At 100 TB the listing itself parallelizes; metadata-only
-    reads here.)"""
+    reads here.)
+
+    Newline-delimited JSON inputs (`.jsonl` — the reference's actual ingest
+    format, parseJSON.pl reads per-product JSON exports) are listed as one
+    fragment per FILE (row_group = -1): a JSONL file has no internal split
+    points without a scan, so read parallelism comes from the file count,
+    which is exactly how the reference's exports arrive."""
     import pyarrow.parquet as pqt
 
     if isinstance(input_path, str):
@@ -369,7 +375,7 @@ def _list_fragments(input_path: str | list[str]) -> list[tuple[str, int]]:
             files = sorted(
                 os.path.join(input_path, f)
                 for f in os.listdir(input_path)
-                if f.endswith(".parquet")
+                if f.endswith(".parquet") or f.endswith(".jsonl")
             )
         else:
             files = [input_path]
@@ -377,9 +383,26 @@ def _list_fragments(input_path: str | list[str]) -> list[tuple[str, int]]:
         files = list(input_path)
     frags = []
     for f in files:
+        if f.endswith(".jsonl"):
+            frags.append((f, -1))
+            continue
         md = pqt.ParquetFile(f).metadata
         frags.extend((f, rg) for rg in range(md.num_row_groups))
     return frags
+
+
+def _read_input_fragment(path: str, rg: int, columns: list[str]) -> pa.Table:
+    """One storage-direct input read: a parquet row group, or (rg < 0) a
+    whole newline-delimited JSON file parsed with pyarrow.json. Column
+    pruning happens post-parse for JSONL (row-oriented formats cannot skip
+    columns at read); schema is normalized to the requested column order."""
+    if int(rg) < 0:
+        from pyarrow import json as pj
+
+        return pj.read_json(path).select(columns)
+    import pyarrow.parquet as pqt
+
+    return pqt.ParquetFile(path).read_row_group(int(rg), columns=columns)
 
 
 def _fragment_dataset(frags: list[tuple[str, int]], per_task: int = 1):
@@ -1399,12 +1422,8 @@ def build_index(
             spiller = _make_doc_spiller(cfg, tmp_dir)
 
             def read_and_spill(spec: pa.Table) -> pa.Table:
-                import pyarrow.parquet as _pq
-
                 tbls = [
-                    _pq.ParquetFile(path).read_row_group(
-                        int(rg), columns=input_cols
-                    )
+                    _read_input_fragment(path, rg, input_cols)
                     for path, rg in zip(
                         spec["path"].to_pylist(), spec["rg"].to_pylist()
                     )
@@ -1467,11 +1486,34 @@ def build_index(
         # the upstream block count, so small local inputs must be split
         # explicitly; batch_size=None keeps one batch per block (no
         # coalescing -> the downstream shuffle keeps its parallelism)
-        ds = ray.data.read_parquet(
-            input_path,
-            columns=input_cols,
-            override_num_blocks=max(4 * ncpu, 32),
-        )
+        frag_files = {p for p, _ in _list_fragments(input_path)}
+        jsonl_files = sorted(f for f in frag_files if f.endswith(".jsonl"))
+        if jsonl_files:
+            # mixed or pure-JSONL input on the sort path: read each format
+            # with its native reader, then union (same rows, same columns)
+            parts = []
+            pq_files = sorted(f for f in frag_files if f.endswith(".parquet"))
+            if pq_files:
+                parts.append(
+                    ray.data.read_parquet(
+                        pq_files,
+                        columns=input_cols,
+                        override_num_blocks=max(4 * ncpu, 32),
+                    )
+                )
+            parts.append(
+                ray.data.read_json(
+                    jsonl_files,
+                    override_num_blocks=max(4 * ncpu, 32),
+                ).select_columns(input_cols)
+            )
+            ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        else:
+            ds = ray.data.read_parquet(
+                input_path,
+                columns=input_cols,
+                override_num_blocks=max(4 * ncpu, 32),
+            )
         mapped = ds.map_batches(
             lambda b: _sha_and_bucket(b, cfg), batch_format="pyarrow",
             batch_size=None,
@@ -1834,7 +1876,7 @@ def extend_index(
         def read_and_spill(spec: pa.Table) -> pa.Table:
             outs = []
             for path, rg in zip(spec["path"].to_pylist(), spec["rg"].to_pylist()):
-                tbl = pqt.ParquetFile(path).read_row_group(int(rg), columns=in_cols)
+                tbl = _read_input_fragment(path, rg, in_cols)
                 outs.append(spiller(tbl))
             return pa.concat_tables(outs)
 

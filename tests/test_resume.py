@@ -58,3 +58,48 @@ def test_ledger_records_lineage(ray_session, small_corpus_path, tmp_path):
     seg_recs = Ledger(idx, "segments").records()
     assert len(seg_recs) == 2
     assert all(r["n_terms"] > 0 for r in seg_recs)
+
+
+def _as_jsonl(src_dir: str, dst_dir: str) -> str:
+    """Re-materialize a parquet corpus dir as .jsonl shards (one per
+    parquet file, same rows/order) — the reference's actual ingest format
+    (per-product JSON exports read by parseJSON.pl)."""
+    import json as _json
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for f in sorted(glob.glob(os.path.join(src_dir, "*.parquet"))):
+        t = pq.read_table(f)
+        rows = [
+            {c: t[c][i].as_py() for c in t.column_names}
+            for i in range(t.num_rows)
+        ]
+        out = os.path.join(
+            dst_dir, os.path.basename(f).replace(".parquet", ".jsonl")
+        )
+        with open(out, "w", encoding="utf-8") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r, ensure_ascii=False) + "\n")
+    return dst_dir
+
+
+def test_jsonl_ingest_byte_identical(
+    ray_session, small_corpus_path, tmp_path
+):
+    """S1 literal: building from newline-delimited JSON input produces a
+    byte-identical index to building from the same rows as Parquet, on
+    BOTH shuffle paths (storage-direct fragment reads treat each .jsonl
+    file as one fragment; the sort path goes through ray.data.read_json)."""
+    from nexlt_ray.build import BuildConfig, build_index
+
+    jl = _as_jsonl(small_corpus_path, str(tmp_path / "corpus_jsonl"))
+
+    for shuffle in ("disk", "sort"):
+        cfg = dict(num_doc_buckets=8, num_term_buckets=4, shuffle=shuffle)
+        a = str(tmp_path / f"idx_pq_{shuffle}")
+        b = str(tmp_path / f"idx_jl_{shuffle}")
+        m1 = build_index(small_corpus_path, a, BuildConfig(**cfg))
+        m2 = build_index(jl, b, BuildConfig(**cfg))
+        assert _dir_hash(a) == _dir_hash(b), shuffle
+        for k in ("n_docs", "n_terms", "n_postings", "avgdl",
+                  "n_dups_removed", "doc_counts"):
+            assert m1[k] == m2[k], (shuffle, k)
