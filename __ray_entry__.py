@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_events": P.hopping_window_events,
         "facet_pivot_counts": P.facet_pivot_counts,
         "lm_quality_scores": P.lm_quality_docs,
+        "dsir_weights": P.dsir_weights,
         "weighted_sample": P.weighted_sample_docs,
         "balanced_sample": P.balanced_sample_docs,
         "bigram_top50": P.bigram_top50,
@@ -1354,6 +1355,26 @@ FROM aug
         # reassembles surviving lines in order — the whole operator
         # (explode, df groupby, anti join, ordered reassembly) is
         # value-checked end to end
+        # DSIR importance weights: one ln over one exact int64 rational
+        # per term (same fixed-point device as bigram_lm_logprob), so the
+        # per-doc int64 sums are expression-identical in SQL
+        "dsir_weights": f"""
+{_TOK},
+tf AS (SELECT tok.doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+cnt AS (SELECT term, sum(tf)::BIGINT AS c_r,
+               sum(CASE WHEN tf.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+                        THEN tf ELSE 0 END)::BIGINT AS c_t
+        FROM tf GROUP BY term),
+scal AS (SELECT sum(c_r)::BIGINT AS n_r, sum(c_t)::BIGINT AS n_t,
+                count(*)::BIGINT AS v FROM cnt),
+lam AS (SELECT term,
+        CAST(floor(ln(((c_t + 1) * (s.n_r + s.v))::DOUBLE
+                      / ((c_r + 1) * (s.n_t + s.v))) * 10000 + 0.5) AS BIGINT) AS lam
+        FROM cnt CROSS JOIN scal s)
+SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+       sum(tf.tf * lam.lam)::BIGINT AS logw_e4
+FROM tf JOIN lam USING (term) GROUP BY tf.doc_id
+""",
         "line_dedup_docs": r"""
 WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 aug AS (

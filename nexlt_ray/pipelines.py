@@ -5741,3 +5741,20 @@ def line_dedup_docs(sf_dir: str):
         _inject_lines, batch_format="pyarrow"
     )
     return line_dedup(ds, min_docs=LINE_DEDUP_MIN_DOCS)
+
+
+def dsir_weights(sf_dir: str):
+    """DSIR data-selection importance weights over `documents` (Xie et
+    al., NeurIPS 2023): per-doc log importance ratio between a unigram LM
+    fit on the TARGET subset (lang='en' — stand-in for the paper's
+    high-quality target distribution) and one fit on the whole raw corpus
+    (sampling.dsir_logratio_weights, int64 fixed point, SQL-exact).
+    Composes with `weighted_sample` for the resampling step."""
+    from .sampling import dsir_logratio_weights
+
+    ds = _documents(sf_dir, ["doc_id", "text", "lang"])
+
+    def is_en(batch: pa.Table) -> np.ndarray:
+        return pc.equal(batch["lang"], "en").to_numpy(zero_copy_only=False)
+
+    return dsir_logratio_weights(ds, is_en)

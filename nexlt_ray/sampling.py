@@ -221,3 +221,133 @@ def hash_split(
         return batch.append_column("split", pa.array(out, pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def dsir_logratio_weights(
+    docs,
+    is_target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 10_000,
+):
+    """DSIR importance weights (Xie et al., NeurIPS 2023 — Data Selection
+    via Importance Resampling): score every raw document by how much more
+    likely it is under a unigram bag-LM fit on a TARGET subset than under
+    one fit on the whole RAW corpus. log w(x) = sum_w tf_x(w) * lam(w)
+    with lam(w) = ln(p_t(w) / p_r(w)), p add-one smoothed over the raw
+    vocabulary: p_t(w) = (c_t(w)+1)/(N_t+V), p_r(w) = (c_r(w)+1)/(N_r+V).
+    Feeding logw_e4 into `weighted_sample` completes DSIR's resampling
+    step; `is_target` is a vectorized batch -> bool-mask predicate
+    selecting the target subset (e.g. a quality or domain column).
+
+    Fixed-point contract (same device as textstats.bigram_lm_scores):
+    each term contributes lam_e4 = floor(ln(((c_t+1)*(N_r+V)) /
+    ((c_r+1)*(N_t+V))) * scale + 0.5) as int64 — one ln over one exact
+    rational on both oracle sides, and the e4 grid leaves headroom to any
+    last-ulp libm difference; per-doc scores are int64 sums, order- and
+    partitioning-independent. (The int64 cross-products bound validity at
+    c*(N+V) < 2^63; past that, split the ln into a log difference and
+    widen the grid.)
+
+    Distributed shape (100-TB discipline): ONE tokenize pass emits
+    per-(doc, term) tf rows with the doc's target flag folded in
+    (materialized once for its two consumers); c_r/c_t are a single
+    term-keyed Sum groupby over per-batch partials (vocabulary-sized,
+    NEVER broadcast); N_r/N_t/V are three scalar aggregates of that counts
+    table; lam flows back onto the tf rows via the string-keyed
+    partitioned hash_join; the per-doc reduce is one groupby over
+    per-batch partial sums. Docs with zero tokens emit no row (mirror the
+    SQL inner shape).
+
+    Returns a Dataset of (doc_id, n_tokens, logw_e4)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+    from .textstats import doc_term_tf
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        mask = np.asarray(is_target(batch), dtype=bool)
+        tfr = doc_term_tf(batch, text_col=text_col)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        d = np.asarray(tfr[id_col], dtype=np.int64)
+        # vectorized id -> flag gather (ids are unique within a batch)
+        order = np.argsort(ids, kind="stable")
+        tgt = mask[order][np.searchsorted(ids[order], d)]
+        tf = np.asarray(tfr["tf"], dtype=np.int64)
+        return tfr.append_column(
+            "tft", pa.array(np.where(tgt, tf, 0).astype(np.int64))
+        )
+
+    rows_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+            ("tft", pa.int64()),
+        ]
+    )
+    rows = docs.map_batches(tf_rows, batch_format="pyarrow").materialize()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            batch.select(["term", "tf", "tft"]), "term"
+        ).aggregate([("tf", "sum"), ("tft", "sum")])
+        return g.rename_columns(["term", "cr_p", "ct_p"])
+
+    counts = (
+        rows.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cr_p", alias_name="c_r"), Sum("ct_p", alias_name="c_t"))
+        .materialize()  # consumers: scalars + lam map
+    )
+
+    n_r = int(counts.sum("c_r") or 0)
+    n_t = int(counts.sum("c_t") or 0)
+    v = counts.count()
+
+    def lam_map(batch: pa.Table) -> pa.Table:
+        c_r = np.asarray(batch["c_r"], dtype=np.int64)
+        c_t = np.asarray(batch["c_t"], dtype=np.int64)
+        num = (c_t + 1) * np.int64(n_r + v)
+        den = (c_r + 1) * np.int64(n_t + v)
+        lam = np.floor(
+            np.log(num.astype(np.float64) / den.astype(np.float64)) * scale
+            + 0.5
+        ).astype(np.int64)
+        return pa.table({"term": batch["term"], "lam": pa.array(lam)})
+
+    lam = counts.map_batches(lam_map, batch_format="pyarrow")
+
+    joined = hash_join(
+        rows,
+        lam,
+        "term",
+        "term",
+        left_schema=rows_schema,
+        right_schema=pa.schema([("term", pa.string()), ("lam", pa.int64())]),
+    )
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        tf = np.asarray(batch["tf"], dtype=np.int64)
+        lm = np.asarray(batch["lam"], dtype=np.int64)
+        t = pa.table(
+            {
+                id_col: batch[id_col],
+                "nt_p": pa.array(tf),
+                "lw_p": pa.array(tf * lm),
+            }
+        )
+        g = pa.TableGroupBy(t, id_col).aggregate(
+            [("nt_p", "sum"), ("lw_p", "sum")]
+        )
+        return g.rename_columns([id_col, "nt_p", "lw_p"])
+
+    return (
+        joined.map_batches(doc_partial, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(
+            Sum("nt_p", alias_name="n_tokens"),
+            Sum("lw_p", alias_name="logw_e4"),
+        )
+    )

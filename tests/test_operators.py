@@ -1815,3 +1815,75 @@ def test_line_dedup_partitioning_invariant(ray_session):
     assert not a[a.doc_id % 2 == 0]["clean_text"].str.contains(
         "shared header line"
     ).any()
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+def test_dsir_weights_matches_single_machine_reference(ray_session):
+    """Distributed DSIR log-ratio weights equal an independent
+    single-machine numpy replay exactly (int64 fixed point), and rank
+    target-like docs above off-target docs."""
+    import ray.data
+
+    from nexlt_ray.sampling import dsir_logratio_weights
+    from nexlt_ray.tokenize import tokenize_query
+
+    rng = np.random.default_rng(3)
+    tgt_vocab = ["alpha", "beta", "gamma", "delta"]
+    raw_vocab = ["uno", "dos", "tres", "quatro"]
+    texts, flags = [], []
+    for i in range(120):
+        is_t = i % 3 == 0
+        v = tgt_vocab if is_t else raw_vocab
+        texts.append(" ".join(rng.choice(v, size=rng.integers(3, 15))))
+        flags.append(is_t)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(120), pa.int64()),
+            "text": pa.array(texts),
+            "is_t": pa.array(flags),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = (
+        dsir_logratio_weights(
+            ds, lambda b: np.asarray(b["is_t"].to_numpy(zero_copy_only=False))
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # independent reference: plain dict counting over the same tokenizer
+    from collections import Counter
+
+    c_r, c_t = Counter(), Counter()
+    doc_toks = []
+    for txt, is_t in zip(texts, flags):
+        toks = tokenize_query(txt, profile="simple")
+        doc_toks.append(toks)
+        c_r.update(toks)
+        if is_t:
+            c_t.update(toks)
+    n_r, n_t, v = sum(c_r.values()), sum(c_t.values()), len(c_r)
+    lam = {
+        w: int(
+            np.floor(
+                np.log(
+                    float((c_t.get(w, 0) + 1) * (n_r + v))
+                    / float((c_r[w] + 1) * (n_t + v))
+                )
+                * 10_000
+                + 0.5
+            )
+        )
+        for w in c_r
+    }
+    exp = [sum(lam[w] for w in toks) for toks in doc_toks]
+    assert out["logw_e4"].tolist() == exp
+    assert out["n_tokens"].tolist() == [len(tk) for tk in doc_toks]
+    # separation: every target doc outranks every off-target doc
+    lw = out["logw_e4"].to_numpy()
+    f = np.array(flags)
+    assert lw[f].min() > lw[~f].max()
