@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balanced_sample": P.balanced_sample_docs,
         "bigram_top50": P.bigram_top50,
         "cooccur_top50": P.cooccur_top50,
+        "pmi_top50": P.pmi_top50,
         "length_band_docs": P.length_band_docs,
         "spellcheck_suggest": P.spellcheck_suggest,
         "prefix_dup_groups": P.prefix_dup_groups,
@@ -1496,6 +1497,35 @@ pairs AS (
   FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 3)
 SELECT t1, t2, count(*) AS n FROM pairs
 GROUP BY t1, t2 ORDER BY n DESC, t1, t2 LIMIT 50
+""",
+        # PMI collocations over the same pair events; one ln over one
+        # exact int64 rational per candidate (the fixed-point device)
+        "pmi_top50": """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS toks
+  FROM documents),
+p AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+  FROM t),
+pairs AS (
+  SELECT least(a.tok, b.tok) AS t1, greatest(a.tok, b.tok) AS t2
+  FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 3),
+pcnt AS (SELECT t1, t2, count(*)::BIGINT AS n FROM pairs GROUP BY 1, 2),
+tot AS (SELECT sum(n)::BIGINT AS total FROM pcnt),
+m AS (SELECT term, sum(n)::BIGINT AS m FROM (
+        SELECT t1 AS term, n FROM pcnt
+        UNION ALL SELECT t2 AS term, n FROM pcnt) GROUP BY term),
+sc AS (SELECT c.t1, c.t2, c.n,
+       CAST(floor(ln((c.n * tot.total)::DOUBLE / (m1.m * m2.m)) * 10000
+                  + 0.5) AS BIGINT) AS pmi_e4
+       FROM pcnt c
+       JOIN m m1 ON m1.term = c.t1
+       JOIN m m2 ON m2.term = c.t2
+       CROSS JOIN tot
+       WHERE c.n >= 20)
+SELECT t1, t2, n, pmi_e4 FROM sc ORDER BY pmi_e4 DESC, t1, t2 LIMIT 50
 """,
         # [p5, p95] token-count band at exact integer ranks
         # lo_rank = floor(5 (N-1) / 100), hi_rank = ceil(95 (N-1) / 100)

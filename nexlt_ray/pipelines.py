@@ -5758,3 +5758,129 @@ def dsir_weights(sf_dir: str):
         return pc.equal(batch["lang"], "en").to_numpy(zero_copy_only=False)
 
     return dsir_logratio_weights(ds, is_en)
+
+
+PMI_MIN_N = 20
+
+
+def pmi_top50(sf_dir: str) -> pa.Table:
+    """Top-50 collocations by pointwise mutual information over the same
+    windowed co-occurrence events as `cooccur_top50` (completing that
+    docstring's promised log-ratio step): PMI(a,b) = ln(n_ab * T /
+    (m_a * m_b)) with T = total pair events and m_t = events containing t,
+    restricted to pairs with n >= PMI_MIN_N (the standard support floor —
+    bare PMI otherwise surfaces hapax pairs). Fixed point
+    floor(ln(exact int64 rational) * 1e4 + 0.5); valid while
+    n*T and m_a*m_b < 2^63 (split the ln into a log difference past that).
+
+    Distributed shape: pair counts come from the shared per-batch partial
+    + ONE pair-keyed groupby; marginals are a second tiny Sum groupby OVER
+    THE PAIR TABLE (never re-tokenizes); both marginals flow back onto the
+    support-filtered candidates via two term-keyed partitioned hash_joins;
+    the top-50 is a per-block partial + driver merge of block winners
+    (bounded by 50 rows per block)."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join, join_out_schema
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+
+    pairs = (
+        ds.map_batches(_cooccur_pair_partial, batch_format="pyarrow")
+        .groupby(["t1", "t2"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .materialize()  # consumers: T scalar, marginals, candidate filter
+    )
+    pairs_schema = pa.schema(
+        [("t1", pa.string()), ("t2", pa.string()), ("n", pa.int64())]
+    )
+    total = int(pairs.sum("n") or 0)
+
+    def marg_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "term": pa.concat_arrays(
+                    [
+                        batch["t1"].combine_chunks()
+                        if isinstance(batch["t1"], pa.ChunkedArray)
+                        else batch["t1"],
+                        batch["t2"].combine_chunks()
+                        if isinstance(batch["t2"], pa.ChunkedArray)
+                        else batch["t2"],
+                    ]
+                ),
+                "m_p": pa.concat_arrays(
+                    [
+                        pa.array(np.asarray(batch["n"], dtype=np.int64)),
+                        pa.array(np.asarray(batch["n"], dtype=np.int64)),
+                    ]
+                ),
+            }
+        )
+        g = pa.TableGroupBy(t, "term").aggregate([("m_p", "sum")])
+        return g.rename_columns(["term", "m_p"])
+
+    marg = (
+        pairs.map_batches(marg_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("m_p", alias_name="m"))
+    )
+    marg_schema = pa.schema([("term", pa.string()), ("m", pa.int64())])
+
+    def support(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["n"], PMI_MIN_N))
+
+    cand = pairs.map_batches(support, batch_format="pyarrow")
+
+    j1 = hash_join(
+        cand, marg, "t1", "term",
+        left_schema=pairs_schema, right_schema=marg_schema,
+    )
+    j1_schema = join_out_schema(pairs_schema, marg_schema, "t1", "term")
+
+    def rename_m1(batch: pa.Table) -> pa.Table:
+        names = ["m1" if c == "m" else c for c in batch.column_names]
+        return batch.rename_columns(names)
+
+    j1r = j1.map_batches(rename_m1, batch_format="pyarrow")
+    j1r_schema = pa.schema(
+        [(("m1" if f.name == "m" else f.name), f.type) for f in j1_schema]
+    )
+    j2 = hash_join(
+        j1r, marg, "t2", "term",
+        left_schema=j1r_schema, right_schema=marg_schema,
+    )
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"], dtype=np.int64)
+        m1 = np.asarray(batch["m1"], dtype=np.int64)
+        m2 = np.asarray(batch["m"], dtype=np.int64)
+        num = (n * np.int64(total)).astype(np.float64)
+        den = (m1 * m2).astype(np.float64)
+        pmi = np.floor(np.log(num / den) * 10_000 + 0.5).astype(np.int64)
+        t1 = batch["t1"].to_numpy(zero_copy_only=False)
+        t2 = batch["t2"].to_numpy(zero_copy_only=False)
+        keep = np.lexsort((t2, t1, -pmi))[:50]
+        return pa.table(
+            {
+                "t1": pa.array(t1[keep].astype("U"), pa.string()),
+                "t2": pa.array(t2[keep].astype("U"), pa.string()),
+                "n": pa.array(n[keep]),
+                "pmi_e4": pa.array(pmi[keep]),
+            }
+        )
+
+    rows = j2.map_batches(block_top, batch_format="pyarrow").take_all()
+    t1 = np.array([r["t1"] for r in rows], dtype=object)
+    t2 = np.array([r["t2"] for r in rows], dtype=object)
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    pmi = np.array([r["pmi_e4"] for r in rows], dtype=np.int64)
+    order = np.lexsort((t2, t1, -pmi))[:50]
+    return pa.table(
+        {
+            "t1": pa.array(t1[order].astype("U"), pa.string()),
+            "t2": pa.array(t2[order].astype("U"), pa.string()),
+            "n": pa.array(n[order], pa.int64()),
+            "pmi_e4": pa.array(pmi[order], pa.int64()),
+        }
+    )

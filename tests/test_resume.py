@@ -103,3 +103,50 @@ def test_jsonl_ingest_byte_identical(
         for k in ("n_docs", "n_terms", "n_postings", "avgdl",
                   "n_dups_removed", "doc_counts"):
             assert m1[k] == m2[k], (shuffle, k)
+
+
+def test_jsonl_ingest_nasty_strings(ray_session, tmp_path):
+    """JSON escaping edge cases survive the ingest byte-identically:
+    embedded newlines/tabs/quotes/backslashes, unicode (CJK, emoji,
+    combining marks), and content that looks like JSON itself."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from nexlt_ray.build import BuildConfig, build_index
+
+    contents = [
+        'line one\nline two\twith tab',
+        'quote " backslash \\ slash / end',
+        '日本語のテキスト と emoji \U0001f600 and é combining',
+        '{"looks": "like json", "n": [1, 2, 3]}',
+        'control-adjacent   nbsp   ls   ps',
+        '',
+    ]
+    rows = [
+        {
+            "repo": f"org/r{i}",
+            "path": f"src/f{i}.py",
+            "commit": "c" * 40,
+            "lang": "python",
+            "content": c,
+        }
+        for i, c in enumerate(contents)
+    ]
+    pq_dir = tmp_path / "pq"
+    jl_dir = tmp_path / "jl"
+    os.makedirs(pq_dir)
+    os.makedirs(jl_dir)
+    t = pa.table({k: [r[k] for r in rows] for k in rows[0]})
+    pq.write_table(t, str(pq_dir / "part-0000.parquet"))
+    with open(jl_dir / "part-0000.jsonl", "w", encoding="utf-8") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r, ensure_ascii=False) + "\n")
+
+    for shuffle in ("disk", "sort"):
+        cfg = dict(num_doc_buckets=4, num_term_buckets=2, shuffle=shuffle)
+        a = str(tmp_path / f"nidx_pq_{shuffle}")
+        b = str(tmp_path / f"nidx_jl_{shuffle}")
+        build_index(str(pq_dir), a, BuildConfig(**cfg))
+        build_index(str(jl_dir), b, BuildConfig(**cfg))
+        assert _dir_hash(a) == _dir_hash(b), shuffle
