@@ -24,6 +24,7 @@ MinHash bands bound the same blow-up probabilistically.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -1671,3 +1672,161 @@ def line_dedup(
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash-LSH near-dup maintenance
+# ---------------------------------------------------------------------------
+
+_SIG_PARAMS_FILE = "minhash_params.json"
+
+
+def minhash_signature_table(
+    ds,
+    out_dir: str,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    shingle: int = 3,
+    text_col: str = "text",
+    concurrency: int = 4,
+) -> str:
+    """Persist a corpus's LSH band-signature table — (band_id, band_hash,
+    doc_id) rows — as a parquet directory plus a params manifest. This is
+    the reusable dedup STATE for incremental maintenance: when a new shard
+    arrives, its near-dups against the whole existing corpus resolve by
+    joining the new shard's band rows against this table (the old corpus
+    is never re-read or re-tokenized). Size: num_bands rows per doc,
+    3 ints each — ~0.1% of a text corpus."""
+    import json as _json
+
+    import ray.data  # noqa: F401
+
+    bands = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, num_bands=num_bands, shingle=shingle,
+            text_col=text_col,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    bands.write_parquet(out_dir)
+    with open(os.path.join(out_dir, _SIG_PARAMS_FILE), "w") as f:
+        _json.dump(
+            {"num_perm": num_perm, "num_bands": num_bands,
+             "shingle": shingle}, f,
+        )
+    return out_dir
+
+
+def extend_signature_table(
+    new_docs, sig_dir: str, text_col: str = "text", concurrency: int = 4
+) -> str:
+    """Append a new shard's band rows to an existing signature table (same
+    params, read from the table's manifest) so the NEXT increment sees this
+    shard as part of the corpus."""
+    import json as _json
+
+    with open(os.path.join(sig_dir, _SIG_PARAMS_FILE)) as f:
+        p = _json.load(f)
+    bands = new_docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(text_col=text_col, **p),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    bands.write_parquet(sig_dir)
+    return sig_dir
+
+
+def minhash_incremental_pairs(
+    new_docs, sig_dir: str, text_col: str = "text", concurrency: int = 4
+):
+    """Candidate near-dup pairs of a NEW shard against an EXISTING corpus,
+    via its persisted signature table: new-shard band rows join the stored
+    (band_id, band_hash) buckets in ONE composite-key partitioned
+    hash_join (new-vs-old candidates) plus a bucket groupby over the new
+    rows alone (new-vs-new candidates). The existing corpus contributes
+    only its signature table — no old text is read, tokenized or hashed
+    again, which is the point: per-shard cost is O(shard), not O(corpus).
+    Returns the same (doc_a < doc_b) distinct candidate schema as
+    `minhash_lsh_pairs`; feed to `verify_pairs_exact_ds` over the union
+    docstore for the exact stage. Equivalence to running the full LSH over
+    old+new (minus old-vs-old pairs) is pytest-pinned."""
+    import json as _json
+
+    import ray.data
+
+    from .joins import hash_join
+
+    with open(os.path.join(sig_dir, _SIG_PARAMS_FILE)) as f:
+        p = _json.load(f)
+    new_bands = new_docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(text_col=text_col, **p),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    ).materialize()  # consumers: the old-join and the new-new buckets
+    bands_schema = pa.schema(
+        [("band_id", pa.int32()), ("band_hash", pa.int64()),
+         ("doc_id", pa.int64())]
+    )
+
+    # the params manifest lives inside the dir; restrict the scan to the
+    # signature shards
+    old = ray.data.read_parquet(sig_dir, file_extensions=["parquet"])
+
+    def rename_old(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["band_id", "band_hash", "old_doc_id"]
+        )
+
+    old_r = old.map_batches(rename_old, batch_format="pyarrow")
+    j = hash_join(
+        new_bands, old_r,
+        ["band_id", "band_hash"], ["band_id", "band_hash"],
+        left_schema=bands_schema,
+        right_schema=pa.schema(
+            [("band_id", pa.int32()), ("band_hash", pa.int64()),
+             ("old_doc_id", pa.int64())]
+        ),
+    )
+
+    def cross_pairs(b: pa.Table) -> pa.Table:
+        new_id = np.asarray(b["doc_id"], dtype=np.int64)
+        old_id = np.asarray(b["old_doc_id"], dtype=np.int64)
+        keep = new_id != old_id
+        a = np.minimum(new_id[keep], old_id[keep])
+        bb = np.maximum(new_id[keep], old_id[keep])
+        t = pa.table({"doc_a": pa.array(a), "doc_b": pa.array(bb)})
+        g = pa.TableGroupBy(t, ["doc_a", "doc_b"]).aggregate([([], "count_all")])
+        return g.select(["doc_a", "doc_b"])
+
+    cross = j.map_batches(cross_pairs, batch_format="pyarrow")
+
+    def pairs_of_bucket(g: pa.Table) -> pa.Table:
+        ids = np.unique(np.asarray(g["doc_id"]))
+        if ids.size < 2:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64())}
+            )
+        a, b = np.triu_indices(ids.size, k=1)
+        return pa.table(
+            {"doc_a": pa.array(ids[a], pa.int64()),
+             "doc_b": pa.array(ids[b], pa.int64())}
+        )
+
+    new_new = new_bands.groupby(["band_id", "band_hash"]).map_groups(
+        pairs_of_bucket, batch_format="pyarrow"
+    )
+
+    return (
+        cross.union(new_new)
+        .groupby(["doc_a", "doc_b"])
+        .count()
+        .drop_columns(["count()"])
+    )

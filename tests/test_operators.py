@@ -1887,3 +1887,77 @@ def test_dsir_weights_matches_single_machine_reference(ray_session):
     lw = out["logw_e4"].to_numpy()
     f = np.array(flags)
     assert lw[f].min() > lw[~f].max()
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash-LSH maintenance
+# ---------------------------------------------------------------------------
+def test_minhash_incremental_equals_full_lsh(ray_session, tmp_path):
+    """Incremental candidates (new shard vs persisted signature table,
+    plus new-vs-new) equal the full LSH run over old+new minus the
+    old-vs-old pairs — byte-for-byte the same (doc_a, doc_b) set; and
+    after extend_signature_table a SECOND increment treats the first
+    shard as existing corpus."""
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"w{i}" for i in range(40)], dtype=object)
+
+    def mk(n, start):
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(8, 20)))
+            for _ in range(n)
+        ]
+        # plant near-dups: every 5th doc copies the previous with a tweak
+        for i in range(4, n, 5):
+            texts[i] = texts[i - 1] + " w0"
+        return pa.table(
+            {
+                "doc_id": pa.array(range(start, start + n), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+
+    old_t, new_t = mk(150, 0), mk(50, 1000)
+    # cross dups: some new docs copy old docs exactly
+    txts = new_t["text"].to_pylist()
+    for j, src in enumerate(range(0, 30, 7)):
+        txts[j] = old_t["text"][src].as_py()
+    new_t = pa.table({"doc_id": new_t["doc_id"], "text": pa.array(txts)})
+
+    old_ds = ray.data.from_arrow(old_t).repartition(4)
+    new_ds = ray.data.from_arrow(new_t).repartition(3)
+
+    def pairset(ds_pairs):
+        df = ds_pairs.to_pandas()
+        return set(zip(df["doc_a"].tolist(), df["doc_b"].tolist()))
+
+    sig = D.minhash_signature_table(old_ds, str(tmp_path / "sig"), concurrency=2)
+    inc = pairset(D.minhash_incremental_pairs(new_ds, sig, concurrency=2))
+
+    union = ray.data.from_arrow(pa.concat_tables([old_t, new_t])).repartition(5)
+    full = pairset(D.minhash_lsh_pairs(union, concurrency=2))
+    full_not_old_old = {
+        (a, b) for a, b in full if not (a < 1000 and b < 1000)
+    }
+    assert inc == full_not_old_old
+    assert any(a < 1000 <= b for a, b in inc)   # found cross dups
+    assert any(a >= 1000 for a, b in inc)       # found new-new dups
+
+    # second increment: shard 2 vs (old + shard 1)
+    D.extend_signature_table(new_ds, sig, concurrency=2)
+    new2 = mk(30, 2000)
+    t2 = new2["text"].to_pylist()
+    t2[0] = new_t["text"][5].as_py()   # dup of a shard-1 doc
+    t2[1] = old_t["text"][50].as_py()  # dup of an old doc
+    new2 = pa.table({"doc_id": new2["doc_id"], "text": pa.array(t2)})
+    new2_ds = ray.data.from_arrow(new2).repartition(2)
+    inc2 = pairset(D.minhash_incremental_pairs(new2_ds, sig, concurrency=2))
+    union2 = ray.data.from_arrow(
+        pa.concat_tables([old_t, new_t, new2])
+    ).repartition(6)
+    full2 = pairset(D.minhash_lsh_pairs(union2, concurrency=2))
+    expected2 = {(a, b) for a, b in full2 if b >= 2000}
+    assert inc2 == expected2
+    assert (5 + 1000, 2000) in inc2 or (1000 + 5, 2000) in inc2
+    assert (50, 2001) in inc2
