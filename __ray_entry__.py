@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- slots 51+: oracled variants of in-window operators ---
         "dup_clusters": P.dup_clusters_docs,
         "repetition_stats": P.repetition_stats_docs,
+        "line_dedup_by_source": P.line_dedup_by_source,
         "stratified_take_n": P.stratified_take_docs,
         "dedup_collect_sources": P.dedup_collect_sources,
         "hopping_window_events": P.hopping_window_events,
@@ -1350,6 +1351,33 @@ SELECT doc_id,
 FROM aug
 """,
         "quality_stats": _quality_sql(),
+        # per-domain variant: frequency scoped to (source, line); the
+        # globally-common footer stays (per-source df ~4 < 8) while the
+        # source-specific banners go — the oracle re-derives both
+        "line_dedup_by_source": r"""
+WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+aug AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 2 = 0
+      THEN ['site banner ' || source] ELSE CAST([] AS VARCHAR[]) END
+    || list_transform(range(0, CAST(ceil(len(toks) / 12.0) AS BIGINT)),
+         g -> array_to_string(list_slice(toks, g*12 + 1, g*12 + 12), ' '))
+    || CASE WHEN doc_id % 7 = 0
+      THEN ['shared footer text'] ELSE CAST([] AS VARCHAR[]) END AS lines
+  FROM base),
+lines AS (SELECT doc_id, source, unnest(lines) AS line,
+                 unnest(range(0, len(lines))) AS idx FROM aug),
+boiler AS (SELECT source, line FROM lines GROUP BY source, line
+           HAVING count(DISTINCT doc_id) >= 8),
+kept AS (SELECT l.doc_id, l.idx, l.line FROM lines l
+         ANTI JOIN boiler b ON b.source = l.source AND b.line = l.line),
+reasm AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+                 count(*)::BIGINT AS n_kept FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, len(lines)::BIGINT AS n_lines FROM aug)
+SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, t.n_lines,
+       (t.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+FROM tot t LEFT JOIN reasm r ON r.doc_id = t.doc_id
+""",
         # line-level boilerplate removal: the SQL re-derives the injected
         # line structure (12-token reflow + header/footer from doc_id, see
         # pipelines._inject_lines), recomputes per-line doc frequency, and

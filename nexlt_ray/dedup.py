@@ -1497,6 +1497,7 @@ def line_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 32,
+    group_col: str | None = None,
 ):
     """Line-level boilerplate removal across documents: every line whose
     document frequency (number of DISTINCT docs containing it) reaches
@@ -1506,6 +1507,13 @@ def line_dedup(
     pipelines (CCNet paragraph-hash dedup, RefinedWeb line-level dedup) —
     the step that strips navigation bars, cookie banners and license
     headers repeated across a crawl.
+
+    `group_col` scopes the frequency: with e.g. group_col='source' a line
+    is boilerplate when it reaches `min_docs` distinct docs WITHIN ONE
+    group — RefinedWeb's actual per-domain semantics (a navbar repeated
+    across one site is boilerplate even if globally rare, and a common
+    phrase shared across sites is NOT). The df groupby and the anti join
+    then key on (group, line) composites; everything else is unchanged.
 
     Returns a Dataset of (doc_id, clean_text, n_lines, n_removed) with one
     row per input document (a fully-boilerplate doc keeps its row with
@@ -1539,18 +1547,28 @@ def line_dedup(
             offs[:-1] - offs[0], counts
         )
         flat = lines.values.slice(offs[0], int(offs[-1] - offs[0]))
-        return pa.table(
-            {
-                id_col: pa.array(doc_rep),
-                "idx": pa.array(idx),
-                "line": flat,
-            }
-        )
+        cols = {
+            id_col: pa.array(doc_rep),
+            "idx": pa.array(idx),
+            "line": flat,
+        }
+        if group_col is not None:
+            grp = batch[group_col]
+            if isinstance(grp, pa.ChunkedArray):
+                grp = grp.combine_chunks()
+            cols[group_col] = grp.take(
+                pa.array(np.repeat(np.arange(len(batch)), counts))
+            )
+        return pa.table(cols)
 
     lines = ds.map_batches(explode, batch_format="pyarrow")
-    lines_schema = pa.schema(
-        [(id_col, pa.int64()), ("idx", pa.int64()), ("line", pa.string())]
-    )
+    lines_fields = [
+        (id_col, pa.int64()), ("idx", pa.int64()), ("line", pa.string())
+    ]
+    if group_col is not None:
+        lines_fields.append((group_col, pa.string()))
+    lines_schema = pa.schema(lines_fields)
+    freq_keys = ["line"] if group_col is None else [group_col, "line"]
 
     # per-doc line totals: each source row lives in exactly one batch, so
     # this is a pure map (no groupby) — one row per doc
@@ -1578,34 +1596,34 @@ def line_dedup(
     def df_partial(batch: pa.Table) -> pa.Table:
         ex = explode(batch)
         g = pa.TableGroupBy(
-            ex.select(["line", id_col]), ["line", id_col]
+            ex.select(freq_keys + [id_col]), freq_keys + [id_col]
         ).aggregate([([], "count_all")])
-        g2 = pa.TableGroupBy(g.select(["line"]), "line").aggregate(
+        g2 = pa.TableGroupBy(g.select(freq_keys), freq_keys).aggregate(
             [([], "count_all")]
         )
-        return g2.rename_columns(["line", "df_p"])
+        return g2.rename_columns(freq_keys + ["df_p"])
 
     df = (
         ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("line")
+        .groupby(freq_keys if group_col is not None else "line")
         .aggregate(Sum("df_p", alias_name="df"))
     )
 
     def boiler_only(batch: pa.Table) -> pa.Table:
         mask = pc.greater_equal(batch["df"], min_docs)
-        return batch.filter(mask).select(["line"])
+        return batch.filter(mask).select(freq_keys)
 
     boiler = df.map_batches(boiler_only, batch_format="pyarrow")
 
     kept = hash_join(
         lines,
         boiler,
-        "line",
-        "line",
+        freq_keys,
+        freq_keys,
         how="left anti",
         num_buckets=num_buckets,
         left_schema=lines_schema,
-        right_schema=pa.schema([("line", pa.string())]),
+        right_schema=pa.schema([(k, pa.string()) for k in freq_keys]),
     )
 
     # reassembly: doc-bucket groupby, whole-bucket vectorized kernel

@@ -5685,19 +5685,15 @@ LINE_DEDUP_HEADER = "copyright example corp all rights reserved"
 LINE_DEDUP_FOOTER = "generated by nexlt export tool"
 LINE_DEDUP_WRAP = 12
 LINE_DEDUP_MIN_DOCS = 10
+LINE_DEDUP_GLOBAL_FOOTER = "shared footer text"
+LINE_DEDUP_SRC_MIN_DOCS = 8
 
 
-def _inject_lines(batch: pa.Table) -> pa.Table:
-    """Deterministic line structure for `line_dedup_docs` (the synthetic
-    corpus is single-line word soup): reflow each doc's body into
-    LINE_DEDUP_WRAP-token lines and attach a boilerplate header to every
-    doc_id % 3 == 0 and a footer to every doc_id % 4 == 0 — same device as
-    pii_redact_docs (the oracle re-derives the augmented text in SQL, so
-    the operator is verified on non-vacuous input). Fully vectorized: the
-    reflow is one flat token pass — separator per token ('\n' at every
-    WRAP boundary, '' at doc end) + one pc.binary_join over the doc-offset
-    list layout; no per-row Python."""
-    ids = np.asarray(batch["doc_id"], dtype=np.int64)
+def _reflow_body(batch: pa.Table) -> pa.Array:
+    """Reflow single-line word-soup text into LINE_DEDUP_WRAP-token lines.
+    Fully vectorized: one flat token pass — separator per token ('\n' at
+    every WRAP boundary, '' at doc end) + one pc.binary_join over the
+    doc-offset list layout; no per-row Python."""
     txt = batch["text"]
     if isinstance(txt, pa.ChunkedArray):
         txt = txt.combine_chunks()
@@ -5716,13 +5712,57 @@ def _inject_lines(batch: pa.Table) -> pa.Table:
     la = pa.ListArray.from_arrays(
         pa.array((offs - offs[0]).astype(np.int32)), glued
     )
-    body = pc.binary_join(la, "")
+    return pc.binary_join(la, "")
+
+
+def _inject_lines(batch: pa.Table) -> pa.Table:
+    """Deterministic line structure for `line_dedup_docs` (the synthetic
+    corpus is single-line word soup): reflow each doc's body into
+    LINE_DEDUP_WRAP-token lines and attach a boilerplate header to every
+    doc_id % 3 == 0 and a footer to every doc_id % 4 == 0 — same device as
+    pii_redact_docs (the oracle re-derives the augmented text in SQL, so
+    the operator is verified on non-vacuous input)."""
+    ids = np.asarray(batch["doc_id"], dtype=np.int64)
+    body = _reflow_body(batch)
     header = np.where(ids % 3 == 0, LINE_DEDUP_HEADER + "\n", "").astype(object)
     footer = np.where(ids % 4 == 0, "\n" + LINE_DEDUP_FOOTER, "").astype(object)
     aug = pc.binary_join_element_wise(
         pa.array(header, pa.string()), body, pa.array(footer, pa.string()), ""
     )
     return pa.table({"doc_id": batch["doc_id"], "text": aug})
+
+
+def _inject_lines_by_source(batch: pa.Table) -> pa.Table:
+    """Per-group variant for `line_dedup_by_source`: every doc_id % 2 == 0
+    gains a SOURCE-SPECIFIC banner line ('site banner <source>' — the
+    per-domain navbar), and every doc_id % 7 == 0 a GLOBAL footer shared
+    across all sources (7 is coprime with the source assignment's modulus,
+    so the footer spreads evenly: per-source df ~4). With per-source
+    frequency scoping the banners are boilerplate (per-source df ~12 of
+    25) while the global footer is NOT (per-source df ~4 < threshold
+    despite a global df of ~n/7) — the exact semantic difference vs
+    corpus-global line dedup."""
+    ids = np.asarray(batch["doc_id"], dtype=np.int64)
+    body = _reflow_body(batch)
+    src = batch["source"]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    banner = pc.binary_join_element_wise(
+        pa.array(np.where(ids % 2 == 0, "site banner ", "").astype(object),
+                 pa.string()),
+        pc.if_else(pa.array(ids % 2 == 0), src, ""),
+        pc.if_else(pa.array(ids % 2 == 0), "\n", ""),
+        "",
+    )
+    footer = np.where(ids % 7 == 0, "\n" + LINE_DEDUP_GLOBAL_FOOTER, "").astype(
+        object
+    )
+    aug = pc.binary_join_element_wise(
+        banner, body, pa.array(footer, pa.string()), ""
+    )
+    return pa.table(
+        {"doc_id": batch["doc_id"], "source": src, "text": aug}
+    )
 
 
 def line_dedup_docs(sf_dir: str):
@@ -5883,4 +5923,23 @@ def pmi_top50(sf_dir: str) -> pa.Table:
             "n": pa.array(n[order], pa.int64()),
             "pmi_e4": pa.array(pmi[order], pa.int64()),
         }
+    )
+
+
+def line_dedup_by_source(sf_dir: str):
+    """Per-domain line-level boilerplate removal (RefinedWeb's actual
+    scoping): a line is stripped when it reaches LINE_DEDUP_SRC_MIN_DOCS
+    distinct docs WITHIN ONE source (dedup.line_dedup(group_col='source')
+    — the df groupby and the anti join key on (source, line) composites).
+    The injection plants source-specific banners (removed: per-source df
+    ~12) and one globally-common footer (KEPT: per-source df ~5 despite a
+    global df of ~n/5) — demonstrating exactly what per-group scoping
+    changes vs `line_dedup_docs`."""
+    from .dedup import line_dedup
+
+    ds = _documents(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        _inject_lines_by_source, batch_format="pyarrow"
+    )
+    return line_dedup(
+        ds, min_docs=LINE_DEDUP_SRC_MIN_DOCS, group_col="source"
     )

@@ -1961,3 +1961,41 @@ def test_minhash_incremental_equals_full_lsh(ray_session, tmp_path):
     assert inc2 == expected2
     assert (5 + 1000, 2000) in inc2 or (1000 + 5, 2000) in inc2
     assert (50, 2001) in inc2
+
+
+def test_line_dedup_group_scoped(ray_session):
+    """group_col scopes the frequency: a line reaching min_docs within one
+    group is removed THERE only; a line spread thin across groups survives
+    even when its global df exceeds the threshold."""
+    import ray.data
+
+    rows = []
+    did = 0
+    # group g0: banner in 4 docs (>= 3) -> removed in g0
+    for _ in range(4):
+        rows.append((did, "g0", "navbar g0\nbody %d" % did)); did += 1
+    # groups g1..g4: the same global line once each (global df 5 >= 3,
+    # per-group df 1) -> kept everywhere
+    for g in range(1, 5):
+        rows.append((did, f"g{g}", "global promo\nbody %d" % did)); did += 1
+    rows.append((did, "g1", "plain body")); did += 1
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows]),
+            "text": pa.array([r[2] for r in rows]),
+        }
+    )
+    out = (
+        D.line_dedup(
+            ray.data.from_arrow(t).repartition(3),
+            min_docs=3,
+            group_col="source",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert not out["clean_text"].str.contains("navbar g0").any()
+    assert (out["clean_text"].str.contains("global promo")).sum() == 4
+    assert out["n_removed"].tolist() == [1, 1, 1, 1, 0, 0, 0, 0, 0]
