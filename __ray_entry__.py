@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": P.dup_clusters_docs,
         "repetition_stats": P.repetition_stats_docs,
         "line_dedup_by_source": P.line_dedup_by_source,
+        "dup_ngram_docs": P.dup_ngram_docs,
         "stratified_take_n": P.stratified_take_docs,
         "dedup_collect_sources": P.dedup_collect_sources,
         "hopping_window_events": P.hopping_window_events,
@@ -1351,6 +1352,24 @@ SELECT doc_id,
 FROM aug
 """,
         "quality_stats": _quality_sql(),
+        # per-doc duplicate-5-gram accounting (distinct shingles shared
+        # with >= 1 other doc)
+        "dup_ngram_docs": """
+WITH t AS (SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+w AS (SELECT doc_id,
+    unnest(list_transform(range(1, len(toks) - 3),
+           i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS g
+  FROM t WHERE len(toks) >= 5),
+dg AS (SELECT DISTINCT doc_id, g FROM w),
+df AS (SELECT g FROM dg GROUP BY g HAVING count(*) >= 2),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM dg GROUP BY doc_id),
+dup AS (SELECT dg.doc_id, count(*)::BIGINT AS dup_shingles
+        FROM dg SEMI JOIN df ON df.g = dg.g GROUP BY dg.doc_id)
+SELECT t.doc_id, t.n_shingles, coalesce(d.dup_shingles, 0)::BIGINT AS dup_shingles
+FROM tot t LEFT JOIN dup d ON d.doc_id = t.doc_id
+""",
         # per-domain variant: frequency scoped to (source, line); the
         # globally-common footer stays (per-source df ~4 < 8) while the
         # source-specific banners go — the oracle re-derives both

@@ -5943,3 +5943,12 @@ def line_dedup_by_source(sf_dir: str):
     return line_dedup(
         ds, min_docs=LINE_DEDUP_SRC_MIN_DOCS, group_col="source"
     )
+
+
+def dup_ngram_docs(sf_dir: str):
+    """Per-doc inter-document duplicate 5-gram accounting over `documents`
+    (textstats.dup_ngram_stats — the Lee et al. ACL'22 duplication-report
+    statistic at doc granularity); DuckDB-oracled."""
+    from .textstats import dup_ngram_stats
+
+    return dup_ngram_stats(_documents(sf_dir, ["doc_id", "text"]))

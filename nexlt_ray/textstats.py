@@ -1055,3 +1055,134 @@ def compression_ratio_batch(
             "ratio_e4": pa.array(ratio.astype(np.int64)),
         }
     )
+
+
+def dup_ngram_stats(
+    docs,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document inter-corpus duplication accounting (the Lee et al.
+    ACL'22 'fraction of data duplicated' report, at doc granularity):
+    for every doc, the number of its DISTINCT n-token shingles that also
+    appear in at least `min_docs - 1` OTHER docs. High dup_shingles /
+    n_shingles flags boilerplate-heavy docs BEFORE any dedup decision —
+    the accounting companion to line_dedup / substring dedup.
+
+    Distributed shape (the line_dedup discipline at shingle granularity):
+    distinct (shingle, doc) rows stream out of one tokenize pass with
+    per-batch partials that are doc-atomic, so the shingle-df Sum groupby
+    is exact; shingles with df >= min_docs flow back onto the rows via a
+    partitioned `left semi` hash_join keyed by the shingle string (the
+    df table is corpus-sized — never broadcast, never on the driver);
+    per-doc counts are one groupby of per-batch partial sums. Output
+    (doc_id, n_shingles, dup_shingles) for docs with >= n tokens; the
+    fraction is a trivial client-side division."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+    from .tokenize import tokenize_batch
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch[text_col], profile="simple")
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        empty = pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "g": pa.array([], pa.string())}
+        )
+        if tb.terms.size == 0:
+            return empty
+        order = np.lexsort((tb.positions, tb.doc_idx))
+        d = tb.doc_idx[order].astype(np.int64)
+        toks = tb.terms.astype("U")[order]
+        if d.size < n:
+            return empty
+        cnt = d.size - (n - 1)
+        valid = d[:cnt] == d[n - 1 :]
+        if not valid.any():
+            return empty
+        starts = np.flatnonzero(valid)
+        # join n consecutive tokens per window start (vectorized char add)
+        g = toks[starts].astype(object)
+        for j in range(1, n):
+            g = np.char.add(np.char.add(g.astype("U"), " "), toks[starts + j])
+        rows = pa.table(
+            {
+                id_col: pa.array(ids[d[starts]], pa.int64()),
+                "g": pa.array(g.astype(object), pa.string()),
+            }
+        )
+        # distinct per (doc, shingle) — doc-atomic within the batch
+        gb = pa.TableGroupBy(rows, [id_col, "g"]).aggregate([([], "count_all")])
+        return gb.select([id_col, "g"])
+
+    rows = docs.map_batches(shingle_rows, batch_format="pyarrow").materialize()
+    rows_schema = pa.schema([(id_col, pa.int64()), ("g", pa.string())])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        gb = pa.TableGroupBy(batch.select(["g"]), "g").aggregate(
+            [([], "count_all")]
+        )
+        return gb.rename_columns(["g", "df_p"])
+
+    df = (
+        rows.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("df_p", alias_name="df"))
+    )
+
+    def dup_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch["df"], min_docs)
+        ).select(["g"])
+
+    dup_g = df.map_batches(dup_only, batch_format="pyarrow")
+
+    dup_rows = hash_join(
+        rows, dup_g, "g", "g", how="left semi",
+        left_schema=rows_schema,
+        right_schema=pa.schema([("g", pa.string())]),
+    )
+
+    def count_partial(col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            gb = pa.TableGroupBy(batch.select([id_col]), id_col).aggregate(
+                [([], "count_all")]
+            )
+            return gb.rename_columns([id_col, col])
+
+        return f
+
+    totals = (
+        rows.map_batches(count_partial("t_p"), batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("t_p", alias_name="n_shingles"))
+    )
+    dups = (
+        dup_rows.map_batches(count_partial("d_p"), batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("d_p", alias_name="dup_shingles"))
+    )
+
+    out = hash_join(
+        totals, dups, id_col, id_col, how="left outer",
+        left_schema=pa.schema([(id_col, pa.int64()),
+                               ("n_shingles", pa.int64())]),
+        right_schema=pa.schema([(id_col, pa.int64()),
+                                ("dup_shingles", pa.int64())]),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_shingles": batch["n_shingles"],
+                "dup_shingles": pc.cast(
+                    pc.fill_null(batch["dup_shingles"], 0), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
