@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": P.kmeans_clusters,
         "cluster_label_purity": P.cluster_label_purity,
         "customer_order_counts": P.customer_order_counts,
+        "q3_shipping_priority": P.q3_shipping_priority,
         "train_val_split": P.train_val_split,
         "funnel_counts": P.funnel_counts,
         "facet_drilldown": P.facet_drilldown_docs,
@@ -1853,6 +1854,24 @@ SELECT c.c_custkey, c.c_mktsegment,
            AS total_cents
 FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY 1, 2
+""",
+        # TPC-H Q3 analog: 3-table chained join, integer-exact revenue
+        # (one floor per double on both sides, no float accumulation)
+        "q3_shipping_priority": """
+WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+o AS (SELECT o_orderkey, o_orderdate FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        AND o_custkey IN (SELECT c_custkey FROM c)),
+l AS (SELECT l_orderkey,
+        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS rev_u
+      FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01'),
+g AS (SELECT l.l_orderkey, sum(l.rev_u)::BIGINT AS revenue_u,
+             epoch_us(o.o_orderdate)::BIGINT AS o_date_us
+      FROM l JOIN o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 3)
+SELECT l_orderkey, revenue_u, o_date_us FROM g
+ORDER BY revenue_u DESC, o_date_us, l_orderkey LIMIT 10
 """,
         "train_val_split": _split_sql(),
         "funnel_counts": _funnel_sql(),

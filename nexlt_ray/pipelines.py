@@ -5952,3 +5952,127 @@ def dup_ngram_docs(sf_dir: str):
     from .textstats import dup_ngram_stats
 
     return dup_ngram_stats(_documents(sf_dir, ["doc_id", "text"]))
+
+
+Q3_CUTOFF_US = int(np.datetime64("1998-01-01", "us").astype(np.int64))
+
+
+def q3_shipping_priority(sf_dir: str) -> pa.Table:
+    """TPC-H Q3 analog — the canonical 3-table chained join: customers of
+    one market segment -> their orders before a cutoff -> revenue of those
+    orders' line items shipped after it; top-10 orders by revenue.
+    Exercises hash_join composition (a left-semi customer filter feeding
+    an inner orderkey join) with integer-exact revenue: rev_u =
+    floor(price*100 + 0.5) * (10000 - floor(discount*10000 + 0.5))
+    (micro-cents x basis points — one floor per double on both oracle
+    sides, no float accumulation).
+
+    Scale shape: the segment-filtered customer side ships ONLY its key
+    column through the semi join (no broadcast assumption); lineitem
+    pre-aggregates revenue per orderkey per batch BEFORE the join
+    (combiner — the join left side is bounded by distinct orderkeys per
+    batch, not line items); the top-10 is per-block partial + driver
+    merge of block winners."""
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    from .joins import hash_join, join_out_schema
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+
+    def seg_only(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.equal(b["c_mktsegment"], "BUILDING")
+        ).select(["c_custkey"])
+
+    cust_k = cust.map_batches(seg_only, batch_format="pyarrow")
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def ord_filter(b: pa.Table) -> pa.Table:
+        dt = pc.cast(b["o_orderdate"], pa.int64())
+        keep = pc.less(dt, Q3_CUTOFF_US)
+        t = pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_custkey": b["o_custkey"],
+                "o_date_us": dt,
+            }
+        ).filter(keep)
+        return t
+
+    o_f = orders.map_batches(ord_filter, batch_format="pyarrow")
+    o_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+         ("o_date_us", pa.int64())]
+    )
+    o_b = hash_join(
+        o_f, cust_k, "o_custkey", "c_custkey", how="left semi",
+        left_schema=o_schema,
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+    )
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        keep = pc.greater(pc.cast(b["l_shipdate"], pa.int64()), Q3_CUTOFF_US)
+        t = b.filter(keep)
+        price = np.asarray(t["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(t["l_discount"], dtype=np.float64)
+        rev = (
+            np.floor(price * 100 + 0.5).astype(np.int64)
+            * (10000 - np.floor(disc * 10000 + 0.5).astype(np.int64))
+        )
+        pt = pa.table(
+            {"l_orderkey": t["l_orderkey"], "rev_p": pa.array(rev)}
+        )
+        g = pa.TableGroupBy(pt, "l_orderkey").aggregate([("rev_p", "sum")])
+        return g.rename_columns(["l_orderkey", "rev_p"])
+
+    li_pre = li.map_batches(li_partial, batch_format="pyarrow")
+    li_schema = pa.schema([("l_orderkey", pa.int64()), ("rev_p", pa.int64())])
+
+    j = hash_join(
+        li_pre, o_b, "l_orderkey", "o_orderkey",
+        left_schema=li_schema, right_schema=o_schema,
+    )
+
+    agg = j.groupby("l_orderkey").aggregate(
+        Sum("rev_p", alias_name="revenue_u"),
+        Max("o_date_us", alias_name="o_date_us"),
+    )
+
+    def block_top(b: pa.Table) -> pa.Table:
+        rev = np.asarray(b["revenue_u"], dtype=np.int64)
+        dt = np.asarray(b["o_date_us"], dtype=np.int64)
+        ok = np.asarray(b["l_orderkey"], dtype=np.int64)
+        keep = np.lexsort((ok, dt, -rev))[:10]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok[keep]),
+                "revenue_u": pa.array(rev[keep]),
+                "o_date_us": pa.array(dt[keep]),
+            }
+        )
+
+    rows = agg.map_batches(block_top, batch_format="pyarrow").take_all()
+    ok = np.array([r["l_orderkey"] for r in rows], dtype=np.int64)
+    rev = np.array([r["revenue_u"] for r in rows], dtype=np.int64)
+    dt = np.array([r["o_date_us"] for r in rows], dtype=np.int64)
+    order = np.lexsort((ok, dt, -rev))[:10]
+    return pa.table(
+        {
+            "l_orderkey": pa.array(ok[order], pa.int64()),
+            "revenue_u": pa.array(rev[order], pa.int64()),
+            "o_date_us": pa.array(dt[order], pa.int64()),
+        }
+    )
