@@ -354,6 +354,19 @@ def _sha_and_bucket(batch: pa.Table, cfg: BuildConfig) -> pa.Table:
     return out
 
 
+def _list_input_files(input_path: str | list[str]) -> list[str]:
+    """Flat file listing (no parquet-footer opens — metadata-free)."""
+    if isinstance(input_path, str):
+        if os.path.isdir(input_path):
+            return sorted(
+                os.path.join(input_path, f)
+                for f in os.listdir(input_path)
+                if f.endswith(".parquet") or f.endswith(".jsonl")
+            )
+        return [input_path]
+    return list(input_path)
+
+
 def _list_fragments(input_path: str | list[str]) -> list[tuple[str, int]]:
     """(file, row_group) work units for storage-direct map tasks. Ray 2.49
     does NOT fuse ReadParquet with a following map_batches (verified via the
@@ -370,17 +383,7 @@ def _list_fragments(input_path: str | list[str]) -> list[tuple[str, int]]:
     which is exactly how the reference's exports arrive."""
     import pyarrow.parquet as pqt
 
-    if isinstance(input_path, str):
-        if os.path.isdir(input_path):
-            files = sorted(
-                os.path.join(input_path, f)
-                for f in os.listdir(input_path)
-                if f.endswith(".parquet") or f.endswith(".jsonl")
-            )
-        else:
-            files = [input_path]
-    else:
-        files = list(input_path)
+    files = _list_input_files(input_path)
     frags = []
     for f in files:
         if f.endswith(".jsonl"):
@@ -399,7 +402,21 @@ def _read_input_fragment(path: str, rg: int, columns: list[str]) -> pa.Table:
     if int(rg) < 0:
         from pyarrow import json as pj
 
-        return pj.read_json(path).select(columns)
+        # pyarrow.json's default 1 MiB block_size fails with ArrowInvalid
+        # ("straddling object straddles two block boundaries") on any JSON
+        # line larger than the block — routine for big documents. Mirror
+        # Ray's JSON datasource: retry with doubled block_size, capped by
+        # the file size (one block = whole file always parses).
+        block = 1 << 20
+        fsize = max(os.path.getsize(path), 1)
+        while True:
+            try:
+                opts = pj.ReadOptions(block_size=min(block, fsize + 1))
+                return pj.read_json(path, read_options=opts).select(columns)
+            except pa.ArrowInvalid:
+                if block > fsize:
+                    raise
+                block *= 2
     import pyarrow.parquet as pqt
 
     return pqt.ParquetFile(path).read_row_group(int(rg), columns=columns)
@@ -1486,7 +1503,10 @@ def build_index(
         # the upstream block count, so small local inputs must be split
         # explicitly; batch_size=None keeps one batch per block (no
         # coalescing -> the downstream shuffle keeps its parallelism)
-        frag_files = {p for p, _ in _list_fragments(input_path)}
+        # suffix-only listing — _list_fragments would open every parquet
+        # footer serially on the driver just to detect .jsonl files, and
+        # read_parquet below lists the same files again anyway
+        frag_files = set(_list_input_files(input_path))
         jsonl_files = sorted(f for f in frag_files if f.endswith(".jsonl"))
         if jsonl_files:
             # mixed or pure-JSONL input on the sort path: read each format

@@ -1491,6 +1491,18 @@ def contamination_overlap_counts(
 # ---------------------------------------------------------------------------
 
 
+def _doc_bucket(ids: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Fibonacci-mix doc ids into shuffle buckets. Runs in uint64 (wrapping
+    multiply): the same expression on an int64 array with an out-of-range
+    Python int silently promotes to float64 on numpy 1.x — where every
+    product is a multiple of 2048 and `% num_buckets` collapses ALL ids to
+    bucket 0 — and raises OverflowError on numpy>=2 under NEP 50."""
+    return (
+        (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        % np.uint64(num_buckets)
+    ).astype(np.int64)
+
+
 def line_dedup(
     ds,
     min_docs: int = 10,
@@ -1498,6 +1510,7 @@ def line_dedup(
     id_col: str = "doc_id",
     num_buckets: int = 32,
     group_col: str | None = None,
+    group_type: pa.DataType | None = None,
 ):
     """Line-level boilerplate removal across documents: every line whose
     document frequency (number of DISTINCT docs containing it) reaches
@@ -1534,6 +1547,21 @@ def line_dedup(
 
     from .joins import hash_join
 
+    # Resolve the grouping column's type for the declared join schemas:
+    # prefer the caller's explicit `group_type`, else the input schema when
+    # it is known without executing anything (fetch_if_missing=False — a
+    # .schema() probe on an unmaterialized lineage would run the stage),
+    # else default to string and verify per batch below.
+    grp_type = group_type
+    if group_col is not None and grp_type is None:
+        known = ds.schema(fetch_if_missing=False)
+        if known is not None:
+            base = getattr(known, "base_schema", known)
+            if group_col in base.names:
+                grp_type = base.field(group_col).type
+    if group_col is not None and grp_type is None:
+        grp_type = pa.string()
+
     def explode(batch: pa.Table) -> pa.Table:
         txt = batch[text_col]
         if isinstance(txt, pa.ChunkedArray):
@@ -1556,6 +1584,11 @@ def line_dedup(
             grp = batch[group_col]
             if isinstance(grp, pa.ChunkedArray):
                 grp = grp.combine_chunks()
+            if not grp.type.equals(grp_type):
+                raise TypeError(
+                    f"line_dedup: group_col {group_col!r} is {grp.type}, "
+                    f"declared {grp_type}; pass group_type= explicitly"
+                )
             cols[group_col] = grp.take(
                 pa.array(np.repeat(np.arange(len(batch)), counts))
             )
@@ -1566,7 +1599,7 @@ def line_dedup(
         (id_col, pa.int64()), ("idx", pa.int64()), ("line", pa.string())
     ]
     if group_col is not None:
-        lines_fields.append((group_col, pa.string()))
+        lines_fields.append((group_col, grp_type))
     lines_schema = pa.schema(lines_fields)
     freq_keys = ["line"] if group_col is None else [group_col, "line"]
 
@@ -1623,14 +1656,17 @@ def line_dedup(
         how="left anti",
         num_buckets=num_buckets,
         left_schema=lines_schema,
-        right_schema=pa.schema([(k, pa.string()) for k in freq_keys]),
+        right_schema=pa.schema(
+            [(k, grp_type if k == group_col else pa.string()) for k in freq_keys]
+        ),
     )
 
     # reassembly: doc-bucket groupby, whole-bucket vectorized kernel
     def add_bucket(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col], dtype=np.int64)
-        b = (ids * 0x9E3779B97F4A7C15 % (1 << 63)) % num_buckets
-        return batch.append_column("__bucket", pa.array(b.astype(np.int64)))
+        return batch.append_column(
+            "__bucket", pa.array(_doc_bucket(ids, num_buckets))
+        )
 
     def reassemble(group: pa.Table) -> pa.Table:
         ids = np.asarray(group[id_col], dtype=np.int64)
@@ -1639,10 +1675,12 @@ def line_dedup(
         ids_s = ids[order]
         lines_s = group["line"].combine_chunks().take(pa.array(order))
         starts = np.flatnonzero(np.r_[True, ids_s[1:] != ids_s[:-1]])
-        offsets = np.r_[starts, ids_s.size].astype(np.int32)
-        la = pa.ListArray.from_arrays(pa.array(offsets), lines_s)
+        # int64 offsets via LargeListArray: a bucket group can exceed 2^31
+        # lines at full scale, where int32 offsets would wrap negative.
+        offsets = np.r_[starts, ids_s.size].astype(np.int64)
+        la = pa.LargeListArray.from_arrays(pa.array(offsets), lines_s)
         joined = pc.binary_join(la, "\n")
-        n_kept = np.diff(offsets).astype(np.int64)
+        n_kept = np.diff(offsets)
         return pa.table(
             {
                 id_col: pa.array(ids_s[starts]),

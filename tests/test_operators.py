@@ -1999,3 +1999,57 @@ def test_line_dedup_group_scoped(ray_session):
     assert not out["clean_text"].str.contains("navbar g0").any()
     assert (out["clean_text"].str.contains("global promo")).sum() == 4
     assert out["n_removed"].tolist() == [1, 1, 1, 1, 0, 0, 0, 0, 0]
+
+
+def test_doc_bucket_spread():
+    """Regression (r4 advice): the Fibonacci bucket mix must run in uint64.
+    The old int64-array * out-of-range-Python-int expression promoted to
+    float64 on numpy 1.x, where every product is a multiple of 2048 and
+    `% num_buckets` sent EVERY doc id to bucket 0 — one reassembly group,
+    single-task OOM at scale."""
+    import numpy as np
+
+    ids = np.arange(10_000, dtype=np.int64)
+    b = D._doc_bucket(ids, 32)
+    assert b.dtype == np.int64
+    counts = np.bincount(b, minlength=32)
+    assert (counts > 0).all()                      # all buckets used
+    assert counts.max() < 3 * ids.size / 32        # roughly balanced
+    # also exercises huge ids (sign-bit territory)
+    big = np.array([2**62, 2**63 - 1, 0, -1], dtype=np.int64)
+    bb = D._doc_bucket(big, 8)
+    assert ((0 <= bb) & (bb < 8)).all()
+
+
+def test_line_dedup_int_group_col(ray_session):
+    """A non-string group column (int domain id) works: the declared join
+    schemas derive the group type from the input schema instead of
+    hardcoding string."""
+    import ray.data
+
+    rows = []
+    did = 0
+    for _ in range(4):
+        rows.append((did, 7, "navbar\nbody %d" % did)); did += 1
+    for g in range(1, 5):
+        rows.append((did, g, "global promo\nbody %d" % did)); did += 1
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "domain_id": pa.array([r[1] for r in rows], pa.int64()),
+            "text": pa.array([r[2] for r in rows]),
+        }
+    )
+    out = (
+        D.line_dedup(
+            ray.data.from_arrow(t).repartition(3),
+            min_docs=3,
+            group_col="domain_id",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert not out["clean_text"].str.contains("navbar").any()
+    assert (out["clean_text"].str.contains("global promo")).sum() == 4
+    assert out["n_removed"].tolist() == [1, 1, 1, 1, 0, 0, 0, 0]

@@ -150,3 +150,30 @@ def test_jsonl_ingest_nasty_strings(ray_session, tmp_path):
         build_index(str(pq_dir), a, BuildConfig(**cfg))
         build_index(str(jl_dir), b, BuildConfig(**cfg))
         assert _dir_hash(a) == _dir_hash(b), shuffle
+
+
+def test_jsonl_large_line(tmp_path):
+    """Regression (r4 advice): a JSON line larger than pyarrow.json's
+    default 1 MiB block_size used to fail the storage-direct ingest with
+    ArrowInvalid 'straddling object straddles two block boundaries'. The
+    fragment reader now retries with doubled block_size (capped at file
+    size), mirroring Ray's JSON datasource."""
+    import json as _json
+
+    from nexlt_ray.build import _read_input_fragment
+
+    big = "word " * 400_000  # ~2 MiB of content in one JSON line
+    rows = [
+        {"repo": "org/r0", "path": "a.py", "commit": "c" * 40,
+         "lang": "python", "content": big},
+        {"repo": "org/r1", "path": "b.py", "commit": "d" * 40,
+         "lang": "python", "content": "small doc"},
+    ]
+    f = tmp_path / "big.jsonl"
+    with open(f, "w", encoding="utf-8") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    t = _read_input_fragment(str(f), -1, ["repo", "path", "content"])
+    assert t.num_rows == 2
+    assert t.column_names == ["repo", "path", "content"]
+    assert t["content"][0].as_py() == big
