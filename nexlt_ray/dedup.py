@@ -939,37 +939,82 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
-def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text"):
-    """Near-dup pairs by SimHash sketch distance: all (doc_a, doc_b) with
-    Hamming(simhash_a, simhash_b) <= max_hamming.
+def _simhash_num_tables(d: int, k: int) -> int:
+    from math import comb
 
-    Pigeonhole bucketing (public Manku et al. WWW'07 technique): split the
-    64-bit sketch into max_hamming+1 bit-chunks — any pair within the
-    distance budget must agree EXACTLY on at least one chunk — then a
-    (chunk_id, chunk_value) groupby co-locates candidates and the exact
-    Hamming check runs in-group. No all-pairs scan; the hot key is a chunk
-    value shared by many docs, which is exactly a near-dup cluster.
+    return comb(k, k - d)
 
-    Returns a Dataset of (doc_a, doc_b, hamming).
-    """
-    k = max_hamming + 1
+
+def _simhash_block_keys(
+    h: np.ndarray, d: int, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bucket keys for the block-permutation scheme: split each 64-bit
+    sketch into k blocks and, for every (k-d)-block subset, fold that
+    subset's block values into one uint64 key. Returns (table_id int32 of
+    shape [C(k,d)*n], keys uint64 same shape) — table t's keys occupy the
+    t-th length-n slice. Completeness: a pair with Hamming <= d differs in
+    at most d blocks, so at least k-d blocks match exactly, so the subset
+    consisting of k-d matching blocks yields equal keys in its table."""
+    from itertools import combinations
+
     widths = [64 // k + (1 if c < 64 % k else 0) for c in range(k)]
     shifts = np.cumsum([0] + widths[:-1]).astype(np.uint64)
     masks = np.array([(1 << w) - 1 for w in widths], dtype=np.uint64)
+    h = np.asarray(h).view(np.uint64)
+    n = h.size
+    vals = [(h >> shifts[c]) & masks[c] for c in range(k)]
+    keys = []
+    for sub in combinations(range(k), k - d):
+        key = np.zeros(n, dtype=np.uint64)
+        for c in sub:
+            key = (key << np.uint64(widths[c])) | vals[c]
+        keys.append(key)
+    tid = np.repeat(np.arange(len(keys), dtype=np.int32), n)
+    return tid, np.concatenate(keys) if keys else np.empty(0, np.uint64)
+
+
+def simhash_pairs(
+    ds,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    num_blocks: int | None = None,
+):
+    """Near-dup pairs by SimHash sketch distance: all (doc_a, doc_b) with
+    Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Block-permutation bucketing (Manku et al. WWW'07, the production
+    design): split the 64-bit sketch into `num_blocks` > max_hamming
+    blocks; a pair within the distance budget differs in at most
+    max_hamming blocks, so SOME (num_blocks - max_hamming)-block subset is
+    identical on both sides — bucket on every such subset's concatenated
+    block values and run the exact Hamming check in-group. With the default
+    num_blocks = max_hamming + 3 the bucket key is ~64·(1 - d/k) >= 32
+    bits (vs ~16 bits for the naive d+1-chunk split, where at 10^9+ docs
+    RANDOM collisions put ~N/65k docs in every bucket and the in-group
+    all-pairs check goes quadratic with no true dups). Cost of the wider
+    key: C(num_blocks, max_hamming) emitted rows per doc (20 for d=3)
+    instead of d+1 — a constant-factor shuffle-volume trade for bounded
+    bucket sizes, the same trade Manku's sorted permuted tables make.
+
+    Returns a Dataset of (doc_a, doc_b, hamming).
+    """
+    d = max_hamming
+    k = num_blocks if num_blocks is not None else min(d + 3, 64)
+    if not (d < k <= 64):
+        raise ValueError(f"need max_hamming < num_blocks <= 64, got {d=} {k=}")
+    n_tables = _simhash_num_tables(d, k)
 
     def sketch_chunks(batch: pa.Table) -> pa.Table:
         t = simhash_batch(batch, text_col)
         h = np.asarray(t["simhash"]).view(np.uint64)
         doc = np.asarray(t["doc_id"])
-        n = doc.size
-        chunk_id = np.repeat(np.arange(k, dtype=np.int32), n)
-        vals = np.concatenate([(h >> shifts[c]) & masks[c] for c in range(k)])
+        tid, keys = _simhash_block_keys(h, d, k)
         return pa.table(
             {
-                "chunk_id": pa.array(chunk_id),
-                "chunk_val": pa.array(vals.view(np.int64)),
-                "doc_id": pa.array(np.tile(doc, k), pa.int64()),
-                "simhash": pa.array(np.tile(h.view(np.int64), k)),
+                "chunk_id": pa.array(tid),
+                "chunk_val": pa.array(keys.view(np.int64)),
+                "doc_id": pa.array(np.tile(doc, n_tables), pa.int64()),
+                "simhash": pa.array(np.tile(h.view(np.int64), n_tables)),
             }
         )
 

@@ -2167,9 +2167,12 @@ def curated_docs(sf_dir: str) -> pa.Table:
     pipeline actually runs): quality filter (integer thresholds) ->
     near-duplicate removal at Jaccard >= 0.9 (which subsumes exact dedup:
     an exact pair has J = 1, and the kept side is the lower doc_id) ->
-    surviving (doc_id, n_tokens). Every stage distributed; the only
-    driver-side state is the near-dup drop set (bounded by the duplicate
-    count). DuckDB-oracled end to end."""
+    surviving (doc_id, n_tokens). Every stage distributed: the near-dup
+    pair set flows into ONE partitioned left-anti hash_join (keyed doc_id
+    vs doc_b) — it never touches the driver, which matters because on a
+    dup-heavy crawl the pair set is corpus-scale (quadratic in cluster
+    sizes by the data's own semantics). DuckDB-oracled end to end."""
+    from .joins import hash_join
     ds = _documents(sf_dir, ["doc_id", "text"])
 
     def quality_filter(batch: pa.Table) -> pa.Table:
@@ -2183,21 +2186,29 @@ def curated_docs(sf_dir: str) -> pa.Table:
 
     q_ds = ds.map_batches(quality_filter, batch_format="pyarrow")
     pairs = dedup_ops.jaccard_pairs(q_ds, tau_num=9, tau_den=10)
-    pdf = pairs.to_pandas()
-    drop = (
-        np.unique(pdf["doc_b"].to_numpy(dtype=np.int64))
-        if len(pdf) and "doc_b" in pdf.columns
-        else np.empty(0, np.int64)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "n_tokens"])
+
+    kept = hash_join(
+        q_ds.map_batches(slim, batch_format="pyarrow"),
+        pairs,
+        "doc_id",
+        "doc_b",
+        how="left anti",
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("n_tokens", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [
+                ("doc_a", pa.int64()),
+                ("doc_b", pa.int64()),
+                ("inter", pa.int64()),
+                ("union_", pa.int64()),
+            ]
+        ),
     )
-    import ray
-
-    drop_ref = ray.put(pa.array(drop, pa.int64()))
-
-    def not_dropped(batch: pa.Table) -> pa.Table:
-        mask = pc.invert(pc.is_in(batch["doc_id"], value_set=ray.get(drop_ref)))
-        return batch.select(["doc_id", "n_tokens"]).filter(mask)
-
-    out = q_ds.map_batches(not_dropped, batch_format="pyarrow").to_pandas()
+    out = kept.to_pandas()
     out = out.sort_values("doc_id").reset_index(drop=True)
     return pa.table(
         {

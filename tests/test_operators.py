@@ -506,6 +506,59 @@ def test_simhash_pairs_exact_vs_bruteforce(ray_session):
     exp = sorted(zip(i[hit].tolist(), j[hit].tolist(), dist[hit].tolist()))
     assert list(map(tuple, got[["doc_a", "doc_b", "hamming"]].values)) == exp
     assert (7, 40, 0) in exp  # the exact dup surfaced
+    # the naive d+1-chunk split is the num_blocks=d+1 special case of the
+    # block-permutation scheme — same exact pair set either way
+    got_naive = (
+        D.simhash_pairs(ray.data.from_arrow(t), max_hamming=3, num_blocks=4)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert got_naive.equals(got)
+
+
+def test_simhash_block_keys_bounded_buckets():
+    """Regression (r4 verdict): at 10^6 random sketches the naive
+    d+1-chunk scheme's 16-bit bucket keys collide RANDOMLY (~N/65k docs
+    per bucket -> the in-group all-pairs check goes quadratic with zero
+    true dups); the default block-permutation scheme's ~32-bit keys keep
+    buckets tiny. Also proves completeness of the wider keys directly:
+    every pair within the Hamming budget shares a bucket in some table."""
+    from nexlt_ray.dedup import _simhash_block_keys, _simhash_num_tables
+
+    rng = np.random.default_rng(42)
+    n, d = 1_000_000, 3
+    h = rng.integers(0, 1 << 63, size=n, dtype=np.int64).view(np.uint64)
+
+    def pair_work(tid, keys):
+        # sum over (table, key) buckets of C(size, 2) == candidates checked
+        _, counts = np.unique(
+            np.stack([tid.astype(np.uint64), keys]), axis=1, return_counts=True
+        )
+        c = counts.astype(np.int64)
+        return int((c * (c - 1) // 2).sum()), int(c.max())
+
+    tid_old, keys_old = _simhash_block_keys(h, d, d + 1)     # 16-bit keys
+    tid_new, keys_new = _simhash_block_keys(h, d, d + 3)     # ~32-bit keys
+    work_old, max_old = pair_work(tid_old, keys_old)
+    work_new, max_new = pair_work(tid_new, keys_new)
+    assert max_old > 5          # 16-bit buckets demonstrably collide at 1M
+    assert work_old > 100_000   # quadratic blow-up with no true dups
+    assert max_new <= 4         # wide keys: buckets stay tiny
+    assert work_new < n // 100  # total candidate work bounded << N
+
+    # completeness: flip <= d random bits, must share a (table, key) bucket
+    base = rng.integers(0, 1 << 63, size=500, dtype=np.int64).view(np.uint64)
+    pert = base.copy()
+    for i in range(500):
+        for b in rng.choice(64, size=rng.integers(0, d + 1), replace=False):
+            pert[i] ^= np.uint64(1) << np.uint64(b)
+    t_a, k_a = _simhash_block_keys(base, d, d + 3)
+    t_b, k_b = _simhash_block_keys(pert, d, d + 3)
+    nt = _simhash_num_tables(d, d + 3)
+    k_a = k_a.reshape(nt, 500)
+    k_b = k_b.reshape(nt, 500)
+    assert (k_a == k_b).any(axis=0).all()
 
 
 def test_ivf_topk_recall(ray_session):
