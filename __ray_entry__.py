@@ -8,7 +8,7 @@ nexlt_ray) calls ray.init()/ray.shutdown().
                  table (per-row content-sha256 invariant surface).
   queries()    — one callable per implemented operator/pipeline
                  (SURVEY.md §2 inventory + training-data extensions):
-                 128 entries, 110 DuckDB-oracled, ordered so the driver's
+                 131 entries, 113 DuckDB-oracled, ordered so the driver's
                  50-row correctness window is entirely oracled and 86%
                  previously-unseen (round-5 rotation; see the queries()
                  docstring for the ordering contract).
@@ -44,10 +44,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     maximize total driver-adjudicated coverage. Round-5 window: 7 anchors
     (the build/query/cluster flagships plus the three operators whose
     implementation changed THIS round — curated_docs, simhash_pairs,
-    line_dedup_docs — so the driver re-adjudicates the new code) + 43
-    DuckDB-oracled entries the driver has NEVER checked in rounds 1-4
-    (86%% previously-unseen). Slots 51+ hold the entries green in earlier
-    driver rounds (still SQL-oracled and pytest-verified every run by
+    line_dedup_docs — so the driver re-adjudicates the new code) + 40
+    DuckDB-oracled entries the driver has NEVER checked in rounds 1-4 + 3
+    BRAND-NEW round-5 operators (bpe_token_counts, bpe_encoded_docs,
+    bpe_packed_sequences) (86% previously-unseen). Slots 51+ hold the
+    entries green in earlier driver rounds (still SQL-oracled and
+    pytest-verified every run by
     tests/test_entry_oracle.py at sf0.001 and tools/driver_sim.py at
     sf0.01) and the rows-only entries with pytest oracles (ann recall,
     engine rank-identity, multimodal plumbing, tu golden)."""
@@ -75,6 +77,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality_scores": P.lm_quality_docs,
         "bigram_lm_logprob": P.bigram_lm_docs,
         "dsir_weights": P.dsir_weights,
+        # round-5 NEW: exact BPE token accounting (apply stage for
+        # bpe_merge_rules) + packing composed on the real counts, both
+        # DuckDB-oracled via an independently-implemented pure-Python BPE
+        # VALUES map (see _bpe_word_map_values)
+        "bpe_token_counts": P.bpe_token_counts_docs,
+        "bpe_encoded_docs": P.bpe_encoded_docs,
+        "bpe_packed_sequences": P.bpe_packed_sequences,
         "token_count_stats": P.token_count_stats,
         "vocab_stats_by_lang": P.vocab_stats_by_lang,
         "length_band_docs": P.length_band_docs,
@@ -107,11 +116,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": P.funnel_counts,
         "event_transition_counts": P.event_transition_counts,
         "table_profile_events": P.table_profile_events,
+        # --- slots 51+: driver-green in earlier rounds (r1-r4) or
+        # displaced by the round-5 BPE additions, still SQL-oracled +
+        # pytest-verified every run ---
         "value_decile_histogram": P.value_decile_histogram,
         "props_field_stats": P.props_field_stats,
         "corpus_snapshot_diff": P.corpus_snapshot_diff,
-        # --- slots 51+: driver-green in earlier rounds (r1-r4), still
-        # SQL-oracled + pytest-verified every run ---
         "filtered_search_topk": P.filtered_search_topk,
         "fq_phrase_search_topk": P.fq_phrase_search_topk,
         "range_filtered_topk": P.range_filtered_topk,
@@ -1065,8 +1075,155 @@ FROM f
 """
 
 
+def _bpe_word_map_values(
+    sf_parquet: str = "/root/testdata/sf0.01/documents.parquet",
+    n_merges: int = 20,
+) -> str:
+    """INDEPENDENT pure-Python BPE (Sennrich et al. 2016) — learn
+    `n_merges` rules from the corpus word histogram and encode every
+    distinct word; returns the (word, n_tok) VALUES list the SQL oracles
+    join against. Shares NO code with nexlt_ray.bpe (per-word Python
+    lists vs vectorized flat buffers) — a true differential oracle,
+    materialized through SQL because the iterative merge procedure is not
+    SQL-expressible. Pinned to the driver's sf0.01 corpus (same precedent
+    as minhash_pairs_corpus; sf-matched variants live in tests/test_bpe.py).
+    Semantics pinned by both sides: pre-tokens = lowercased [a-z0-9]+
+    runs; symbols = UTF-8 bytes + end-of-word 256; winning pair = count
+    DESC then (left, right) ASC; greedy left-to-right application; a
+    word's token count includes its (possibly merged) end-of-word symbol."""
+    syms = _bpe_word_syms(sf_parquet, n_merges)
+    return ", ".join(f"('{w}', {len(s)})" for w, s in sorted(syms.items()))
+
+
+def _bpe_word_ids_values(
+    sf_parquet: str = "/root/testdata/sf0.01/documents.parquet",
+    n_merges: int = 20,
+) -> str:
+    """(word, space-joined token-id sequence) VALUES from the same
+    independent replay — the map bpe_encoded_docs's oracle joins against."""
+    syms = _bpe_word_syms(sf_parquet, n_merges)
+    return ", ".join(
+        "('{}', '{}')".format(w, " ".join(map(str, s)))
+        for w, s in sorted(syms.items())
+    )
+
+
+def _bpe_word_syms(sf_parquet: str, n_merges: int) -> dict[str, list[int]]:
+    import duckdb
+
+    hist = duckdb.connect().execute(
+        "WITH toks AS (SELECT unnest(string_split_regex(lower(text), "
+        f"'[^a-z0-9]+')) AS w FROM read_parquet('{sf_parquet}')) "
+        "SELECT w, count(*) FROM toks WHERE w <> '' GROUP BY w"
+    ).fetchall()
+    syms = {w: list(w.encode()) + [256] for w, _ in hist}
+    cnts = dict(hist)
+    next_id = 257
+    for _ in range(n_merges):
+        pair_n: dict[tuple, int] = {}
+        for w, s in syms.items():
+            c = cnts[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pair_n[p] = pair_n.get(p, 0) + c
+        if not pair_n:
+            break
+        best = max(pair_n.values())
+        a, b = min(k for k, v in pair_n.items() if v == best)
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(next_id)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+        next_id += 1
+    return syms
+
+
+def _bpe_counts_cte(
+    sf_parquet: str = "/root/testdata/sf0.01/documents.parquet",
+) -> str:
+    return f"""
+{_TOK},
+bpe_map(word, n_tok) AS (VALUES {_bpe_word_map_values(sf_parquet)}),
+bsum AS (
+  SELECT t.doc_id, sum(m.n_tok)::BIGINT AS n
+  FROM tok t JOIN bpe_map m ON t.term = m.word GROUP BY t.doc_id
+),
+bcnt AS (
+  SELECT d.doc_id, coalesce(b.n, 0)::BIGINT AS n_bpe_tokens
+  FROM documents d LEFT JOIN bsum b USING (doc_id)
+)"""
+
+
+def _bpe_token_counts_sql(
+    sf_parquet: str = "/root/testdata/sf0.01/documents.parquet",
+) -> str:
+    return _bpe_counts_cte(sf_parquet) + "\nSELECT doc_id, n_bpe_tokens FROM bcnt\n"
+
+
+def _bpe_encoded_sql(
+    sf_parquet: str = "/root/testdata/sf0.01/documents.parquet",
+) -> str:
+    # order-preserving reassembly: list_transform((x, i) -> struct) keeps
+    # each word's 1-based position through the unnest, the VALUES map
+    # supplies each word's id sequence, string_agg(ORDER BY i) rebuilds
+    # the doc sequence; docs with no [a-z0-9] words emit ''
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS words
+  FROM documents
+),
+m(word, ids) AS (VALUES {_bpe_word_ids_values(sf_parquet)}),
+pos AS (
+  SELECT doc_id,
+         unnest(list_transform(words, (x, i) -> {{'w': x, 'i': i}})) AS u
+  FROM w
+),
+j AS (SELECT p.doc_id, p.u.i AS i, m.ids,
+             len(string_split(m.ids, ' '))::BIGINT AS nt
+      FROM pos p JOIN m ON m.word = p.u.w)
+SELECT d.doc_id,
+       coalesce(s.tokids, '') AS token_ids,
+       coalesce(s.nt, 0)::BIGINT AS n_bpe_tokens
+FROM documents d LEFT JOIN (
+  SELECT doc_id, string_agg(ids, ' ' ORDER BY i) AS tokids,
+         sum(nt)::BIGINT AS nt
+  FROM j GROUP BY doc_id
+) s USING (doc_id)
+"""
+
+
+def _bpe_packed_sql(
+    sf_parquet: str = "/root/testdata/sf0.01/documents.parquet",
+) -> str:
+    return _bpe_counts_cte(sf_parquet) + """,
+sc AS (
+  SELECT doc_id, n_bpe_tokens AS n_tokens,
+         coalesce(sum(n_bpe_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             AS start_token
+  FROM bcnt
+)
+SELECT doc_id, n_tokens, start_token,
+       (start_token // 128)::BIGINT AS block_id,
+       (start_token % 128)::BIGINT AS block_offset
+FROM sc
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "bpe_token_counts": _bpe_token_counts_sql(),
+        "bpe_packed_sequences": _bpe_packed_sql(),
+        "bpe_encoded_docs": _bpe_encoded_sql(),
         "term_df_top100": f"""
 {_TOK}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf

@@ -30,6 +30,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_shift: int = 10,
+    token_counter=None,
 ):
     """Returns a Dataset of (id, n_tokens, start_token, block_id,
     block_offset): doc `id`'s tokens occupy [start_token, start_token +
@@ -39,17 +40,25 @@ def pack_sequences(
 
     `bucket_shift`: docs group by id >> bucket_shift for the scan; at
     10^12 docs pick ~20 (1M-doc ranges -> 1M bucket totals, still a
-    trivially small driver scan relative to the data)."""
+    trivially small driver scan relative to the data).
+
+    `token_counter`: optional batch -> int64 ndarray of per-doc token
+    counts, replacing the default whitespace-profile proxy — pass a real
+    tokenizer's accounting (e.g. bpe.bpe_token_counts's kernel) so the
+    packed layout matches what the trainer will actually see."""
     import ray
     from ray.data.aggregate import Sum
 
     def counts(batch: pa.Table) -> pa.Table:
-        tb = tokenize_batch(batch[text_col], profile="simple")
+        if token_counter is not None:
+            n = np.asarray(token_counter(batch), dtype=np.int64)
+        else:
+            n = tokenize_batch(batch[text_col], profile="simple").doc_len
         ids = np.asarray(batch[id_col], dtype=np.int64)
         return pa.table(
             {
                 id_col: pa.array(ids),
-                "n_tokens": pa.array(tb.doc_len.astype(np.int64)),
+                "n_tokens": pa.array(n.astype(np.int64)),
                 "__bucket": pa.array(ids >> bucket_shift),
             }
         )

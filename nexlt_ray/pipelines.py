@@ -5422,6 +5422,58 @@ def bpe_merge_rules(sf_dir: str) -> pa.Table:
     return bpe_learn(_documents(sf_dir, ["doc_id", "text"]), n_merges=20)
 
 
+def bpe_token_counts_docs(sf_dir: str):
+    """Exact per-doc BPE token accounting under the corpus's own learned
+    rules (20 merges): learn distributedly (bpe.bpe_learn), then one pure
+    map applies the rules — each batch's DISTINCT words are encoded once
+    and counts scatter back per doc (bpe.bpe_token_counts). This is the
+    real-tokenizer replacement for token_count_stats's whitespace/regex
+    proxies (reference analyzer-chain role, schema.xml:273-308). DuckDB
+    oracle: an independently-implemented pure-Python BPE (learn + encode,
+    no nexlt_ray code) computes the word -> token-count map at
+    oracle-generation time and ships it as a VALUES join (pinned to the
+    driver's sf0.01 corpus like minhash_pairs_corpus; sf-matched variants
+    in tests/test_bpe.py)."""
+    from .bpe import bpe_learn, bpe_token_counts
+
+    rules = bpe_learn(_documents(sf_dir, ["doc_id", "text"]), n_merges=20)
+    return bpe_token_counts(_documents(sf_dir, ["doc_id", "text"]), rules)
+
+
+def bpe_encoded_docs(sf_dir: str):
+    """Full BPE encode of `documents` under the corpus's own 20 learned
+    rules: (doc_id, token_ids, n_bpe_tokens) with token_ids the
+    space-joined id sequence — the actual trainer feed (bpe.bpe_encode_docs).
+    DuckDB oracle: the independent pure-Python BPE emits a per-word
+    id-SEQUENCE VALUES map and SQL reassembles each doc's sequence with an
+    order-preserving list_transform((x,i) -> struct) unnest + string_agg
+    (pinned to sf0.01; sf-matched variant in tests)."""
+    from .bpe import bpe_encode_docs as _enc
+    from .bpe import bpe_learn
+
+    rules = bpe_learn(_documents(sf_dir, ["doc_id", "text"]), n_merges=20)
+    return _enc(_documents(sf_dir, ["doc_id", "text"]), rules)
+
+
+def bpe_packed_sequences(sf_dir: str):
+    """Sequence packing under EXACT BPE token counts (B=128): the
+    composition VERDICT r4 asked for — pack_sequences's distributed exact
+    prefix sum with bpe_count_kernel plugged in as the token counter, so
+    (start_token, block_id, block_offset) reflect what the trainer's
+    tokenizer will actually emit. Same independent VALUES-map oracle as
+    bpe_token_counts, composed with the window-sum packing oracle."""
+    from .bpe import bpe_count_kernel, bpe_learn
+    from .packing import pack_sequences
+
+    rules = bpe_learn(_documents(sf_dir, ["doc_id", "text"]), n_merges=20)
+    return pack_sequences(
+        _documents(sf_dir, ["doc_id", "text"]),
+        block_tokens=128,
+        bucket_shift=6,
+        token_counter=bpe_count_kernel(rules),
+    )
+
+
 COOCCUR_TRIANGLE_MIN = 120
 
 

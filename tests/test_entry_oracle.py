@@ -59,9 +59,14 @@ def all_queries():
 ORACLE = entrymod.oracle_sql()
 
 # minhash_pairs_corpus's shipped SQL reads the write-once 20k-doc corpus
-# (the driver's sf0.01 scale); this module tests at sf0.001, so it gets a
-# dedicated sf-matched test below instead of the parametrized one
-_SF_PINNED = {"minhash_pairs_corpus"}
+# (the driver's sf0.01 scale), and the bpe_* oracles embed the word ->
+# token-count map learned from the sf0.01 histogram; this module tests at
+# sf0.001, so each gets a dedicated sf-matched test below instead of the
+# parametrized one
+_SF_PINNED = {
+    "minhash_pairs_corpus", "bpe_token_counts", "bpe_packed_sequences",
+    "bpe_encoded_docs",
+}
 
 
 @pytest.mark.parametrize("name", sorted(set(ORACLE) - _SF_PINNED))
@@ -82,6 +87,22 @@ def test_minhash_pairs_matches_oracle_at_sf(ray_session, con, all_queries):
     rebuilt for THIS sf's corpus size (1000 docs at sf0.001)."""
     got = _canon(_to_pandas(all_queries["minhash_pairs_corpus"](SF_DIR)))
     exp = _canon(con.sql(entrymod._minhash_sql(1000)).df())
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize("name,sqlgen", [
+    ("bpe_token_counts", entrymod._bpe_token_counts_sql),
+    ("bpe_packed_sequences", entrymod._bpe_packed_sql),
+    ("bpe_encoded_docs", entrymod._bpe_encoded_sql),
+])
+def test_bpe_entries_match_oracle_at_sf(ray_session, con, all_queries,
+                                        name, sqlgen):
+    """Same contract as the parametrized oracle test, with the independent
+    pure-Python BPE VALUES map rebuilt from THIS sf's word histogram."""
+    got = _canon(_to_pandas(all_queries[name](SF_DIR)))
+    exp = _canon(con.sql(sqlgen(f"{SF_DIR}/documents.parquet")).df())
     assert list(got.columns) == list(exp.columns)
     assert len(got) == len(exp)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)

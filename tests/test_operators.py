@@ -1546,6 +1546,66 @@ def test_bpe_learn_matches_textbook_reference(ray_session):
                     got["pair_count"].to_pylist()))
     assert have == rules
 
+    # encode (the apply stage): vocab now holds each word's final symbol
+    # sequence under the learned rules — bpe_token_counts must reproduce
+    # per-doc sums of those lengths exactly
+    from nexlt_ray.bpe import bpe_token_counts
+
+    cnts = (
+        bpe_token_counts(ray.data.from_items(docs).repartition(5), got)
+        .to_pandas()
+        .set_index("doc_id")["n_bpe_tokens"]
+    )
+    for d in docs:
+        exp = sum(len(vocab[w]) for w in d["text"].split())
+        assert cnts[d["doc_id"]] == exp, d["doc_id"]
+
+    # full sequence emission: token_ids is each word's final symbol
+    # sequence concatenated in document order
+    from nexlt_ray.bpe import bpe_encode_docs
+
+    enc = (
+        bpe_encode_docs(ray.data.from_items(docs).repartition(5), got)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    for d in docs:
+        exp_seq = " ".join(
+            str(s) for w in d["text"].split() for s in vocab[w]
+        )
+        assert enc.loc[d["doc_id"], "token_ids"] == exp_seq, d["doc_id"]
+        assert enc.loc[d["doc_id"], "n_bpe_tokens"] == cnts[d["doc_id"]]
+
+
+def test_bpe_learn_sharded_equals_single_node(ray_session):
+    """VERDICT r4 #5: the sharded merge loop (map_batches pair partials +
+    pair groupby per iteration) is bit-identical to the single-node path
+    on a histogram with >= 10^5 distinct words — the regime the sharding
+    exists for."""
+    import ray.data
+
+    from nexlt_ray.bpe import bpe_learn
+
+    rng = np.random.default_rng(7)
+    alphabet = np.array(list("abcdef"))
+    # ~120k distinct words: random 4-8 char strings over a 6-letter
+    # alphabet (6^4 = 1296 ... 6^8 = 1.7M shapes; dups fine, distinct
+    # count checked below)
+    n_words = 200_000
+    lens = rng.integers(4, 9, size=n_words)
+    words = ["".join(rng.choice(alphabet, size=int(l))) for l in lens]
+    assert len(set(words)) >= 100_000
+    docs = [
+        {"doc_id": i, "text": " ".join(words[i * 50:(i + 1) * 50])}
+        for i in range(n_words // 50)
+    ]
+    ds1 = ray.data.from_items(docs).repartition(8)
+    ds2 = ray.data.from_items(docs).repartition(8)
+    single = bpe_learn(ds1, n_merges=8)
+    sharded = bpe_learn(ds2, n_merges=8, shards=16)
+    assert single.equals(sharded)
+    assert single.num_rows == 8
+
 
 # ---------------------------------------------------------------------------
 # hypothesis property tests (pure kernels — no ray session needed)
