@@ -34,6 +34,78 @@ import pyarrow.compute as pc
 from .tokenize import tokenize_batch
 
 # ---------------------------------------------------------------------------
+# shared pair-stream reduction
+# ---------------------------------------------------------------------------
+
+
+def pair_reduce(
+    pairs_ds,
+    mode: str,
+    value_col: str | None = None,
+    out_col: str | None = None,
+    carry_cols: tuple = (),
+    num_buckets: int = 256,
+):
+    """Per-(doc_a, doc_b) reduction of a pair Dataset via ONE single-int
+    bucket shuffle + a vectorized per-bucket segment reduce (lexsort +
+    first-of-run / reduceat). Replaces
+    `groupby(["doc_a","doc_b"]).aggregate(...)` on pair streams: Ray
+    Data's composite-key aggregate materializes the same result ~100x
+    slower once the stream reaches millions of rows (same-window A/B at
+    sf0.1, 3.69M distinct pairs from a ~22M-row emission: 282.8 s
+    composite aggregate vs 2.8 s bucketed reduce, identical output —
+    BENCH/round5_pair_aggregate_ab.json). `num_buckets` is the shuffle
+    fan-out knob: size so a bucket's pair rows fit a worker (at 100 TB
+    raise it with the corpus; the reduce itself is O(n log n) per bucket).
+
+    mode:
+      'first' — distinct pairs; `carry_cols` taken from the pair's first
+                occurrence (correct when they are functions of the pair,
+                e.g. per-doc prefix sizes);
+      'count' — occurrence count per pair -> `out_col`;
+      'min'   — segment min of `value_col` -> `out_col`.
+    """
+    assert mode in ("first", "count", "min")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["doc_a"], dtype=np.int64).view(np.uint64)
+        b = np.asarray(batch["doc_b"], dtype=np.int64).view(np.uint64)
+        h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            b * np.uint64(0xC2B2AE3D27D4EB4F)
+        )
+        return batch.append_column(
+            "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        a = np.asarray(g["doc_a"], dtype=np.int64)
+        b = np.asarray(g["doc_b"], dtype=np.int64)
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        first = np.concatenate(
+            ([True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        cols = {"doc_a": pa.array(a_s[first]), "doc_b": pa.array(b_s[first])}
+        if mode == "first":
+            for c in carry_cols:
+                cols[c] = pa.array(np.asarray(g[c], dtype=np.int64)[order][first])
+        elif mode == "count":
+            seg = np.diff(np.concatenate((starts, [a_s.size])))
+            cols[out_col] = pa.array(seg.astype(np.int64))
+        else:  # min
+            v = np.asarray(g[value_col], dtype=np.int64)[order]
+            cols[out_col] = pa.array(np.minimum.reduceat(v, starts))
+        return pa.table(cols)
+
+    return (
+        pairs_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
@@ -292,7 +364,6 @@ def prefix_candidate_pairs(
     Returns a Dataset of (doc_a, doc_b, size_a, size_b), deduped.
     """
     import ray
-    from ray.data.aggregate import Max
 
     hot = hot_term_dfs(ds, text_col, hot_df_min, shingle)
     hot_ref = ray.put(hot)
@@ -352,13 +423,15 @@ def prefix_candidate_pairs(
             }
         )
 
-    return (
+    # distinct pairs via the bucketed reduce — sizes are per-doc constants,
+    # so first-occurrence carry is exact (the old composite-key Max
+    # aggregate computed the identical table ~100x slower; see pair_reduce)
+    return pair_reduce(
         ds.map_batches(prefix_tokens, batch_format="pyarrow")
         .groupby("term")
-        .map_groups(pairs_of_group, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Max("size_a", alias_name="size_a"),
-                   Max("size_b", alias_name="size_b"))
+        .map_groups(pairs_of_group, batch_format="pyarrow"),
+        "first",
+        carry_cols=("size_a", "size_b"),
     )
 
 
@@ -454,11 +527,10 @@ def verify_pairs_exact(
             }
         )
 
-    inter_counts = (
-        dt.groupby("term")
-        .map_groups(pairs_of_group, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .count()
+    inter_counts = pair_reduce(
+        dt.groupby("term").map_groups(pairs_of_group, batch_format="pyarrow"),
+        "count",
+        out_col="count()",
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -588,8 +660,13 @@ def verify_pairs_exact_ds(
                                     "doc_a", "doc_a"),
         right_schema=dtb_schema,
     )
-    inter = (
-        j2.groupby(["doc_a", "doc_b"]).count()
+    def pair_only(b: pa.Table) -> pa.Table:
+        return b.select(["doc_a", "doc_b"])
+
+    inter = pair_reduce(
+        j2.map_batches(pair_only, batch_format="pyarrow"),
+        "count",
+        out_col="count()",
     )
     inter_schema = pa.schema(
         [("doc_a", i64), ("doc_b", i64), ("count()", i64)]
@@ -898,14 +975,12 @@ def minhash_lsh_pairs(
             }
         )
 
-    pairs = (
-        bands.groupby(["band_id", "band_hash"])
-        .map_groups(pairs_of_bucket, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .count()
-        .drop_columns(["count()"])
+    return pair_reduce(
+        bands.groupby(["band_id", "band_hash"]).map_groups(
+            pairs_of_bucket, batch_format="pyarrow"
+        ),
+        "first",
     )
-    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -1044,14 +1119,13 @@ def simhash_pairs(
             }
         )
 
-    from ray.data.aggregate import Min
-
-    return (
+    return pair_reduce(
         ds.map_batches(sketch_chunks, batch_format="pyarrow")
         .groupby(["chunk_id", "chunk_val"])
-        .map_groups(pairs_of_bucket, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Min("h_p", alias_name="hamming"))
+        .map_groups(pairs_of_bucket, batch_format="pyarrow"),
+        "min",
+        value_col="h_p",
+        out_col="hamming",
     )
 
 
@@ -1182,8 +1256,6 @@ def substring_dup_pairs(
     On ASCII corpora byte semantics == character semantics (the DuckDB
     oracle enumerates character substrings). Returns (doc_a, doc_b) int64.
     """
-    from ray.data.aggregate import Count
-
     from .joins import hash_join
     from .textstats import winnow_doc_fps
 
@@ -1208,12 +1280,12 @@ def substring_dup_pairs(
         )
 
     cand = (
-        docs.map_batches(fps, batch_format="pyarrow")
-        .groupby("fp")
-        .map_groups(pairs_of_group, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count())
-        .select_columns(["doc_a", "doc_b"])
+        pair_reduce(
+            docs.map_batches(fps, batch_format="pyarrow")
+            .groupby("fp")
+            .map_groups(pairs_of_group, batch_format="pyarrow"),
+            "first",
+        )
         # distinct candidate pairs are bounded (near-dup count, not corpus
         # size); materialize ONCE so the two text joins don't re-run the
         # winnowing shuffle, and so the zero-candidate case is detectable
@@ -1925,9 +1997,4 @@ def minhash_incremental_pairs(
         pairs_of_bucket, batch_format="pyarrow"
     )
 
-    return (
-        cross.union(new_new)
-        .groupby(["doc_a", "doc_b"])
-        .count()
-        .drop_columns(["count()"])
-    )
+    return pair_reduce(cross.union(new_new), "first")

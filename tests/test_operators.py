@@ -1677,6 +1677,74 @@ def test_ddsketch_relative_error_property(vals, q):
     assert abs(est - true) <= alpha * true * (1 + 1e-9)
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.data(),
+    n_words=st.integers(1, 12),
+    n_merges=st.integers(0, 10),
+)
+def test_bpe_encode_distinct_words_property(data, n_words, n_merges):
+    """encode_distinct_words == per-word sequential replay of the SAME
+    rules in rank order (greedy left-to-right), for rules learned from a
+    random tiny corpus — rule application must be corpus-independent."""
+    from nexlt_ray.bpe import (_apply_merge, _encode_words, _pair_counts,
+                               encode_distinct_words)
+
+    alpha = "abc"
+    learn_words = [
+        data.draw(st.text(alphabet=alpha, min_size=1, max_size=6))
+        for _ in range(data.draw(st.integers(1, 6)))
+    ]
+    # learn rules on the tiny corpus via the library's own single-node loop
+    lw = sorted(set(learn_words))
+    flat, offs = _encode_words(lw)
+    wc = np.ones(len(lw), dtype=np.int64)
+    rules, next_id = [], 257
+    for r in range(n_merges):
+        keys, cnts = _pair_counts(flat, offs, wc)
+        if keys.size == 0:
+            break
+        best = int(cnts.max())
+        key = int(keys[cnts == best].min())
+        a, b = key >> 32, key & 0xFFFFFFFF
+        flat, offs, _ = _apply_merge(flat, offs, a, b, next_id)
+        rules.append((r, a, b, next_id, best))
+        next_id += 1
+    rules_t = pa.table(
+        {
+            "rank": pa.array([x[0] for x in rules], pa.int64()),
+            "left_id": pa.array([x[1] for x in rules], pa.int64()),
+            "right_id": pa.array([x[2] for x in rules], pa.int64()),
+            "new_id": pa.array([x[3] for x in rules], pa.int64()),
+            "pair_count": pa.array([x[4] for x in rules], pa.int64()),
+        }
+    )
+    # encode UNRELATED words under those rules
+    enc_words = [
+        data.draw(st.text(alphabet=alpha, min_size=0, max_size=8))
+        for _ in range(n_words)
+    ]
+    got_flat, got_offs = encode_distinct_words(enc_words, rules_t)
+
+    def replay(w):
+        syms = list(w.encode()) + [256]
+        for _, a, b, nid, _c in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(nid)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    exp = [replay(w) for w in enc_words]
+    assert got_flat.tolist() == [s for w in exp for s in w]
+    assert np.diff(got_offs).tolist() == [len(w) for w in exp]
+
+
 @settings(max_examples=200, deadline=None)
 @given(
     words=st.lists(

@@ -40,7 +40,8 @@ out = {}
 for name in names:
     t0 = time.perf_counter()
     r = qs[name](SF)
-    n = r.count() if hasattr(r, "count") and not hasattr(r, "columns") else len(r)
+    import ray.data as _rd
+    n = r.count() if isinstance(r, _rd.Dataset) else len(r)
     out[name] = {"sec": round(time.perf_counter() - t0, 3), "rows": int(n)}
     print(f"{name}: {out[name]['sec']}s rows={n}", flush=True)
 
