@@ -2182,6 +2182,59 @@ def test_line_dedup_group_scoped(ray_session):
     assert out["n_removed"].tolist() == [1, 1, 1, 1, 0, 0, 0, 0, 0]
 
 
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(1, 400),
+    nb=st.integers(1, 8),
+    buckets=st.integers(1, 16),
+    mode=st.sampled_from(["first", "count", "min"]),
+    data=st.data(),
+)
+def test_pair_reduce_matches_pandas(ray_session, n, nb, buckets, mode, data):
+    """pair_reduce == pandas groupby reference for all three modes, under
+    any block layout and bucket count (the bucketed reduce replaced Ray's
+    composite-key aggregate for a ~100x win — semantics must be identical)."""
+    import pandas as pd
+    import ray.data
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31 - 1)))
+    a = rng.integers(0, 12, size=n).astype(np.int64)
+    b = rng.integers(0, 12, size=n).astype(np.int64)
+    v = rng.integers(-5, 100, size=n).astype(np.int64)
+    t = pa.table(
+        {"doc_a": pa.array(a), "doc_b": pa.array(b), "h_p": pa.array(v)}
+    )
+    ds = ray.data.from_arrow(t).repartition(nb)
+    kw = dict(num_buckets=buckets)
+    if mode == "first":
+        got = D.pair_reduce(ds, "first", **kw).to_pandas()
+        exp = (
+            pd.DataFrame({"doc_a": a, "doc_b": b})
+            .drop_duplicates()
+            .reset_index(drop=True)
+        )
+        got = got[["doc_a", "doc_b"]]
+    elif mode == "count":
+        got = D.pair_reduce(ds, "count", out_col="c", **kw).to_pandas()
+        exp = (
+            pd.DataFrame({"doc_a": a, "doc_b": b})
+            .groupby(["doc_a", "doc_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+    else:
+        got = D.pair_reduce(ds, "min", value_col="h_p", out_col="m", **kw).to_pandas()
+        exp = (
+            pd.DataFrame({"doc_a": a, "doc_b": b, "m": v})
+            .groupby(["doc_a", "doc_b"], as_index=False)["m"]
+            .min()
+        )
+    key = ["doc_a", "doc_b"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True).astype(np.int64)
+    pd.testing.assert_frame_equal(got.astype(np.int64), exp)
+
+
 def test_doc_bucket_spread():
     """Regression (r4 advice): the Fibonacci bucket mix must run in uint64.
     The old int64-array * out-of-range-Python-int expression promoted to
