@@ -562,7 +562,7 @@ def verify_pairs_exact_ds(
     tau_den: int,
     text_col: str = "text",
     shingle: int = 1,
-    broadcast_pairs_cap: int = 2_000_000,
+    broadcast_pairs_cap: int = 8_000_000,
 ):
     """Dataset-native exact-Jaccard verification: `cand` is a Dataset of
     (doc_a, doc_b) candidate pairs — it never round-trips through pandas on
@@ -574,11 +574,15 @@ def verify_pairs_exact_ds(
     - `n <= broadcast_pairs_cap` (the common case — candidates track the
       true near-dup count): zero-copy Arrow concat of the materialized
       blocks + the broadcast verification of `verify_pairs_exact`. Driver
-      state is one int64 pair table, bounded by the cap (~32 MB at the
-      default).
+      state is one int64 pair table, bounded by the cap (~128 MB at the
+      default — well inside any worker heap, and measured ~10x faster
+      than the distributed plan right up to the cap: same-window A/B at
+      sf0.1 with 3.69M candidates, 6.3 s broadcast vs 59.7 s
+      distributed, identical 964,854 verified pairs).
     - above the cap (dup-heavy crawls where the candidate set itself is
-      corpus-scale): a fully-distributed plan with NO driver data path —
-      semi-join doc terms to candidate docs, count pair intersections via a
+      corpus-scale and no single process should hold it): a
+      fully-distributed plan with NO driver data path — semi-join doc
+      terms to candidate docs, count pair intersections via a
       composite-key partitioned join, join sizes back, threshold. Five
       bucketed exchanges, each streaming and bounded by the candidate term
       volume; the pair set never exists in one process.
