@@ -1756,7 +1756,13 @@ def minhash_pairs_corpus(sf_dir: str):
     ds = ray.data.read_parquet(
         path, columns=["repo", "path", "commit", "content"]
     ).map_batches(_sha_doc_id, batch_format="pyarrow")
-    cand = dedup_ops.minhash_lsh_pairs(ds, shingle=3, concurrency=4)
+    # signature pool sized to the session (sf0.1 = 200k docs; the old
+    # fixed concurrency=4 left 28 cores idle in the minhash stage and
+    # dominated the sf0.1 wall time)
+    import ray as _ray
+
+    pool = max(4, int(_ray.cluster_resources().get("CPU", 4)) // 2)
+    cand = dedup_ops.minhash_lsh_pairs(ds, shingle=3, concurrency=pool)
     return dedup_ops.verify_pairs_exact_ds(ds, cand, 9, 10, shingle=3)
 
 
