@@ -482,7 +482,11 @@ def verify_pairs_exact(
         mask = pc.is_in(batch["doc_id"], value_set=ray.get(docs_ref))
         return distinct_doc_terms(batch.filter(mask), text_col, shingle)
 
-    dt = ds.map_batches(cand_doc_terms, batch_format="pyarrow")
+    # materialize: consumed TWICE below (size aggregate + term groupby) —
+    # unmaterialized, each consumer re-runs the full corpus read+tokenize
+    # pass; the table is bounded by the CANDIDATE docs' term volume (object
+    # store spills if large), so pinning it halves the verify cost
+    dt = ds.map_batches(cand_doc_terms, batch_format="pyarrow").materialize()
 
     def size_partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
